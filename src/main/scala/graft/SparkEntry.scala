@@ -10,16 +10,46 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg"    -> (Relational.q1Agg _),
-    "q3_join"   -> (Relational.q3Join _),
-    "q6_window" -> (Relational.q6Window _),
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_join"           -> (Relational.q3Join _),
+    "q4_brand_revenue"  -> (Relational.q4BrandRevenue _),
+    "q5_multi_join"     -> (Relational.q5MultiJoin _),
+    "q6_window"         -> (Relational.q6Window _),
+    "q7_topk"           -> (Relational.q7TopK _),
+    "q8_setops"         -> (Relational.q8SetOps _),
+    "q9_distinct"       -> (Relational.q9Distinct _),
+    "q10_rollup"        -> (Relational.q10Rollup _),
+    "q11_semi_anti"     -> (Relational.q11SemiAnti _),
+    "q12_scalar"        -> (Relational.q12Scalar _),
+    "q13_having"        -> (Relational.q13Having _),
+    "q14_subquery"      -> (Relational.q14Subquery _),
+    "q16_pivot"         -> (Relational.q16Pivot _),
+    "ev_hourly"         -> (Events.hourly _),
+    "ev_json_props"     -> (Events.jsonProps _),
+    "ev_sessions"       -> (Events.sessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg"    -> Relational.q1Sql,
-    "q3_join"   -> Relational.q3Sql,
-    "q6_window" -> Relational.q6Sql,
+    "q1_agg"            -> Relational.q1Sql,
+    "q2_filter_project" -> Relational.q2Sql,
+    "q3_join"           -> Relational.q3Sql,
+    "q4_brand_revenue"  -> Relational.q4Sql,
+    "q5_multi_join"     -> Relational.q5Sql,
+    "q6_window"         -> Relational.q6Sql,
+    "q7_topk"           -> Relational.q7Sql,
+    "q8_setops"         -> Relational.q8Sql,
+    "q9_distinct"       -> Relational.q9Sql,
+    "q10_rollup"        -> Relational.q10Sql,
+    "q11_semi_anti"     -> Relational.q11Sql,
+    "q12_scalar"        -> Relational.q12Sql,
+    "q13_having"        -> Relational.q13Sql,
+    "q14_subquery"      -> Relational.q14Sql,
+    "q16_pivot"         -> Relational.q16Sql,
+    "ev_hourly"         -> Events.hourlySql,
+    "ev_json_props"     -> Events.jsonPropsSql,
+    "ev_sessions"       -> Events.sessionsSql,
   )
 }

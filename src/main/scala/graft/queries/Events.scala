@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Time-series queries over the events table (ns-precision timestamps,
+  * JSON props column). See Tables.events for the nanos handling. */
+object Events {
+
+  private val dec2 = DecimalType(12, 2)
+
+  /** Hourly per-type counts/sums — the batch shape of the streaming
+    * windowed aggregation (Streaming.scala runs the same logic
+    * incrementally). Scale: single shuffle on (hour, type); partial
+    * aggregation makes the exchange tiny. */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val hourlySql: String =
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(12,2))) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** JSON extraction from the props column via from_json with an explicit
+    * schema (codegen'd Jackson parse — no UDF). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sessionization with window functions: a new session starts after
+    * >30 min of user inactivity. Classic scalable pattern — lag + cumulative
+    * sum inside a per-user window, one shuffle on user_id. */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val sessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM marked)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+      |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+}
