@@ -25,6 +25,7 @@ object SparkEntry {
     "q13_having"        -> (Relational.q13Having _),
     "q14_subquery"      -> (Relational.q14Subquery _),
     "q16_pivot"         -> (Relational.q16Pivot _),
+    "x_custom_exprs"    -> (CustomExprs.customExprs _),
     "ev_hourly"         -> (Events.hourly _),
     "ev_json_props"     -> (Events.jsonProps _),
     "ev_sessions"       -> (Events.sessions _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "q13_having"        -> Relational.q13Sql,
     "q14_subquery"      -> Relational.q14Sql,
     "q16_pivot"         -> Relational.q16Sql,
+    "x_custom_exprs"    -> CustomExprs.customExprsSql,
     "ev_hourly"         -> Events.hourlySql,
     "ev_json_props"     -> Events.jsonPropsSql,
     "ev_sessions"       -> Events.sessionsSql,
