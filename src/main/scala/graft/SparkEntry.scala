@@ -28,6 +28,7 @@ object SparkEntry {
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
     "ev_hourly"         -> (Events.hourly _),
     "ev_json_props"     -> (Events.jsonProps _),
+    "x_jsonschema_parse" -> (Events.jsonSchemaProps _),
     "ev_sessions"       -> (Events.sessions _),
   )
 
@@ -52,6 +53,7 @@ object SparkEntry {
     "x_custom_exprs"    -> CustomExprs.customExprsSql,
     "ev_hourly"         -> Events.hourlySql,
     "ev_json_props"     -> Events.jsonPropsSql,
+    "x_jsonschema_parse" -> Events.jsonSchemaPropsSql,
     "ev_sessions"       -> Events.sessionsSql,
   )
 }

@@ -51,6 +51,24 @@ object Events {
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** JSON-Schema-driven extraction: the props schema arrives as a JSON
+    * Schema document (as it would from a registry/contract), is converted
+    * to a StructType by graft's converter, and drives the codegen'd
+    * from_json parse. */
+  def jsonSchemaProps(s: SparkSession, dir: String): DataFrame = {
+    val contract =
+      """{"type":"object","properties":{"k":{"type":"integer"}},"required":["k"]}"""
+    val schema = graft.jsonschema.JsonSchemaConverter.toSparkSchema(contract)
+    Tables.events(s, dir)
+      .filter(col("event_id") % 101 === 0)
+      .select(col("event_id"),
+        from_json(col("props"), schema).getField("k").as("k"))
+  }
+
+  val jsonSchemaPropsSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events WHERE event_id % 101 = 0""".stripMargin
+
   /** Sessionization with window functions: a new session starts after
     * >30 min of user inactivity. Classic scalable pattern — lag + cumulative
     * sum inside a per-user window, one shuffle on user_id. */
