@@ -26,6 +26,8 @@ object SparkEntry {
     "q14_subquery"      -> (Relational.q14Subquery _),
     "q16_pivot"         -> (Relational.q16Pivot _),
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
+    "x_avro_roundtrip"  -> (Serde.avroRoundtrip _),
+    "x_json_roundtrip"  -> (Serde.jsonRoundtrip _),
     "ev_hourly"         -> (Events.hourly _),
     "ev_json_props"     -> (Events.jsonProps _),
     "x_jsonschema_parse" -> (Events.jsonSchemaProps _),
@@ -51,6 +53,8 @@ object SparkEntry {
     "q14_subquery"      -> Relational.q14Sql,
     "q16_pivot"         -> Relational.q16Sql,
     "x_custom_exprs"    -> CustomExprs.customExprsSql,
+    "x_avro_roundtrip"  -> Serde.avroRoundtripSql,
+    "x_json_roundtrip"  -> Serde.jsonRoundtripSql,
     "ev_hourly"         -> Events.hourlySql,
     "ev_json_props"     -> Events.jsonPropsSql,
     "x_jsonschema_parse" -> Events.jsonSchemaPropsSql,

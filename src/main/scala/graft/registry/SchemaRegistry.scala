@@ -1,0 +1,146 @@
+package graft.registry
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaValidationException, SchemaValidatorBuilder}
+
+/** Kafka message side a subject describes. Subjects follow the Confluent
+  * naming convention `<topic>-key` / `<topic>-value`
+  * (reference: sql/confluent/ConfluentClient.scala:46-49, 160-163). */
+sealed abstract class SubjectType(val suffix: String)
+object SubjectType {
+  case object key extends SubjectType("key")
+  case object value extends SubjectType("value")
+}
+
+/** Minimal schema-registry abstraction (the Confluent client jars are not
+  * available offline — and the reference's tests mock the client anyway;
+  * reference: sql/confluent/ConfluentClient.scala:37-133).
+  *
+  * Implementations must be usable from executors: either genuinely
+  * remote (HTTP) or JVM-shared (in-memory for local/tests).
+  */
+trait SchemaRegistryClient extends Serializable {
+  /** Register a new version (or return the existing id for an identical
+    * schema). Returns the schema id. */
+  def register(subject: String, schemaJson: String): Int
+  def getById(id: Int): Option[String]
+  def getLatest(subject: String): Option[(Int, String)]
+  def subjects: Set[String]
+}
+
+/** JVM-wide in-memory registry. State lives in the companion keyed by a
+  * registry name, so expression instances serialized into tasks reconnect
+  * to the same store inside each executor JVM (exactly right for
+  * `local[n]`; a multi-node deployment uses an HTTP-backed client
+  * instead). */
+class InMemorySchemaRegistry(name: String = "default") extends SchemaRegistryClient {
+  private def store = InMemorySchemaRegistry.stores
+    .computeIfAbsent(name, _ => new InMemorySchemaRegistry.Store)
+
+  override def register(subject: String, schemaJson: String): Int = {
+    val s = store
+    s.synchronized {
+      // schema-language-agnostic store: dedupe on the exact document
+      // (Avro canonicalization happens in ConfluentAvroRegistry)
+      val canonical = schemaJson
+      val versions = s.bySubject.computeIfAbsent(subject, _ => new java.util.ArrayList[Int])
+      versions.asScala.find(id => s.byId.get(id) == canonical) match {
+        case Some(id) => id
+        case None =>
+          val id = s.nextId.getAndIncrement()
+          s.byId.put(id, canonical)
+          versions.add(id)
+          id
+      }
+    }
+  }
+
+  override def getById(id: Int): Option[String] = Option(store.byId.get(id))
+
+  override def getLatest(subject: String): Option[(Int, String)] = {
+    val s = store
+    s.synchronized {
+      Option(s.bySubject.get(subject)).filter(!_.isEmpty)
+        .map(v => (v.get(v.size - 1), s.byId.get(v.get(v.size - 1))))
+    }
+  }
+
+  override def subjects: Set[String] = store.bySubject.keySet.asScala.toSet
+}
+
+object InMemorySchemaRegistry {
+  private class Store {
+    val byId = new ConcurrentHashMap[Int, String]()
+    val bySubject = new ConcurrentHashMap[String, java.util.ArrayList[Int]]()
+    val nextId = new AtomicInteger(1)
+  }
+  private val stores = new ConcurrentHashMap[String, Store]()
+  /** Test hook: wipe a named registry. */
+  def reset(name: String = "default"): Unit = stores.remove(name)
+}
+
+/** Avro-typed governance layer over a [[SchemaRegistryClient]]:
+  * compatibility-checked create/update and per-executor caching
+  * (reference: sql/confluent/ConfluentClient.scala:46-131 +
+  * avro validator usage at sql/confluent/avro/ConfluentAvroConnector.scala:97-118). */
+class ConfluentAvroRegistry(val client: SchemaRegistryClient) extends Serializable {
+
+  @transient private lazy val idCache =
+    new ConcurrentHashMap[Int, Schema]()
+
+  def subjectName(topic: String, subjectType: SubjectType): String =
+    s"$topic-${subjectType.suffix}"
+
+  def schemaById(id: Int): Schema =
+    idCache.computeIfAbsent(id, _ =>
+      new Schema.Parser().parse(client.getById(id).getOrElse(
+        throw new IllegalArgumentException(s"schema id $id not found in registry"))))
+
+  def latest(subject: String): Option[(Int, Schema)] =
+    client.getLatest(subject).map { case (id, s) => (id, new Schema.Parser().parse(s)) }
+
+  /** Register if absent; if present and different, check compatibility
+    * (new-can-read-old, or mutual-read when `mutualReadCheck`) and
+    * register the new version. Throws [[IncompatibleSchemaException]] on
+    * violation, or if the subject exists and `updateAllowed` is false. */
+  def setOrUpdateSchema(subject: String, schema: Schema,
+      updateAllowed: Boolean = false, mutualReadCheck: Boolean = false): (Int, Schema) =
+    latest(subject) match {
+      case None => (client.register(subject, schema.toString), schema)
+      case Some((id, existing)) if existing == schema => (id, schema)
+      case Some((_, existing)) =>
+        if (!updateAllowed) throw new IncompatibleSchemaException(
+          s"subject $subject already has a different schema and updateAllowed=false")
+        val problems = checkCompatibility(schema, existing, mutualReadCheck)
+        if (problems.nonEmpty) throw new IncompatibleSchemaException(
+          s"schema update for $subject is incompatible: ${problems.mkString("; ")}")
+        (client.register(subject, schema.toString), schema)
+    }
+
+  /** Register if absent, otherwise return the existing latest schema. */
+  def setOrGetSchema(subject: String, schema: Schema): (Int, Schema) =
+    latest(subject).getOrElse((client.register(subject, schema.toString), schema))
+
+  /** Empty = compatible. */
+  def checkCompatibility(newSchema: Schema, existing: Schema,
+      mutualRead: Boolean): Seq[String] = {
+    def canRead(reader: Schema, writer: Schema, what: String): Option[String] =
+      try {
+        new SchemaValidatorBuilder().canReadStrategy.validateAll()
+          .validate(reader, java.util.List.of(writer))
+        None
+      } catch {
+        case e: SchemaValidationException => Some(s"$what: ${e.getMessage.linesIterator.next()}")
+      }
+    if (mutualRead) {
+      (canRead(newSchema, existing, "new cannot read old") ++
+        canRead(existing, newSchema, "old cannot read new")).toSeq
+    } else canRead(newSchema, existing, "new cannot read old").toSeq
+  }
+}
+
+class IncompatibleSchemaException(msg: String) extends Exception(msg)

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterEach
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.confluent._
+import graft.registry.{ConfluentAvroRegistry, InMemorySchemaRegistry, IncompatibleSchemaException, SubjectType}
+
+class ConfluentSerdeSpec extends AnyFunSuite with BeforeAndAfterEach {
+  import SharedSpark._
+  import spark.implicits._
+
+  private val regName = "serde-spec"
+  private def client = new InMemorySchemaRegistry(regName)
+
+  override def beforeEach(): Unit = InMemorySchemaRegistry.reset(regName)
+
+  test("avro roundtrip: DataFrame -> confluent bytes -> DataFrame") {
+    val df = Seq((1L, "ann", 3.5, true), (2L, "bob", -1.25, false))
+      .toDF("id", "name", "score", "ok")
+    val encoded = df.select(
+      to_confluent_avro(struct($"id", $"name", $"score", $"ok"),
+        "t1", SubjectType.value, client).as("payload"))
+    val bytes = encoded.collect().map(_.getAs[Array[Byte]]("payload"))
+    // wire format: magic 0x0 + 4-byte BE id
+    assert(bytes.forall(_(0) == 0x0))
+    val decoded = encoded.select(
+      from_confluent_avro($"payload", "t1", SubjectType.value, client).as("r"))
+      .select("r.*")
+    assert(decoded.collect().toSet == df.collect().toSet)
+  }
+
+  test("avro roundtrip: nested struct, array, map, decimal, date, timestamp") {
+    val df = spark.sql(
+      """SELECT named_struct(
+        |  'xs', array(1, 2, 3),
+        |  'm', map('a', 10L, 'b', 20L),
+        |  'dec', cast(12.34 as decimal(10,2)),
+        |  'd', date'2024-05-06',
+        |  'ts', timestamp'2024-05-06 07:08:09.123456',
+        |  'inner', named_struct('u', 'x', 'v', 9)
+        |) AS s""".stripMargin)
+    val back = df.select(
+      to_confluent_avro($"s", "t2", SubjectType.value, client).as("b"))
+      .select(from_confluent_avro($"b", "t2", SubjectType.value, client).as("r"))
+      .select("r.*")
+    val row = back.collect().head
+    assert(row.getSeq[Int](row.fieldIndex("xs")).toList == List(1, 2, 3))
+    assert(row.getAs[Map[String, Long]]("m") == Map("a" -> 10L, "b" -> 20L))
+    assert(row.getAs[java.math.BigDecimal]("dec").toString == "12.34")
+    assert(row.getAs[java.sql.Date]("d").toString == "2024-05-06")
+    assert(row.getAs[java.sql.Timestamp]("ts").toString == "2024-05-06 07:08:09.123456")
+    assert(row.getAs[Row]("inner") == Row("x", 9))
+  }
+
+  test("avro roundtrip: null handling for optional fields") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "opt")
+    val back = df.select(
+      to_confluent_avro(struct($"id", $"opt"), "t3", SubjectType.value, client).as("b"))
+      .select(from_confluent_avro($"b", "t3", SubjectType.value, client).as("r"))
+      .select("r.*")
+    assert(back.collect().toSet == Set(Row(1L, "x"), Row(2L, null)))
+  }
+
+  test("schema evolution: records written with v1 read under evolved v2 subject schema") {
+    val reg = new ConfluentAvroRegistry(client)
+    // write v1 records
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val v1bytes = v1.select(
+      to_confluent_avro(struct($"id", $"name"), "evo", SubjectType.value, client).as("b"))
+      .collect().map(_.getAs[Array[Byte]]("b"))
+    // evolve the subject: add nullable field (default null)
+    import org.apache.spark.sql.types._
+    val v2 = graft.avro.AvroSchemaConverter.toAvroType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("extra", StringType, nullable = true))), nullable = false)
+    reg.setOrUpdateSchema("evo-value", v2, updateAllowed = true)
+    // old bytes decode under the NEW reader schema: extra = null
+    val bytesDf = v1bytes.toSeq.toDF("b")
+    val decoded = bytesDf.select(
+      from_confluent_avro($"b", "evo", SubjectType.value, client).as("r")).select("r.*")
+    assert(decoded.columns.toSeq == Seq("id", "name", "extra"))
+    assert(decoded.collect().toSet == Set(Row(1L, "a", null), Row(2L, "b", null)))
+  }
+
+  test("incompatible update rejected; identical re-register is a no-op") {
+    val reg = new ConfluentAvroRegistry(client)
+    import org.apache.spark.sql.types._
+    val s1 = graft.avro.AvroSchemaConverter.toAvroType(StructType(Seq(
+      StructField("id", LongType, nullable = false))), nullable = false)
+    val (id1, _) = reg.setOrUpdateSchema("c-value", s1)
+    assert(reg.setOrUpdateSchema("c-value", s1)._1 == id1)
+    // dropping a required field + adding a new required one → new reader
+    // cannot read old data
+    val s2 = graft.avro.AvroSchemaConverter.toAvroType(StructType(Seq(
+      StructField("other", StringType, nullable = false))), nullable = false)
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema("c-value", s2, updateAllowed = true)
+    }
+    // and without updateAllowed even compatible changes are refused
+    val s3 = graft.avro.AvroSchemaConverter.toAvroType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", StringType, nullable = true))), nullable = false)
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema("c-value", s3)
+    }
+  }
+
+  test("json roundtrip via registry-governed to/from_confluent_json") {
+    val df = Seq((5L, "x"), (6L, "y")).toDF("k", "v")
+    val jsonDf = df.select(
+      to_confluent_json(struct($"k", $"v"), "jt", SubjectType.value, client).as("j"))
+    val strs = jsonDf.as[String].collect().toSet
+    assert(strs == Set("""{"k":5,"v":"x"}""", """{"k":6,"v":"y"}"""))
+    // registration happened at plan time → from_confluent_json can parse
+    val back = jsonDf.select(
+      from_confluent_json($"j", "jt", SubjectType.value, client).as("r")).select("r.*")
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+}
