@@ -28,6 +28,17 @@ object SparkEntry {
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
     "x_avro_roundtrip"  -> (Serde.avroRoundtrip _),
     "x_json_roundtrip"  -> (Serde.jsonRoundtrip _),
+    "t_text_stats"      -> (LlmOps.textStats _),
+    "t_quality"         -> (LlmOps.textQuality _),
+    "t_langid"          -> (LlmOps.textLangId _),
+    "d_exact"           -> (LlmOps.dedupExact _),
+    "d_ngram_jaccard"   -> (LlmOps.dedupNgramJaccard _),
+    "d_minhash_lsh"     -> (LlmOps.dedupMinhashLsh _),
+    "d_simhash"         -> (LlmOps.dedupSimhash _),
+    "s_ann_brute"       -> (LlmOps.annBruteForce _),
+    "s_ann_pairs"       -> (LlmOps.annTopPairs _),
+    "s_ann_lsh"         -> (LlmOps.annLsh _),
+    "mm_decode"         -> (LlmOps.mmDecode _),
     "ev_hourly"         -> (Events.hourly _),
     "ev_json_props"     -> (Events.jsonProps _),
     "x_jsonschema_parse" -> (Events.jsonSchemaProps _),
@@ -55,6 +66,17 @@ object SparkEntry {
     "x_custom_exprs"    -> CustomExprs.customExprsSql,
     "x_avro_roundtrip"  -> Serde.avroRoundtripSql,
     "x_json_roundtrip"  -> Serde.jsonRoundtripSql,
+    "t_text_stats"      -> LlmOps.textStatsSql,
+    "t_quality"         -> LlmOps.textQualitySql,
+    "t_langid"          -> LlmOps.textLangIdSql,
+    "d_exact"           -> LlmOps.dedupExactSql,
+    "d_ngram_jaccard"   -> LlmOps.dedupNgramJaccardSql,
+    "d_minhash_lsh"     -> LlmOps.dedupMinhashLshSql,
+    "s_ann_brute"       -> LlmOps.annBruteForceSql,
+    "s_ann_pairs"       -> LlmOps.annTopPairsSql,
+    "mm_decode"         -> LlmOps.mmDecodeSql,
+    // d_simhash, s_ann_lsh: no SQL oracle (custom hash / probabilistic
+    // recall) → driver rows-only check; spec-verified against exact paths
     "ev_hourly"         -> Events.hourlySql,
     "ev_json_props"     -> Events.jsonPropsSql,
     "x_jsonschema_parse" -> Events.jsonSchemaPropsSql,

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text._
+
+/** Training-data pipeline operators over documents/embeddings, each with
+  * a DuckDB oracle where the computation is expressible in ANSI SQL
+  * (exact-int/fixed-fold-order arithmetic keeps doubles cross-engine
+  * deterministic; see Relational's header). */
+object LlmOps {
+
+  private val NormSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  // ------------------------------------------------------ text analysis
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      n_tokens(col("text")).cast("long").as("n_tokens"),
+      n_bpeish(col("text")).cast("long").as("n_bpeish"),
+      punct_count(col("text")).cast("long").as("punct_cnt"),
+      stopword_count(col("text")).cast("long").as("stop_cnt"),
+      avg_token_len(col("text")).as("avg_tok_len"))
+  }
+
+  val textStatsSql: String =
+    s"""WITH n AS (SELECT doc_id, text, $NormSql AS norm FROM documents)
+       |SELECT doc_id,
+       |  len(string_split(norm, ' ')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct_cnt,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop_cnt,
+       |  CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(norm, ' ')) AS avg_tok_len
+       |FROM n""".stripMargin
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), quality_score(col("text")).as("quality"))
+
+  val textQualitySql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm,
+       |  len(string_split(norm, ' ')) AS ntok,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM n)
+       |SELECT doc_id,
+       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS quality
+       |FROM m""".stripMargin
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), lang_id(col("text")).as("lang_guess"))
+      .groupBy(col("lang_guess")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_guess"))
+
+  val textLangIdSql: String =
+    s"""WITH n AS (SELECT doc_id, text, string_split($NormSql, ' ') AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(list_filter(t, w -> w IN ('the','a','of'))) AS c_en,
+       |  len(list_filter(t, w -> w IN ('der','die','und'))) AS c_de,
+       |  len(list_filter(t, w -> w IN ('el','los','una'))) AS c_es,
+       |  len(list_filter(t, w -> w IN ('le','les','des'))) AS c_fr,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS c_zh FROM n)
+       |SELECT lang_guess, COUNT(*) AS n_docs FROM (
+       |  SELECT CASE WHEN c_zh > 0 THEN 'zh'
+       |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |    WHEN c_es >= c_fr THEN 'es'
+       |    ELSE 'fr' END AS lang_guess FROM m) g
+       |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin
+
+  // -------------------------------------------------------------- dedup
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir))
+
+  val dedupExactSql: String =
+    s"""SELECT md5($NormSql) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1""".stripMargin
+
+  private val JaccardOracle =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+
+  val dedupNgramJaccardSql: String = JaccardOracle
+
+  /** MinHash-LSH banding + exact-Jaccard verification. Same oracle as the
+    * brute-force query: with 64 hashes / 16 bands the planted ~0.97-Jaccard
+    * pairs are recalled with probability 1 - 1e-15. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+
+  val dedupMinhashLshSql: String = JaccardOracle
+
+  /** SimHash banding (custom codegen expression) — no SQL oracle (FNV
+    * simhash isn't expressible in DuckDB); correctness covered by spec
+    * against the exact-Jaccard pair set. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ------------------------------------------------- similarity search
+
+  private def cosineSql(a: String, b: String) =
+    s"""(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))
+       |  * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+
+  val annBruteForceSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ROUND(${cosineSql("embedding", "qe")}, 6) AS sim
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  def annTopPairs(s: SparkSession, dir: String): DataFrame =
+    Ann.topSimilarPairs(Tables.embeddings(s, dir), topN = 10)
+
+  val annTopPairsSql: String =
+    s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, va, vb LIMIT 10""".stripMargin
+
+  /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
+    * recall vs brute force asserted in spec. */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10, planes = 4)
+
+  // ---------------------------------------------------------- multimodal
+
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+    Multimodal.extractMeta(assets).toDF()
+  }
+
+  val mmDecodeSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(length(text) % 640 AS INT) AS width,
+      |  CAST(length(text) * 7 % 480 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END AS INT) AS n_frames
+      |FROM documents""".stripMargin
+}

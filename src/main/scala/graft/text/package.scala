@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: all are
+  * compositions of codegen'd built-ins (no UDFs), so they vectorize and
+  * scale linearly with no shuffle. Formulas are deliberately expressible
+  * in ANSI SQL so each has a DuckDB oracle. */
+package object text {
+
+  /** lowercase, trim, collapse runs of whitespace. */
+  def norm_text(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def tokens(c: Column): Column = split(norm_text(c), " ")
+
+  def n_tokens(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: alpha runs + digit runs + individual symbols —
+    * the shape of byte-pair tokenizer output without the vocab. */
+  def n_bpeish(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  def punct_count(c: Column): Column =
+    regexp_count(norm_text(c), lit("[^a-z0-9 ]"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopword_count(c: Column): Column =
+    size(filter(tokens(c), w => w.isInCollection(Stopwords)))
+
+  /** Mean token length of the normalized text (exact ints, one IEEE
+    * division → deterministic across engines). */
+  def avg_token_len(c: Column): Column =
+    (length(norm_text(c)) - (n_tokens(c) - lit(1))).cast("double") / n_tokens(c)
+
+  /** Composite quality score in [0,1]: stopword presence, length
+    * saturation, punctuation cleanliness. Fixed operation order —
+    * keep in sync with the SQL oracle. */
+  def quality_score(c: Column): Column = {
+    val stopRatio = stopword_count(c).cast("double") / n_tokens(c)
+    val lenSat = least(lit(1.0), length(norm_text(c)).cast("double") / lit(500.0))
+    val punctRatio = punct_count(c).cast("double") / length(norm_text(c))
+    round(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio), 6)
+  }
+
+  /** Marker-word language heuristic (the test corpus is synthetic ASCII,
+    * so CJK detection short-circuits first, then stopword evidence;
+    * deterministic tie-break order en > de > es > fr). */
+  def lang_id(c: Column): Column = {
+    def markers(ws: Seq[String]) = size(filter(tokens(c), w => w.isInCollection(ws)))
+    val en = markers(Seq("the", "a", "of"))
+    val de = markers(Seq("der", "die", "und"))
+    val es = markers(Seq("el", "los", "una"))
+    val fr = markers(Seq("le", "les", "des"))
+    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+    when(cjk > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Whole-document fingerprint: md5 of the normalized text (exact-dup
+    * key; oracle-friendly since DuckDB md5 agrees). */
+  def fingerprint_md5(c: Column): Column = md5(norm_text(c).cast("binary"))
+
+  /** 64-bit SimHash (custom codegen expression) for near-dup bucketing. */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.graft.SimHash64.simhash64(c)
+
+  /** Word n-gram shingles of the normalized text as an array column
+    * (assumes ≥ n tokens, which the corpus guarantees). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text._
+
+class LlmOpsSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001)
+  private lazy val emb  = Tables.embeddings(spark, sf001)
+
+  private lazy val truePairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH + verify finds exactly the true near-dup pairs") {
+    val got = Dedup.minhashLshPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truePairs)
+    assert(truePairs.size == 25)
+  }
+
+  test("simhash banding: high recall of true near-dups at tight hamming") {
+    val sh = Dedup.simhashPairs(docs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.count(sh.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"simhash recall $recall; found ${sh.size} pairs")
+  }
+
+  test("ann LSH recall vs brute force") {
+    val brute = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val lsh = Ann.lshTopK(emb, 0L, 10, planes = 4, probe = 2).collect().map(_.getLong(0)).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"lsh recall $recall (4 planes, probe 2 → ~11/16 of signature space)")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(
+      Ann.cosine(col("a"), col("b")).as("same"),
+      Ann.cosine(col("a"), col("c")).as("orth")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("multimodal typed pipeline: binary payloads -> stub meta, fully distributed") {
+    val assets = graft.multimodal.Multimodal.assetsFromDocuments(docs)
+    val meta = graft.multimodal.Multimodal.extractMeta(assets)
+    val m = meta.collect()
+    assert(m.length == docs.count())
+    assert(m.forall(x => x.width == (x.n_bytes % 640).toInt))
+    assert(m.filter(_.kind != "video").forall(_.n_frames == 1))
+  }
+
+  test("simhash64 is deterministic and locality-sensitive") {
+    val h1 = org.apache.spark.sql.graft.SimHash64.simhash("the quick brown fox jumps over dog")
+    val h2 = org.apache.spark.sql.graft.SimHash64.simhash("the quick brown fox jumps over dog")
+    val h3 = org.apache.spark.sql.graft.SimHash64.simhash("the quick brown fox leaps over dog")
+    val far = org.apache.spark.sql.graft.SimHash64.simhash("completely different words entirely here now")
+    assert(h1 == h2)
+    assert(java.lang.Long.bitCount(h1 ^ h3) < java.lang.Long.bitCount(h1 ^ far))
+  }
+
+  test("text functions agree with hand-computed values") {
+    val df = Seq("The  Quick  fox of the hill!").toDF("text")
+    val r = df.select(
+      norm_text(col("text")).as("n"),
+      n_tokens(col("text")).as("nt"),
+      stopword_count(col("text")).as("sc"),
+      punct_count(col("text")).as("pc")).collect().head
+    assert(r.getString(0) == "the quick fox of the hill!")
+    assert(r.getInt(1) == 6)
+    assert(r.getInt(2) == 3) // the, of, the
+    assert(r.getInt(3) == 1) // '!'
+  }
+}

@@ -9,8 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueryPackSpec extends AnyFunSuite {
   import SharedSpark._
 
+  /** Queries allowed to skip the DuckDB oracle: custom-hash / probabilistic
+    * operators not expressible in ANSI SQL — each is spec-verified against
+    * its exact counterpart in LlmOpsSpec instead. */
+  private val rowsOnlyAllowed = Set("d_simhash", "s_ann_lsh")
+
   test("every query has an oracle or is explicitly rows-only") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowed
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
