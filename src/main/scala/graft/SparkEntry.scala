@@ -43,6 +43,7 @@ object SparkEntry {
     "ev_json_props"     -> (Events.jsonProps _),
     "x_jsonschema_parse" -> (Events.jsonSchemaProps _),
     "ev_sessions"       -> (Events.sessions _),
+    "st_hourly_stream"  -> ((s, d) => graft.streaming.Streaming.hourlyWindowed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +82,6 @@ object SparkEntry {
     "ev_json_props"     -> Events.jsonPropsSql,
     "x_jsonschema_parse" -> Events.jsonSchemaPropsSql,
     "ev_sessions"       -> Events.sessionsSql,
+    "st_hourly_stream"  -> graft.streaming.Streaming.hourlyWindowedSql,
   )
 }

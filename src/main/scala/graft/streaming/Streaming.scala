@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table. The same
+  * aggregation logic as the batch queries, expressed incrementally:
+  * file source → event-time window + watermark → sink. For the
+  * correctness gate the stream is driven synchronously to completion
+  * (`processAllAvailable`) against the static parquet, which must equal
+  * the batch answer — the Dataflow-style batch/stream equivalence test.
+  *
+  * Scale: stateful aggregation partitions by (window, type) — state per
+  * key lives in the state store; the watermark bounds state size.
+  */
+object Streaming {
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS); file streams need an
+    * explicit schema, so read ts as Long (nanosAsLong) and convert. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // basePath must be a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window totals per event type, with a 1-hour
+    * watermark. Run synchronously to a memory sink; returns the final
+    * table (complete mode). */
+  def hourlyWindowed(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_hourly"): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(queryName).orderBy(col("hour"), col("event_type"))
+  }
+
+  val hourlyWindowedSql: String =
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,81 @@
+package org.apache.spark.sql.graft.python
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import org.apache.spark.SparkUserAppException
+import org.apache.spark.api.java.JavaSparkContext
+import org.apache.spark.sql.SparkSession
+import py4j.GatewayServer
+
+import graft.util.PortUtils
+
+/** Embeds Python execution in a running Scala SparkSession
+  * (reference: python/PythonHelper.scala:42-134): write the code to a
+  * temp .py, start an authenticated py4j [[GatewayServer]] exposing an
+  * entry point with the live session, launch the interpreter with the
+  * gateway coordinates in the environment, wait, fail on non-zero exit.
+  *
+  * The Python side connects back into the *same* JVM, so Spark jobs
+  * submitted from Python run on the same (cluster-attached) context:
+  *
+  * {{{
+  * from py4j.java_gateway import JavaGateway, GatewayParameters
+  * gw = JavaGateway(gateway_parameters=GatewayParameters(
+  *   port=int(os.environ["GRAFT_GATEWAY_PORT"]),
+  *   auth_token=os.environ["GRAFT_GATEWAY_SECRET"], auto_convert=True))
+  * entry = gw.entry_point            # SparkEntryPoint below
+  * jdf = entry.sql("SELECT 1")       # runs on the JVM's SparkSession
+  * }}}
+  */
+object PythonHelper {
+
+  /** Exposed to Python as the py4j entry point. */
+  class SparkEntryPoint(val session: SparkSession) {
+    def sql(query: String): org.apache.spark.sql.DataFrame = session.sql(query)
+    def getJavaSparkContext: JavaSparkContext =
+      new JavaSparkContext(session.sparkContext)
+    def version: String = session.version
+  }
+
+  def exec(session: SparkSession, pythonCode: String,
+      pythonExec: String = "python3"): Unit = {
+    val entryPoint = new SparkEntryPoint(session)
+    val secret = Random.alphanumeric.take(48).mkString
+    val codeFile = Files.createTempFile("graft_py_", ".py")
+    Files.write(codeFile, pythonCode.getBytes(StandardCharsets.UTF_8))
+
+    val server = new GatewayServer.GatewayServerBuilder()
+      .entryPoint(entryPoint)
+      .javaPort(0) // ephemeral
+      .authToken(secret)
+      .build()
+    try {
+      val port = PortUtils.startOnPort(
+        { p => server.start(); server.getListeningPort },
+        "graft-py4j-gateway", 0, 3)
+
+      val pb = new ProcessBuilder((Seq(pythonExec, codeFile.toString)).asJava)
+      val env = pb.environment()
+      env.put("GRAFT_GATEWAY_PORT", port.toString)
+      env.put("GRAFT_GATEWAY_SECRET", secret)
+      // make spark's bundled python libs importable alongside system ones
+      val sparkPython = new File("/opt/spark/python")
+      if (sparkPython.isDirectory) {
+        val existing = Option(env.get("PYTHONPATH")).filter(_.nonEmpty).toSeq
+        env.put("PYTHONPATH", (existing :+ sparkPython.getAbsolutePath).mkString(":"))
+      }
+      pb.inheritIO()
+      val process = pb.start()
+      val exit = process.waitFor()
+      if (exit != 0) throw SparkUserAppException(exit)
+    } finally {
+      server.shutdown()
+      Files.deleteIfExists(codeFile)
+    }
+  }
+}

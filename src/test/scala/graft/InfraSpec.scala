@@ -1,0 +1,121 @@
+package graft
+
+import java.net.{BindException, ServerSocket}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.util.PortUtils
+
+class InfraSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  // ------------------------------------------------------- streaming
+
+  test("streaming hourly window equals batch aggregation") {
+    val streamed = graft.streaming.Streaming.hourlyWindowed(spark, sf0001, "infra_stream")
+      .collect()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("stateful streaming: running count per user via flatMapGroupsWithState") {
+    val input = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+    // batch Dataset drives the same state function shape used in streams
+    val counted = input.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+        val prev = state.getOption.getOrElse(0L)
+        val n = prev + rows.size
+        state.update(n)
+        Iterator((user, n))
+    }.collect().toMap
+    val expected = Tables.events(spark, sf0001)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(counted == expected)
+  }
+
+  // ------------------------------------------------------- port utils
+
+  test("PortUtils retries past occupied ports") {
+    val blocker = new ServerSocket(0)
+    val busy = blocker.getLocalPort
+    try {
+      val bound = PortUtils.startOnPort({ p =>
+        val ss = new ServerSocket(p)
+        val actual = ss.getLocalPort
+        ss.close()
+        actual
+      }, "test-server", busy, maxRetries = 5)
+      assert(bound != busy && bound > busy && bound <= busy + 5)
+    } finally blocker.close()
+  }
+
+  test("PortUtils propagates non-bind failures and detects collision chains") {
+    intercept[IllegalArgumentException] {
+      PortUtils.startOnPort(_ => throw new IllegalArgumentException("boom"),
+        "t", 1500, 2)
+    }
+    assert(PortUtils.isBindCollision(
+      new RuntimeException(new BindException("Address already in use"))))
+    assert(!PortUtils.isBindCollision(new RuntimeException("other")))
+  }
+
+  // ---------------------------------------------------- commit protocol
+
+  test("PathOutputCommitProtocol commits a parquet write end-to-end") {
+    val out = java.nio.file.Files.createTempDirectory("graft_commit_").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.sources.commitProtocolClass")
+    spark.conf.set("spark.sql.sources.commitProtocolClass",
+      "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
+    try {
+      Seq((1, "a"), (2, "b")).toDF("id", "s").repartition(2)
+        .write.mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(back == Set((1, "a"), (2, "b")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.commitProtocolClass", v)
+        case None => spark.conf.unset("spark.sql.sources.commitProtocolClass")
+      }
+    }
+  }
+
+  // -------------------------------------------------------- python
+
+  test("PythonHelper executes python that calls back into this SparkSession") {
+    val marker = java.nio.file.Files.createTempFile("graft_py_out_", ".txt")
+    val code =
+      s"""import os
+         |from py4j.java_gateway import JavaGateway, GatewayParameters
+         |gw = JavaGateway(gateway_parameters=GatewayParameters(
+         |    port=int(os.environ["GRAFT_GATEWAY_PORT"]),
+         |    auth_token=os.environ["GRAFT_GATEWAY_SECRET"],
+         |    auto_convert=True))
+         |entry = gw.entry_point
+         |jdf = entry.sql("SELECT CAST(40 + 2 AS BIGINT) AS answer")
+         |rows = jdf.collectAsList()
+         |with open("${marker.toString}", "w") as f:
+         |    f.write(str(rows.get(0).getLong(0)) + "," + entry.version())
+         |gw.shutdown()
+         |""".stripMargin
+    org.apache.spark.sql.graft.python.PythonHelper.exec(spark, code)
+    val content = new String(java.nio.file.Files.readAllBytes(marker))
+    assert(content.startsWith("42,"))
+    assert(content.contains(spark.version))
+  }
+
+  test("PythonHelper surfaces non-zero exit as failure") {
+    intercept[Exception] {
+      org.apache.spark.sql.graft.python.PythonHelper.exec(spark, "import sys; sys.exit(3)")
+    }
+  }
+}
