@@ -26,10 +26,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Small corpora arrive as one parquet file = one partition, which
+    * serializes the CPU-heavy shingle/minhash transforms; explicit
+    * repartition (which AQE does not coalesce) spreads them. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct (doc, shingle) inverted index. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
+    spread(docs).select(col(idCol).as("doc"),
       explode(shingles(col(textCol), n)).as("s")).distinct()
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold.
@@ -53,16 +59,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature column: array of `numHashes` minima of seeded
-    * FNV-style shingle hashes — built from builtin higher-order
-    * functions (transform + array_min), fully codegen'd, no UDF. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(shinglesCol,
-        s => xxhash64(lit(seed), s)))
-    }
-    array(sigs: _*)
-  }
+  /** MinHash signature column: `numHashes` minima of seeded xxhash64
+    * shingle hashes, computed in ONE aggregate fold over the shingle
+    * array (evaluating the shingle expression once per element — k
+    * separate array_min(transform(...)) columns would re-evaluate the
+    * input k times). Builtin higher-order functions only, no UDF. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    aggregate(
+      shinglesCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
+        (a, b) => least(a, b)))
 
   /** LSH candidate pairs: signatures split into `bands`; docs sharing
     * any full band land in a bucket; bucket join yields candidates.
@@ -71,8 +79,9 @@ object Dedup {
       bands: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc"),
-      minhashSignature(shingles(col(textCol), n), numHashes).as("sig"))
+    val sig = spread(docs)
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .select(col("doc"), minhashSignature(col("sh"), numHashes).as("sig"))
     // band key = (band index, hash of the band's slice)
     val banded = sig.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -90,17 +99,17 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cands = minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
-    val idx = shingleIndex(docs, idCol, textCol, n)
-    val counts = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(idx.select(col("doc").as("doc_a"), col("s")), "doc_a")
-      .join(idx.select(col("doc").as("doc_b"), col("s").as("s2")), "doc_b")
-      .filter(col("s") === col("s2"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // verify ONLY the candidate pairs: bring both docs' distinct-shingle
+    // sets to the pair and intersect as arrays — O(|cands|·|sh|), never
+    // the full inverted-index pair blowup
+    val shSets = spread(docs).select(col(idCol).as("doc"),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    cands
+      .join(shSets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -114,7 +123,7 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
+    val sh = spread(docs).select(col(idCol).as("doc"),
       simhash64(norm_text(col(textCol))).as("sh"))
     val banded = sh.select(col("doc"), col("sh"), posexplode(array(
       (0 until 8).map(i => shiftright(col("sh"), i * 8).bitwiseAND(lit(0xffL))): _*

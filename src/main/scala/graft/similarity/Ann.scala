@@ -44,14 +44,23 @@ object Ann {
   }
 
   /** Most-similar pairs in the corpus, exact, deterministic top-n.
-    * O(n²) — for oracle-scale corpora and for verifying the LSH path. */
+    * O(n²) dots, but each vector's norm is computed ONCE up front (3×
+    * fewer folds than naive pairwise cosine); per-pair work is a single
+    * dot + one division. For verifying the LSH path and oracle-scale
+    * corpora. */
   def topSimilarPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("va"), col(vecCol).as("ea"))
-    val b = embeddings.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    // single-file corpora = one partition; spread the O(n²) stage
+    // (explicit repartition — AQE won't coalesce it away)
+    val spread = embeddings.repartition(
+      embeddings.sparkSession.sparkContext.defaultParallelism)
+    val withNorm = spread.select(col(idCol), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("vb"), col(vecCol).as("eb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
       .orderBy(desc("sim"), col("va"), col("vb"))
       .limit(topN)
   }

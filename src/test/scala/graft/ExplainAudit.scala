@@ -1,0 +1,33 @@
+package graft
+
+/** Plan audit: prints key physical-plan properties for the headline
+  * queries so scale regressions (lost pushdown, missed broadcast,
+  * codegen fallback) are visible. Run:
+  * `sbt "Test/runMain graft.ExplainAudit [sfDir]"`. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SharedSpark.spark
+    def audit(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize AQE so the printed plan is the real one
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan)
+        .filterNot(_.contains("[]")).isDefined
+      val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+      val nSortMerge = "SortMergeJoin".r.findAllIn(plan).size
+      val nExchange = "Exchange ".r.findAllIn(plan).size
+      val codegen = "codegen id : \\d+".r.findAllIn(plan).toSet.size
+      val topk = plan.contains("TakeOrderedAndProject")
+      println(f"$name%-20s pushdown=$pushed%-5s bhj=$nBroadcast smj=$nSortMerge " +
+        f"exchanges=$nExchange codegen=$codegen topk=$topk")
+      if (readSchema.nonEmpty) println(s"    ${readSchema.take(140)}")
+    }
+    Seq("q1_agg", "q2_filter_project", "q3_join", "q5_multi_join", "q7_topk",
+      "q6_window", "d_ngram_jaccard", "d_minhash_lsh", "s_ann_pairs",
+      "x_avro_roundtrip", "t_text_stats").foreach(audit)
+    spark.stop()
+  }
+}
