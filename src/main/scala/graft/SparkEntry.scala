@@ -25,6 +25,8 @@ object SparkEntry {
     "q13_having"        -> (Relational.q13Having _),
     "q14_subquery"      -> (Relational.q14Subquery _),
     "q16_pivot"         -> (Relational.q16Pivot _),
+    "q17_udaf"          -> (Extras.udafAvg _),
+    "q18_array_agg"     -> (Extras.arrayAgg _),
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
     "x_avro_roundtrip"  -> (Serde.avroRoundtrip _),
     "x_json_roundtrip"  -> (Serde.jsonRoundtrip _),
@@ -64,6 +66,8 @@ object SparkEntry {
     "q13_having"        -> Relational.q13Sql,
     "q14_subquery"      -> Relational.q14Sql,
     "q16_pivot"         -> Relational.q16Sql,
+    "q17_udaf"          -> Extras.udafAvgSql,
+    "q18_array_agg"     -> Extras.arrayAggSql,
     "x_custom_exprs"    -> CustomExprs.customExprsSql,
     "x_avro_roundtrip"  -> Serde.avroRoundtripSql,
     "x_json_roundtrip"  -> Serde.jsonRoundtripSql,

@@ -114,10 +114,12 @@ class ConfluentAvroRegistry(val client: SchemaRegistryClient) extends Serializab
       case Some((id, existing)) if existing == schema => (id, schema)
       case Some((_, existing)) =>
         if (!updateAllowed) throw new IncompatibleSchemaException(
-          s"subject $subject already has a different schema and updateAllowed=false")
+          s"subject $subject already has a different schema and updateAllowed=false; " +
+            s"diff: ${graft.avro.SchemaDiff.diff(schema, existing).mkString("; ")}")
         val problems = checkCompatibility(schema, existing, mutualReadCheck)
         if (problems.nonEmpty) throw new IncompatibleSchemaException(
-          s"schema update for $subject is incompatible: ${problems.mkString("; ")}")
+          s"schema update for $subject is incompatible: ${problems.mkString("; ")}; " +
+            s"diff: ${graft.avro.SchemaDiff.diff(schema, existing).mkString("; ")}")
         (client.register(subject, schema.toString), schema)
     }
 
