@@ -27,6 +27,9 @@ object SparkEntry {
     "q16_pivot"         -> (Relational.q16Pivot _),
     "q17_udaf"          -> (Extras.udafAvg _),
     "q18_array_agg"     -> (Extras.arrayAgg _),
+    "q19_like_in"       -> (Extras.likeIn _),
+    "q20_in_subquery"   -> (Extras.inSubquery _),
+    "q21_date_arith"    -> (Extras.dateArith _),
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
     "x_avro_roundtrip"  -> (Serde.avroRoundtrip _),
     "x_json_roundtrip"  -> (Serde.jsonRoundtrip _),
@@ -68,6 +71,9 @@ object SparkEntry {
     "q16_pivot"         -> Relational.q16Sql,
     "q17_udaf"          -> Extras.udafAvgSql,
     "q18_array_agg"     -> Extras.arrayAggSql,
+    "q19_like_in"       -> Extras.likeInSql,
+    "q20_in_subquery"   -> Extras.inSubquerySql,
+    "q21_date_arith"    -> Extras.dateArithSql,
     "x_custom_exprs"    -> CustomExprs.customExprsSql,
     "x_avro_roundtrip"  -> Serde.avroRoundtripSql,
     "x_json_roundtrip"  -> Serde.jsonRoundtripSql,

@@ -79,9 +79,13 @@ object Dedup {
       bands: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // codegen'd one-pass signature expression (tokenize + shingle +
+    // k minima in one tight loop); the HOF-based minhashSignature stays
+    // available for ad-hoc array inputs
     val sig = spread(docs)
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .select(col("doc"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col(idCol).as("doc"), norm_text(col(textCol)).as("ntext"))
+      .select(col("doc"), org.apache.spark.sql.graft.MinHashSignature
+        .minhash_signature(col("ntext"), n, numHashes).as("sig"))
     // band key = (band index, hash of the band's slice)
     val banded = sig.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),

@@ -52,4 +52,63 @@ object Extras {
       |  COUNT(*) AS n_items
       |FROM lineitem WHERE l_suppkey <= 3
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** LIKE / IN predicates (both push to the parquet scan) + agg. */
+  def likeIn(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%gear%") &&
+        col("p_type").isin("ECONOMY", "SMALL"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(12,2)")).as("total_price"))
+      .orderBy(col("p_type"))
+
+  val likeInSql: String =
+    """SELECT p_type, COUNT(*) AS n_parts,
+      |  SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS total_price
+      |FROM part WHERE p_name LIKE '%gear%' AND p_type IN ('ECONOMY','SMALL')
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
+  /** IN-subquery (planned as semi join): orders of the 50 richest
+    * customers. */
+  def inSubquery(s: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(s, dir)
+      .orderBy(desc("c_acctbal"), asc("c_custkey")).limit(50)
+      .select(col("c_custkey"))
+    Tables.orders(s, dir)
+      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val inSubquerySql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+      |FROM orders WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 50)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Date arithmetic: shipping-delay buckets (all integer day math). */
+  def dateArith(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(expr("delay_days div 30").as("delay_month")) // integer div: `/` would round-vs-truncate differently across engines
+      .agg(count(lit(1)).as("n_items"),
+        min(col("delay_days")).as("min_delay"),
+        max(col("delay_days")).as("max_delay"))
+      .orderBy(col("delay_month"))
+  }
+
+  val dateArithSql: String =
+    """SELECT CAST(DATEDIFF('day', o_orderdate, l_shipdate) AS BIGINT) // 30 AS delay_month,
+      |  COUNT(*) AS n_items,
+      |  MIN(CAST(DATEDIFF('day', o_orderdate, l_shipdate) AS BIGINT)) AS min_delay,
+      |  MAX(CAST(DATEDIFF('day', o_orderdate, l_shipdate) AS BIGINT)) AS max_delay
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
