@@ -78,6 +78,19 @@ class ExpressionEvaluatorSpec extends AnyFunSuite {
     assert(ev(in) == 13)
   }
 
+  test("registered UDAF (Aggregator) resolves in expressions") {
+    ExpressionEvaluator.registerUdf("my_agg",
+      udaf(graft.queries.ExactAvgAggregator))
+    // aggregates can't run in the single-row interpreted eval, but the
+    // registry resolution path must work (same as the reference surface)
+    val resolved = ExpressionEvaluator.resolveExpression(
+      expr("a + b"), // plain expr still resolves with UDAF registered
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.IntegerType))))
+    assert(resolved.resolved)
+  }
+
   test("current_date folds via ComputeCurrentTime") {
     val ev = new ExpressionEvaluator[EvIn, Int](expr("year(current_date())"))
     assert(ev(in) >= 2026)

@@ -43,6 +43,21 @@ class InfraSpec extends AnyFunSuite {
     assert(counted == expected)
   }
 
+  test("streaming dedup: dropDuplicates within watermark removes replays") {
+    // duplicate the stream by unioning it with itself; event_id dedup
+    // must restore the original count
+    val base = graft.streaming.Streaming.eventsStream(spark, sf0001)
+    val doubled = base.union(base)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val q = doubled.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_stream").collect().head.getLong(0)
+    assert(got == Tables.events(spark, sf0001).count())
+  }
+
   // ------------------------------------------------------- port utils
 
   test("PortUtils retries past occupied ports") {
