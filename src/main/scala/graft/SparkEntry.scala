@@ -43,6 +43,7 @@ object SparkEntry {
     "s_ann_brute"       -> (LlmOps.annBruteForce _),
     "s_ann_pairs"       -> (LlmOps.annTopPairs _),
     "s_ann_lsh"         -> (LlmOps.annLsh _),
+    "s_ann_ivf"         -> (LlmOps.annIvf _),
     "mm_decode"         -> (LlmOps.mmDecode _),
     "ev_hourly"         -> (Events.hourly _),
     "ev_json_props"     -> (Events.jsonProps _),

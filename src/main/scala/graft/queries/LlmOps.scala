@@ -152,6 +152,11 @@ object LlmOps {
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10, planes = 4)
 
+  /** IVF-bucketed ANN — no oracle (probes a corpus subset); recall vs
+    * brute force asserted in spec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+
   // ---------------------------------------------------------- multimodal
 
   def mmDecode(s: SparkSession, dir: String): DataFrame = {

@@ -82,6 +82,49 @@ object Ann {
     bits.reduce((a, b) => a + b)
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to the nearest of
+    * `nCells` coarse cells; a query searches only the `probes` cells
+    * nearest to it, then exact cosine re-ranks. Cells here are seeded
+    * deterministically from the `nCells` lowest-id vectors (a production
+    * index would run Lloyd iterations — cell geometry affects recall
+    * only, never the correctness of the re-rank).
+    *
+    * Scale shape: assignment is a broadcast of nCells vectors + one map
+    * pass; the search probes `probes/nCells` of the corpus. Cell ids
+    * can be persisted as a partition column so a probe prunes parquet
+    * partitions instead of scanning. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spreadDf = embeddings.repartition(
+      embeddings.sparkSession.sparkContext.defaultParallelism)
+    val seeds = embeddings.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    // assign every vector to its most-similar seed (deterministic
+    // tie-break: higher sim, then higher cell id via struct ordering)
+    val assigned = spreadDf.crossJoin(broadcast(seeds))
+      .select(col(idCol), col(vecCol),
+        struct(round(cosine(col(vecCol), col("cvec")), 9).as("s"),
+          col("cell_id")).as("sc"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max(col("sc")).getField("cell_id").as("cell"))
+    val queryCells = assigned.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("qvec"))
+      .crossJoin(broadcast(seeds))
+      .select(col("qvec"),
+        struct(round(cosine(col("qvec"), col("cvec")), 9).as("s"),
+          col("cell_id")).as("sc"))
+      .orderBy(desc("sc"))
+      .limit(probes)
+      .select(col("qvec"), col("sc").getField("cell_id").as("cell"))
+    assigned.filter(col(idCol) =!= queryVecId)
+      .join(broadcast(queryCells), Seq("cell"))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k with multi-probe: candidates differ from the
     * query's LSH signature by at most `probe` sign bits; exact cosine
     * re-ranks. Candidate fraction ≈ Σ_{i≤probe} C(planes,i) / 2^planes.

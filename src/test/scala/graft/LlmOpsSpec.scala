@@ -39,6 +39,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"lsh recall $recall (4 planes, probe 2 → ~11/16 of signature space)")
   }
 
+  test("ann IVF recall vs brute force") {
+    val brute = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Ann.ivfTopK(emb, 0L, 10, nCells = 16, probes = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"ivf recall $recall (probing 4/16 cells)")
+    // every IVF hit must carry the same exact similarity as brute force
+    val bruteSims = Ann.bruteForceTopK(emb, 0L, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Ann.ivfTopK(emb, 0L, 10).collect().foreach { r =>
+      assert(bruteSims(r.getLong(0)) == r.getDouble(1))
+    }
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f))).toDF("a", "b", "c")
     val r = df.select(
