@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions._
+
+/** Hard codegen check: Spark silently falls back to interpreted eval
+  * when an expression's generated Java fails to compile — which would
+  * mask doGenCode bugs in every custom expression. Forcing
+  * CODEGEN_ONLY + fallback=false makes such bugs throw instead. */
+class CodegenSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def codegenOnly[T](body: => T): T = {
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
+  test("SetNullable + UnsafeUnaryUdf generate compiling Java") {
+    codegenOnly {
+      val up = unsafe_unary_udf(
+        v => if (v == null) null else v.asInstanceOf[String].toUpperCase,
+        StringType, StringType)
+      val r = Seq(("a", Some("x")), ("b", None)).toDF("s", "o")
+        .select(make_not_nullable(col("s")).as("nn"), up(col("o")).as("u"))
+        .collect()
+      assert(r.map(x => (x.getString(0), x.getString(1))).toSet ==
+        Set(("a", "X"), ("b", null)))
+    }
+  }
+
+  test("SimHash64 + MinHashSignature generate compiling Java") {
+    codegenOnly {
+      // 10 tokens, differing only in the last → 8 shingles, 7 shared:
+      // most minhash slots should take their minimum from the shared set
+      val df = Seq(
+        "a1 b2 c3 d4 e5 f6 g7 h8 i9 delta",
+        "a1 b2 c3 d4 e5 f6 g7 h8 i9 epsilon").toDF("t")
+      val r = df.select(
+        org.apache.spark.sql.graft.SimHash64.simhash64(col("t")).as("sh"),
+        org.apache.spark.sql.graft.MinHashSignature.minhash_signature(col("t"), 3, 8).as("mh"))
+        .collect()
+      assert(r.length == 2)
+      assert(r.forall(_.getSeq[Long](1).length == 8))
+      // locality: the two near-identical texts share most minhash slots
+      val shared = r(0).getSeq[Long](1).zip(r(1).getSeq[Long](1)).count { case (a, b) => a == b }
+      assert(shared >= 4)
+    }
+  }
+
+  test("Confluent Avro serde expressions generate compiling Java") {
+    codegenOnly {
+      import graft.confluent._
+      import graft.registry.{InMemorySchemaRegistry, SubjectType}
+      val client = new InMemorySchemaRegistry("codegen-spec")
+      val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+      val back = df
+        .select(to_confluent_avro(struct($"id", $"name"), "cg", SubjectType.value, client).as("b"))
+        .select(from_confluent_avro($"b", "cg", SubjectType.value, client).as("r"))
+        .select("r.*")
+      assert(back.collect().toSet == df.collect().toSet)
+    }
+  }
+}
