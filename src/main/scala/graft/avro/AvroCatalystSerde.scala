@@ -41,6 +41,19 @@ object AvroCatalystSerde {
 
   private def makeWriter(dt: DataType, avro0: Schema): Any => Any = {
     val avro = nonNull(avro0)
+    // promotable unions ([int,long] → LongType, [float,double] →
+    // DoubleType per AvroSchemaConverter): write through the wider branch
+    if (avro.getType == UNION) {
+      val wanted = dt match {
+        case LongType => Some(LONG)
+        case DoubleType => Some(DOUBLE)
+        case _ => None
+      }
+      wanted.flatMap(t => avro.getTypes.asScala.find(_.getType == t)) match {
+        case Some(branch) => return makeWriter(dt, branch)
+        case None =>
+      }
+    }
     val f: Any => Any = (dt, avro.getType) match {
       case (BooleanType, BOOLEAN) => identity
       case (ByteType | ShortType | IntegerType, INT) => identity
@@ -80,10 +93,10 @@ object AvroCatalystSerde {
       case (ArrayType(et, containsNull), ARRAY) =>
         val elemW = makeWriter(et, avro.getElementType)
         val wrapped = nullWrap(elemW, containsNull, avro.getElementType)
+        val getter = elementGetter(et)
         v => {
           val arr = v.asInstanceOf[ArrayData]
           val out = new java.util.ArrayList[Any](arr.numElements())
-          val getter = elementGetter(et)
           var i = 0
           while (i < arr.numElements()) {
             out.add(if (arr.isNullAt(i)) wrapped(null) else wrapped(getter(arr, i)))
@@ -133,10 +146,13 @@ object AvroCatalystSerde {
     f
   }
 
+  private def hasNullBranch(avro: Schema): Boolean =
+    avro.getType == UNION && avro.getTypes.asScala.exists(_.getType == NULL)
+
   private def nullWrap(f: Any => Any, nullable: Boolean, avro: Schema): Any => Any =
     if (!nullable) f
     else v => if (v == null) {
-      if (nonNull(avro) eq avro)
+      if (!hasNullBranch(avro) && avro.getType != NULL)
         throw new IllegalArgumentException(
           s"null value for non-nullable Avro schema ${avro.getFullName}")
       null
@@ -245,6 +261,8 @@ object AvroCatalystSerde {
           }
           new GenericInternalRow(out)
         }
+      case (UNION, LongType) => v => v.asInstanceOf[Number].longValue()
+      case (UNION, DoubleType) => v => v.asInstanceOf[Number].doubleValue()
       case (UNION, st: StructType) if st.fields.forall(_.name.startsWith("member")) =>
         // complex union → memberN struct: resolve the branch per value
         val branches = avro.getTypes.asScala.toArray

@@ -54,10 +54,16 @@ object JsonSchemaConverter {
       }
     }
 
-    /** (dataType, nullableFromTypeArray) */
-    private def toDataTypeN(node: JObject): (DataType, Boolean) = {
+    /** (dataType, nullableFromTypeArray); `seenRefs` guards $ref cycles
+      * (Catalyst types are finite — recursive schemas must be rejected,
+      * like the Avro converter does). */
+    private def toDataTypeN(node: JObject, seenRefs: Set[String] = Set.empty)
+        : (DataType, Boolean) = {
       node \ "$ref" match {
-        case JString(ref) => return toDataTypeN(resolveRef(ref))
+        case JString(ref) =>
+          if (seenRefs.contains(ref))
+            throw new JsonSchemaException(s"recursive $$ref '$ref' is not supported")
+          return toDataTypeN(resolveRef(ref), seenRefs + ref)
         case _ =>
       }
       val (typeNames, nullableInType) = node \ "type" match {
@@ -70,7 +76,7 @@ object JsonSchemaConverter {
       }
       val dt = typeNames match {
         case Seq() => throw new JsonSchemaException("only 'null' in type array is unsupported")
-        case Seq(one) => simpleOrComplex(one, node)
+        case Seq(one) => simpleOrComplex(one, node, seenRefs)
         case many =>
           if (strict) throw new JsonSchemaException(
             s"multiple types $many not supported with strict typing")
@@ -79,7 +85,8 @@ object JsonSchemaConverter {
       (dt, nullableInType)
     }
 
-    private def simpleOrComplex(typeName: String, node: JObject): DataType = typeName match {
+    private def simpleOrComplex(typeName: String, node: JObject,
+        seenRefs: Set[String]): DataType = typeName match {
       case "integer" => LongType
       case "number"  => DoubleType
       case "boolean" => BooleanType
@@ -90,7 +97,7 @@ object JsonSchemaConverter {
       }
       case "array" => node \ "items" match {
         case items: JObject =>
-          val (et, elemNullable) = toDataTypeN(items)
+          val (et, elemNullable) = toDataTypeN(items, seenRefs)
           ArrayType(et, containsNull = elemNullable)
         case other => throw new JsonSchemaException(s"array requires object 'items', got $other")
       }
@@ -104,7 +111,7 @@ object JsonSchemaConverter {
             val fields = props.obj.map { case (name, value) =>
               value match {
                 case fieldNode: JObject =>
-                  val (dt, nullableInType) = toDataTypeN(fieldNode)
+                  val (dt, nullableInType) = toDataTypeN(fieldNode, seenRefs)
                   StructField(name, dt, nullable = !required.contains(name) || nullableInType)
                 case other => throw new JsonSchemaException(
                   s"property '$name' must be an object, got $other")
@@ -113,7 +120,7 @@ object JsonSchemaConverter {
             StructType(fields)
           case JNothing => node \ "additionalProperties" match {
             case ap: JObject =>
-              val (vt, valueNullable) = toDataTypeN(ap)
+              val (vt, valueNullable) = toDataTypeN(ap, seenRefs)
               MapType(StringType, vt, valueContainsNull = valueNullable)
             case _ => StructType(Seq.empty)
           }

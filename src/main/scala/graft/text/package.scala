@@ -70,11 +70,15 @@ package object text {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.SimHash64.simhash64(c)
 
-  /** Word n-gram shingles of the normalized text as an array column
-    * (assumes ≥ n tokens, which the corpus guarantees). */
+  /** Word n-gram shingles of the normalized text as an array column;
+    * documents with fewer than n tokens yield an empty array (indexing
+    * past the array would throw under Spark 4's ANSI mode, and a partial
+    * shingle would diverge from the SQL oracle). */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
-    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 }

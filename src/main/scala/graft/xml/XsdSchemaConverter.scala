@@ -81,10 +81,10 @@ class XsdSchemaConverter(xmlSchema: XmlSchema, maxRecursion: Int) {
   /** Struct of all top-level elements of the schema. */
   def rootStructType: StructType = {
     val fields = xmlSchema.getElements.asScala.values.toSeq
-      .map(el => dereference(el).asInstanceOf[XmlSchemaElement])
       .flatMap { el =>
-        convertType(el.getSchemaType, Seq(el.getName)).map { dt =>
-          withDoc(StructField(el.getName, dt, el.getMinOccurs == 0), el)
+        val target = resolveTarget(el)
+        convertType(target.getSchemaType, Seq(target.getName)).map { dt =>
+          withDoc(StructField(target.getName, dt, el.getMinOccurs == 0), target)
         }
       }
     StructType(fields)
@@ -163,24 +163,27 @@ class XsdSchemaConverter(xmlSchema: XmlSchema, maxRecursion: Int) {
   private def lookupType(name: QName, path: Seq[String]): Option[DataType] =
     convertType(xmlSchema.getParent.getTypeByQName(name), path)
 
-  /** Resolve element `ref=`, carrying minOccurs=0 / maxOccurs>1 over. */
-  private def dereference(obj: XmlSchemaObjectBase): XmlSchemaObjectBase = obj match {
-    case el: XmlSchemaElement if el.getRef != null && el.getRef.getTargetQName != null =>
+  /** Resolve element `ref=` chains WITHOUT mutating the shared global
+    * target (mutation would leak one ref site's occurs into every other
+    * reference to the same element); occurrence constraints are taken
+    * from the referencing particle at the use site. */
+  private def resolveTarget(el: XmlSchemaElement): XmlSchemaElement =
+    if (el.getRef != null && el.getRef.getTargetQName != null) {
       val target = el.getRef.getTarget
       require(target != null, s"reference '${el.getRef.getTargetQName}' not found")
-      if (el.getMinOccurs == 0) target.setMinOccurs(0)
-      if (el.getMaxOccurs > 1) target.setMaxOccurs(el.getMaxOccurs)
-      dereference(target)
-    case other => other
-  }
+      resolveTarget(target)
+    } else el
 
   private def particleFields(particle: XmlSchemaParticle, path: Seq[String],
       groupMaxOccurs: Option[Long]): Seq[StructField] = particle match {
     case el: XmlSchemaElement =>
-      convertType(el.getSchemaType, path :+ el.getName).map { dt =>
+      val target = resolveTarget(el)
+      // name/type/docs come from the resolved target; min/maxOccurs from
+      // the particle at THIS use site (el), per XSD semantics
+      convertType(target.getSchemaType, path :+ target.getName).map { dt =>
         val repeated = (Seq(el.getMaxOccurs) ++ groupMaxOccurs).max > 1
         val fieldType = if (repeated) ArrayType(dt) else dt
-        withDoc(StructField(el.getName, fieldType, el.getMinOccurs == 0), el)
+        withDoc(StructField(target.getName, fieldType, el.getMinOccurs == 0), target)
       }.toSeq
     case seq: XmlSchemaSequence =>
       groupFields(seq.getItems.asScala.toSeq, path, seq.getMaxOccurs)
@@ -200,7 +203,7 @@ class XsdSchemaConverter(xmlSchema: XmlSchema, maxRecursion: Int) {
 
   private def groupFields(items: Seq[XmlSchemaObjectBase], path: Seq[String],
       groupMaxOccurs: Long): Seq[StructField] =
-    items.map(dereference).flatMap {
+    items.flatMap {
       case p: XmlSchemaParticle => particleFields(p, path, Some(groupMaxOccurs))
       case other =>
         throw new IllegalArgumentException(

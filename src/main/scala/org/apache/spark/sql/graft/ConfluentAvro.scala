@@ -28,8 +28,12 @@ private[graft] object ConfluentWire {
     out.array()
   }
 
-  /** Returns (schemaId, payloadOffset) after validating the magic byte. */
+  /** Validates the framing and returns the schema id (payload starts at
+    * [[HeaderLen]]). */
   def parseHeader(bytes: Array[Byte]): Int = {
+    if (bytes.length < HeaderLen)
+      throw new IllegalArgumentException(
+        s"truncated wire-format frame: ${bytes.length} bytes (need >= $HeaderLen)")
     val buf = ByteBuffer.wrap(bytes)
     val magic = buf.get()
     if (magic != MagicByte)

@@ -5,7 +5,7 @@ import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.analysis.{Analyzer, FakeV2SessionCatalog, FunctionRegistry, Resolver, UnresolvedAttribute, caseSensitiveResolution}
+import org.apache.spark.sql.catalyst.analysis.{Analyzer, FakeV2SessionCatalog, FunctionRegistry, Resolver, UnresolvedAttribute, caseInsensitiveResolution, caseSensitiveResolution}
 import org.apache.spark.sql.catalyst.catalog.{CatalogDatabase, InMemoryCatalog, SessionCatalog}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression}
@@ -98,27 +98,29 @@ object ExpressionEvaluator {
     * leaks into (or requires) a SparkSession. */
   private lazy val functionRegistry = FunctionRegistry.builtin.clone()
 
-  /** Conf for the sessionless pipeline: identifiers resolve
-    * case-sensitively. Must be installed as the thread-local conf during
+  private case class Pipeline(conf: SQLConf, analyzer: Analyzer,
+      rules: Seq[Rule[LogicalPlan]])
+
+  /** The conf must also be installed as the thread-local conf during
     * analysis — Spark 4's resolution reads `SQLConf.get`, not the
     * Analyzer instance. */
-  private lazy val sqlConf = {
-    val c = new SQLConf()
-    c.setConf(SQLConf.CASE_SENSITIVE, true)
-    c
-  }
-
-  private lazy val (analyzer: Analyzer, optimizerRules: Seq[Rule[LogicalPlan]]) = {
-    val simpleCatalog = new SessionCatalog(new InMemoryCatalog, functionRegistry, sqlConf) {
+  private def makePipeline(caseSensitive: Boolean): Pipeline = {
+    val conf = new SQLConf()
+    conf.setConf(SQLConf.CASE_SENSITIVE, caseSensitive)
+    val simpleCatalog = new SessionCatalog(new InMemoryCatalog, functionRegistry, conf) {
       override def createDatabase(dbDefinition: CatalogDatabase, ignoreIfExists: Boolean): Unit = ()
     }
     val catalogManager = new CatalogManager(FakeV2SessionCatalog, simpleCatalog)
     val analyzer = new Analyzer(catalogManager) {
-      override def resolver: Resolver = caseSensitiveResolution
+      override def resolver: Resolver =
+        if (caseSensitive) caseSensitiveResolution else caseInsensitiveResolution
     }
-    (analyzer, Seq(ReplaceExpressions, ComputeCurrentTime,
+    Pipeline(conf, analyzer, Seq(ReplaceExpressions, ComputeCurrentTime,
       ReplaceCurrentLike(catalogManager), ReplaceUpdateFieldsExpression))
   }
+
+  private lazy val sensitive = makePipeline(caseSensitive = true)
+  private lazy val insensitive = makePipeline(caseSensitive = false)
 
   /** Make a UDF/UDAF available to subsequently-constructed evaluators. */
   def registerUdf(name: String, udf: UserDefinedFunction): Unit = udf match {
@@ -139,19 +141,17 @@ object ExpressionEvaluator {
     * analyzer, then bind name references to ordinals. */
   def resolveExpression(exprCol: Column, schema: StructType,
       caseSensitive: Boolean = true): Expression = {
-    val schemaPrep =
-      if (caseSensitive) schema
-      else StructType(schema.map(f => f.copy(name = f.name.toLowerCase)))
-    val attributes = DataTypeUtils.toAttributes(schemaPrep)
+    val pipeline = if (caseSensitive) sensitive else insensitive
+    val attributes = DataTypeUtils.toAttributes(schema)
     // Column → Expression eagerly (ExpressionUtils.expression would wrap
     // the ColumnNode in a lazy placeholder only a live session converts).
     val converted = ColumnNodeToExpressionConverter.apply(exprCol.alias("result").node)
     val rawPlan = Project(
       Seq(ExpressionUtils.toNamed(converted)),
       LocalRelation(attributes))
-    SQLConf.withExistingConf(sqlConf) {
-      val resolvedPlan = analyzer.execute(rawPlan)
-      val optimizedPlan = optimizerRules.foldLeft(resolvedPlan)((p, r) => r.apply(p))
+    SQLConf.withExistingConf(pipeline.conf) {
+      val resolvedPlan = pipeline.analyzer.execute(rawPlan)
+      val optimizedPlan = pipeline.rules.foldLeft(resolvedPlan)((p, r) => r.apply(p))
       val resolvedExpr = optimizedPlan.asInstanceOf[Project].projectList.head
       BindReferences.bindReference(resolvedExpr, attributes)
     }

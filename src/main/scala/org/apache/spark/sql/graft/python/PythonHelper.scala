@@ -5,7 +5,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
-import scala.util.Random
 
 import org.apache.spark.SparkUserAppException
 import org.apache.spark.api.java.JavaSparkContext
@@ -45,7 +44,11 @@ object PythonHelper {
   def exec(session: SparkSession, pythonCode: String,
       pythonExec: String = "python3"): Unit = {
     val entryPoint = new SparkEntryPoint(session)
-    val secret = Random.alphanumeric.take(48).mkString
+    // auth token must come from a CSPRNG — the gateway executes
+    // arbitrary JVM calls for whoever presents it
+    val secretBytes = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(secretBytes)
+    val secret = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(secretBytes)
     val codeFile = Files.createTempFile("graft_py_", ".py")
     Files.write(codeFile, pythonCode.getBytes(StandardCharsets.UTF_8))
 

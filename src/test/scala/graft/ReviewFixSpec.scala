@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Regression coverage for the round-1 code-review findings. */
+class ReviewFixSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("serde handles promotable [int,long]/[float,double] unions") {
+    import graft.avro.AvroCatalystSerde
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"il","type":["int","long"]},
+        |{"name":"fd","type":["float","double"]}]}""".stripMargin)
+    val st = graft.avro.AvroSchemaConverter.toSqlType(schema).dataType.asInstanceOf[StructType]
+    assert(st("il").dataType == LongType && st("fd").dataType == DoubleType)
+    val reader = AvroCatalystSerde.avroToCatalyst(schema, st)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("il", 42) // writer chose the int branch
+    rec.put("fd", 1.5f) // writer chose the float branch
+    val row = reader(rec).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getLong(0) == 42L && row.getDouble(1) == 1.5)
+    // write direction picks the wider branch
+    val writer = AvroCatalystSerde.catalystToAvro(st, schema)
+    val out = writer(org.apache.spark.sql.catalyst.InternalRow(7L, 2.5))
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(out.get("il") == 7L && out.get("fd") == 2.5)
+  }
+
+  test("shingles of a too-short document is empty, not broken (ANSI-safe)") {
+    val r = Seq("one two", "a b c d").toDF("text")
+      .select(graft.text.shingles(col("text"), 3).as("sh"))
+      .collect()
+    assert(r(0).getSeq[String](0).isEmpty)
+    assert(r(1).getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
+  test("resolveExpression caseSensitive=false matches mixed-case attributes") {
+    import org.apache.spark.sql.graft.ExpressionEvaluator
+    val schema = StructType(Seq(StructField("MyField", IntegerType)))
+    val e = ExpressionEvaluator.resolveExpression(expr("myfield + 1"), schema,
+      caseSensitive = false)
+    assert(e.resolved)
+    intercept[Exception] {
+      val e2 = ExpressionEvaluator.resolveExpression(expr("myfield + 1"), schema,
+        caseSensitive = true)
+      require(e2.resolved)
+    }
+  }
+
+  test("recursive JSON Schema $ref is rejected cleanly") {
+    val recursive =
+      """{"type":"object","properties":{"child":{"$ref":"#/definitions/node"}},
+        |"definitions":{"node":{"type":"object",
+        |  "properties":{"next":{"$ref":"#/definitions/node"}}}}}""".stripMargin
+    val ex = intercept[graft.jsonschema.JsonSchemaConverter.JsonSchemaException] {
+      graft.jsonschema.JsonSchemaConverter.toSparkSchema(recursive)
+    }
+    assert(ex.getMessage.contains("recursive"))
+  }
+
+  test("XSD element ref occurs do not leak across use sites") {
+    val xsd =
+      """<?xml version="1.0"?><xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |<xs:element name="root"><xs:complexType><xs:sequence>
+        |  <xs:element ref="item" maxOccurs="unbounded"/>
+        |  <xs:element ref="item2"/>
+        |</xs:sequence></xs:complexType></xs:element>
+        |<xs:element name="item" type="xs:string"/>
+        |<xs:element name="item2" type="xs:string"/>
+        |</xs:schema>""".stripMargin
+    val st = graft.xml.XsdSchemaConverter.read(xsd, 5)
+    val root = st("root").dataType.asInstanceOf[StructType]
+    // first ref is repeated -> array; second is plain string
+    assert(root("item").dataType.isInstanceOf[ArrayType])
+    assert(root("item2").dataType == StringType)
+    // the GLOBAL item element itself must not have been mutated: its
+    // top-level struct entry is scalar, and non-nullable occurs intact
+    assert(st("item").dataType == StringType)
+  }
+
+  test("truncated confluent frame yields a named wire-format error") {
+    import graft.confluent._
+    import graft.registry.{InMemorySchemaRegistry, SubjectType}
+    val client = new InMemorySchemaRegistry("reviewfix")
+    Seq((1L, "a")).toDF("id", "name")
+      .select(to_confluent_avro(struct($"id", $"name"), "rf", SubjectType.value, client).as("b"))
+      .collect()
+    val ex = intercept[Exception] {
+      Seq(Array[Byte](0, 0)).toDF("b")
+        .select(from_confluent_avro($"b", "rf", SubjectType.value, client)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("truncated wire-format frame")))
+  }
+}
