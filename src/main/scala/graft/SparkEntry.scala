@@ -28,6 +28,7 @@ object SparkEntry {
     "q17_udaf"          -> (Extras.udafAvg _),
     "q18_array_agg"     -> (Extras.arrayAgg _),
     "q19_like_in"       -> (Extras.likeIn _),
+    "q22_cube"          -> (Extras.cube2 _),
     "q20_in_subquery"   -> (Extras.inSubquery _),
     "q21_date_arith"    -> (Extras.dateArith _),
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q17_udaf"          -> Extras.udafAvgSql,
     "q18_array_agg"     -> Extras.arrayAggSql,
     "q19_like_in"       -> Extras.likeInSql,
+    "q22_cube"          -> Extras.cube2Sql,
     "q20_in_subquery"   -> Extras.inSubquerySql,
     "q21_date_arith"    -> Extras.dateArithSql,
     "x_custom_exprs"    -> CustomExprs.customExprsSql,

@@ -53,6 +53,18 @@ object Extras {
       |FROM lineitem WHERE l_suppkey <= 3
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** CUBE over two dimensions — all four grouping sets in one pass. */
+  def cube2(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val cube2Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** LIKE / IN predicates (both push to the parquet scan) + agg. */
   def likeIn(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
