@@ -85,13 +85,13 @@ object Dedup {
       bands: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    // codegen'd one-pass signature expression (tokenize + shingle +
-    // k minima in one tight loop); the HOF-based minhashSignature stays
-    // available for ad-hoc array inputs
+    // codegen'd one-pass signature expression (lowercase + tokenize +
+    // shingle + k minima in one tight loop, no separate normalization
+    // pass); the HOF-based minhashSignature stays available for ad-hoc
+    // array inputs
     val sig = spread(docs)
-      .select(col(idCol).as("doc"), norm_text(col(textCol)).as("ntext"))
-      .select(col("doc"), org.apache.spark.sql.graft.MinHashSignature
-        .minhash_signature(col("ntext"), n, numHashes).as("sig"))
+      .select(col(idCol).as("doc"), org.apache.spark.sql.graft.MinHashSignature
+        .minhash_signature(col(textCol), n, numHashes).as("sig"))
     // band key = (band index, hash of the band's slice)
     val banded = sig.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -111,9 +111,11 @@ object Dedup {
     val cands = minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
     // verify ONLY the candidate pairs: bring both docs' distinct-shingle
     // sets to the pair and intersect as arrays — O(|cands|·|sh|), never
-    // the full inverted-index pair blowup
+    // the full inverted-index pair blowup; sets come from the codegen'd
+    // one-pass expression (same values as array_distinct∘shingles)
     val shSets = spread(docs).select(col(idCol).as("doc"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+      org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col(textCol), n).as("sh"))
     cands
       .join(shSets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -63,9 +63,10 @@ object MinHashSignature {
     while (i <= len) {
       val ws = i == len || Character.isWhitespace(text.charAt(i))
       if (!ws) {
-        val c = text.charAt(i)
-        // hash UTF-16 code units (tokenization is whitespace-only, so
-        // this is a consistent token identity)
+        // lowercase inline so callers don't need a separate (regex)
+        // normalization pass; hash UTF-16 code units (tokenization is
+        // whitespace-only, so this is a consistent token identity)
+        val c = Character.toLowerCase(text.charAt(i))
         tokenHash ^= (c & 0xffL); tokenHash *= FnvPrime
         tokenHash ^= ((c >> 8) & 0xffL); tokenHash *= FnvPrime
         inToken = true
