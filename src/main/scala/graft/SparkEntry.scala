@@ -29,6 +29,7 @@ object SparkEntry {
     "q18_array_agg"     -> (Extras.arrayAgg _),
     "q19_like_in"       -> (Extras.likeIn _),
     "q22_cube"          -> (Extras.cube2 _),
+    "q23_percentile"    -> (Extras.percentiles _),
     "q20_in_subquery"   -> (Extras.inSubquery _),
     "q21_date_arith"    -> (Extras.dateArith _),
     "x_custom_exprs"    -> (CustomExprs.customExprs _),
@@ -37,6 +38,8 @@ object SparkEntry {
     "t_text_stats"      -> (LlmOps.textStats _),
     "t_quality"         -> (LlmOps.textQuality _),
     "t_langid"          -> (LlmOps.textLangId _),
+    "t_token_freq"      -> (LlmOps.tokenFreq _),
+    "t_corpus_filter"   -> (LlmOps.corpusFilter _),
     "d_exact"           -> (LlmOps.dedupExact _),
     "d_ngram_jaccard"   -> (LlmOps.dedupNgramJaccard _),
     "d_minhash_lsh"     -> (LlmOps.dedupMinhashLsh _),
@@ -75,6 +78,7 @@ object SparkEntry {
     "q18_array_agg"     -> Extras.arrayAggSql,
     "q19_like_in"       -> Extras.likeInSql,
     "q22_cube"          -> Extras.cube2Sql,
+    "q23_percentile"    -> Extras.percentilesSql,
     "q20_in_subquery"   -> Extras.inSubquerySql,
     "q21_date_arith"    -> Extras.dateArithSql,
     "x_custom_exprs"    -> CustomExprs.customExprsSql,
@@ -83,6 +87,8 @@ object SparkEntry {
     "t_text_stats"      -> LlmOps.textStatsSql,
     "t_quality"         -> LlmOps.textQualitySql,
     "t_langid"          -> LlmOps.textLangIdSql,
+    "t_token_freq"      -> LlmOps.tokenFreqSql,
+    "t_corpus_filter"   -> LlmOps.corpusFilterSql,
     "d_exact"           -> LlmOps.dedupExactSql,
     "d_ngram_jaccard"   -> LlmOps.dedupNgramJaccardSql,
     "d_minhash_lsh"     -> LlmOps.dedupMinhashLshSql,

@@ -65,6 +65,25 @@ object Extras {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` vs
+    * DuckDB `quantile_cont` share the linear-interpolation definition;
+    * round(6) absorbs their differing-but-equivalent IEEE orderings). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** LIKE / IN predicates (both push to the parquet scan) + agg. */
   def likeIn(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)

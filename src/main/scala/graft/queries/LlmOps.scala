@@ -82,6 +82,62 @@ object LlmOps {
        |    ELSE 'fr' END AS lang_guess FROM m) g
        |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin
 
+  /** Corpus token frequency: explode tokens → count → deterministic
+    * top-20. The classic word-count shape (map-side combine keeps the
+    * exchange proportional to vocabulary, not corpus). */
+  def tokenFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(20)
+
+  val tokenFreqSql: String =
+    s"""SELECT token, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split($NormSql, ' ')) AS token FROM documents) t
+       |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+
+  /** The composed training-data filter: keep English-ish docs above a
+    * quality floor that are the canonical copy of their exact-dup group
+    * — the end-to-end shape of a corpus-cleaning pipeline stage. */
+  def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = d.select(col("doc_id"), col("n_chars"),
+      quality_score(col("text")).as("quality"),
+      lang_id(col("text")).as("lang_guess"),
+      fingerprint_md5(col("text")).as("fp"))
+    val keepers = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    scored.join(keepers, scored("doc_id") === keepers("keep_id"))
+      .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusFilterSql: String =
+    s"""WITH n AS (SELECT doc_id, n_chars, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, n_chars, norm, string_split(norm, ' ') AS t,
+       |  len(string_split(norm, ' ')) AS ntok,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct,
+       |  md5(norm) AS fp FROM n),
+       |scored AS (SELECT doc_id, n_chars, fp,
+       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS quality,
+       |  CASE WHEN len(regexp_extract_all(norm, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |    WHEN len(list_filter(t, w -> w IN ('the','a','of'))) >= len(list_filter(t, w -> w IN ('der','die','und')))
+       |     AND len(list_filter(t, w -> w IN ('the','a','of'))) >= len(list_filter(t, w -> w IN ('el','los','una')))
+       |     AND len(list_filter(t, w -> w IN ('the','a','of'))) >= len(list_filter(t, w -> w IN ('le','les','des'))) THEN 'en'
+       |    WHEN len(list_filter(t, w -> w IN ('der','die','und'))) >= len(list_filter(t, w -> w IN ('el','los','una')))
+       |     AND len(list_filter(t, w -> w IN ('der','die','und'))) >= len(list_filter(t, w -> w IN ('le','les','des'))) THEN 'de'
+       |    WHEN len(list_filter(t, w -> w IN ('el','los','una'))) >= len(list_filter(t, w -> w IN ('le','les','des'))) THEN 'es'
+       |    ELSE 'fr' END AS lang_guess FROM m),
+       |keepers AS (SELECT fp, MIN(doc_id) AS keep_id FROM scored GROUP BY fp)
+       |SELECT doc_id, quality, n_chars FROM scored JOIN keepers ON doc_id = keep_id
+       |WHERE quality >= 0.5 AND lang_guess = 'en' ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- dedup
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
