@@ -1,0 +1,61 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's custom expressions as SQL functions via the
+  * standard [[SparkSessionExtensions]] mechanism, so plain SQL (and
+  * spark.sql config-driven deployments) can use them:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  * spark.sql("SELECT simhash64(text), minhash_signature(text, 3, 64) FROM docs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace-tokenized text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64(text)")
+        SimHash64(children.head)
+      }))
+
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(text, n, k) - k MinHash minima over word n-gram shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "minhash_signature(text, n, k)")
+        MinHashSignature(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }))
+
+    extensions.injectFunction((
+      FunctionIdentifier("distinct_shingles"),
+      info("distinct_shingles",
+        "distinct_shingles(text, n) - distinct lowercased word n-gram shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "distinct_shingles(text, n)")
+        DistinctShingles(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+
+    extensions.injectFunction((
+      FunctionIdentifier("set_not_nullable"),
+      info("set_not_nullable",
+        "set_not_nullable(col) - override nullability to false (runtime-guarded)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "set_not_nullable(col)")
+        SetNullable(children.head, forcedNullable = false)
+      }))
+  }
+}
