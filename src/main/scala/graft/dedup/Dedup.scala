@@ -32,17 +32,20 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Distinct (doc, shingle-hash) inverted index. The join key is the
-    * 64-bit xxhash of the shingle, not the string — half the shuffle
-    * width and cheaper equality; with ~2^14 distinct shingles the
-    * collision probability (~2^-36) is far below any other error source,
-    * and the jaccard VALUES are unchanged so the string-based SQL oracle
-    * still matches. */
+  /** Distinct (doc, shingle-hash) inverted index, built from the
+    * codegen'd one-pass [[DistinctShingles]] expression (the HOF chain
+    * would be re-evaluated once per downstream reference). The join key
+    * is the 64-bit xxhash of the shingle, not the string — half the
+    * shuffle width and cheaper equality; with ~2^14 distinct shingles
+    * the collision probability (~2^-36) is far below any other error
+    * source, and the jaccard VALUES are unchanged so the string-based
+    * SQL oracle still matches. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     spread(docs).select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("s"))
-      .select(col("doc"), xxhash64(col("s")).as("s")).distinct()
+      explode(org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col(textCol), n)).as("s"))
+      .select(col("doc"), xxhash64(col("s")).as("s"))
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
