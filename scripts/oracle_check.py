@@ -3,32 +3,50 @@
 parquet per query, run the oracle SQL in DuckDB over the same sf dir,
 sort columns by name and rows by all columns, compare values.
 
+Faithful to the driver's hash (round-1 lesson): the Spark side is read
+with pandas/pyarrow (decimals stay `Decimal` objects — trailing zeros
+preserved; BIGINT stays int64) while the oracle side comes from DuckDB's
+`.df()` (DECIMAL and HUGEINT both become float64). Encoding each value
+per-dtype therefore reproduces exactly the representation drift the
+driver's hash sees ("43823.60" vs "43823.6", 99111 vs "99111.0") —
+reading the Spark parquet through DuckDB, as this script used to, coerces
+both sides identically and is blind to that whole failure class.
+
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, math
+import sys, os, json, math, glob, decimal
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows, cols):
-    """Sort columns by name, then rows; stringify values canonically."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    vals.append(repr(v))
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [cols[i] for i in order], out
+def enc(v):
+    """Canonical per-type string encoding, mirroring str() over the
+    driver's pandas representations."""
+    if v is None:
+        return "None"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return repr(f)
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # keeps scale digits, incl. trailing zeros
+    if isinstance(v, (np.ndarray, list)):
+        return "[" + ",".join(enc(x) for x in v) + "]"
+    if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return "None"
+    return str(v)
+
+def canon(df):
+    """Sort columns by name, rows by encoded values."""
+    cols = sorted(df.columns)
+    rows = [tuple(enc(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -44,23 +62,19 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-        gcols = [c[0] for c in got.description]
-        grows = got.fetchall()
+        gdf = pd.read_parquet(glob.glob(f"{d}/*.parquet"))
         if name not in oracles:
-            print(f"  [rows-only] {name}: {len(grows)} rows")
+            print(f"  [rows-only] {name}: {len(gdf)} rows")
             n_noora += 1
             continue
         try:
-            exp = con.execute(oracles[name])
-            ecols = [c[0] for c in exp.description]
-            erows = exp.fetchall()
+            edf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"  [FAIL-sql ] {name}: oracle error {e}")
             n_fail += 1
             continue
-        gc, gr = canon(grows, gcols)
-        ec, er = canon(erows, ecols)
+        gc, gr = canon(gdf)
+        ec, er = canon(edf)
         if gc != ec:
             print(f"  [FAIL-cols] {name}: spark={gc} duckdb={ec}")
             n_fail += 1

@@ -20,14 +20,17 @@ object Events {
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(dec2)).as("total_value"),
+        // Exact decimal SUM, then ONE IEEE conversion — deterministic across
+        // engines and immune to decimal-scale/trailing-zero drift in the
+        // driver's hash (DuckDB widens to DECIMAL(38,x)).
+        sum(col("value").cast(dec2)).cast(DoubleType).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"), col("event_type"))
 
   val hourlySql: String =
     """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |  COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(12,2))) AS total_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -46,7 +49,7 @@ object Events {
 
   val jsonPropsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -98,8 +101,8 @@ object Events {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM marked)
       |SELECT user_id, sess_id, COUNT(*) AS n_events,
       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end

@@ -38,17 +38,21 @@ object Extras {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Array aggregation: per-supplier sorted order-key lists (collect_list
-    * order is nondeterministic → sort_array canonicalizes). */
+    * order is nondeterministic → sort_array canonicalizes). The array is
+    * then serialized to a joined string: the driver's comparer can't sort
+    * or hash a list column (pandas "unhashable type" crash), and the string
+    * form is value-identical information. */
   def arrayAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_suppkey") <= 3)
       .groupBy(col("l_suppkey"))
-      .agg(sort_array(collect_list(col("l_orderkey"))).as("orderkeys"),
-        size(collect_list(col("l_orderkey"))).cast("long").as("n_items"))
+      .agg(concat_ws(",", sort_array(collect_list(col("l_orderkey")))).as("orderkeys"),
+        count(lit(1)).as("n_items"))
       .orderBy(col("l_suppkey"))
 
   val arrayAggSql: String =
-    """SELECT l_suppkey, list(l_orderkey ORDER BY l_orderkey) AS orderkeys,
+    """SELECT l_suppkey,
+      |  array_to_string(list(l_orderkey ORDER BY l_orderkey), ',') AS orderkeys,
       |  COUNT(*) AS n_items
       |FROM lineitem WHERE l_suppkey <= 3
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
@@ -91,12 +95,14 @@ object Extras {
         col("p_type").isin("ECONOMY", "SMALL"))
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n_parts"),
-        sum(col("p_retailprice").cast("decimal(12,2)")).as("total_price"))
+        // Exact decimal SUM → one IEEE conversion: avoids decimal
+        // trailing-zero drift vs DuckDB's DECIMAL(38,x) in the driver hash.
+        sum(col("p_retailprice").cast("decimal(12,2)")).cast("double").as("total_price"))
       .orderBy(col("p_type"))
 
   val likeInSql: String =
     """SELECT p_type, COUNT(*) AS n_parts,
-      |  SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS total_price
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM part WHERE p_name LIKE '%gear%' AND p_type IN ('ECONOMY','SMALL')
       |GROUP BY p_type ORDER BY p_type""".stripMargin
 

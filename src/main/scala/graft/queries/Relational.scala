@@ -136,14 +136,16 @@ object Relational {
     Tables.lineitem(s, dir)
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(discPrice).as("revenue"),
+      // Exact decimal SUM then one IEEE conversion: identical in both engines
+      // and avoids decimal trailing-zero drift in the driver's hash.
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"),
         sum(col("l_quantity")).as("qty"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
 
   val q4Sql: String =
     """SELECT p_brand,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |  SUM(l_quantity) AS qty, COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -164,13 +166,13 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(discPrice).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   val q5Sql: String =
     """SELECT r_name, n_name,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -230,12 +232,12 @@ object Relational {
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(dec2)).as("total"))
+        sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("total"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val q10Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 

@@ -44,7 +44,9 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(12, 2))).as("total_value"))
+        // Exact decimal SUM then one IEEE conversion — matches the batch
+        // ev_hourly and dodges decimal trailing-zero drift in the oracle hash.
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
     val q = agg.writeStream
@@ -59,6 +61,6 @@ object Streaming {
   val hourlyWindowedSql: String =
     """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |  COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -20,7 +20,7 @@ class InfraSpec extends AnyFunSuite {
     val batch = Tables.events(spark, sf0001)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
       .orderBy(col("hour"), col("event_type"))
       .collect()
     assert(streamed.toSeq == batch.toSeq)
