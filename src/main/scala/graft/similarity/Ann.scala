@@ -51,9 +51,8 @@ object Ann {
   def topSimilarPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // single-file corpora = one partition; spread the O(n²) stage
-    // (explicit repartition — AQE won't coalesce it away)
-    val spread = embeddings.repartition(
-      embeddings.sparkSession.sparkContext.defaultParallelism)
+    // (wide inputs pass through — no pointless full shuffle at scale)
+    val spread = graft.util.Partitioning.spreadIfNarrow(embeddings)
     val withNorm = spread.select(col(idCol), col(vecCol),
       l2norm(col(vecCol)).as("nrm"))
     val a = withNorm.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
@@ -96,19 +95,21 @@ object Ann {
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
       nCells: Int = 16, probes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spreadDf = embeddings.repartition(
-      embeddings.sparkSession.sparkContext.defaultParallelism)
+    val spreadDf = graft.util.Partitioning.spreadIfNarrow(embeddings)
     val seeds = embeddings.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
-    // assign every vector to its most-similar seed (deterministic
-    // tie-break: higher sim, then higher cell id via struct ordering)
-    val assigned = spreadDf.crossJoin(broadcast(seeds))
+    // one-row array of all seeds → broadcast nest-loop join + per-row
+    // argmax via struct ordering (deterministic tie-break: higher sim,
+    // then higher cell id). Assignment is a pure map pass — no groupBy,
+    // and in particular no shuffle keyed on the embedding vector.
+    val seedArr = seeds.agg(collect_list(struct(col("cell_id"), col("cvec"))).as("seeds"))
+    val assigned = spreadDf.crossJoin(broadcast(seedArr))
       .select(col(idCol), col(vecCol),
-        struct(round(cosine(col(vecCol), col("cvec")), 9).as("s"),
-          col("cell_id")).as("sc"))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(max(col("sc")).getField("cell_id").as("cell"))
-    val queryCells = assigned.filter(col(idCol) === queryVecId)
+        array_max(transform(col("seeds"), sd =>
+          struct(round(cosine(col(vecCol), sd.getField("cvec")), 9).as("s"),
+            sd.getField("cell_id").as("cell_id"))))
+          .getField("cell_id").as("cell"))
+    val queryCells = embeddings.filter(col(idCol) === queryVecId)
       .select(col(vecCol).as("qvec"))
       .crossJoin(broadcast(seeds))
       .select(col("qvec"),

@@ -32,6 +32,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall; found ${sh.size} pairs")
   }
 
+  test("stop-shingle df cap bounds candidates under a planted hot shingle") {
+    // 40 docs sharing one ubiquitous trigram ("alpha beta gamma") but
+    // otherwise pairwise-distinct: uncapped, the hot shingle alone joins
+    // 40·39/2 = 780 candidate pairs; capped at df ≤ 5 it is dropped and
+    // no candidate survives (no other shingle is shared).
+    val hot = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma uniq${i}a uniq${i}b uniq${i}c uniq${i}d"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(hot, 3, 0.01, maxShingleDf = Long.MaxValue)
+    val capped = Dedup.ngramJaccardPairs(hot, 3, 0.01, maxShingleDf = 5L)
+    assert(uncapped.count() == 780L)
+    assert(capped.count() == 0L)
+    // capped jaccard is a LOWER bound of the exact one: with the cap NOT
+    // triggered the values must be identical to the uncapped run
+    val exact = Dedup.ngramJaccardPairs(hot, 3, 0.01, maxShingleDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val un = uncapped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact == un)
+  }
+
+  test("simhash manku banding finds ALL pairs within the hamming radius") {
+    // guaranteed (not probabilistic) recall: compare against the exact
+    // all-pairs hamming join on the same fingerprints
+    val sh = docs.select(col("doc_id").as("doc"),
+      graft.text.simhash64(graft.text.norm_text(col("text"))).as("sh"))
+    val a = sh.select(col("doc").as("da"), col("sh").as("ha"))
+    val b = sh.select(col("doc").as("db"), col("sh").as("hb"))
+    val exact = a.crossJoin(b).filter(col("da") < col("db"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(docs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
+  }
+
   test("ann LSH recall vs brute force") {
     val brute = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val lsh = Ann.lshTopK(emb, 0L, 10, planes = 4, probe = 2).collect().map(_.getLong(0)).toSet
