@@ -46,11 +46,19 @@ package object confluent {
     from_json(data.cast(StringType), schema)
   }
 
-  /** Serialize a struct column to JSON, registering its JSON Schema. */
+  /** Serialize a struct column to JSON, registering (or
+    * compatibility-checked updating) its JSON Schema. */
   def to_confluent_json(data: Column, topic: String, subjectType: SubjectType,
-      client: SchemaRegistryClient, updateAllowed: Boolean = false): Column =
-    ColumnBridge.column(ToConfluentJson(
+      client: SchemaRegistryClient, updateAllowed: Boolean = false,
+      mutualReadCheck: Boolean = false, eagerCheck: Boolean = false): Column = {
+    val expr = ToConfluentJson(
       ColumnBridge.expression(data),
       subjectName(topic, subjectType),
-      new ConfluentJsonRegistry(client), updateAllowed))
+      new ConfluentJsonRegistry(client), updateAllowed, mutualReadCheck)
+    // unbound columns analyze to a NullType placeholder pre-analysis —
+    // eager checking is only possible on dataframe-bound struct columns
+    if (eagerCheck && expr.child.resolved &&
+      expr.child.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]) expr.test()
+    ColumnBridge.column(expr)
+  }
 }

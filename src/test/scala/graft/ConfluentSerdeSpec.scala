@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 
 import graft.confluent._
-import graft.registry.{ConfluentAvroRegistry, InMemorySchemaRegistry, IncompatibleSchemaException, SubjectType}
+import graft.registry.{ConfluentAvroRegistry, HttpSchemaRegistry, InMemorySchemaRegistry, IncompatibleSchemaException, SchemaRegistryClient, SubjectType}
 
-class ConfluentSerdeSpec extends AnyFunSuite with BeforeAndAfterEach {
+/** The full serde behavior suite, abstract over the registry client so the
+  * SAME tests run against the in-memory store and the HTTP client (via an
+  * in-test stub REST server) — reference parity for the remote
+  * `CachedSchemaRegistryClient` path (ConfluentClient.scala:39). */
+abstract class ConfluentSerdeBehaviors extends AnyFunSuite with BeforeAndAfterEach {
   import SharedSpark._
   import spark.implicits._
 
-  private val regName = "serde-spec"
-  private def client = new InMemorySchemaRegistry(regName)
-
-  override def beforeEach(): Unit = InMemorySchemaRegistry.reset(regName)
+  protected def client: SchemaRegistryClient
 
   test("avro roundtrip: DataFrame -> confluent bytes -> DataFrame") {
     val df = Seq((1L, "ann", 3.5, true), (2L, "bob", -1.25, false))
@@ -109,6 +110,65 @@ class ConfluentSerdeSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("json schema compat: widening update allowed, incompatible rejected, mutual-read stricter") {
+    import org.apache.spark.sql.graft.ConfluentJsonRegistry
+    import org.apache.spark.sql.types._
+    val reg = new ConfluentJsonRegistry(client)
+    val v1 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    reg.setOrUpdateSchema("jc-value", v1, updateAllowed = false)
+    // int -> long widening + new OPTIONAL field: backward compatible
+    val v2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("extra", DoubleType, nullable = true)))
+    reg.setOrUpdateSchema("jc-value", v2, updateAllowed = true)
+    assert(reg.latestSparkSchema("jc-value").fieldNames.toSeq == Seq("id", "name", "extra"))
+    // new REQUIRED field absent from existing data: rejected
+    val bad = StructType(v2.fields :+ StructField("must", StringType, nullable = false))
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema("jc-value", bad, updateAllowed = true)
+    }
+    // type narrowing (long -> int): rejected
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema("jc-value", narrow, updateAllowed = true)
+    }
+    // widening id long->double passes one-way but fails MUTUAL read
+    // (old reader can't read doubles as long)
+    val widened = StructType(Seq(
+      StructField("id", DoubleType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("extra", DoubleType, nullable = true)))
+    reg.setOrUpdateSchema("jc2-value", v2, updateAllowed = false)
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema("jc2-value", widened, updateAllowed = true, mutualReadCheck = true)
+    }
+    reg.setOrUpdateSchema("jc2-value", widened, updateAllowed = true) // one-way is fine
+    // updateAllowed=false still refuses even compatible changes
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema("jc-value", StructType(v2.fields :+
+        StructField("extra2", StringType, nullable = true)), updateAllowed = false)
+    }
+  }
+
+  test("to_confluent_json eagerCheck registers/validates at plan construction") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // eagerCheck acts at plan-construction time, so it needs columns
+    // bound to a DataFrame (unbound $"k" is an unresolved placeholder)
+    df.select(to_confluent_json(struct(df("k"), df("v")), "je", SubjectType.value,
+      client, eagerCheck = true).as("j"))
+    assert(client.getLatest("je-value").isDefined)
+    // and an incompatible eager write explodes at plan time, not run time
+    intercept[IncompatibleSchemaException] {
+      df.select(to_confluent_json(struct(df("k").cast("int").as("k")), "je",
+        SubjectType.value, client, updateAllowed = true, eagerCheck = true))
+    }
+  }
+
   test("json roundtrip via registry-governed to/from_confluent_json") {
     val df = Seq((5L, "x"), (6L, "y")).toDF("k", "v")
     val jsonDf = df.select(
@@ -119,5 +179,49 @@ class ConfluentSerdeSpec extends AnyFunSuite with BeforeAndAfterEach {
     val back = jsonDf.select(
       from_confluent_json($"j", "jt", SubjectType.value, client).as("r")).select("r.*")
     assert(back.collect().toSet == df.collect().toSet)
+  }
+}
+
+class ConfluentSerdeSpec extends ConfluentSerdeBehaviors {
+  private val regName = "serde-spec"
+  override protected def client: SchemaRegistryClient = new InMemorySchemaRegistry(regName)
+  override def beforeEach(): Unit = InMemorySchemaRegistry.reset(regName)
+}
+
+class HttpConfluentSerdeSpec extends ConfluentSerdeBehaviors
+    with org.scalatest.BeforeAndAfterAll {
+  private val regName = "serde-http"
+  private var server: StubRegistryServer = _
+
+  override def beforeAll(): Unit = { server = new StubRegistryServer(regName) }
+  override def afterAll(): Unit = if (server != null) server.stop()
+  override def beforeEach(): Unit = InMemorySchemaRegistry.reset(regName)
+  override protected def client: SchemaRegistryClient = new HttpSchemaRegistry(server.url)
+
+  test("http client: 404s map to None/empty, ids round-trip, errors surface") {
+    val c = client
+    assert(c.getById(999999).isEmpty)
+    assert(c.getLatest("nope-value").isEmpty)
+    val schema = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
+    val id = c.register("s p/ecial-value", schema) // subject needs URL-encoding
+    assert(c.register("s p/ecial-value", schema) == id) // identical → same id
+    assert(c.getById(id).contains(schema))
+    assert(c.getLatest("s p/ecial-value").contains((id, schema)))
+    assert(c.subjects.contains("s p/ecial-value"))
+    intercept[graft.registry.SchemaRegistryHttpException] {
+      new HttpSchemaRegistry(server.url + "/badroot").register("x-value", schema)
+    }
+  }
+
+  test("http client is task-serializable (registry lookups from executors)") {
+    import SharedSpark.spark
+    import spark.implicits._
+    val c = client
+    val schema = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
+    val id = c.register("ser-value", schema)
+    // force the client through task serialization and back
+    val got = spark.range(4).repartition(4)
+      .mapPartitions(_ => Iterator(c.getById(id).get)).distinct().collect()
+    assert(got.toSeq == Seq(schema))
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.registry.InMemorySchemaRegistry
+
+/** In-test stub of the Confluent schema-registry REST API, backed by an
+  * [[InMemorySchemaRegistry]] store — just enough surface for
+  * [[graft.registry.HttpSchemaRegistry]]: subjects list, register,
+  * latest-version, schema-by-id, plus proper 404s. */
+class StubRegistryServer(regName: String) {
+  private val reg = new InMemorySchemaRegistry(regName)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try route(ex)
+    catch { case e: Throwable => respond(ex, 500, s"""{"error":"${e.getMessage}"}""") }
+    finally ex.close()
+  })
+  server.start()
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/vnd.schemaregistry.v1+json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def notFound(ex: HttpExchange, code: Int, what: String): Unit =
+    respond(ex, 404, s"""{"error_code":$code,"message":"$what not found"}""")
+
+  private def jstr(s: String): String = JsonMethods.compact(JsonMethods.render(JString(s)))
+
+  private def route(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    // raw path: segments are still %-encoded, so an encoded '/' inside a
+    // subject name doesn't split the segment
+    val parts = ex.getRequestURI.getRawPath.split("/").filter(_.nonEmpty)
+      .map(URLDecoder.decode(_, StandardCharsets.UTF_8))
+    (method, parts.toList) match {
+      case ("GET", List("subjects")) =>
+        respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+          JArray(reg.subjects.toList.sorted.map(JString(_))))))
+      case ("POST", List("subjects", subject, "versions")) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        JsonMethods.parse(body) \ "schema" match {
+          case JString(schema) =>
+            val id = reg.register(subject, schema)
+            respond(ex, 200, s"""{"id":$id}""")
+          case _ => respond(ex, 422, """{"error_code":42201,"message":"invalid schema"}""")
+        }
+      case ("GET", List("subjects", subject, "versions", "latest")) =>
+        reg.getLatest(subject) match {
+          case Some((id, schema)) =>
+            respond(ex, 200,
+              s"""{"subject":${jstr(subject)},"version":1,"id":$id,"schema":${jstr(schema)}}""")
+          case None => notFound(ex, 40401, "subject")
+        }
+      case ("GET", List("schemas", "ids", id)) =>
+        id.toIntOption.flatMap(reg.getById) match {
+          case Some(schema) => respond(ex, 200, s"""{"schema":${jstr(schema)}}""")
+          case None => notFound(ex, 40403, "schema")
+        }
+      case _ => notFound(ex, 40400, "route")
+    }
+  }
+}
