@@ -23,4 +23,10 @@ object Json4sCompat {
   def getStrictSerializationFormat: Formats =
     DefaultFormats.strict.withStrictArrayExtraction.withStrictMapExtraction
       .withStrictOptionParsing
+
+  /** Strict serialization formats carrying type hints for polymorphic
+    * (de)serialization (reference: util/Json4sCompat.scala:31-34). */
+  def getStrictSerializationFormat(typeHints: TypeHints): Formats =
+    org.json4s.jackson.Serialization.formats(typeHints)
+      .withStrictArrayExtraction.withStrictMapExtraction.withStrictOptionParsing
 }

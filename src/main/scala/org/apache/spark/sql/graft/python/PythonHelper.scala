@@ -41,8 +41,26 @@ object PythonHelper {
     def version: String = session.version
   }
 
+  /** Resolve py-files into PYTHONPATH entries. Loose `.py` files can't go
+    * on PYTHONPATH directly (it expects directories/archives), so they
+    * are copied into one temp directory which is added instead; zips,
+    * eggs, and directories pass through as-is. Missing/unreadable
+    * entries are skipped. (Reference: python/PythonHelper.scala:141-161.) */
+  private[python] def resolvePyFiles(pyFiles: Seq[String]): Seq[String] = {
+    lazy val dest = Files.createTempDirectory("graft_pyfiles_").toFile
+    pyFiles.flatMap { pyFile =>
+      if (pyFile.endsWith(".py")) {
+        val source = new File(pyFile)
+        if (source.isFile && source.canRead) {
+          Files.copy(source.toPath, new File(dest, source.getName).toPath)
+          Some(dest.getAbsolutePath)
+        } else None
+      } else Some(pyFile)
+    }.distinct
+  }
+
   def exec(session: SparkSession, pythonCode: String,
-      pythonExec: String = "python3"): Unit = {
+      pythonExec: String = "python3", pyFiles: Seq[String] = Nil): Unit = {
     val entryPoint = new SparkEntryPoint(session)
     // auth token must come from a CSPRNG — the gateway executes
     // arbitrary JVM calls for whoever presents it
@@ -66,12 +84,14 @@ object PythonHelper {
       val env = pb.environment()
       env.put("GRAFT_GATEWAY_PORT", port.toString)
       env.put("GRAFT_GATEWAY_SECRET", secret)
-      // make spark's bundled python libs importable alongside system ones
-      val sparkPython = new File("/opt/spark/python")
-      if (sparkPython.isDirectory) {
-        val existing = Option(env.get("PYTHONPATH")).filter(_.nonEmpty).toSeq
-        env.put("PYTHONPATH", (existing :+ sparkPython.getAbsolutePath).mkString(":"))
-      }
+      // PYTHONPATH = user py-files, then spark's bundled python libs,
+      // then whatever the environment already had
+      val sparkPython = Some(new File("/opt/spark/python"))
+        .filter(_.isDirectory).map(_.getAbsolutePath).toSeq
+      val existing = Option(env.get("PYTHONPATH")).filter(_.nonEmpty).toSeq
+      val pythonPath = (resolvePyFiles(pyFiles) ++ sparkPython ++ existing)
+        .mkString(File.pathSeparator)
+      if (pythonPath.nonEmpty) env.put("PYTHONPATH", pythonPath)
       pb.inheritIO()
       val process = pb.start()
       val exit = process.waitFor()

@@ -133,4 +133,30 @@ class InfraSpec extends AnyFunSuite {
       org.apache.spark.sql.graft.python.PythonHelper.exec(spark, "import sys; sys.exit(3)")
     }
   }
+
+  test("PythonHelper ships helper modules to the subprocess via pyFiles") {
+    val helperDir = java.nio.file.Files.createTempDirectory("graft_pyhelper_")
+    val helper = helperDir.resolve("graft_helper.py")
+    java.nio.file.Files.write(helper,
+      "def triple(x):\n    return 3 * x\n".getBytes("UTF-8"))
+    val marker = java.nio.file.Files.createTempFile("graft_py_out_", ".txt")
+    val code =
+      s"""import graft_helper
+         |with open("${marker.toString}", "w") as f:
+         |    f.write(str(graft_helper.triple(14)))
+         |""".stripMargin
+    org.apache.spark.sql.graft.python.PythonHelper.exec(spark, code,
+      pyFiles = Seq(helper.toString))
+    assert(new String(java.nio.file.Files.readAllBytes(marker)) == "42")
+    // a directory py-file entry goes on PYTHONPATH as-is
+    val marker2 = java.nio.file.Files.createTempFile("graft_py_out_", ".txt")
+    val code2 =
+      s"""import graft_helper
+         |with open("${marker2.toString}", "w") as f:
+         |    f.write(str(graft_helper.triple(1)))
+         |""".stripMargin
+    org.apache.spark.sql.graft.python.PythonHelper.exec(spark, code2,
+      pyFiles = Seq(helperDir.toString))
+    assert(new String(java.nio.file.Files.readAllBytes(marker2)) == "3")
+  }
 }

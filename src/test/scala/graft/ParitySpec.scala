@@ -7,6 +7,9 @@ import graft.avro.{AvroSchemaConverter, SchemaDiff}
 
 case class StrictP(a: Int)
 case class StrictOpt(a: Option[Int])
+sealed trait Hinted
+case class HintA(n: Int) extends Hinted
+case class HintB(s: String) extends Hinted
 
 /** Coverage for the long-tail reference parity items: schema diff,
   * json4s shims, hadoop-conf builder, parquet binding committer class. */
@@ -48,6 +51,21 @@ class ParitySpec extends AnyFunSuite {
     assert(badOpt.extract[StrictOpt](DefaultFormats, manifest[StrictOpt]) == StrictOpt(None))
     intercept[MappingException] {
       badOpt.extract[StrictOpt](strict, manifest[StrictOpt])
+    }
+  }
+
+  test("Json4sCompat typeHints formats round-trip polymorphic values") {
+    import org.json4s._
+    import org.json4s.jackson.Serialization
+    val hinted = graft.util.Json4sCompat.getStrictSerializationFormat(
+      ShortTypeHints(List(classOf[HintA], classOf[HintB]), "kind"))
+    val out = Serialization.write(List[Hinted](HintA(1), HintB("x")))(hinted)
+    assert(out.contains(""""kind":"HintA""""))
+    val back = Serialization.read[List[Hinted]](out)(hinted, manifest[List[Hinted]])
+    assert(back == List(HintA(1), HintB("x")))
+    // strictness is preserved alongside the hints
+    intercept[MappingException] {
+      Serialization.read[HintA]("""{"kind":"HintA","n":"bad"}""")(hinted, manifest[HintA])
     }
   }
 
