@@ -28,6 +28,12 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
+        } finally {
+          // some operators persist intermediates (shingle index, LSH
+          // shingle sets); each run builds a fresh plan = fresh cache
+          // entry, so drop them between runs or they accumulate and
+          // charge later queries for eviction/GC
+          spark.catalog.clearCache()
         }
       }
       val (a, b) = (once(), once())
