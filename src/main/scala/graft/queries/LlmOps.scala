@@ -98,6 +98,24 @@ object LlmOps {
        |  SELECT unnest(string_split($NormSql, ' ')) AS token FROM documents) t
        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
 
+  /** Winnowing (rolling-hash window-min) document fingerprints — MOSS
+    * scheme; k=3 word-grams, window 4. Map-only, codegen'd; the
+    * fingerprint is the near-dup join key at corpus scale. */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), winnow_fingerprint(col("text"), 3, 4).as("fp"))
+
+  val textWinnowSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+       |        i -> substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS hs
+       |      FROM n)
+       |SELECT doc_id,
+       |  CASE WHEN len(t) >= 6 THEN array_to_string(list_sort(list_distinct(
+       |    list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))), ',')
+       |  ELSE '' END AS fp
+       |FROM h""".stripMargin
+
   /** The composed training-data filter: keep English-ish docs above a
     * quality floor that are the canonical copy of their exact-dup group
     * — the end-to-end shape of a corpus-cleaning pipeline stage. */
@@ -177,6 +195,26 @@ object LlmOps {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Embedding-cosine near-dup pairs, exact threshold variant (oracled;
+    * [[Ann.cosineLshPairs]] is the banded scale path, spec-verified). */
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.44)
+      .orderBy(col("va"), col("vb"))
+
+  val dedupEmbedCosineSql: String =
+    s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44
+       |ORDER BY va, vb""".stripMargin
+
+  /** LSH-banded embedding near-dup mining — no oracle (bucket recall is
+    * probabilistic); recall vs the exact pair set asserted in spec. */
+  def dedupEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineLshPairs(Tables.embeddings(s, dir), threshold = 0.44,
+      planesPerTable = 4, tables = 16)
+      .orderBy(col("va"), col("vb"))
 
   // ------------------------------------------------- similarity search
 

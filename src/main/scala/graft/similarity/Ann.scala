@@ -64,6 +64,77 @@ object Ann {
       .limit(topN)
   }
 
+  /** Embedding-cosine near-duplicate pairs: ALL pairs with
+    * round(cosine, 6) ≥ threshold. Exact O(n²) verification path (norms
+    * computed once; rounding makes the threshold boundary cross-engine
+    * deterministic). The scale path is [[cosineLshPairs]]. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spread = graft.util.Partitioning.spreadIfNarrow(embeddings)
+    val withNorm = spread.select(col(idCol), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("vb"), col(vecCol).as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Scale path for embedding near-dup mining: multi-table
+    * random-hyperplane LSH banding + exact-cosine verification of the
+    * candidates only. Each of `tables` tables keys on `planesPerTable`
+    * sign bits (distinct planes per table); two vectors at angle θ agree
+    * on one bit with p = 1 − θ/π, land in the same bucket of a table
+    * with p^planesPerTable, and are recalled by ≥1 of T tables with
+    * 1 − (1 − p^b)^T → near-1 for genuine near-dups (θ → 0) while
+    * random pairs stay unbucketed. Shuffle volume: docs × tables ×
+    * 16 B; the verify join touches candidates only — never n². */
+  def cosineLshPairs(embeddings: DataFrame, threshold: Double,
+      planesPerTable: Int = 16, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planesPerTable <= 62, "table keys are packed into one long")
+    val spread = graft.util.Partitioning.spreadIfNarrow(embeddings)
+    // deterministic hyperplane matrix, generated ONCE on the driver and
+    // shipped as a plan literal (the plan IS broadcast — no per-row
+    // pseudo-random hashing in the hot loop, just MACs)
+    val dim = embeddings.select(size(col(vecCol)).as("d")).first().getInt(0)
+    val nPlanes = tables * planesPerTable
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      val rng = new java.util.Random(1000003L * p + 0x9E3779B9L)
+      IndexedSeq.fill(dim)(rng.nextDouble() - 0.5)
+    }
+    val planesLit = typedlit(planes)
+    // stage 1: all T·B signed projections in one array column (vec is a
+    // plain attribute read per plane — only the MACs are per-row work)
+    val projs = spread.select(col(idCol).as("doc"),
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        aggregate(
+          zip_with(col(vecCol), element_at(planesLit, p + 1),
+            (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, v) => acc + v)).as("projs"))
+    // stage 2: pack each table's B sign bits into a long key; `projs` is
+    // referenced exactly once so the fold above is not re-inlined per table
+    val banded = projs.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
+        aggregate(sequence(lit(0), lit(planesPerTable - 1)), lit(0L),
+          (acc, j) => acc * 2 +
+            when(element_at(col("projs"), t * planesPerTable + j + 1) >= 0, 1L)
+              .otherwise(0L)))).as(Seq("band", "bkey")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("va"), col("y.doc").as("vb"))
+      .distinct()
+    val withNorm = spread.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
+    cands
+      .join(withNorm.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na")), "va")
+      .join(withNorm.select(col(idCol).as("vb"), col(vecCol).as("eb"), col("nrm").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 → uniform in [-0.5, 0.5). */
   private def planeComponent(plane: Int, dim: Column): Column =

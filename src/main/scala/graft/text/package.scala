@@ -70,6 +70,35 @@ package object text {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.SimHash64.simhash64(c)
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS rolling-hash scheme): hash every word k-gram, slide a
+    * window of w hashes, keep each window's minimum, dedupe and sort.
+    * Guarantees: any shared run of k+w-1 tokens between two documents
+    * contributes at least one common fingerprint, and gaps between
+    * selected positions are ≤ w. Emitted as a comma-joined string so the
+    * result is oracle-hashable.
+    *
+    * The "rolling hash" here is the first 8 hex chars of md5 per k-gram:
+    * fixed-width lowercase hex compares lexicographically = numerically
+    * in BOTH engines, and DuckDB md5 agrees with Spark md5 byte-for-byte
+    * — cross-engine determinism beats saving the per-gram rehash (the
+    * classic Rabin-Karp incremental update is a constant-factor
+    * optimization inside one doc; at corpus scale the cost is dominated
+    * by the scan either way, and everything here stays codegen'd). */
+  def winnow_fingerprint(c: Column, k: Int, w: Int): Column = {
+    val t = tokens(c)
+    val grams = transform(sequence(lit(1), size(t) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*))
+    val hashes = transform(grams, g => substring(md5(g.cast("binary")), 1, 8))
+    val mins = transform(sequence(lit(1), size(hashes) - (w - 1)),
+      j => array_min(slice(hashes, j, lit(w))))
+    // need at least one full window of k-grams: size(t) >= k + w - 1
+    // (the when-guard also keeps sequence() from descending on negatives)
+    when(size(t) >= lit(k + w - 1),
+      concat_ws(",", sort_array(array_distinct(mins))))
+      .otherwise(lit(""))
+  }
+
   /** Word n-gram shingles of the normalized text as an array column;
     * documents with fewer than n tokens yield an empty array (indexing
     * past the array would throw under Spark 4's ANSI mode, and a partial

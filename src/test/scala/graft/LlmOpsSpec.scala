@@ -68,6 +68,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
   }
 
+  test("winnowing fingerprints: shared runs overlap, short docs empty") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // shares the 9-token run with doc 1 inside different context →
+      // k+w-1 = 6-token shared run guarantees a common fingerprint
+      (2L, "prefix words here alpha beta gamma delta epsilon zeta eta theta iota and a tail"),
+      (3L, "совершенно other content with nothing shared at all among these"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), winnow_fingerprint(col("text"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def set(id: Long) = fps(id).split(",").filter(_.nonEmpty).toSet
+    assert(set(1).nonEmpty && (set(1) intersect set(2)).nonEmpty)
+    assert((set(1) intersect set(3)).isEmpty)
+    assert(fps(4L) == "")
+    // deterministic across evaluations
+    val again = df.select(col("doc_id"), winnow_fingerprint(col("text"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == fps)
+  }
+
+  test("embedding-cosine LSH pairs recall planted near-dups, candidates bounded") {
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    def vec() = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    // 10 planted near-dups: tiny perturbation of the first 10 (cos ≈ 0.999)
+    val dups = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+      (100L + i, v)
+    }
+    import spark.implicits._
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairs(df, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10) // all planted pairs are above 0.9
+    val lsh = Ann.cosineLshPairs(df, 0.9, planesPerTable = 16, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (candidates verified with the
+    // same rounded cosine); recall of genuine near-dups must be total
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+    // verified values match the exact path
+    val exactSims = Ann.cosinePairs(df, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Ann.cosineLshPairs(df, 0.9, 16, 8).collect().foreach { r =>
+      assert(exactSims((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("ann LSH recall vs brute force") {
     val brute = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val lsh = Ann.lshTopK(emb, 0L, 10, planes = 4, probe = 2).collect().map(_.getLong(0)).toSet

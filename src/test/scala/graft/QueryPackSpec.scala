@@ -12,7 +12,8 @@ class QueryPackSpec extends AnyFunSuite {
   /** Queries allowed to skip the DuckDB oracle: custom-hash / probabilistic
     * operators not expressible in ANSI SQL — each is spec-verified against
     * its exact counterpart in LlmOpsSpec instead. */
-  private val rowsOnlyAllowed = Set("d_simhash", "s_ann_lsh", "s_ann_ivf")
+  private val rowsOnlyAllowed =
+    Set("d_simhash", "s_ann_lsh", "s_ann_ivf", "d_embed_cosine_lsh")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowed
