@@ -92,6 +92,35 @@ object Events {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Sessionization via Spark's NATIVE session windows — same semantics
+    * as [[sessions]] expressed with the built-in merging session_window
+    * (window end = last event + gap; an event exactly at the end starts a
+    * NEW session, hence the >= in the oracle). This is the grouping that
+    * runs identically in Structured Streaming (see StreamingSessionSpec). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val sessionWindowsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS sess_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin
+
   val sessionsSql: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

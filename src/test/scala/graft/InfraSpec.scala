@@ -26,6 +26,31 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming session windows equal batch session windows for closed sessions") {
+    val streamedQ = graft.streaming.Streaming.eventsStream(spark, sf0001)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName("infra_sess").start()
+    try streamedQ.processAllAvailable() finally streamedQ.stop()
+    val streamed = spark.table("infra_sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    // append mode emits exactly the sessions closed by the final
+    // watermark = max event time (ms floor) - 10 min
+    val batchAll = graft.queries.Events.sessionWindows(spark, sf0001)
+    val maxTsMs = Tables.events(spark, sf0001)
+      .agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
+    val wm = new java.sql.Timestamp(maxTsMs - 10L * 60 * 1000)
+    val expected = batchAll.filter(col("sess_end") <= lit(wm)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed == expected,
+      s"streamed=${streamed.size} expected=${expected.size} " +
+        s"onlyStreamed=${(streamed -- expected).take(3)} onlyBatch=${(expected -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful streaming: running count per user via flatMapGroupsWithState") {
     val input = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id")).as[(Long, Long)]
