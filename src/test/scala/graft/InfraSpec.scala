@@ -51,6 +51,34 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    def side(tpe: String, u: String, t: String) =
+      graft.streaming.Streaming.eventsStream(spark, sf0001)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(u), col("ts").as(t))
+        .withWatermark(t, "1 hour")
+    // purchases within 1h after a click by the same user; inner
+    // stream-stream joins emit matches as found (the watermark only
+    // bounds state), so on static input streamed == batch exactly
+    val joined = side("click", "cu", "cts").join(side("purchase", "pu", "pts"),
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("infra_ssj").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("infra_ssj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getTimestamp(3))).toSet
+    val ev = Tables.events(spark, sf0001)
+    def bside(tpe: String, u: String, t: String) =
+      ev.filter(col("event_type") === tpe).select(col("user_id").as(u), col("ts").as(t))
+    val batch = bside("click", "cu", "cts").join(bside("purchase", "pu", "pts"),
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getTimestamp(3))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful streaming: running count per user via flatMapGroupsWithState") {
     val input = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id")).as[(Long, Long)]
