@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Σ aᵢ·bᵢ as double (fold in array order → deterministic). */
+  /** Σ aᵢ·bᵢ as double — codegen'd tight loop (VectorOps), accumulating
+    * in array order exactly like the HOF fold it replaced, so results
+    * stay bit-identical to DuckDB's list_dot_product on DOUBLE[]. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorOps.dot(a, b)
+
+  def l2norm(a: Column): Column =
+    org.apache.spark.sql.graft.VectorOps.l2norm(a)
+
+  /** The interpreted higher-order-function formulations, kept as the
+    * value-equality reference for VectorOps in specs. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def l2norm(a: Column): Column =
+  private[graft] def l2normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
@@ -109,10 +119,8 @@ object Ann {
     // plain attribute read per plane — only the MACs are per-row work)
     val projs = spread.select(col(idCol).as("doc"),
       transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-        aggregate(
-          zip_with(col(vecCol), element_at(planesLit, p + 1),
-            (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, v) => acc + v)).as("projs"))
+        org.apache.spark.sql.graft.VectorOps.dot(
+          col(vecCol), element_at(planesLit, p + 1))).as("projs"))
     // stage 2: pack each table's B sign bits into a long key; `projs` is
     // referenced exactly once so the fold above is not re-inlined per table
     val banded = projs.select(col("doc"),

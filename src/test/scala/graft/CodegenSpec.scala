@@ -59,6 +59,28 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorOps dot/l2norm generate compiling Java and equal the HOF fold bit-for-bit") {
+    codegenOnly {
+      val rng = new scala.util.Random(3)
+      val df = (0 until 50).map(_ =>
+        (Array.fill(64)(rng.nextGaussian().toFloat), Array.fill(64)(rng.nextGaussian().toFloat)))
+        .toDF("a", "b")
+      val r = df.select(
+        org.apache.spark.sql.graft.VectorOps.dot(col("a"), col("b")).as("d"),
+        graft.similarity.Ann.dotHof(col("a"), col("b")).as("dh"),
+        org.apache.spark.sql.graft.VectorOps.l2norm(col("a")).as("n"),
+        graft.similarity.Ann.l2normHof(col("a")).as("nh")).collect()
+      // bit-identical, not approximately equal: same IEEE op sequence
+      assert(r.forall(x => x.getDouble(0) == x.getDouble(1)))
+      assert(r.forall(x => x.getDouble(2) == x.getDouble(3)))
+      // mixed float x double sides (the LSH projection shape)
+      val planes = Seq(Seq.fill(64)(0.25), Seq.fill(64)(-0.5))
+      val m = df.select(org.apache.spark.sql.graft.VectorOps.dot(
+        col("a"), element_at(typedlit(planes), 1)).as("p")).collect()
+      assert(m.forall(x => !x.getDouble(0).isNaN))
+    }
+  }
+
   test("Confluent Avro serde expressions generate compiling Java") {
     codegenOnly {
       import graft.confluent._
