@@ -63,11 +63,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxShingleDf: Long = 10000L): DataFrame = {
-    // the index feeds 4 plans (per-doc counts, df counts, both join
-    // sides) and the shingle expression is CPU-heavy — persist it
+    // the index feeds 3 plans (df counts + both join sides) and the
+    // shingle expression is CPU-heavy — persist it
     val idx = shingleIndex(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    // per-doc set sizes come map-only from the docs (size of the same
+    // one-pass expression) — no groupBy over the 10⁶×-larger index
+    val counts = spread(docs).select(col(idCol).as("doc"),
+      size(org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col(textCol), n)).cast("long").as("n_sh"))
     val kept =
       if (maxShingleDf == Long.MaxValue) idx
       else idx.join(
