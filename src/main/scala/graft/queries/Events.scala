@@ -72,6 +72,30 @@ object Events {
     """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       |FROM events WHERE event_id % 101 = 0""".stripMargin
 
+  /** As-of join: each purchase matched to the user's most recent click
+    * at-or-before the purchase time (union + ordered-window composition,
+    * one shuffle — graft.operators.AsOfJoin). Oracle: DuckDB's native
+    * ASOF LEFT JOIN, an independent implementation of the semantics. */
+  def asofClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asof(purchases, clicks,
+      key = "user_id", ts = "ts", pick = Seq("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofClicksSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, c.event_id AS asof_event_id
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Sessionization with window functions: a new session starts after
     * >30 min of user inactivity. Classic scalable pattern — lag + cumulative
     * sum inside a per-user window, one shuffle on user_id. */

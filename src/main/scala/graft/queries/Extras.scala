@@ -69,6 +69,25 @@ object Extras {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS — the general multi-grouping aggregation (the sets
+    * {(returnflag), (linestatus)} are expressible as neither rollup nor
+    * cube). SQL surface: registered view + spark.sql; one Expand + one
+    * aggregation underneath, same as cube/rollup. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** Exact interpolated percentiles per group (Spark `percentile` vs
     * DuckDB `quantile_cont` share the linear-interpolation definition;
     * round(6) absorbs their differing-but-equivalent IEEE orderings). */

@@ -171,12 +171,44 @@ object Ann {
     * pass; the search probes `probes/nCells` of the corpus. Cell ids
     * can be persisted as a partition column so a probe prunes parquet
     * partitions instead of scanning. */
+  /** Lloyd refinement of IVF cells: assign → element-wise mean per cell
+    * → repeat. Mean via posexplode + groupBy(cell, pos) stays fully
+    * distributed; only the k×d centroid table is driver-sized. Cell
+    * geometry affects recall-per-probe only, never re-rank correctness
+    * (the exhaustive-probe == brute-force spec holds for ANY seeds). */
+  private def lloydRefine(df: DataFrame, seeds0: DataFrame, iters: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    var seeds = seeds0
+    for (_ <- 0 until iters) {
+      val seedArr = seeds.agg(collect_list(struct(col("cell_id"), col("cvec"))).as("seeds"))
+      val assigned = df.crossJoin(broadcast(seedArr))
+        .select(col(vecCol),
+          array_max(transform(col("seeds"), sd =>
+            struct(round(cosine(col(vecCol), sd.getField("cvec")), 9).as("s"),
+              sd.getField("cell_id").as("cell_id"))))
+            .getField("cell_id").as("cell"))
+      seeds = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cell_id"),
+          transform(col("pm"), e => e.getField("m")).as("cvec"))
+    }
+    seeds
+  }
+
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
       nCells: Int = 16, probes: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 0): DataFrame = {
     val spreadDf = graft.util.Partitioning.spreadIfNarrow(embeddings)
-    val seeds = embeddings.orderBy(col(idCol)).limit(nCells)
+    val seeds0 = embeddings.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    val seeds =
+      if (lloydIters <= 0) seeds0
+      else lloydRefine(spreadDf, seeds0, lloydIters, idCol, vecCol)
     // one-row array of all seeds → broadcast nest-loop join + per-row
     // argmax via struct ordering (deterministic tie-break: higher sim,
     // then higher cell id). Assignment is a pure map pass — no groupBy,

@@ -136,6 +136,13 @@ class LlmOpsSpec extends AnyFunSuite {
     Ann.ivfTopK(emb, 0L, 10).collect().foreach { r =>
       assert(bruteSims(r.getLong(0)) == r.getDouble(1))
     }
+    // Lloyd-refined cells keep re-rank exactness: exhaustive probe over
+    // refined cells must equal brute force regardless of cell geometry
+    val refinedAll = Ann.ivfTopK(emb, 0L, 10, nCells = 8, probes = 8, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteTop = Ann.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refinedAll == bruteTop)
   }
 
   test("cosine of identical vectors is 1, orthogonal is 0") {
