@@ -45,6 +45,62 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a video asset. */
+  case class FrameSample(asset_id: Long, frame_idx: Int, frame_text: String)
+
+  /** Frame sampling: every `every`-th frame of each video asset — the
+    * 1→N generator shape of a real frame extractor (explode stage, no
+    * shuffle). Frame payloads are STUB char-slices of the payload (a
+    * codec would hand back encoded frames behind the same signature). */
+  def sampleFrames(assets: Dataset[MediaAsset], every: Int = 5): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      if (a.kind != "video") Iterator.empty
+      else {
+        val meta = decodeStub(a)
+        val s = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
+        (0 until meta.n_frames by every).iterator
+          .map(i => FrameSample(a.asset_id, i, s.slice(i * 100, i * 100 + 100)))
+      }
+    }
+  }
+
+  /** Resize metadata: aspect-preserving fit into a target box, integer
+    * arithmetic only (deterministic, oracle-able). The payload transform
+    * itself is the codec's job; the pipeline carries the planned output
+    * geometry. Zero-dimension stubs fit degenerately to (0, target). */
+  case class ResizePlan(asset_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int)
+
+  def planResize(meta: Dataset[MediaMeta], target: Int = 224): Dataset[ResizePlan] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      val (w, h) = (m.width, m.height)
+      val (ow, oh) =
+        if (w <= 0 || h <= 0) (if (w > 0) target else 0, if (h > 0) target else 0)
+        else if (w >= h) (target, h * target / w)
+        else (w * target / h, target)
+      ResizePlan(m.asset_id, w, h, ow, oh)
+    }
+  }
+
+  /** STUB feature extraction: 8-dim embedding from byte-stripe sums —
+    * deterministic plumbing into the ANN operators (a real model server
+    * call or ONNX session goes behind the same mapPartitions shape,
+    * allocating its session once per partition). */
+  def extractFeatures(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real impl: load the model once here, stream batches through it
+      it.map { a =>
+        val acc = new Array[Long](8)
+        var i = 0
+        while (i < a.payload.length) { acc(i % 8) += a.payload(i) & 0xff; i += 1 }
+        (a.asset_id, acc.map(x => (x % 1000).toFloat / 1000f))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Build a fake asset table from the documents corpus (text bytes as
     * payload) — exercises the full plumbing without codecs. */
   def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {

@@ -258,6 +258,35 @@ object LlmOps {
     Multimodal.extractMeta(assets).toDF()
   }
 
+  /** Frame sampling of video assets (1→N generator, no shuffle). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir))).toDF()
+
+  val mmFramesSql: String =
+    """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+      |  substring(text, CAST(i * 100 + 1 AS INT), 100) AS frame_text
+      |FROM documents, LATERAL (SELECT unnest(generate_series(0, length(text) % 30, 5)) AS i)
+      |WHERE doc_id % 3 = 2""".stripMargin
+
+  /** Aspect-preserving resize planning over the decoded metadata. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.planResize(Multimodal.extractMeta(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)))).toDF()
+
+  val mmResizeSql: String =
+    """WITH m AS (SELECT doc_id AS asset_id,
+      |  CAST(length(text) % 640 AS INT) AS width,
+      |  CAST(length(text) * 7 % 480 AS INT) AS height FROM documents)
+      |SELECT asset_id, width, height,
+      |  CAST(CASE WHEN width <= 0 OR height <= 0 THEN (CASE WHEN width > 0 THEN 224 ELSE 0 END)
+      |       WHEN width >= height THEN 224
+      |       ELSE width * 224 // height END AS INT) AS out_w,
+      |  CAST(CASE WHEN width <= 0 OR height <= 0 THEN (CASE WHEN height > 0 THEN 224 ELSE 0 END)
+      |       WHEN width >= height THEN height * 224 // width
+      |       ELSE 224 END AS INT) AS out_h
+      |FROM m""".stripMargin
+
   val mmDecodeSql: String =
     """SELECT doc_id AS asset_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'

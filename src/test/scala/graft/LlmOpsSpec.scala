@@ -162,6 +162,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m.filter(_.kind != "video").forall(_.n_frames == 1))
   }
 
+  test("multimodal feature extraction feeds the ANN operators end-to-end") {
+    val assets = graft.multimodal.Multimodal.assetsFromDocuments(docs)
+    val feats = graft.multimodal.Multimodal.extractFeatures(assets)
+    assert(feats.schema.map(_.name) == Seq("vec_id", "embedding"))
+    // deterministic
+    val a = feats.orderBy(col("vec_id")).limit(3).collect().map(_.getSeq[Float](1))
+    val b = graft.multimodal.Multimodal.extractFeatures(assets)
+      .orderBy(col("vec_id")).limit(3).collect().map(_.getSeq[Float](1))
+    assert(a.toSeq.map(_.toList) == b.toSeq.map(_.toList))
+    // the extracted features run through the similarity stack unchanged
+    val top = Ann.bruteForceTopK(feats, queryVecId = 0L, k = 5).collect()
+    assert(top.length == 5 && top.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("simhash64 is deterministic and locality-sensitive") {
     val h1 = org.apache.spark.sql.graft.SimHash64.simhash("the quick brown fox jumps over dog")
     val h2 = org.apache.spark.sql.graft.SimHash64.simhash("the quick brown fox jumps over dog")
