@@ -27,7 +27,9 @@ object ExplainAudit {
     }
     Seq("q1_agg", "q2_filter_project", "q3_join", "q5_multi_join", "q7_topk",
       "q6_window", "d_ngram_jaccard", "d_minhash_lsh", "s_ann_pairs",
-      "x_avro_roundtrip", "t_text_stats").foreach(audit)
+      "x_avro_roundtrip", "t_text_stats",
+      "ev_asof", "d_embed_cosine", "d_embed_cosine_lsh", "t_winnow",
+      "ev_session_window", "mm_frames").foreach(audit)
     spark.stop()
   }
 }
