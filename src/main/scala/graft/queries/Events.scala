@@ -72,6 +72,50 @@ object Events {
     """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       |FROM events WHERE event_id % 101 = 0""".stripMargin
 
+  /** Banded range join WITHOUT an equality key: for each error event,
+    * how many OTHER users' sessions were active at that instant. A bare
+    * BETWEEN join would plan as BroadcastNestedLoopJoin (all-pairs);
+    * graft.operators.RangeJoin buckets the time axis hourly and
+    * equi-joins. Oracle: DuckDB's native inequality-join (IEJoin)
+    * planner on the same BETWEEN predicate. */
+  def rangeActiveSessions(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessions(s, dir).select(
+      col("user_id").as("s_user"),
+      unix_micros(col("sess_start")).as("lo_us"),
+      unix_micros(col("sess_end")).as("hi_us"))
+    val points = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt_us"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "pt_us", sess, "lo_us", "hi_us", 3600L * 1000000L)
+      .filter(col("s_user") =!= col("user_id"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeActiveSessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id AS s_user, MIN(ts) AS lo, MAX(ts) AS hi
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT e.event_id, COUNT(*) AS n_active
+      |FROM events e JOIN iv
+      |  ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.lo AND iv.hi
+      |  AND iv.s_user <> e.user_id
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
   /** As-of join: each purchase matched to the user's most recent click
     * at-or-before the purchase time (union + ordered-window composition,
     * one shuffle — graft.operators.AsOfJoin). Oracle: DuckDB's native
