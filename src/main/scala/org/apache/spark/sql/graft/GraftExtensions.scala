@@ -50,6 +50,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     extensions.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot",
+        "vec_dot(a, b) - dot product of float/double arrays, codegen'd, array-order accumulation"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot(a, b)")
+        VectorOps.DotProduct(children.head, children(1))
+      }))
+
+    extensions.injectFunction((
+      FunctionIdentifier("vec_l2norm"),
+      info("vec_l2norm", "vec_l2norm(a) - L2 norm of a float/double array"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "vec_l2norm(a)")
+        VectorOps.L2Norm(children.head)
+      }))
+
+    extensions.injectFunction((
       FunctionIdentifier("set_not_nullable"),
       info("set_not_nullable",
         "set_not_nullable(col) - override nullability to false (runtime-guarded)"),
