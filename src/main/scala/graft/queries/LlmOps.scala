@@ -156,6 +156,29 @@ object LlmOps {
        |SELECT doc_id, quality, n_chars FROM scored JOIN keepers ON doc_id = keep_id
        |WHERE quality >= 0.5 AND lang_guess = 'en' ORDER BY doc_id""".stripMargin
 
+  /** Deterministic hash-split: reproducible train/val/test assignment
+    * from the id's md5 bucket (5% test, 5% val) — the contamination-safe
+    * alternative to RNG sampling at corpus scale. Oracle shares the
+    * exact hex-threshold comparison. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling
+      .deterministicSplit(Tables.documents(s, dir), "doc_id", 0.05, 0.05)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+
+  val hashSplitSql: String =
+    """SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM documents) t
+      |GROUP BY split ORDER BY split""".stripMargin
+
   // -------------------------------------------------------------- dedup
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,41 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling/splitting for training-data
+  * pipelines. RNG-based `df.sample` is neither reproducible across
+  * engines nor stable under repartitioning; hashing the record id is —
+  * every engine that agrees on md5 assigns every record to the same
+  * bucket forever, which is exactly what train/val/test contamination
+  * control needs at corpus scale. Map-only, codegen'd, no shuffle. */
+object Sampling {
+
+  /** First-two-hex-chars bucket of the id's md5 — 256 uniform buckets
+    * compared lexicographically (fixed-width lowercase hex, so string
+    * order == numeric order in every engine). */
+  private def hexBucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 2)
+
+  private def threshold(p: Double): String = {
+    require(p >= 0 && p <= 1, s"fraction out of range: $p")
+    f"${math.round(p * 256).toInt.min(256)}%02x"
+  }
+
+  /** Keep a deterministic ~`fraction` of rows (granularity 1/256). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hexBucket(col(idCol)) < lit(threshold(fraction)))
+
+  /** Add a `split` column: 'test' for the first ~testPct of hash space,
+    * 'val' for the next ~valPct, 'train' for the rest. Disjoint and
+    * exhaustive by construction; membership depends only on the id. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      testPct: Double, valPct: Double): DataFrame = {
+    require(testPct + valPct < 1.0, "test + val must leave room for train")
+    val b = hexBucket(col(idCol))
+    df.withColumn("split",
+      when(b < lit(threshold(testPct)), "test")
+        .when(b < lit(threshold(testPct + valPct)), "val")
+        .otherwise("train"))
+  }
+}

@@ -162,6 +162,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m.filter(_.kind != "video").forall(_.n_frames == 1))
   }
 
+  test("deterministic hash split: exhaustive, stable, near the target fractions") {
+    import graft.sampling.Sampling
+    val split = Sampling.deterministicSplit(docs, "doc_id", 0.05, 0.05)
+    val n = docs.count().toDouble
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == n.toLong) // exhaustive + disjoint
+    // 5% targets with binomial slack at n=500
+    assert(counts("test") / n > 0.01 && counts("test") / n < 0.12, counts)
+    assert(counts("val") / n > 0.01 && counts("val") / n < 0.12, counts)
+    // membership depends only on the id: stable under repartitioning
+    val again = Sampling.deterministicSplit(docs.repartition(7), "doc_id", 0.05, 0.05)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+    // hashSample(f) keeps exactly the ids below the hex threshold
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled == first.filter(_._2 != "train").keySet)
+  }
+
   test("multimodal feature extraction feeds the ANN operators end-to-end") {
     val assets = graft.multimodal.Multimodal.assetsFromDocuments(docs)
     val feats = graft.multimodal.Multimodal.extractFeatures(assets)
