@@ -135,13 +135,13 @@ object Extras {
       .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   val inSubquerySql: String =
     """SELECT o_orderstatus, COUNT(*) AS n_orders,
-      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders WHERE o_custkey IN (
       |  SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 50)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

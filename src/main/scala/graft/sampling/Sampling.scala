@@ -19,12 +19,17 @@ object Sampling {
 
   private def threshold(p: Double): String = {
     require(p >= 0 && p <= 1, s"fraction out of range: $p")
-    f"${math.round(p * 256).toInt.min(256)}%02x"
+    // 256 would render as 3-char "100", which sorts BELOW 2-char hex —
+    // fractions that round to all-of-the-space are handled by callers
+    val b = math.round(p * 256).toInt
+    require(b <= 255, s"fraction $p rounds to the whole hash space; use the unfiltered frame")
+    f"$b%02x"
   }
 
   /** Keep a deterministic ~`fraction` of rows (granularity 1/256). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
-    df.filter(hexBucket(col(idCol)) < lit(threshold(fraction)))
+    if (math.round(fraction * 256) >= 256) df
+    else df.filter(hexBucket(col(idCol)) < lit(threshold(fraction)))
 
   /** Add a `split` column: 'test' for the first ~testPct of hash space,
     * 'val' for the next ~valPct, 'train' for the rest. Disjoint and

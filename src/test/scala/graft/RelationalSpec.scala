@@ -22,7 +22,7 @@ class RelationalSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q3_join")(spark, sf0001)
     val rows = df.collect()
     assert(rows.length <= 10 && rows.nonEmpty)
-    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+    val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
