@@ -60,13 +60,19 @@ object Dedup {
     * Candidate rows are then bounded by Σ df² ≤ N_index · maxShingleDf.
     * The default cap never triggers at gate scale (sf0.01: 500 docs), so
     * oracle semantics are exact there. */
+  /** `persistIndex`: the shingle index feeds several plans, so it is
+    * persisted MEMORY_AND_DISK by default. The cache entry lives until
+    * the caller drops it (`spark.catalog.clearCache()` or session end)
+    * — long-lived sessions mining many corpora should pass false (the
+    * self-join then reuses one exchange; only the df-count side
+    * recomputes the shingles). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxShingleDf: Long = 10000L): DataFrame = {
-    // the index feeds 3 plans (df counts + both join sides) and the
-    // shingle expression is CPU-heavy — persist it
-    val idx = shingleIndex(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxShingleDf: Long = 10000L, persistIndex: Boolean = true): DataFrame = {
+    val idx0 = shingleIndex(docs, idCol, textCol, n)
+    val idx = if (persistIndex)
+      idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else idx0
     // per-doc set sizes come map-only from the docs (size of the same
     // one-pass expression) — no groupBy over the 10⁶×-larger index
     val counts = spread(docs).select(col(idCol).as("doc"),
@@ -134,16 +140,19 @@ object Dedup {
     * candidates — the 100 TB-shaped pipeline. */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
       numHashes: Int = 64, bands: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      persistIndex: Boolean = true): DataFrame = {
     val cands = minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
     // verify ONLY the candidate pairs: bring both docs' distinct-shingle
     // sets to the pair and intersect as arrays — O(|cands|·|sh|), never
     // the full inverted-index pair blowup; sets come from the codegen'd
     // one-pass expression (same values as array_distinct∘shingles)
-    val shSets = spread(docs).select(col(idCol).as("doc"),
+    val shSets0 = spread(docs).select(col(idCol).as("doc"),
       org.apache.spark.sql.graft.DistinctShingles
         .distinct_shingles(col(textCol), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shSets = if (persistIndex)
+      shSets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shSets0
     cands
       .join(shSets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -25,34 +25,37 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param pick right-side columns to carry to the matched left rows,
-    *             emitted as `asof_<name>` (null when no right row is ≤).
+    *             emitted as `asof_<name>` (all null when no right row
+    *             is ≤). The matched row is carried ATOMICALLY — all
+    *             picked columns come from the SAME right row, and a
+    *             null value inside the matched row stays null (it is
+    *             never "repaired" from an earlier row).
     * Left/right may share column names; only `key`/`ts` must exist in
-    * both. Right rows should be unique per (key, ts) — with ties the
-    * row with the greatest `pick` head value wins deterministically. */
+    * both. With several right rows at the same (key, ts), the greatest
+    * picked tuple wins deterministically. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       pick: Seq[String]): DataFrame = {
     require(pick.nonEmpty, "pick at least one right-side column")
     val leftCols = left.columns.toSeq
-    val picked = pick.map(c => s"asof_$c")
-    // shared layout: left cols ++ picked cols ++ side tag
-    val l = pick.foldLeft(left)((df, c) =>
-      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
-      .withColumn("_side", lit(1))
-    val r0 = right.select((Seq(col(key), col(ts)) ++
-      pick.map(c => col(c).as(s"asof_$c"))): _*)
+    // the whole picked row travels as ONE struct, so last(ignoreNulls)
+    // selects a row, not per-column values from different rows
+    val r0 = right.select(col(key), col(ts),
+      struct(pick.map(col): _*).as("_m"))
+    val mType = r0.schema("_m").dataType
+    val l = left.withColumn("_m", lit(null).cast(mType)).withColumn("_side", lit(1))
     val r = leftCols.filterNot(Set(key, ts)).foldLeft(r0)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .withColumn("_side", lit(0))
-      .select((leftCols.map(col) ++ picked.map(col) :+ col("_side")): _*)
-    val unioned = l.select((leftCols.map(col) ++ picked.map(col) :+ col("_side")): _*)
-      .unionByName(r)
-    // right-before-left at equal ts (inclusive match); deterministic
-    // tie-break among equal right timestamps via the first picked column
+    val shared = leftCols.map(col) ++ Seq(col("_m"), col("_side"))
+    val unioned = l.select(shared: _*).unionByName(r.select(shared: _*))
+    // right-before-left at equal ts (inclusive match); among equal right
+    // timestamps the struct ordering makes the greatest picked tuple win
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("_side").asc, col(picked.head).asc_nulls_first)
+      .orderBy(col(ts).asc, col("_side").asc, col("_m").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val matched = picked.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    matched.filter(col("_side") === 1).select(leftCols.map(col) ++ picked.map(col): _*)
+    unioned.withColumn("_m", last(col("_m"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        pick.map(c => col("_m").getField(c).as(s"asof_$c")): _*)
   }
 }

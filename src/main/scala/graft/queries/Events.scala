@@ -124,8 +124,12 @@ object Events {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // dedupe clicks to one row per (user, ts) on BOTH sides: with ties
+    // DuckDB's ASOF JOIN picks an arbitrary row, ours the greatest —
+    // pre-aggregation makes the oracle well-defined for any data
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
     graft.operators.AsOfJoin.asof(purchases, clicks,
       key = "user_id", ts = "ts", pick = Seq("event_id"))
       .orderBy(col("event_id"))
@@ -135,8 +139,9 @@ object Events {
     """SELECT p.event_id, p.user_id, p.ts, c.event_id AS asof_event_id
       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
       |      FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-      |      FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        MAX(event_id) AS event_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 

@@ -36,7 +36,8 @@ object Sampling {
     * exhaustive by construction; membership depends only on the id. */
   def deterministicSplit(df: DataFrame, idCol: String,
       testPct: Double, valPct: Double): DataFrame = {
-    require(testPct + valPct < 1.0, "test + val must leave room for train")
+    require(math.round((testPct + valPct) * 256) <= 255,
+      s"test ($testPct) + val ($valPct) must leave at least 1/256 of the hash space for train")
     val b = hexBucket(col(idCol))
     df.withColumn("split",
       when(b < lit(threshold(testPct)), "test")

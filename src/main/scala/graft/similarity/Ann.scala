@@ -107,8 +107,16 @@ object Ann {
     val spread = graft.util.Partitioning.spreadIfNarrow(embeddings)
     // deterministic hyperplane matrix, generated ONCE on the driver and
     // shipped as a plan literal (the plan IS broadcast — no per-row
-    // pseudo-random hashing in the hot loop, just MACs)
-    val dim = embeddings.select(size(col(vecCol)).as("d")).first().getInt(0)
+    // pseudo-random hashing in the hot loop, just MACs). The dimension
+    // probe is a LIMIT-1 job; an ANN index requires uniform dims anyway.
+    val dimRow = embeddings.select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (dimRow.isEmpty) {
+      // empty corpus → empty pair set with the output schema
+      val s = embeddings.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("va", "vb", "sim")
+    }
+    val dim = dimRow.head.getInt(0)
     val nPlanes = tables * planesPerTable
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
       val rng = new java.util.Random(1000003L * p + 0x9E3779B9L)

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * order, each element widened to double first — the exact IEEE
   * operation sequence of the HOF fold it replaces, so results are
   * bit-identical and the DuckDB oracles (`list_dot_product` on
-  * `DOUBLE[]`) keep hash-matching. Null elements are not supported
-  * (embedding columns are containsNull-free).
+  * `DOUBLE[]`) keep hash-matching. Degenerate inputs also match the
+  * fold: a null element, or length-mismatched dot operands (where
+  * `zip_with` pads with null), make the result NULL — never a silent
+  * partial sum.
   */
 object VectorOps {
 
@@ -43,11 +45,15 @@ object VectorOps {
   def l2norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
 
-  def dotCompute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Boxed Double: null on length mismatch or null element (matching
+    * the NULL the aggregate-over-zip_with fold produces). */
+  def dotCompute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -56,11 +62,12 @@ object VectorOps {
     acc
   }
 
-  def normCompute(a: ArrayData, aFloat: Boolean): Double = {
+  def normCompute(a: ArrayData, aFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       acc += x * x
       i += 1
@@ -73,6 +80,7 @@ object VectorOps {
 
     override def inputTypes: Seq[AbstractDataType] = Seq(AcceptedArray, AcceptedArray)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // null on mismatch/null element
 
     private lazy val lFloat = isFloat(left.dataType)
     private lazy val rFloat = isFloat(right.dataType)
@@ -82,8 +90,12 @@ object VectorOps {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = VectorOps.getClass.getName.stripSuffix("$") + "$"
-      defineCodeGen(ctx, ev, (a, b) =>
-        s"$cls.MODULE$$.dotCompute($a, $lFloat, $b, $rFloat)")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("dotRes")
+        s"""java.lang.Double $r = $cls.MODULE$$.dotCompute($a, $lFloat, $b, $rFloat);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+           |""".stripMargin
+      })
     }
 
     override protected def withNewChildrenInternal(
@@ -96,6 +108,7 @@ object VectorOps {
 
     override def inputTypes: Seq[AbstractDataType] = Seq(AcceptedArray)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // null on null element
 
     private lazy val cFloat = isFloat(child.dataType)
 
@@ -104,7 +117,12 @@ object VectorOps {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = VectorOps.getClass.getName.stripSuffix("$") + "$"
-      defineCodeGen(ctx, ev, a => s"$cls.MODULE$$.normCompute($a, $cFloat)")
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("normRes")
+        s"""java.lang.Double $r = $cls.MODULE$$.normCompute($a, $cFloat);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+           |""".stripMargin
+      })
     }
 
     override protected def withNewChildInternal(newChild: Expression): L2Norm =

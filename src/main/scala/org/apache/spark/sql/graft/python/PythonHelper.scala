@@ -47,12 +47,19 @@ object PythonHelper {
     * eggs, and directories pass through as-is. Missing/unreadable
     * entries are skipped. (Reference: python/PythonHelper.scala:141-161.) */
   private[python] def resolvePyFiles(pyFiles: Seq[String]): Seq[String] = {
-    lazy val dest = Files.createTempDirectory("graft_pyfiles_").toFile
-    pyFiles.flatMap { pyFile =>
+    lazy val dest = {
+      val d = Files.createTempDirectory("graft_pyfiles_").toFile
+      d.deleteOnExit()
+      d
+    }
+    pyFiles.distinct.flatMap { pyFile =>
       if (pyFile.endsWith(".py")) {
         val source = new File(pyFile)
         if (source.isFile && source.canRead) {
-          Files.copy(source.toPath, new File(dest, source.getName).toPath)
+          // REPLACE_EXISTING: two entries may share a basename (last wins,
+          // like a later PYTHONPATH entry would)
+          Files.copy(source.toPath, new File(dest, source.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Some(dest.getAbsolutePath)
         } else None
       } else Some(pyFile)

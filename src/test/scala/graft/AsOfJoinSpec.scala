@@ -43,6 +43,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.head.getLong(3) == 66L)
   }
 
+  test("asof join never stitches picked columns from different right rows") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    // older row has b=7; the MATCHED (newer) row has b=null — the match
+    // must carry (a=1, b=null), never repair b from the older row
+    val right = Seq(
+      (7L, ts("2024-01-01 09:00:00"), Some(9L), Some(7L)),
+      (7L, ts("2024-01-01 09:30:00"), Some(1L), None))
+      .toDF("user_id", "ts", "a", "b")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts", Seq("a", "b")).collect().head
+    assert(got.getLong(3) == 1L)
+    assert(got.isNullAt(4), s"expected null asof_b, got ${got.get(4)}")
+  }
+
   test("asof join carries multiple picked columns from the same matched row") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(

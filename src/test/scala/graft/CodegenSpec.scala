@@ -78,6 +78,16 @@ class CodegenSpec extends AnyFunSuite {
       val m = df.select(org.apache.spark.sql.graft.VectorOps.dot(
         col("a"), element_at(typedlit(planes), 1)).as("p")).collect()
       assert(m.forall(x => !x.getDouble(0).isNaN))
+      // degenerate inputs match the HOF fold: NULL, never a partial sum
+      val deg = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b").select(
+        org.apache.spark.sql.graft.VectorOps.dot(col("a"), col("b")).as("mismatch"),
+        graft.similarity.Ann.dotHof(col("a"), col("b")).as("mismatchHof")).collect().head
+      assert(deg.isNullAt(0) && deg.isNullAt(1))
+      val nul = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+        .toDF("a", "b").select(
+          org.apache.spark.sql.graft.VectorOps.dot(col("a"), col("b")).as("d"),
+          org.apache.spark.sql.graft.VectorOps.l2norm(col("a")).as("n")).collect().head
+      assert(nul.isNullAt(0) && nul.isNullAt(1))
     }
   }
 
