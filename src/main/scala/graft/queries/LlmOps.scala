@@ -98,6 +98,36 @@ object LlmOps {
        |  SELECT unnest(string_split($NormSql, ' ')) AS token FROM documents) t
        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
 
+  /** Character-trigram Shannon entropy per document — the classic
+    * gibberish/boilerplate signal (low entropy = repetitive text, high =
+    * random noise; natural language sits in a band). Explode → two-level
+    * aggregation; entropy = log2(N) − Σ c·log2(c)/N. round(6) absorbs
+    * the engines' different summation orders (same trick as q23). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val n = norm_text(col("text"))
+    Tables.documents(s, dir)
+      .filter(length(n) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3)))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        log(2.0, sum(col("cnt"))) -
+          sum(col("cnt") * log(2.0, col("cnt"))) / sum(col("cnt")), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textEntropySql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |g AS (SELECT doc_id, substring(norm, CAST(i AS INT), 3) AS g
+       |      FROM n, LATERAL (SELECT unnest(range(1, length(norm) - 1)) AS i)
+       |      WHERE length(norm) >= 3),
+       |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6) AS entropy
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Winnowing (rolling-hash window-min) document fingerprints — MOSS
     * scheme; k=3 word-grams, window 4. Map-only, codegen'd; the
     * fingerprint is the near-dup join key at corpus scale. */

@@ -162,6 +162,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m.filter(_.kind != "video").forall(_.n_frames == 1))
   }
 
+  test("char-trigram entropy separates repetitive text from diverse text") {
+    import org.apache.spark.sql.functions.lit
+    val rng = new scala.util.Random(5)
+    val diverse = (0 until 300).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val df = Seq((1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"), (2L, diverse), (3L, "ab"))
+      .toDF("doc_id", "text")
+    // run the same shape against the tiny frame via the Tables-free path
+    val grams = df.filter(org.apache.spark.sql.functions.length(graft.text.norm_text(col("text"))) >= 3)
+    assert(grams.count() == 2) // "ab" excluded
+    val r = {
+      val n = graft.text.norm_text(col("text"))
+      df.filter(org.apache.spark.sql.functions.length(n) >= 3)
+        .select(col("doc_id"), explode(org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(1),
+            org.apache.spark.sql.functions.length(n) - 2), i => n.substr(i, lit(3)))).as("g"))
+        .groupBy(col("doc_id"), col("g")).count()
+        .groupBy(col("doc_id"))
+        .agg((org.apache.spark.sql.functions.log(2.0, sum(col("count"))) -
+          sum(col("count") * org.apache.spark.sql.functions.log(2.0, col("count"))) /
+            sum(col("count"))).as("e"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    }
+    assert(r(1L) == 0.0) // single repeated trigram -> zero entropy
+    assert(r(2L) > 6.0, s"diverse entropy ${r(2L)}") // ~unique trigrams -> ~log2(n)
+  }
+
   test("deterministic hash split: exhaustive, stable, near the target fractions") {
     import graft.sampling.Sampling
     val split = Sampling.deterministicSplit(docs, "doc_id", 0.05, 0.05)
