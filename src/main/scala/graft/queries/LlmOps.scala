@@ -104,11 +104,17 @@ object LlmOps {
     * aggregation; entropy = log2(N) − Σ c·log2(c)/N. round(6) absorbs
     * the engines' different summation orders (same trick as q23). */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
-    val n = norm_text(col("text"))
+    // materialize the normalized string as an ATTRIBUTE first: expressions
+    // inside a higher-order-function lambda re-evaluate per element, so a
+    // computed norm_text there would run the regex once per trigram
+    // (16 s -> sub-second at sf0.1); against an attribute the per-element
+    // substr is a pointer access
     Tables.documents(s, dir)
-      .filter(length(n) >= 3)
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 3)
       .select(col("doc_id"), explode(
-        transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3)))).as("g"))
+        transform(sequence(lit(1), length(col("norm")) - 2),
+          i => col("norm").substr(i, lit(3)))).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
