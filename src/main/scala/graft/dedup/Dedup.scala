@@ -59,8 +59,9 @@ object Dedup {
     * similarity rests on corpus-ubiquitous (uninformative) shingles.
     * Candidate rows are then bounded by Σ df² ≤ N_index · maxShingleDf.
     * The default cap never triggers at gate scale (sf0.01: 500 docs), so
-    * oracle semantics are exact there. */
-  /** `persistIndex`: the shingle index feeds several plans, so it is
+    * oracle semantics are exact there.
+    *
+    * `persistIndex`: the shingle index feeds several plans, so it is
     * persisted MEMORY_AND_DISK by default. The cache entry lives until
     * the caller drops it (`spark.catalog.clearCache()` or session end)
     * — long-lived sessions mining many corpora should pass false (the

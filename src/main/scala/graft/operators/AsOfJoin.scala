@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case ArrayType(e, _) => orderable(e)
+      case _ => true
+    }
+  }
+
   /** @param pick right-side columns to carry to the matched left rows,
     *             emitted as `asof_<name>` (all null when no right row
     *             is ≤). The matched row is carried ATOMICALLY — all
@@ -49,9 +59,13 @@ object AsOfJoin {
     val shared = leftCols.map(col) ++ Seq(col("_m"), col("_side"))
     val unioned = l.select(shared: _*).unionByName(r.select(shared: _*))
     // right-before-left at equal ts (inclusive match); among equal right
-    // timestamps the struct ordering makes the greatest picked tuple win
+    // timestamps the struct ordering makes the greatest picked tuple win.
+    // A struct containing an unorderable type (map) can't join the sort
+    // key — the match is then still atomic but tie choice is arbitrary.
+    val tieBreak =
+      if (orderable(mType)) Seq(col("_m").asc_nulls_first) else Nil
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("_side").asc, col("_m").asc_nulls_first)
+      .orderBy(Seq(col(ts).asc, col("_side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned.withColumn("_m", last(col("_m"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)

@@ -109,12 +109,19 @@ object Ann {
     // shipped as a plan literal (the plan IS broadcast — no per-row
     // pseudo-random hashing in the hot loop, just MACs). The dimension
     // probe is a LIMIT-1 job; an ANN index requires uniform dims anyway.
-    val dimRow = embeddings.select(size(col(vecCol)).as("d")).limit(1).collect()
+    val dimRow = embeddings.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
     if (dimRow.isEmpty) {
-      // empty corpus → empty pair set with the output schema
+      // empty (or all-null) corpus → empty pair set with the same output
+      // schema the non-empty path would produce (id type preserved)
       val s = embeddings.sparkSession
-      import s.implicits._
-      return Seq.empty[(Long, Long, Double)].toDF("va", "vb", "sim")
+      val idT = embeddings.schema(idCol).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("va", idT),
+        org.apache.spark.sql.types.StructField("vb", idT),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType)))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val dim = dimRow.head.getInt(0)
     val nPlanes = tables * planesPerTable

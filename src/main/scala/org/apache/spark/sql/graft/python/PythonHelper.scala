@@ -49,6 +49,8 @@ object PythonHelper {
   private[python] def resolvePyFiles(pyFiles: Seq[String]): Seq[String] = {
     lazy val dest = {
       val d = Files.createTempDirectory("graft_pyfiles_").toFile
+      // dir registered BEFORE its children: deleteOnExit runs in reverse
+      // registration order, so files are removed first, then the dir
       d.deleteOnExit()
       d
     }
@@ -56,10 +58,14 @@ object PythonHelper {
       if (pyFile.endsWith(".py")) {
         val source = new File(pyFile)
         if (source.isFile && source.canRead) {
-          // REPLACE_EXISTING: two entries may share a basename (last wins,
-          // like a later PYTHONPATH entry would)
-          Files.copy(source.toPath, new File(dest, source.getName).toPath,
+          // all loose .py files share one directory, so with duplicate
+          // basenames the LAST listed entry wins (REPLACE_EXISTING) —
+          // unlike real PYTHONPATH precedence where the first wins; keep
+          // basenames distinct for predictable imports
+          val target = new File(dest, source.getName)
+          Files.copy(source.toPath, target.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          target.deleteOnExit()
           Some(dest.getAbsolutePath)
         } else None
       } else Some(pyFile)

@@ -65,6 +65,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.head.getLong(3) == 60L && got.head.getString(4) == "late")
   }
 
+  test("asof join accepts unorderable (map) picked columns") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:00:00"), Map("v" -> "old")),
+      (7L, ts("2024-01-01 09:30:00"), Map("v" -> "new")))
+      .toDF("user_id", "ts", "attrs")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts", Seq("attrs")).collect().head
+    assert(got.getMap[String, String](3) == Map("v" -> "new"))
+  }
+
   test("asof plan is one shuffle on the key, not a range join") {
     val ev = Tables.events(spark, sf0001)
     val plan = graft.queries.Events.asofClicks(spark, sf0001)
