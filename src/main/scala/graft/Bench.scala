@@ -16,7 +16,12 @@ object Bench {
     // steady-state timing: best of 2 runs per query — a single pass
     // charges whichever query runs first after a heavy one for GC /
     // broadcast-cleanup noise rather than the query itself
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // deterministic order, but stateful streaming queries run LAST: their
+    // state-store/memory-sink churn otherwise inflates whichever batch
+    // queries happen to follow them alphabetically
+    val results = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (name.startsWith("st_")) "zzz_" else "") + name
+    }.map { case (name, fn) =>
       // a failed attempt must NOT count as a (fast) timing: report -1 so
       // a crashing query reads as broken, never as an improvement
       def once(): Double = {

@@ -58,6 +58,50 @@ object Streaming {
     s.table(queryName).orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming sessionization with NATIVE session windows: watermarked
+    * append mode emits exactly the sessions closed by the final
+    * watermark (= max event time floored to ms, minus the delay). The
+    * oracle replicates batch sessionization plus that closure filter —
+    * the session-window flavor of the Dataflow batch/stream equivalence
+    * gate. */
+  def sessionsWindowed(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_sessions"): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(queryName).orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val sessionsWindowedSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, MIN(ts) AS sess_start,
+      |    MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, sess_start, sess_end, n_events FROM agg
+      |WHERE sess_end <= date_trunc('milliseconds',
+      |    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)) - INTERVAL 10 MINUTE
+      |ORDER BY user_id, sess_start""".stripMargin
+
   val hourlyWindowedSql: String =
     """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |  COUNT(*) AS n_events,
