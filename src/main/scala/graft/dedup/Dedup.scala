@@ -61,15 +61,14 @@ object Dedup {
     * The default cap never triggers at gate scale (sf0.01: 500 docs), so
     * oracle semantics are exact there.
     *
-    * `persistIndex`: the shingle index feeds several plans, so it is
-    * persisted MEMORY_AND_DISK by default. The cache entry lives until
-    * the caller drops it (`spark.catalog.clearCache()` or session end)
-    * — long-lived sessions mining many corpora should pass false (the
-    * self-join then reuses one exchange; only the df-count side
-    * recomputes the shingles). */
+    * `persistIndex`: off by default — the shingle expression is a
+    * codegen'd one-pass loop, and recomputing it is MEASURABLY cheaper
+    * than materializing the exploded index to MEMORY_AND_DISK (sf0.1,
+    * local[32]: cold 2.2 s without persist vs 5.1 s with). Pass true
+    * only when a long-lived session genuinely reuses the index ≥3×. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxShingleDf: Long = 10000L, persistIndex: Boolean = true): DataFrame = {
+      maxShingleDf: Long = 10000L, persistIndex: Boolean = false): DataFrame = {
     val idx0 = shingleIndex(docs, idCol, textCol, n)
     val idx = if (persistIndex)
       idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -79,11 +78,16 @@ object Dedup {
     val counts = spread(docs).select(col(idCol).as("doc"),
       size(org.apache.spark.sql.graft.DistinctShingles
         .distinct_shingles(col(textCol), n)).cast("long").as("n_sh"))
+    // df cap as a window count over the SAME hash-partitioning-by-s the
+    // self-join needs anyway (one exchange, reused by both join sides)
+    // instead of groupBy + join-back (three passes over the index)
     val kept =
       if (maxShingleDf == Long.MaxValue) idx
-      else idx.join(
-        idx.groupBy(col("s")).agg(count(lit(1)).as("s_df"))
-          .filter(col("s_df") <= maxShingleDf).select(col("s")), "s")
+      else idx
+        .withColumn("s_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        .filter(col("s_df") <= maxShingleDf)
+        .drop("s_df")
     val a = kept.select(col("doc").as("doc_a"), col("s"))
     val b = kept.select(col("doc").as("doc_b"), col("s"))
     val inter = a.join(b, "s")
@@ -114,9 +118,17 @@ object Dedup {
 
   /** LSH candidate pairs: signatures split into `bands`; docs sharing
     * any full band land in a bucket; bucket join yields candidates.
-    * Probabilistic recall — verify candidates with exact Jaccard. */
+    * Probabilistic recall — verify candidates with exact Jaccard.
+    *
+    * `salt > 1` routes the bucket self-join through
+    * [[graft.util.Skew.saltedSelfJoinPairs]] (triangle partitioning):
+    * identical pair set, but a hot bucket — e.g. a boilerplate band
+    * shared by millions of docs at corpus scale — spreads its O(hot²)
+    * pair work over salt·(salt+1)/2 shuffle keys instead of one
+    * straggler task (AQE cannot split a single join key). */
   def minhashLshCandidates(docs: DataFrame, n: Int, numHashes: Int,
-      bands: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      bands: Int, idCol: String = "doc_id", textCol: String = "text",
+      salt: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // codegen'd one-pass signature expression (lowercase + tokenize +
@@ -130,7 +142,9 @@ object Dedup {
     val banded = sig.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
-    banded.as("x").join(banded.as("y"),
+    if (salt > 1)
+      graft.util.Skew.saltedSelfJoinPairs(banded, Seq("band", "bkey"), "doc", salt)
+    else banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
@@ -142,18 +156,32 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
       numHashes: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      persistIndex: Boolean = true): DataFrame = {
+      persistIndex: Boolean = false): DataFrame = {
+    // the candidate set is referenced three times below (two semi-join
+    // probes + the verify left side); persist it — it is O(pairs), tiny
+    // next to the corpus, and caching it runs the signature+banding pass
+    // exactly once
     val cands = minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify ONLY the candidate pairs: bring both docs' distinct-shingle
     // sets to the pair and intersect as arrays — O(|cands|·|sh|), never
     // the full inverted-index pair blowup; sets come from the codegen'd
-    // one-pass expression (same values as array_distinct∘shingles)
+    // one-pass expression (same values as array_distinct∘shingles).
+    // persistIndex defaults off: recomputing the codegen'd one-pass
+    // shingle sets is cheaper than a MEMORY_AND_DISK materialization
+    // (sf0.1 measured 0.74 s vs 1.21 s cold).
     val shSets0 = spread(docs).select(col(idCol).as("doc"),
       org.apache.spark.sql.graft.DistinctShingles
         .distinct_shingles(col(textCol), n).as("sh"))
-    val shSets = if (persistIndex)
+    val shSets1 = if (persistIndex)
       shSets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shSets0
+    // left-semi prefilter: only docs appearing in a candidate pair carry
+    // their (wide) shingle array into the verify joins — the shuffled
+    // side is O(candidates), not O(corpus)
+    val candIds = cands.select(col("doc_a").as("doc"))
+      .union(cands.select(col("doc_b").as("doc"))).distinct()
+    val shSets = shSets1.join(candIds, Seq("doc"), "left_semi")
     cands
       .join(shSets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -268,11 +268,26 @@ object LlmOps {
        |WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44
        |ORDER BY va, vb""".stripMargin
 
-  /** LSH-banded embedding near-dup mining — no oracle (bucket recall is
-    * probabilistic); recall vs the exact pair set asserted in spec. */
+  /** LSH-banded embedding similar-pair mining — no oracle (bucket recall
+    * is probabilistic); recall vs the exact pair set asserted in spec.
+    *
+    * Parameterization is driven by the TARGET ANGLE, bounded below by
+    * bucket occupancy: sign-agreement probability is p = 1 − θ/π, and a
+    * pair survives a table with p^planes — so planes is the largest
+    * value keeping p^planes · tables useful at the mining threshold,
+    * while 2^planes must still dwarf the per-table bucket occupancy
+    * (the round-2 gate inverted this: 4 planes = 16 buckets on 2 000
+    * vectors ⇒ each table's self-join was ≈ all-pairs, 16 tables ⇒ ~16×
+    * the brute-force work). This corpus's pairs at the 0.44 threshold
+    * sit at p ≈ 0.65 (moderate similarity — the synthetic embeddings
+    * contain no θ→0 near-dups, max cos ≈ 0.51), so: 8 planes → per-table
+    * target recall 0.65⁸ ≈ 3%, random-pair collision 0.5⁸ ≈ 0.4%;
+    * 16 tables → overall target recall ≈ 40% with candidate volume ≈
+    * 6% of all-pairs. True near-dup mining (cos ≥ 0.95, p ≥ 0.9) uses
+    * the operator defaults (16 planes × 8 tables, recall ≈ 1). */
   def dedupEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
     Ann.cosineLshPairs(Tables.embeddings(s, dir), threshold = 0.44,
-      planesPerTable = 4, tables = 16)
+      planesPerTable = 8, tables = 16)
       .orderBy(col("va"), col("vb"))
 
   // ------------------------------------------------- similarity search

@@ -99,56 +99,28 @@ object Ann {
     * with p^planesPerTable, and are recalled by ≥1 of T tables with
     * 1 − (1 − p^b)^T → near-1 for genuine near-dups (θ → 0) while
     * random pairs stay unbucketed. Shuffle volume: docs × tables ×
-    * 16 B; the verify join touches candidates only — never n². */
+    * 16 B; the verify join touches candidates only — never n².
+    *
+    * All T·B sign bits come from the one-pass codegen'd
+    * [[org.apache.spark.sql.graft.CosineLshKeys]] expression (Rademacher
+    * hyperplanes derived by hashing — no driver-side plane matrix, no
+    * dimension-probe job, no plan literals, classloader-independent).
+    * Deduplication of multi-table hits happens once, AFTER the verify
+    * joins (one exchange; duplicate candidates are rare at sane
+    * planesPerTable, so verifying them twice is cheaper than an extra
+    * pre-verify distinct exchange). */
   def cosineLshPairs(embeddings: DataFrame, threshold: Double,
       planesPerTable: Int = 16, tables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planesPerTable <= 62, "table keys are packed into one long")
     val spread = graft.util.Partitioning.spreadIfNarrow(embeddings)
-    // deterministic hyperplane matrix, generated ONCE on the driver and
-    // shipped as a plan literal (the plan IS broadcast — no per-row
-    // pseudo-random hashing in the hot loop, just MACs). The dimension
-    // probe is a LIMIT-1 job; an ANN index requires uniform dims anyway.
-    val dimRow = embeddings.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).limit(1).collect()
-    if (dimRow.isEmpty) {
-      // empty (or all-null) corpus → empty pair set with the same output
-      // schema the non-empty path would produce (id type preserved)
-      val s = embeddings.sparkSession
-      val idT = embeddings.schema(idCol).dataType
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("va", idT),
-        org.apache.spark.sql.types.StructField("vb", idT),
-        org.apache.spark.sql.types.StructField("sim",
-          org.apache.spark.sql.types.DoubleType)))
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    val dim = dimRow.head.getInt(0)
-    val nPlanes = tables * planesPerTable
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      val rng = new java.util.Random(1000003L * p + 0x9E3779B9L)
-      IndexedSeq.fill(dim)(rng.nextDouble() - 0.5)
-    }
-    val planesLit = typedlit(planes)
-    // stage 1: all T·B signed projections in one array column (vec is a
-    // plain attribute read per plane — only the MACs are per-row work)
-    val projs = spread.select(col(idCol).as("doc"),
-      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-        org.apache.spark.sql.graft.VectorOps.dot(
-          col(vecCol), element_at(planesLit, p + 1))).as("projs"))
-    // stage 2: pack each table's B sign bits into a long key; `projs` is
-    // referenced exactly once so the fold above is not re-inlined per table
-    val banded = projs.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
-        aggregate(sequence(lit(0), lit(planesPerTable - 1)), lit(0L),
-          (acc, j) => acc * 2 +
-            when(element_at(col("projs"), t * planesPerTable + j + 1) >= 0, 1L)
-              .otherwise(0L)))).as(Seq("band", "bkey")))
+    val banded = spread.select(col(idCol).as("doc"),
+      posexplode(org.apache.spark.sql.graft.CosineLshKeys
+        .cosine_lsh_keys(col(vecCol), planesPerTable, tables))
+        .as(Seq("band", "bkey")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("va"), col("y.doc").as("vb"))
-      .distinct()
     val withNorm = spread.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
     cands
       .join(withNorm.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na")), "va")
@@ -156,6 +128,7 @@ object Ann {
       .select(col("va"), col("vb"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft.cloud
 
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.{JobContext, TaskAttemptContext}
-import org.apache.hadoop.mapreduce.lib.output.{FileOutputFormat, PathOutputCommitter, PathOutputCommitterFactory}
+import org.apache.hadoop.mapreduce.lib.output.{FileOutputCommitter, FileOutputFormat, PathOutputCommitter, PathOutputCommitterFactory}
 import org.apache.spark.internal.io.{FileNameSpec, HadoopMapReduceCommitProtocol}
 
 /** Commit protocol for object stores without atomic rename: committer
@@ -42,6 +42,31 @@ class PathOutputCommitProtocol(
     val factory = PathOutputCommitterFactory.getCommitterFactory(
       output, context.getConfiguration)
     committer = factory.createOutputCommitter(output, context)
+    // Safety valve (reference :94-118): on a misconfigured bucket the
+    // factory silently hands back the rename-based FileOutputCommitter,
+    // whose job commit is O(data) on object stores — the exact failure
+    // this protocol exists to prevent. With the reject flag set, fail
+    // fast instead of committing slowly.
+    val rejectFileOutput = context.getConfiguration.getBoolean(
+      PathOutputCommitProtocol.RejectFileOutput,
+      PathOutputCommitProtocol.RejectFileOutputDefault)
+    committer match {
+      case f: FileOutputCommitter =>
+        if (rejectFileOutput) {
+          throw new java.io.IOException(
+            s"Committer for '$dest' resolved to rename-based ${f.getClass.getName} " +
+              s"but ${PathOutputCommitProtocol.RejectFileOutput}=true — configure a " +
+              "path committer factory (e.g. mapreduce.outputcommitter.factory.scheme.<fs>)")
+        }
+        if (f.isCommitJobRepeatable(context)) {
+          // v2 algorithm: repeatable job commit == not tolerant of task
+          // commit failure; surface it rather than fail silently later
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Committer $f has repeatable job commit (v2 algorithm) — " +
+              "not safe against task-commit failures")
+        }
+      case _ =>
+    }
     committer
   }
 
@@ -65,4 +90,12 @@ class PathOutputCommitProtocol(
     val split = taskContext.getTaskAttemptID.getTaskID.getId
     f"${spec.prefix}part-$split%05d-$jobId${spec.suffix}"
   }
+}
+
+object PathOutputCommitProtocol {
+  /** Hadoop conf flag: refuse to run with a rename-based
+    * FileOutputCommitter (catch committer-binding misconfiguration
+    * early instead of discovering it in an O(data) job commit). */
+  val RejectFileOutput = "pathoutputcommit.reject.fileoutput"
+  val RejectFileOutputDefault = false
 }

@@ -59,6 +59,26 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineLshKeys generates compiling Java, is deterministic and locality-sensitive") {
+    codegenOnly {
+      import org.apache.spark.sql.graft.CosineLshKeys.cosine_lsh_keys
+      val base = Array.tabulate(32)(i => math.sin(i * 1.7).toFloat)
+      val near = base.map(_ * 1.001f) // same direction → identical signs
+      val far = base.map(-_)          // opposite direction → all signs flip
+      val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "v")
+      val r = df.select(col("id"), cosine_lsh_keys(col("v"), 12, 6).as("k"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+      assert(r(1).length == 6 && r(1) == r(2), "colinear vectors must share all keys")
+      assert(r(1).zip(r(3)).forall { case (a, b) => a != b },
+        "antipodal vectors must share no table key (all sign bits flip)")
+      assert(r(1).forall(k => k >= 0 && k < (1L << 12)))
+      // float and double inputs produce the same keys
+      val dd = Seq((1L, base.map(_.toDouble))).toDF("id", "v")
+        .select(cosine_lsh_keys(col("v"), 12, 6)).collect()(0).getSeq[Long](0)
+      assert(dd == r(1))
+    }
+  }
+
   test("VectorOps dot/l2norm generate compiling Java and equal the HOF fold bit-for-bit") {
     codegenOnly {
       val rng = new scala.util.Random(3)

@@ -157,6 +157,36 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("PathOutputCommitProtocol rejects rename-based committer when flagged") {
+    // on file:// the default factory yields the rename-based
+    // FileOutputCommitter — exactly what the reject flag must refuse
+    val out = java.nio.file.Files.createTempDirectory("graft_reject_").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.sources.commitProtocolClass")
+    val hc = spark.sparkContext.hadoopConfiguration
+    spark.conf.set("spark.sql.sources.commitProtocolClass",
+      "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
+    hc.setBoolean(
+      org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.RejectFileOutput, true)
+    try {
+      val e = intercept[Throwable] {
+        Seq((1, "a")).toDF("id", "s").write.mode("overwrite").parquet(out)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.isInstanceOf[java.io.IOException] &&
+          c.getMessage != null && c.getMessage.contains("reject.fileoutput")),
+        s"expected reject IOException in cause chain, got: $e")
+    } finally {
+      hc.unset(
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.RejectFileOutput)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.commitProtocolClass", v)
+        case None => spark.conf.unset("spark.sql.sources.commitProtocolClass")
+      }
+    }
+  }
+
   // -------------------------------------------------------- python
 
   test("PythonHelper executes python that calls back into this SparkSession") {
