@@ -194,6 +194,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * stage that turns pairwise evidence into duplicate GROUPS (pick one
+    * keeper per component). Min-label propagation: every node starts
+    * labeled with itself; each round every node takes the minimum label
+    * among itself and its neighbors; fixpoint = component minima.
+    *
+    * Convergence is detected by the monotonically decreasing label sum
+    * (one tiny aggregate per round — the only driver-side value; labels
+    * themselves never leave the cluster). Rounds needed = graph
+    * diameter; near-dup graphs are overwhelmingly small dense cliques
+    * (diameter ≤ 2–3). For adversarial long-chain graphs at corpus
+    * scale, swap in the large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce", SoCC'14) — same
+    * interface, fewer rounds.
+    *
+    * Output: (node, comp) — comp is the smallest node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .persist(lvl)
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("comp"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .persist(lvl)
+      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** SimHash near-dup pairs: one 64-bit fingerprint per doc, bucketed
     * with a Manku-style multi-table banding (Detecting Near-Duplicates
     * for Web Crawling, WWW'07), then verified with

@@ -103,12 +103,23 @@ object LlmOps {
     * random noise; natural language sits in a band). Explode → two-level
     * aggregation; entropy = log2(N) − Σ c·log2(c)/N. round(6) absorbs
     * the engines' different summation orders (same trick as q23). */
-  def textEntropy(s: SparkSession, dir: String): DataFrame = {
-    // materialize the normalized string as an ATTRIBUTE first: expressions
-    // inside a higher-order-function lambda re-evaluate per element, so a
-    // computed norm_text there would run the regex once per trigram
-    // (16 s -> sub-second at sf0.1); against an attribute the per-element
-    // substr is a pointer access
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    // one-pass codegen'd expression: per-doc entropy needs no cross-doc
+    // state, so the explode → groupBy(doc,g) → groupBy(doc) formulation
+    // (which shuffles EVERY trigram of the corpus twice) is replaced by
+    // a shuffle-free map pass (2.2 s → sub-second at sf0.1; the
+    // aggregation formulation is kept in spec as the value oracle)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 3)
+      .select(col("doc_id"),
+        round(org.apache.spark.sql.graft.TrigramEntropy
+          .trigram_entropy(col("norm")), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** The declarative aggregation formulation — value-equality reference
+    * for [[org.apache.spark.sql.graft.TrigramEntropy]] in specs. */
+  private[graft] def textEntropyAgg(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .filter(length(col("norm")) >= 3)
@@ -122,7 +133,6 @@ object LlmOps {
         log(2.0, sum(col("cnt"))) -
           sum(col("cnt") * log(2.0, col("cnt"))) / sum(col("cnt")), 6).as("entropy"))
       .orderBy(col("doc_id"))
-  }
 
   val textEntropySql: String =
     s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
@@ -215,6 +225,122 @@ object LlmOps {
       |  FROM documents) t
       |GROUP BY split ORDER BY split""".stripMargin
 
+  /** Within-document repetition: top-token fraction and distinct-token
+    * ratio — the boilerplate/spam signal next to [[textEntropy]].
+    * Map-only: the max run over the SORTED token array equals the max
+    * token multiplicity, computed by one `aggregate` fold per row — no
+    * explode, no shuffle (the declarative groupBy(doc, token) → max
+    * formulation shuffles every token of the corpus). Ratios are single
+    * IEEE divisions of exact ints — cross-engine deterministic. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("ntok"),
+        size(array_distinct(col("t"))).as("ndist"),
+        aggregate(array_sort(col("t")),
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (st, w) => {
+            val run = when(w === st.getField("prev"), st.getField("run") + 1)
+              .otherwise(lit(1))
+            struct(w.as("prev"), run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best")).as("top"))
+      .select(col("doc_id"),
+        (col("top").cast("double") / col("ntok")).as("top_ratio"),
+        (col("ndist").cast("double") / col("ntok")).as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+
+  val textRepetitionSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |u AS (SELECT doc_id, unnest(t) AS w FROM n),
+       |c AS (SELECT doc_id, w, COUNT(*) AS c FROM u GROUP BY 1, 2),
+       |m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS nt, COUNT(*) AS nd FROM c GROUP BY 1)
+       |SELECT doc_id, CAST(mx AS DOUBLE) / nt AS top_ratio,
+       |  CAST(nd AS DOUBLE) / nt AS distinct_ratio
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Language-stratified deterministic sampling — the data-mixing stage
+    * of a corpus pipeline: downsample the dominant language, keep the
+    * rare one whole, reproducibly (md5 buckets, no RNG). */
+  def stratSample(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.stratifiedHashSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+
+  val stratSampleSql: String =
+    """SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |WHERE CASE WHEN lang = 'zh' THEN TRUE
+      |  ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |    (CASE WHEN lang = 'en' THEN '40' ELSE '80' END) END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Token-window chunking with overlap (context-window packing): each
+    * doc → ⌈(ntok−overlap)/stride⌉ chunks of ≤ `size` tokens starting
+    * every `stride`. A 1→N generator (posexplode) — map-only, no
+    * shuffle; chunk text is carried as md5 so the gate compare stays
+    * compact. */
+  def textChunks(s: SparkSession, dir: String): DataFrame = {
+    val size_ = 50
+    val stride = 40
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0),
+          floor((size(col("t")) - 1) / stride).cast("int"))).as(Seq("chunk_idx", "_s")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("t"), col("chunk_idx") * stride + 1, lit(size_))).cast("long").as("n_ctok"),
+        md5(array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size_)), " ")
+          .cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val textChunksSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |c AS (SELECT doc_id, i AS chunk_idx, t[i*40+1 : i*40+50] AS ch
+       |      FROM n, LATERAL (SELECT unnest(range(0,
+       |        CAST(floor((len(t)-1)/40) AS BIGINT) + 1)) AS i))
+       |SELECT doc_id, chunk_idx, len(ch) AS n_ctok,
+       |  md5(array_to_string(ch, ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Out-of-vocabulary rate against the corpus's own top-100 token
+    * vocabulary — the tokenizer-coverage signal. Two-stage: vocabulary
+    * is a deterministic top-k (freq desc, token asc) small enough to
+    * broadcast; the per-doc pass is explode → broadcast left join →
+    * count. At 100 TB the vocab stays dimension-sized (top-k of a
+    * map-side-combined word count), so the per-doc stage shuffles only
+    * (doc, counts) pairs. */
+  def textOov(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("w")).limit(100)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        (col("oov").cast("double") / col("nt")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textOovSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |u AS (SELECT doc_id, unnest(t) AS w FROM n),
+       |v AS (SELECT w FROM (SELECT w, COUNT(*) AS f FROM u GROUP BY w
+       |                     ORDER BY f DESC, w LIMIT 100))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(COUNT(*) FILTER (w NOT IN (SELECT w FROM v)) AS DOUBLE) / COUNT(*) AS oov_rate
+       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- dedup
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -247,6 +373,79 @@ object LlmOps {
     Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
 
   val dedupMinhashLshSql: String = JaccardOracle
+
+  /** Duplicate GROUPS from pairwise near-dup evidence: connected
+    * components over the exact-Jaccard pair graph, summarized per
+    * component (keeper = min doc id). Oracled against a DuckDB
+    * recursive-CTE transitive closure of the same pair set. */
+  def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("node")).as("id_sum"))
+      .select(col("comp").as("keeper_id"), col("n_docs"), col("id_sum"))
+      .orderBy(col("keeper_id"))
+
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b FROM inter
+       |        JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |          UNION ALL SELECT doc_b, doc_a FROM jac),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |          UNION
+       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT comp AS keeper_id, COUNT(*) AS n_docs, CAST(SUM(node) AS BIGINT) AS id_sum
+       |FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
+       |GROUP BY comp ORDER BY keeper_id""".stripMargin
+
+  /** Multi-detector duplicate evidence union: pairs flagged by EITHER
+    * the text-Jaccard detector or the embedding-cosine detector, with
+    * both scores side by side (−1 = not flagged by that detector) —
+    * the merge step before clustering when several near-dup signals
+    * feed one pipeline. Full outer join on the pair key; on this
+    * synthetic corpus the two evidence sets are disjoint, which is
+    * exactly what the union shape exists to surface. */
+  def dedupEvidenceUnion(s: SparkSession, dir: String): DataFrame = {
+    val jac = Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+    val cos = Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.44)
+    jac.join(cos, jac("doc_a") === cos("va") && jac("doc_b") === cos("vb"), "full_outer")
+      .select(
+        coalesce(jac("doc_a"), cos("va")).as("doc_a"),
+        coalesce(jac("doc_b"), cos("vb")).as("doc_b"),
+        coalesce(jac("jaccard"), lit(-1.0)).as("jaccard"),
+        coalesce(cos("sim"), lit(-1.0)).as("sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupEvidenceUnionSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+       |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+       |cos AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |          ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |        WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44)
+       |SELECT COALESCE(jac.doc_a, cos.va) AS doc_a,
+       |  COALESCE(jac.doc_b, cos.vb) AS doc_b,
+       |  COALESCE(jac.jaccard, -1.0) AS jaccard,
+       |  COALESCE(cos.sim, -1.0) AS sim
+       |FROM jac FULL OUTER JOIN cos ON jac.doc_a = cos.va AND jac.doc_b = cos.vb
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash banding (custom codegen expression) — no SQL oracle (FNV
     * simhash isn't expressible in DuckDB); correctness covered by spec

@@ -31,6 +31,23 @@ object Sampling {
     if (math.round(fraction * 256) >= 256) df
     else df.filter(hexBucket(col(idCol)) < lit(threshold(fraction)))
 
+  /** Stratified deterministic sampling: a per-stratum keep rate (data
+    * mixing — downsample the dominant source/language, keep the rare
+    * one whole). Same md5-bucket mechanics as [[hashSample]], so the
+    * kept set is reproducible across engines and stable under
+    * repartitioning; map-only, no shuffle, no RNG. Strata not listed in
+    * `rates` fall back to `defaultRate`. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    def keep(r: Double): Column =
+      if (math.round(r * 256) >= 256) lit(true)
+      else hexBucket(col(idCol)) < lit(threshold(r))
+    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
+      case ((stratum, r), rest) => when(col(strataCol) === stratum, keep(r)).otherwise(rest)
+    }
+    df.filter(cond)
+  }
+
   /** Add a `split` column: 'test' for the first ~testPct of hash space,
     * 'val' for the next ~valPct, 'train' for the rest. Disjoint and
     * exhaustive by construction; membership depends only on the id. */

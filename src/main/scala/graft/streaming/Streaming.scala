@@ -35,6 +35,18 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Synchronous replay window: every micro-batch of a stateful query
+    * commits one state-store instance PER shuffle partition per
+    * operator, so a 32-partition replay of a small static file pays 32×
+    * the state/checkpoint fixed cost for no parallelism win. Scope the
+    * partition count down for the replay and restore it after — a
+    * production deployment sizes this to its key cardinality instead. */
+  private def withReplayPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Hourly tumbling-window totals per event type, with a 1-hour
     * watermark. Run synchronously to a memory sink; returns the final
     * table (complete mode). */
@@ -49,12 +61,14 @@ object Streaming {
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(queryName).orderBy(col("hour"), col("event_type"))
   }
 
@@ -72,12 +86,14 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(queryName).orderBy(col("user_id"), col("sess_start"))
   }
 

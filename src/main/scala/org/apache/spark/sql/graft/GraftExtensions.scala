@@ -67,6 +67,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     extensions.injectFunction((
+      FunctionIdentifier("trigram_entropy"),
+      info("trigram_entropy",
+        "trigram_entropy(text) - Shannon entropy of the codepoint-trigram distribution (one pass)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "trigram_entropy(text)")
+        TrigramEntropy(children.head)
+      }))
+
+    extensions.injectFunction((
+      FunctionIdentifier("cosine_lsh_keys"),
+      info("cosine_lsh_keys",
+        "cosine_lsh_keys(vec, planesPerTable, tables) - multi-table sign-random-projection bucket keys"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "cosine_lsh_keys(vec, planesPerTable, tables)")
+        CosineLshKeys(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }))
+
+    extensions.injectFunction((
       FunctionIdentifier("set_not_nullable"),
       info("set_not_nullable",
         "set_not_nullable(col) - override nullability to false (runtime-guarded)"),

@@ -29,7 +29,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |  distinct_shingles('A b c d', 2) AS sh2,
           |  set_not_nullable('x') AS nn,
           |  vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp,
-          |  vec_l2norm(array(3.0D, 4.0D)) AS nrm""".stripMargin).collect().head
+          |  vec_l2norm(array(3.0D, 4.0D)) AS nrm,
+          |  trigram_entropy('aaaa') AS ent,
+          |  size(cosine_lsh_keys(array(1.0D, -2.0D, 0.5D), 8, 4)) AS lshk""".stripMargin)
+        .collect().head
       assert(row.getLong(0) ==
         org.apache.spark.sql.graft.SimHash64.simhash("alpha beta gamma"))
       assert(row.getInt(1) == 16)
@@ -37,6 +40,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getString(3) == "x")
       assert(row.getDouble(4) == 32.0)
       assert(row.getDouble(5) == 5.0)
+      assert(row.getDouble(6) == 0.0) // "aaaa": two identical trigrams
+      assert(row.getInt(7) == 4)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

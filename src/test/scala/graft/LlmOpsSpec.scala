@@ -186,6 +186,115 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(r(1L) == 0.0) // single repeated trigram -> zero entropy
     assert(r(2L) > 6.0, s"diverse entropy ${r(2L)}") // ~unique trigrams -> ~log2(n)
+    // the one-pass codegen expression equals the aggregation formulation
+    val e = df.filter(org.apache.spark.sql.functions.length(graft.text.norm_text(col("text"))) >= 3)
+      .select(col("doc_id"), org.apache.spark.sql.graft.TrigramEntropy
+        .trigram_entropy(graft.text.norm_text(col("text"))).as("e"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(e.keySet == r.keySet)
+    e.foreach { case (k, v) => assert(math.abs(v - r(k)) < 1e-9, s"doc $k: $v vs ${r(k)}") }
+  }
+
+  test("repetition ratios match the explode-based reference; bounds hold") {
+    val fast = graft.queries.LlmOps.textRepetition(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // reference: token multiplicities via explode + groupBy
+    val ref = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).count()
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.max(col("count")).as("mx"),
+        sum(col("count")).as("nt"),
+        count(lit(1)).as("nd"))
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("nt")).as("top"),
+        (col("nd").cast("double") / col("nt")).as("dist"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(fast == ref)
+    assert(fast.values.forall { case (t, d) => t > 0 && t <= 1 && d > 0 && d <= 1 })
+  }
+
+  test("stratified hash sample: subset, deterministic, rare stratum kept whole") {
+    import graft.sampling.Sampling
+    val all = Tables.documents(spark, sf0001)
+    val sampled = Sampling.stratifiedHashSample(all, "doc_id", "lang",
+      Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.stratifiedHashSample(all, "doc_id", "lang",
+      Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again) // no RNG anywhere
+    val allIds = all.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(allIds))
+    val zhAll = all.filter(col("lang") === "zh").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(zhAll.subsetOf(ids), "rate-1.0 stratum must be kept whole")
+    val enAll = all.filter(col("lang") === "en").count().toDouble
+    val enKept = sampled.filter(col("lang") === "en").count().toDouble
+    assert(enKept / enAll > 0.1 && enKept / enAll < 0.45,
+      s"en keep rate ${enKept / enAll} far from 0.25")
+  }
+
+  test("token chunking: counts and coverage invariants") {
+    val chunks = graft.queries.LlmOps.textChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val ntok = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(graft.text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == ntok.keySet)
+    byDoc.foreach { case (doc, cs) =>
+      val n = ntok(doc)
+      assert(cs.length == (n - 1) / 40 + 1, s"doc $doc: ${cs.length} chunks for $n tokens")
+      assert(cs.map(_._2).sorted.toSeq == (0L until cs.length.toLong))
+      assert(cs.forall(_._3 <= 50))
+      // chunks cover all tokens: last chunk reaches the end
+      val last = cs.maxBy(_._2)
+      assert(last._2 * 40 + last._3 == n, s"doc $doc: last chunk ends before $n")
+    }
+  }
+
+  test("oov rate: n_tokens consistent with textStats; top-100 corpus vocab covers most tokens") {
+    val oov = graft.queries.LlmOps.textOov(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val stats = graft.queries.LlmOps.textStats(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oov.forall { case (d, nt, _) => stats(d) == nt })
+    assert(oov.forall { case (_, _, r) => r >= 0.0 && r <= 1.0 })
+    // the synthetic corpus has a small vocabulary — top-100 covers most
+    val mean = oov.map(_._3).sum / oov.length
+    assert(mean < 0.5, s"mean oov $mean")
+  }
+
+  test("connected components: chains, cliques, singleton pairs") {
+    import graft.dedup.Dedup
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                       // path of 3
+      (10L, 11L),                               // pair
+      (20L, 21L), (21L, 22L), (20L, 22L),       // triangle
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // long chain (diameter 4)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
+    spark.catalog.clearCache() // drop the operator's final labels cache
+  }
+
+  test("t_entropy one-pass expression matches the aggregation formulation on the corpus") {
+    val fast = graft.queries.LlmOps.textEntropy(spark, sf0001)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val ref = graft.queries.LlmOps.textEntropyAgg(spark, sf0001)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(fast == ref, {
+      val diff = ref.keySet.union(fast.keySet)
+        .filter(k => fast.get(k) != ref.get(k)).take(5)
+      s"mismatch on ${diff.map(k => s"$k: ${fast.get(k)} vs ${ref.get(k)}")}"
+    })
   }
 
   test("deterministic hash split: exhaustive, stable, near the target fractions") {
