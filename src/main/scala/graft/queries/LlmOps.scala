@@ -167,13 +167,27 @@ object LlmOps {
     * — the end-to-end shape of a corpus-cleaning pipeline stage. */
   def corpusFilter(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val scored = d.select(col("doc_id"), col("n_chars"),
-      quality_score(col("text")).as("quality"),
-      lang_id(col("text")).as("lang_guess"),
-      fingerprint_md5(col("text")).as("fp"))
-    val keepers = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    scored.join(keepers, scored("doc_id") === keepers("keep_id"))
-      .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+    // stage norm + tokens ONCE as attributes: composing the plain
+    // combinators would re-run the normalization regex once per signal
+    // (quality, langid, fingerprint each inline their own norm_text)
+    val staged = d
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("n_chars"), col("text"), col("norm"),
+        split(col("norm"), " ").as("t"))
+    val scored = staged.select(col("doc_id"), col("n_chars"),
+      quality_score_from(col("norm"), col("t")).as("quality"),
+      lang_id_from(col("text"), col("t")).as("lang_guess"),
+      md5(col("norm").cast("binary")).as("fp"))
+    // keeper = min doc id per exact-dup group, as a WINDOW over the
+    // fingerprint: one exchange on fp and ONE scoring pass — the
+    // groupBy+join-back formulation evaluates the whole scoring
+    // projection twice (once per join subtree)
+    scored
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("quality") >= 0.5 && col("lang_guess") === "en")
       .select(col("doc_id"), col("quality"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

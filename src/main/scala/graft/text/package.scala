@@ -66,6 +66,35 @@ package object text {
     * key; oracle-friendly since DuckDB md5 agrees). */
   def fingerprint_md5(c: Column): Column = md5(norm_text(c).cast("binary"))
 
+  // Variants over PRE-staged attributes: `norm` = norm_text(text) and
+  // `toks` = split(norm, " ") materialized ONCE as projection attributes.
+  // Composing the plain combinators repeats the normalization regex per
+  // signal (each one inlines its own norm_text); a query computing
+  // several signals should stage the attributes and use these. Values
+  // are identical to the plain versions by construction.
+
+  def quality_score_from(norm: Column, toks: Column): Column = {
+    val ntok = size(toks)
+    val stopRatio = size(filter(toks, w => w.isInCollection(Stopwords))).cast("double") / ntok
+    val lenSat = least(lit(1.0), length(norm).cast("double") / lit(500.0))
+    val punctRatio = regexp_count(norm, lit("[^a-z0-9 ]")).cast("double") / length(norm)
+    round(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio), 6)
+  }
+
+  def lang_id_from(raw: Column, toks: Column): Column = {
+    def markers(ws: Seq[String]) = size(filter(toks, w => w.isInCollection(ws)))
+    val en = markers(Seq("the", "a", "of"))
+    val de = markers(Seq("der", "die", "und"))
+    val es = markers(Seq("el", "los", "una"))
+    val fr = markers(Seq("le", "les", "des"))
+    val cjk = regexp_count(raw, lit("[\\x{4e00}-\\x{9fff}]"))
+    when(cjk > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   /** 64-bit SimHash (custom codegen expression) for near-dup bucketing. */
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.SimHash64.simhash64(c)
