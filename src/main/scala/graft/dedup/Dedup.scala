@@ -194,6 +194,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup pairs by shared winnowing fingerprints — the MOSS
+    * detector (Schleimer/Wilkerson/Aiken, SIGMOD'03): inverted index on
+    * the per-doc fingerprint SET, pairs sharing ≥ `minShared`
+    * fingerprints. Winnowing guarantees any shared token run of
+    * k+w−1 contributes ≥1 common fingerprint, and the index is ~1/w
+    * the size of the full k-gram index — the cheap complement to
+    * MinHash-LSH when provenance (which runs matched) matters. */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val idx = spread(docs).select(col(idCol).as("doc"),
+      explode(graft.text.winnow_fingerprint_set(col(textCol), k, w)).as("f"))
+    val a = idx.select(col("doc").as("doc_a"), col("f"))
+    val b = idx.select(col("doc").as("doc_b"), col("f"))
+    a.join(b, "f")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair graph — the clustering
     * stage that turns pairwise evidence into duplicate GROUPS (pick one
     * keeper per component). Min-label propagation: every node starts

@@ -388,6 +388,68 @@ object LlmOps {
 
   val dedupMinhashLshSql: String = JaccardOracle
 
+  /** Winnowing-fingerprint near-dup pairs (MOSS detector) — docs
+    * sharing ≥3 selected fingerprints; on this corpus that recovers
+    * exactly the planted near-dup pairs the Jaccard detector finds,
+    * from an index ~1/w the size. */
+  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, dir), k = 3, w = 4, minShared = 3L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupWinnowPairsSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+       |        i -> substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS hs
+       |      FROM n),
+       |f AS (SELECT doc_id, unnest(list_distinct(
+       |        list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))) AS fp
+       |      FROM h WHERE len(t) >= 6)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Top TF-IDF terms per document: tf from the per-doc token counts,
+    * idf from the document frequency of each token (vocabulary-sized,
+    * broadcast), rank by (rounded score desc, term asc) — integer tf/df
+    * with one rounded double per (doc, term) keeps the ranking
+    * cross-engine deterministic. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nDocs = d.select(count(lit(1)).as("n_total"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("w"))
+    tf.join(broadcast(df_), "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("score"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val textTfidfSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |u AS (SELECT doc_id, unnest(t) AS w FROM n),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM u GROUP BY 1, 2),
+       |dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |s AS (SELECT tf.doc_id, tf.w,
+       |        ROUND(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS score
+       |      FROM tf JOIN dfx ON tf.w = dfx.w CROSS JOIN tot),
+       |r AS (SELECT doc_id, w, score,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+       |      FROM s)
+       |SELECT doc_id, w AS term, score, rn FROM r WHERE rn <= 3
+       |ORDER BY doc_id, rn""".stripMargin
+
   /** Duplicate GROUPS from pairwise near-dup evidence: connected
     * components over the exact-Jaccard pair graph, summarized per
     * component (keeper = min doc id). Oracled against a DuckDB

@@ -128,6 +128,20 @@ package object text {
       .otherwise(lit(""))
   }
 
+  /** The winnowing fingerprint SET as an array column — the join-key
+    * form for fingerprint-sharing near-dup detection (same selection as
+    * [[winnow_fingerprint]], which is its comma-joined rendering). */
+  def winnow_fingerprint_set(c: Column, k: Int, w: Int): Column = {
+    val t = tokens(c)
+    val grams = transform(sequence(lit(1), size(t) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*))
+    val hashes = transform(grams, g => substring(md5(g.cast("binary")), 1, 8))
+    val mins = transform(sequence(lit(1), size(hashes) - (w - 1)),
+      j => array_min(slice(hashes, j, lit(w))))
+    when(size(t) >= lit(k + w - 1), sort_array(array_distinct(mins)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word n-gram shingles of the normalized text as an array column;
     * documents with fewer than n tokens yield an empty array (indexing
     * past the array would throw under Spark 4's ANSI mode, and a partial

@@ -267,6 +267,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean < 0.5, s"mean oov $mean")
   }
 
+  test("winnow-pair detector recovers exactly the exact-Jaccard pair set") {
+    import graft.dedup.Dedup
+    val wp = Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 3L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // different detectors, same planted dups: agreement must be near-
+    // total, but boundary pairs (jaccard ≈ threshold vs shared-run
+    // structure) legitimately differ — at sf0.01 each set has exactly
+    // one pair the other lacks
+    val overlap = (wp intersect jac).size.toDouble
+    assert(wp.nonEmpty && overlap / wp.size >= 0.9 && overlap / jac.size >= 0.9,
+      s"winnow ${wp.size} vs jaccard ${jac.size}, overlap ${overlap.toInt}")
+  }
+
+  test("tfidf: corpus-rare terms outrank ubiquitous ones; 3 per doc") {
+    val rows = graft.queries.LlmOps.textTfidf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.values.forall(_.length == 3))
+    assert(byDoc.values.forall(cs => cs.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // scores within a doc are non-increasing with rank
+    assert(byDoc.values.forall { cs =>
+      val s = cs.sortBy(_._4).map(_._3); s.zip(s.tail).forall { case (a, b) => a >= b }
+    })
+    // a token appearing in EVERY doc has idf 0 → can never beat a
+    // positive-scored term; every doc has at least one non-universal token
+    assert(rows.forall(_._3 >= 0.0))
+  }
+
   test("connected components: chains, cliques, singleton pairs") {
     import graft.dedup.Dedup
     val pairs = Seq(
