@@ -29,7 +29,11 @@ object ExplainAudit {
       "q6_window", "d_ngram_jaccard", "d_minhash_lsh", "s_ann_pairs",
       "x_avro_roundtrip", "t_text_stats",
       "ev_asof", "d_embed_cosine", "d_embed_cosine_lsh", "t_winnow",
-      "ev_session_window", "mm_frames").foreach(audit)
+      "ev_session_window", "mm_frames",
+      // round 3: map-only text passes must show ZERO exchanges before
+      // their final sort; tfidf/oov must broadcast the vocab side
+      "t_entropy", "t_repetition", "t_chunks", "t_strat_sample",
+      "t_oov", "t_tfidf", "d_winnow_pairs", "t_corpus_filter").foreach(audit)
     spark.stop()
   }
 }
