@@ -97,6 +97,39 @@ object Streaming {
     s.table(queryName).orderBy(col("user_id"), col("sess_start"))
   }
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup — the corpus-cleaning pipeline as a stream:
+    * md5-fingerprint groups maintained incrementally (complete mode), so
+    * arriving documents continuously fold into their dup group. The
+    * final table must equal the BATCH `d_exact` answer — same oracle
+    * SQL. (keep_id = MIN over the group is arrival-order independent,
+    * unlike dropDuplicates' keep-first.) */
+  def exactDedupStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_dedup"): DataFrame = {
+    val agg = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), graft.text.fingerprint_md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+  }
+
   val sessionsWindowedSql: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -114,7 +114,25 @@ package object text {
     * classic Rabin-Karp incremental update is a constant-factor
     * optimization inside one doc; at corpus scale the cost is dominated
     * by the scan either way, and everything here stays codegen'd). */
-  def winnow_fingerprint(c: Column, k: Int, w: Int): Column = {
+  def winnow_fingerprint(c: Column, k: Int, w: Int): Column =
+    concat_ws(",", winnow_fingerprint_set(c, k, w))
+
+  /** The winnowing fingerprint SET as an array column — the join-key
+    * form for fingerprint-sharing near-dup detection
+    * ([[winnow_fingerprint]] is its comma-joined rendering). Backed by
+    * the one-pass codegen'd
+    * [[org.apache.spark.sql.graft.WinnowFingerprints]] expression — the
+    * higher-order-function formulation (kept below as the spec
+    * reference) re-inlines the whole gram+hash pipeline per window
+    * position when its lambdas are interpreted, which is O(windows ×
+    * grams × |doc|) per document. */
+  def winnow_fingerprint_set(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.WinnowFingerprints.winnow_fingerprints(c, k, w)
+
+  /** The declarative higher-order-function formulation — value-equality
+    * reference for the codegen expression in specs. Do not use in hot
+    * paths (see [[winnow_fingerprint_set]]). */
+  private[graft] def winnow_fingerprint_set_hof(c: Column, k: Int, w: Int): Column = {
     val t = tokens(c)
     val grams = transform(sequence(lit(1), size(t) - (k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*))
@@ -123,21 +141,6 @@ package object text {
       j => array_min(slice(hashes, j, lit(w))))
     // need at least one full window of k-grams: size(t) >= k + w - 1
     // (the when-guard also keeps sequence() from descending on negatives)
-    when(size(t) >= lit(k + w - 1),
-      concat_ws(",", sort_array(array_distinct(mins))))
-      .otherwise(lit(""))
-  }
-
-  /** The winnowing fingerprint SET as an array column — the join-key
-    * form for fingerprint-sharing near-dup detection (same selection as
-    * [[winnow_fingerprint]], which is its comma-joined rendering). */
-  def winnow_fingerprint_set(c: Column, k: Int, w: Int): Column = {
-    val t = tokens(c)
-    val grams = transform(sequence(lit(1), size(t) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*))
-    val hashes = transform(grams, g => substring(md5(g.cast("binary")), 1, 8))
-    val mins = transform(sequence(lit(1), size(hashes) - (w - 1)),
-      j => array_min(slice(hashes, j, lit(w))))
     when(size(t) >= lit(k + w - 1), sort_array(array_distinct(mins)))
       .otherwise(array().cast("array<string>"))
   }

@@ -1,0 +1,119 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS
+  * scheme): tokenize, hash every word k-gram (first 8 hex chars of its
+  * md5 — lexicographic == numeric for fixed-width lowercase hex, and
+  * DuckDB md5 agrees byte-for-byte, which keeps the SQL oracle exact),
+  * slide a window of w hashes keeping each window's minimum, distinct,
+  * sort.
+  *
+  * Replaces the Column-combinator formulation whose nested
+  * higher-order-function lambdas re-inlined the WHOLE gram+hash pipeline
+  * per window position (interpreted lambdas re-evaluate every non-lambda
+  * subexpression per element — the plan showed transform(transform(...))
+  * inside the window-min lambda): O(windows × grams × |doc|) per
+  * document, which turned the fingerprint self-join query from seconds
+  * into minutes one scale factor up. This expression is one tight loop,
+  * O(|doc| + grams × w).
+  *
+  * Tokenization parity with `split(norm_text(text), " ")`: lowercase,
+  * split on ASCII whitespace (Spark's `\s` regex class is ASCII-only),
+  * runs collapse and ends trim by construction of the splitter.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowFingerprints.getClass.getName.stripSuffix("$") + "$"
+    defineCodeGen(ctx, ev, input =>
+      s"(${classOf[ArrayData].getName}) $cls.MODULE$$.compute($input.toString(), $k, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(text: String, k: Int, w: Int): ArrayData = {
+    // tokenize exactly like split(regexp_replace(lower(trim(s)),'\s+',' '),' ')
+    val tokens = new java.util.ArrayList[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      if (i == len || isAsciiSpace(text.charAt(i))) {
+        if (sb.length > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      } else sb.append(Character.toLowerCase(text.charAt(i)))
+      i += 1
+    }
+    val n = tokens.size
+    // the SQL guard is len(t) >= k + w - 1 — at least one full window
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = n - (k - 1)
+    val hashes = new Array[String](nGrams)
+    val gram = new java.lang.StringBuilder()
+    var g = 0
+    while (g < nGrams) {
+      gram.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) gram.append(' ')
+        gram.append(tokens.get(g + j))
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(gram.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars = first 4 digest bytes
+      val hex = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        hex(b * 2) = Character.forDigit((dig(b) >> 4) & 0xf, 16)
+        hex(b * 2 + 1) = Character.forDigit(dig(b) & 0xf, 16)
+        b += 1
+      }
+      hashes(g) = new String(hex)
+      g += 1
+    }
+    // window minima (w is small; O(nGrams·w) beats deque bookkeeping)
+    val mins = new java.util.TreeSet[String]()
+    var p = 0
+    while (p + w <= nGrams) {
+      var m = hashes(p)
+      var q = 1
+      while (q < w) {
+        if (hashes(p + q).compareTo(m) < 0) m = hashes(p + q)
+        q += 1
+      }
+      mins.add(m)
+      p += 1
+    }
+    val out = new Array[Any](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+}

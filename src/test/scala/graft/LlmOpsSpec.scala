@@ -267,6 +267,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean < 0.5, s"mean oov $mean")
   }
 
+  test("winnow codegen expression equals the HOF formulation on the corpus") {
+    val fast = docs.select(col("doc_id"),
+        graft.text.winnow_fingerprint_set(col("text"), 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ref = docs.select(col("doc_id"),
+        graft.text.winnow_fingerprint_set_hof(col("text"), 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast == ref)
+  }
+
   test("winnow-pair detector recovers exactly the exact-Jaccard pair set") {
     import graft.dedup.Dedup
     val wp = Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 3L)
