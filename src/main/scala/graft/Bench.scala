@@ -48,6 +48,10 @@ object Bench {
     // absorb executor/codegen-infrastructure startup so the first timed
     // query isn't charged for session warmup; deterministic run order
     spark.range(1 << 20).selectExpr("sum(id)").collect()
+    // drain + zero the metric counters so the warmup's stages are not
+    // attributed to the first query in sort order
+    org.apache.spark.sql.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    listener.snapshotAndReset()
     // steady-state timing: best of 2 runs per query — a single pass
     // charges whichever query runs first after a heavy one for GC /
     // broadcast-cleanup noise rather than the query itself

@@ -160,7 +160,10 @@ object Dedup {
     // the candidate set is referenced three times below (two semi-join
     // probes + the verify left side); persist it — it is O(pairs), tiny
     // next to the corpus, and caching it runs the signature+banding pass
-    // exactly once
+    // exactly once. Lifetime: the cache entry is pinned while the
+    // returned frame is reachable; once the caller drops it, Spark's
+    // ContextCleaner unpersists the underlying RDD on GC (or clear
+    // eagerly via spark.catalog.clearCache()).
     val cands = minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify ONLY the candidate pairs: bring both docs' distinct-shingle
@@ -229,7 +232,10 @@ object Dedup {
     * al., "Connected Components in MapReduce", SoCC'14) — same
     * interface, fewer rounds.
     *
-    * Output: (node, comp) — comp is the smallest node id reachable. */
+    * Output: (node, comp) — comp is the smallest node id reachable.
+    * The returned frame is persisted (it was materialized for the
+    * convergence check); it unpersists via ContextCleaner once the
+    * caller drops it, or eagerly via `spark.catalog.clearCache()`. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -243,7 +249,11 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .persist(lvl)
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    // coalesce: SUM over an empty frame is null — an empty pair graph
+    // must yield an empty component set, not an NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -252,7 +262,7 @@ object Dedup {
         .union(labels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .persist(lvl)
-      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      val s = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
       done = s == prevSum

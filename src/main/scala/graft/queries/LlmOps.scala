@@ -296,10 +296,13 @@ object LlmOps {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Token-window chunking with overlap (context-window packing): each
-    * doc → ⌈(ntok−overlap)/stride⌉ chunks of ≤ `size` tokens starting
-    * every `stride`. A 1→N generator (posexplode) — map-only, no
-    * shuffle; chunk text is carried as md5 so the gate compare stays
-    * compact. */
+    * doc → ⌈max(ntok−size, 0)/stride⌉ + 1 chunks of ≤ `size` tokens
+    * starting every `stride` — the count formula stops as soon as a
+    * chunk reaches the document end, so no chunk is a subset of its
+    * predecessor (a floor((ntok−1)/stride) count would emit a fully
+    * redundant tail chunk whenever the tail is already covered). A 1→N
+    * generator (posexplode) — map-only, no shuffle; chunk text is
+    * carried as md5 so the gate compare stays compact. */
   def textChunks(s: SparkSession, dir: String): DataFrame = {
     val size_ = 50
     val stride = 40
@@ -307,7 +310,8 @@ object LlmOps {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         posexplode(sequence(lit(0),
-          floor((size(col("t")) - 1) / stride).cast("int"))).as(Seq("chunk_idx", "_s")))
+          ceil(greatest(size(col("t")) - size_, lit(0)) / lit(stride.toDouble))
+            .cast("int"))).as(Seq("chunk_idx", "_s")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         size(slice(col("t"), col("chunk_idx") * stride + 1, lit(size_))).cast("long").as("n_ctok"),
         md5(array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size_)), " ")
@@ -319,7 +323,7 @@ object LlmOps {
     s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
        |c AS (SELECT doc_id, i AS chunk_idx, t[i*40+1 : i*40+50] AS ch
        |      FROM n, LATERAL (SELECT unnest(range(0,
-       |        CAST(floor((len(t)-1)/40) AS BIGINT) + 1)) AS i))
+       |        CAST(ceil(greatest(len(t)-50, 0)/40.0) AS BIGINT) + 1)) AS i))
        |SELECT doc_id, chunk_idx, len(ch) AS n_ctok,
        |  md5(array_to_string(ch, ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
@@ -411,9 +415,13 @@ object LlmOps {
 
   /** Top TF-IDF terms per document: tf from the per-doc token counts,
     * idf from the document frequency of each token (vocabulary-sized,
-    * broadcast), rank by (rounded score desc, term asc) — integer tf/df
-    * with one rounded double per (doc, term) keeps the ranking
-    * cross-engine deterministic. */
+    * broadcast), rank by (rounded score desc, term asc). Determinism
+    * note: tf·ln(N/df) is a transcendental each engine computes
+    * independently (≤1 ulp apart); BOTH sides rank on the ROUNDED
+    * score, so a flip requires the true value to sit within an ulp of a
+    * 0.5e-6 rounding boundary — the same residual-risk class as the
+    * other round(…, 6) oracles, not eliminable without dropping idf
+    * from the rank key. */
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val nDocs = d.select(count(lit(1)).as("n_total"))

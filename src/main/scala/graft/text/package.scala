@@ -37,30 +37,16 @@ package object text {
 
   /** Composite quality score in [0,1]: stopword presence, length
     * saturation, punctuation cleanliness. Fixed operation order —
-    * keep in sync with the SQL oracle. */
-  def quality_score(c: Column): Column = {
-    val stopRatio = stopword_count(c).cast("double") / n_tokens(c)
-    val lenSat = least(lit(1.0), length(norm_text(c)).cast("double") / lit(500.0))
-    val punctRatio = punct_count(c).cast("double") / length(norm_text(c))
-    round(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio), 6)
-  }
+    * keep in sync with the SQL oracle. Delegates to
+    * [[quality_score_from]] so the formula exists once. */
+  def quality_score(c: Column): Column =
+    quality_score_from(norm_text(c), tokens(c))
 
   /** Marker-word language heuristic (the test corpus is synthetic ASCII,
     * so CJK detection short-circuits first, then stopword evidence;
-    * deterministic tie-break order en > de > es > fr). */
-  def lang_id(c: Column): Column = {
-    def markers(ws: Seq[String]) = size(filter(tokens(c), w => w.isInCollection(ws)))
-    val en = markers(Seq("the", "a", "of"))
-    val de = markers(Seq("der", "die", "und"))
-    val es = markers(Seq("el", "los", "una"))
-    val fr = markers(Seq("le", "les", "des"))
-    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
-    when(cjk > 0, "zh")
-      .when(en >= de && en >= es && en >= fr, "en")
-      .when(de >= es && de >= fr, "de")
-      .when(es >= fr, "es")
-      .otherwise("fr")
-  }
+    * deterministic tie-break order en > de > es > fr). Delegates to
+    * [[lang_id_from]] so the formula exists once. */
+  def lang_id(c: Column): Column = lang_id_from(c, tokens(c))
 
   /** Whole-document fingerprint: md5 of the normalized text (exact-dup
     * key; oracle-friendly since DuckDB md5 agrees). */

@@ -36,6 +36,9 @@ object Skew {
   def saltedSelfJoinPairs(df: DataFrame, bucketCols: Seq[String],
       idCol: String, salt: Int): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    val reserved = Set("_chunk", "_c", "_d") intersect df.columns.toSet
+    require(reserved.isEmpty,
+      s"input columns collide with salting internals: ${reserved.mkString(", ")}")
     val chunk: Column = pmod(xxhash64(col(idCol)), lit(salt)).cast("int")
     // left: a chunk-c row participates as the ROW coordinate of cells
     // (c, d) for d in c..salt-1; right: as the COLUMN coordinate of

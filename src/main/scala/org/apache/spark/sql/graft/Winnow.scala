@@ -50,23 +50,25 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprints {
 
-  private def isAsciiSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
 
   def compute(text: String, k: Int, w: Int): ArrayData = {
-    // tokenize exactly like split(regexp_replace(lower(trim(s)),'\s+',' '),' ')
-    val tokens = new java.util.ArrayList[String]()
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    val len = text.length
-    while (i <= len) {
-      if (i == len || isAsciiSpace(text.charAt(i))) {
-        if (sb.length > 0) { tokens.add(sb.toString); sb.setLength(0) }
-      } else sb.append(Character.toLowerCase(text.charAt(i)))
-      i += 1
-    }
-    val n = tokens.size
-    // the SQL guard is len(t) >= k + w - 1 — at least one full window
+    // replicate split(regexp_replace(lower(trim(s)),'\s+',' '),' ')
+    // EXACTLY, including its edge cases: trim() strips ASCII spaces
+    // only, so text edged with '\n'/'\t' normalizes to a leading/
+    // trailing single space whose split yields an EMPTY token that
+    // participates in grams -- a hand-rolled drop-empty tokenizer would
+    // diverge from the HOF formulation and the SQL oracle there. Same
+    // regex engine (java.util.regex) as Spark's regexp_replace.
+    var st = 0
+    var en = text.length
+    while (st < en && text.charAt(st) == ' ') st += 1
+    while (en > st && text.charAt(en - 1) == ' ') en -= 1
+    val norm = Ws.matcher(
+      text.substring(st, en).toLowerCase(java.util.Locale.ROOT)).replaceAll(" ")
+    val tokens: Array[String] = norm.split(" ", -1)
+    val n = tokens.length
+    // the SQL guard is len(t) >= k + w - 1 -- at least one full window
     if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val nGrams = n - (k - 1)
@@ -78,7 +80,7 @@ object WinnowFingerprints {
       var j = 0
       while (j < k) {
         if (j > 0) gram.append(' ')
-        gram.append(tokens.get(g + j))
+        gram.append(tokens(g + j))
         j += 1
       }
       md.reset()

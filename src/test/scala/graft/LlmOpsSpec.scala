@@ -245,12 +245,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byDoc.keySet == ntok.keySet)
     byDoc.foreach { case (doc, cs) =>
       val n = ntok(doc)
-      assert(cs.length == (n - 1) / 40 + 1, s"doc $doc: ${cs.length} chunks for $n tokens")
+      assert(cs.length == math.ceil(math.max(n - 50, 0) / 40.0).toInt + 1,
+        s"doc $doc: ${cs.length} chunks for $n tokens")
       assert(cs.map(_._2).sorted.toSeq == (0L until cs.length.toLong))
       assert(cs.forall(_._3 <= 50))
-      // chunks cover all tokens: last chunk reaches the end
+      // chunks cover all tokens: last chunk reaches the end...
       val last = cs.maxBy(_._2)
       assert(last._2 * 40 + last._3 == n, s"doc $doc: last chunk ends before $n")
+      // ...and no chunk is fully contained in its predecessor (each
+      // non-first chunk must contribute stride-new tokens or reach n)
+      assert(cs.forall(c => c._2 == 0 || c._3 > 50 - 40 || c._2 * 40 + c._3 == n))
     }
   }
 
@@ -275,6 +279,27 @@ class LlmOpsSpec extends AnyFunSuite {
         graft.text.winnow_fingerprint_set_hof(col("text"), 3, 4).as("f"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(fast == ref)
+  }
+
+  test("winnow expression matches HOF on whitespace-edged and messy text") {
+    // trim() strips spaces only, so '\n'/'\t' edges survive into the
+    // normalized string as an empty split token that joins grams — the
+    // expression must reproduce that, not silently drop empties
+    val messy = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta\n"),
+      (2L, "\talpha beta gamma delta epsilon zeta"),
+      (3L, "  alpha\t\tbeta  gamma\ndelta epsilon zeta eta  "),
+      (4L, "ALPHA Beta GAMMA delta EPSILON zeta"),
+      (5L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val fast = messy.select(col("doc_id"),
+        graft.text.winnow_fingerprint_set(col("text"), 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ref = messy.select(col("doc_id"),
+        graft.text.winnow_fingerprint_set_hof(col("text"), 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast == ref, s"fast=$fast ref=$ref")
+    assert(fast.values.forall(_.nonEmpty))
   }
 
   test("winnow-pair detector recovers exactly the exact-Jaccard pair set") {
@@ -325,6 +350,13 @@ class LlmOpsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
     spark.catalog.clearCache() // drop the operator's final labels cache
+  }
+
+  test("connected components of an empty pair set is empty, not a crash") {
+    import graft.dedup.Dedup
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    spark.catalog.clearCache()
   }
 
   test("t_entropy one-pass expression matches the aggregation formulation on the corpus") {
