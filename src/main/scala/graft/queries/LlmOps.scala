@@ -491,6 +491,44 @@ object LlmOps {
        |FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
        |GROUP BY comp ORDER BY keeper_id""".stripMargin
 
+  /** The COMPOSED end-to-end near-dup removal stage: detect pairs
+    * (exact Jaccard), cluster them (connected components), keep each
+    * cluster's minimum id, anti-join the losers out of the corpus —
+    * i.e. what a production pipeline actually runs, summarized
+    * compactly (survivor count / id checksum / chars kept). */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5))
+    val losers = cc.filter(col("node") =!= col("comp")).select(col("node"))
+    d.join(losers, d("doc_id") === losers("node"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
+  val dedupCorpusSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b FROM inter
+       |        JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |          UNION ALL SELECT doc_b, doc_a FROM jac),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |          UNION
+       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |losers AS (SELECT node FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
+       |           WHERE node <> comp)
+       |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin
+
   /** Multi-detector duplicate evidence union: pairs flagged by EITHER
     * the text-Jaccard detector or the embedding-cosine detector, with
     * both scores side by side (−1 = not flagged by that detector) —
