@@ -34,6 +34,80 @@ object Events {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Ordered conversion funnel: first view → first click within 24 h of
+    * that view → first purchase after the click (still inside the view's
+    * 24 h window), counted per stage. Each stage is a per-user MIN
+    * aggregation plus an equi-join on user_id — the standard distributed
+    * funnel shape (shuffles carry one row per qualifying user, never the
+    * event stream; timestamp+interval comparisons are exact in both
+    * engines). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("c_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, v.v_ts, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+      |        AND CAST(e.ts AS TIMESTAMP) <= v.v_ts + INTERVAL 24 HOUR
+      |      GROUP BY 1, 2),
+      |p AS (SELECT c.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      |        AND CAST(e.ts AS TIMESTAMP) <= c.v_ts + INTERVAL 24 HOUR
+      |      GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin
+
+  /** Weekly retention cohorts: cohort = week of the user's first event;
+    * a (cohort, offset) cell counts users with ANY event `offset` weeks
+    * later. Two per-user aggregations + one join — the event stream is
+    * reduced to distinct (user, week) before anything shuffles twice. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    active.join(firstWeek, "user_id")
+      .select(col("cohort").as("cohort_week"),
+        expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH f AS (SELECT user_id,
+      |             DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id,
+      |        DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS wk FROM events)
+      |SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+      |  CAST((CAST(wk AS DATE) - CAST(cohort AS DATE)) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** JSON extraction from the props column via from_json with an explicit
     * schema (codegen'd Jackson parse — no UDF). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
