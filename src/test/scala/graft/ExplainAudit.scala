@@ -33,7 +33,8 @@ object ExplainAudit {
       // round 3: map-only text passes must show ZERO exchanges before
       // their final sort; tfidf/oov must broadcast the vocab side
       "t_entropy", "t_repetition", "t_chunks", "t_strat_sample",
-      "t_oov", "t_tfidf", "d_winnow_pairs", "t_corpus_filter").foreach(audit)
+      "t_oov", "t_tfidf", "d_winnow_pairs", "t_corpus_filter",
+      "d_dedup_corpus", "ev_funnel", "ev_retention").foreach(audit)
     spark.stop()
   }
 }
