@@ -42,13 +42,21 @@ object Events {
     * event stream; timestamp+interval comparisons are exact in both
     * engines). */
   def funnel(s: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    // each stage frame is one row per qualifying user and is referenced
+    // twice (next stage + its own count) — persist them or Catalyst
+    // re-evaluates the whole subplan per reference (6 event scans);
+    // cache entries release via ContextCleaner once the result is
+    // dropped, like Dedup's candidate set
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      .persist(lvl)
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("ts") > col("v_ts") &&
         col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("c_ts"))
+      .persist(lvl)
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts") > col("c_ts") &&
         col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))

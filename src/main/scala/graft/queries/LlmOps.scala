@@ -368,16 +368,35 @@ object LlmOps {
     s"""SELECT md5($NormSql) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
        |FROM documents GROUP BY 1""".stripMargin
 
-  private val JaccardOracle =
-    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+  /** Shared oracle CTE text — ONE definition of the shingle inverted
+    * index, the thresholded scored pair set, and the recursive closure,
+    * so the four Jaccard-based oracles (pairs, groups, corpus, evidence
+    * union) cannot drift apart. */
+  private val ShingleCtes: String =
+    s"""toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
-       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val JacPairsCte: String =
+    """jac AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+      |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5)""".stripMargin
+
+  private val JacClosureCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+      |          UNION ALL SELECT doc_b, doc_a FROM jac),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |reach AS (SELECT node, node AS r FROM nodes
+      |          UNION
+      |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
+  private val JaccardOracle =
+    s"""WITH $ShingleCtes,
+       |$JacPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM jac""".stripMargin
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
@@ -472,21 +491,9 @@ object LlmOps {
 
   val dedupGroupsSql: String =
     s"""WITH RECURSIVE
-       |toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |jac AS (SELECT doc_a, doc_b FROM inter
-       |        JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
-       |          UNION ALL SELECT doc_b, doc_a FROM jac),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |reach AS (SELECT node, node AS r FROM nodes
-       |          UNION
-       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node)
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes
        |SELECT comp AS keeper_id, COUNT(*) AS n_docs, CAST(SUM(node) AS BIGINT) AS id_sum
        |FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
        |GROUP BY comp ORDER BY keeper_id""".stripMargin
@@ -508,21 +515,9 @@ object LlmOps {
 
   val dedupCorpusSql: String =
     s"""WITH RECURSIVE
-       |toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |jac AS (SELECT doc_a, doc_b FROM inter
-       |        JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
-       |          UNION ALL SELECT doc_b, doc_a FROM jac),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |reach AS (SELECT node, node AS r FROM nodes
-       |          UNION
-       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes,
        |losers AS (SELECT node FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
        |           WHERE node <> comp)
        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
@@ -549,15 +544,8 @@ object LlmOps {
   }
 
   val dedupEvidenceUnionSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |jac AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
-       |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+    s"""WITH $ShingleCtes,
+       |$JacPairsCte,
        |cos AS (SELECT a.vec_id AS va, b.vec_id AS vb,
        |          ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
        |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -52,6 +52,26 @@ object WinnowFingerprints {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
+  private def isFullAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
+  private def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
   def compute(text: String, k: Int, w: Int): ArrayData = {
     // replicate split(regexp_replace(lower(trim(s)),'\s+',' '),' ')
     // EXACTLY, including its edge cases: trim() strips ASCII spaces
@@ -64,8 +84,16 @@ object WinnowFingerprints {
     var en = text.length
     while (st < en && text.charAt(st) == ' ') st += 1
     while (en > st && text.charAt(en - 1) == ' ') en -= 1
-    val norm = Ws.matcher(
-      text.substring(st, en).toLowerCase(java.util.Locale.ROOT)).replaceAll(" ")
+    val seg = text.substring(st, en)
+    // mirror UTF8String.toLowerCase exactly: ASCII-only strings take a
+    // locale-independent ASCII path; anything else falls back to
+    // String.toLowerCase() under the DEFAULT locale (so e.g. a Turkish
+    // JVM lowercases 'I' differently only when the string has a
+    // non-ASCII char — bug-for-bug parity with Spark's lower())
+    val lowered =
+      if (isFullAscii(seg)) asciiLower(seg)
+      else seg.toLowerCase()
+    val norm = Ws.matcher(lowered).replaceAll(" ")
     val tokens: Array[String] = norm.split(" ", -1)
     val n = tokens.length
     // the SQL guard is len(t) >= k + w - 1 -- at least one full window

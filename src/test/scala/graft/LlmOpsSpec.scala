@@ -252,9 +252,13 @@ class LlmOpsSpec extends AnyFunSuite {
       // chunks cover all tokens: last chunk reaches the end...
       val last = cs.maxBy(_._2)
       assert(last._2 * 40 + last._3 == n, s"doc $doc: last chunk ends before $n")
-      // ...and no chunk is fully contained in its predecessor (each
-      // non-first chunk must contribute stride-new tokens or reach n)
-      assert(cs.forall(c => c._2 == 0 || c._3 > 50 - 40 || c._2 * 40 + c._3 == n))
+      // ...and no chunk is fully contained in its predecessor: chunk i
+      // covers up to i*40+len, predecessor up to (i-1)*40+50, so every
+      // non-first chunk must have len > 10 — the fixed count formula
+      // guarantees len >= 11 for the tail (the old floor((n-1)/40)
+      // formula emitted tails with len <= 10 that were strict subsets)
+      assert(cs.forall(c => c._2 == 0 || c._3 > 50 - 40),
+        s"doc $doc has a redundant tail chunk: $cs")
     }
   }
 
