@@ -478,12 +478,17 @@ object LlmOps {
        |ORDER BY doc_id, rn""".stripMargin
 
   /** Duplicate GROUPS from pairwise near-dup evidence: connected
-    * components over the exact-Jaccard pair graph, summarized per
-    * component (keeper = min doc id). Oracled against a DuckDB
-    * recursive-CTE transitive closure of the same pair set. */
+    * components over the near-dup pair graph, summarized per component
+    * (keeper = min doc id). The detector is the SCALE path —
+    * MinHash-LSH banding with exact-Jaccard verification — whose pair
+    * set equals the brute-force inverted-index join (both gate queries
+    * hash-match the same oracle); the oracle is a DuckDB recursive-CTE
+    * transitive closure over the brute-force pair set, so this query
+    * end-to-end checks detector ∘ clustering against an independent
+    * formulation of both. */
   def dedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))
+        Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("node")).as("id_sum"))
       .select(col("comp").as("keeper_id"), col("n_docs"), col("id_sum"))
@@ -499,14 +504,16 @@ object LlmOps {
        |GROUP BY comp ORDER BY keeper_id""".stripMargin
 
   /** The COMPOSED end-to-end near-dup removal stage: detect pairs
-    * (exact Jaccard), cluster them (connected components), keep each
+    * (MinHash-LSH banding + exact-Jaccard verify — the 100 TB
+    * detector), cluster them (connected components), keep each
     * cluster's minimum id, anti-join the losers out of the corpus —
     * i.e. what a production pipeline actually runs, summarized
-    * compactly (survivor count / id checksum / chars kept). */
+    * compactly (survivor count / id checksum / chars kept). The oracle
+    * recomputes the whole chain from the brute-force pair set. */
   def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val cc = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5))
+      Dedup.minhashLshPairs(d, n = 3, threshold = 0.5))
     val losers = cc.filter(col("node") =!= col("comp")).select(col("node"))
     d.join(losers, d("doc_id") === losers("node"), "left_anti")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
