@@ -21,7 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop per-query persisted intermediates
+      finally {
+        // drop per-query persisted intermediates, incl. the RDD-level
+        // lineage-cut persists clearCache cannot see
+        graft.util.IntermediateCaches.releaseAll(blocking = true)
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -71,7 +71,8 @@ object Dedup {
       maxShingleDf: Long = 10000L, persistIndex: Boolean = false): DataFrame = {
     val idx0 = shingleIndex(docs, idCol, textCol, n)
     val idx = if (persistIndex)
-      idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.util.IntermediateCaches.track(
+        idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else idx0
     // per-doc set sizes come map-only from the docs (size of the same
     // one-pass expression) — no groupBy over the 10⁶×-larger index
@@ -152,20 +153,26 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification of the
-    * candidates — the 100 TB-shaped pipeline. */
+    * candidates — the 100 TB-shaped pipeline. `salt > 1` spreads each
+    * band bucket's pair generation over salt·(salt+1)/2 shuffle keys
+    * (triangle partitioning, see [[minhashLshCandidates]]) — the
+    * candidate SET is identical (ScaleSpec), so the verified output is
+    * too; pay the ≤(salt+1)/2× banding replication only when the corpus
+    * has boilerplate-heavy hot buckets. */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
       numHashes: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      persistIndex: Boolean = false): DataFrame = {
+      persistIndex: Boolean = false, salt: Int = 1): DataFrame = {
     // the candidate set is referenced three times below (two semi-join
     // probes + the verify left side); persist it — it is O(pairs), tiny
     // next to the corpus, and caching it runs the signature+banding pass
-    // exactly once. Lifetime: the cache entry is pinned while the
-    // returned frame is reachable; once the caller drops it, Spark's
-    // ContextCleaner unpersists the underlying RDD on GC (or clear
-    // eagerly via spark.catalog.clearCache()).
-    val cands = minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exactly once. Lifetime: tracked in [[graft.util.IntermediateCaches]]
+    // — callers release eagerly via IntermediateCaches.releaseAll() after
+    // materializing; otherwise the ContextCleaner unpersists on GC once
+    // the returned frame becomes unreachable.
+    val cands = graft.util.IntermediateCaches.track(
+      minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol, salt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // verify ONLY the candidate pairs: bring both docs' distinct-shingle
     // sets to the pair and intersect as arrays — O(|cands|·|sh|), never
     // the full inverted-index pair blowup; sets come from the codegen'd
@@ -177,7 +184,8 @@ object Dedup {
       org.apache.spark.sql.graft.DistinctShingles
         .distinct_shingles(col(textCol), n).as("sh"))
     val shSets1 = if (persistIndex)
-      shSets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.util.IntermediateCaches.track(
+        shSets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else shSets0
     // left-semi prefilter: only docs appearing in a candidate pair carry
     // their (wide) shingle array into the verify joins — the shuffled
@@ -219,57 +227,214 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph — the clustering
     * stage that turns pairwise evidence into duplicate GROUPS (pick one
-    * keeper per component). Min-label propagation: every node starts
-    * labeled with itself; each round every node takes the minimum label
-    * among itself and its neighbors; fixpoint = component minima.
+    * keeper per component). Two algorithms behind one interface:
     *
-    * Convergence is detected by the monotonically decreasing label sum
-    * (one tiny aggregate per round — the only driver-side value; labels
-    * themselves never leave the cluster). Rounds needed = graph
-    * diameter; near-dup graphs are overwhelmingly small dense cliques
-    * (diameter ≤ 2–3). For adversarial long-chain graphs at corpus
-    * scale, swap in the large-star/small-star contraction (Kiveris et
-    * al., "Connected Components in MapReduce", SoCC'14) — same
-    * interface, fewer rounds.
+    *  - `"minlabel"` (default): min-label propagation — every node
+    *    starts labeled with itself; each round every node takes the
+    *    minimum label among itself and its neighbors; fixpoint =
+    *    component minima. Rounds needed = graph diameter; near-dup
+    *    graphs are overwhelmingly small dense cliques (diameter ≤ 2–3),
+    *    and each round is one join + one aggregate.
+    *  - `"star"`: alternating large-star/small-star contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond", SoCC'14) — each round rewires edges toward local
+    *    minima, collapsing the graph into one star per component in
+    *    O(log²(n)) rounds regardless of diameter. The robust choice for
+    *    adversarial long-chain graphs (a diameter-1000 chain converges
+    *    in ~10 rounds where min-label needs ~1000); costs two
+    *    self-grouping passes per round, so the dense-clique common case
+    *    slightly favors min-label.
+    *
+    * Convergence is detected by a monotonically decreasing label/edge
+    * checksum (one tiny aggregate per round — the only driver-side
+    * value; labels themselves never leave the cluster), accumulated in
+    * decimal(38,0) so Long-overflow aliasing cannot fake a fixpoint.
+    * Non-convergence within `maxIters` THROWS — silently returning
+    * partial clusters would anti-join the wrong losers downstream.
     *
     * Output: (node, comp) — comp is the smallest node id reachable.
     * The returned frame is persisted (it was materialized for the
-    * convergence check); it unpersists via ContextCleaner once the
-    * caller drops it, or eagerly via `spark.catalog.clearCache()`. */
+    * convergence check) and registered with
+    * [[graft.util.IntermediateCaches]]: release eagerly via
+    * `IntermediateCaches.releaseAll()` after materializing, or let the
+    * ContextCleaner unpersist it once dropped. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      bCol: String = "doc_b", maxIters: Int = 20,
+      algorithm: String = "minlabel"): DataFrame = algorithm match {
+    case "minlabel" => ccMinLabel(pairs, aCol, bCol, maxIters)
+    case "star" => ccStarContraction(pairs, aCol, bCol, maxIters)
+    case other => throw new IllegalArgumentException(
+      s"unknown connectedComponents algorithm '$other' (minlabel|star)")
+  }
+
+  private val CacheLvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Lineage cut for iterative loops: materialize `df` into a persisted
+    * RDD and return a frame whose LOGICAL plan is a leaf over it, plus
+    * an explicit release handle. Required because each CC round
+    * references the previous round's frame more than once — carrying
+    * lineage multiplies the logical plan per round, and plan analysis
+    * (not data!) blows up exponentially in the iteration count even
+    * when persist makes execution incremental. `Dataset.persist` alone
+    * does NOT cut the logical plan; this does. Row-level recompute
+    * after release walks the RDD lineage chain (linear, RDD-side), so
+    * released results stay usable, just slower. */
+  private def cutLineage(df: DataFrame): (DataFrame, Boolean => Unit) = {
+    val rdd = df.rdd
+    rdd.persist(CacheLvl)
+    val cut = df.sparkSession.createDataFrame(rdd, df.schema)
+    (cut, blocking => { rdd.unpersist(blocking); () })
+  }
+
+  /** Decimal-exact aggregate of a Long column — the per-round
+    * convergence scalar. coalesce: SUM over an empty frame is null; an
+    * empty pair graph must read as converged, not NPE. */
+  private def decimalSum(df: DataFrame, c: String): java.math.BigDecimal =
+    df.agg(coalesce(sum(col(c).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+
+  private def ccMinLabel(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int): DataFrame = {
     // both edge directions from ONE evaluation of the (possibly
     // expensive) pairs plan — a union of two selects would run it twice
     val edges = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(lvl)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .persist(lvl)
-    // coalesce: SUM over an empty frame is null — an empty pair graph
-    // must yield an empty component set, not an NPE
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+      .persist(CacheLvl)
+    // each round references the previous labels frame TWICE (join
+    // probe + union) — cutLineage keeps the per-round logical plan
+    // constant-size (see its scaladoc)
+    var (labels, releaseLabels) = cutLineage(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("comp")))
+    var prevSum = decimalSum(labels, "comp")
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val next = edges.join(labels, edges("src") === labels("node"))
-        .select(edges("dst").as("node"), labels("comp"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .persist(lvl)
-      val s = labelSum(next)
-      labels.unpersist(blocking = false)
+      val (next, releaseNext) = cutLineage(
+        edges.join(labels, edges("src") === labels("node"))
+          .select(edges("dst").as("node"), labels("comp"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("comp")).as("comp")))
+      val s = decimalSum(next, "comp")
+      releaseLabels(false)
       labels = next
-      done = s == prevSum
+      releaseLabels = releaseNext
+      done = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (!done) {
+      releaseLabels(false)
+      throw new IllegalStateException(
+        s"connectedComponents(minlabel) did not converge in $maxIters rounds " +
+          "(graph diameter exceeds the round budget); raise maxIters or use " +
+          "algorithm=\"star\" (O(log² n) rounds regardless of diameter)")
+    }
+    graft.util.IntermediateCaches.trackRelease(releaseLabels)
+    labels
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14 §3). Edges are kept canonical (u < v). Per round:
+    *
+    *  - LARGE-STAR: per node a over its full neighborhood Γ(a), link
+    *    every strictly LARGER neighbor to m = min(Γ(a) ∪ {a}). Every
+    *    edge survives via its smaller endpoint's group, so connectivity
+    *    is preserved while long tails fold toward minima.
+    *  - SMALL-STAR: per node a over its smaller neighbors N = {v < a},
+    *    link N ∪ {a} to m = min(N). Turns the chains large-star left
+    *    behind into stars.
+    *
+    * Fixpoint = one star per component centered at the component
+    * minimum (both steps leave a min-centered star unchanged).
+    * Detected when the canonical edge-set checksum — (count, Σu,
+    * Σ xxhash64(u,v)) with decimal sums — is stable across a full
+    * round. Unlike min-label's label sum there is no monotone potential
+    * here, so the order-independent 64-bit content hash carries the
+    * "sets actually equal" evidence (count+Σu alone can collide). */
+  private def ccStarContraction(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v")).distinct()
+    // symmetrized adjacency (a, b) from canonical edges (u < v)
+    def sym(edges: DataFrame): DataFrame =
+      edges.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    def largeStar(edges: DataFrame): DataFrame = {
+      val adj = sym(edges)
+      val mins = adj.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      // v > a ≥ m ⇒ emitted edge (m, v) is already canonical
+      canon(adj.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v")))
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val smaller = sym(edges).filter(col("b") < col("a"))
+      val mins = smaller.groupBy(col("a")).agg(min(col("b")).as("m"))
+      // (v, m) for v ∈ N plus (a, m); m = min(N) < a and m ≤ b ∀ b ∈ N
+      canon(smaller.join(mins, "a")
+        .select(col("m").as("u"), col("b").as("v"))
+        .union(mins.select(col("m").as("u"), col("a").as("v"))))
+    }
+    def checksum(edges: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+      val r = edges.agg(count(lit(1)),
+        coalesce(sum(col("u").cast("decimal(38,0)")), zero),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), zero)).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    // large-star + small-star each reference the incoming edge frame
+    // several times (adjacency explode + min join-back) — carried
+    // lineage would multiply the logical plan ~4× per round, so each
+    // round goes through cutLineage (see its scaladoc)
+    var (edges, releaseEdges) = cutLineage(
+      canon(pairs.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))))
+    // all graph nodes, captured BEFORE contraction rewires edges (the
+    // star fixpoint drops no nodes, but the labels join below needs the
+    // original node set anyway for the (center, center) self-rows);
+    // materialized eagerly so it never re-runs the pair detector
+    val (nodes, releaseNodes) = cutLineage(
+      edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct())
+    nodes.count()
+    var prev = checksum(edges)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val (next, releaseNext) = cutLineage(smallStar(largeStar(edges)))
+      val s = checksum(next)
+      releaseEdges(false)
+      edges = next
+      releaseEdges = releaseNext
+      done = s._1 == prev._1 && s._2.compareTo(prev._2) == 0 &&
+        s._3.compareTo(prev._3) == 0
+      prev = s
+      iter += 1
+    }
+    if (!done) {
+      releaseEdges(false)
+      releaseNodes(false)
+      throw new IllegalStateException(
+        s"connectedComponents(star) did not converge in $maxIters rounds; " +
+          "raise maxIters")
+    }
+    // fixpoint edges are (center=u, leaf=v) stars; centers label themselves
+    val (labels, releaseLabels) = cutLineage(nodes
+      .join(edges.select(col("v").as("node"), col("u").as("lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("comp")))
+    labels.count()
+    releaseEdges(false)
+    releaseNodes(false)
+    graft.util.IntermediateCaches.trackRelease(releaseLabels)
     labels
   }
 

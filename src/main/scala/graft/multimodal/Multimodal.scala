@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * of a pandas-batch UDF: one fused stage, no per-row closure dispatch
   * into Python, no shuffle).
   *
-  * The actual media decode is STUBBED (this container has no
-  * image/audio codecs): `decodeStub` derives deterministic fake
-  * dimensions from the payload bytes. The Spark-side plumbing — typed
-  * schema, batch iterator shape, partition sizing — is real and tested;
-  * swapping in a JNI/codec call changes only the stub body.
+  * Decode paths: IMAGES have a REAL decoder — [[decodeImageInfo]] reads
+  * width/height/format from actual PNG/JPEG/GIF/BMP bytes via the JDK's
+  * ImageIO (header-only: the reader reports dimensions without
+  * decompressing the raster, which is what a 100 TB metadata pass
+  * wants). Audio/video decode remains STUBBED (this container has no
+  * codecs): `decodeStub` derives deterministic fake dimensions from the
+  * payload bytes. The Spark-side plumbing — typed schema, batch
+  * iterator shape, partition sizing — is identical for both and tested;
+  * the gate queries run the stub path because the synthetic testdata
+  * payloads are text bytes, not media (MultimodalSpec exercises the
+  * real path on synthesized PNG/JPEG/BMP bytes).
   */
 object Multimodal {
 
@@ -34,14 +40,58 @@ object Multimodal {
       n_frames = if (a.kind == "video") (n % 30).toInt + 1 else 1)
   }
 
+  /** Real image header decode: width/height/format from the actual
+    * bytes via ImageIO — header-only (`ImageReader.getWidth/getHeight`
+    * never decompress the raster), so the per-asset cost is a few
+    * hundred bytes of parsing regardless of image size. Returns None
+    * for payloads no registered reader recognizes (corrupt or
+    * non-image), which callers treat as a decode failure, not an
+    * error — at corpus scale a fraction of assets is always junk. */
+  def decodeImageInfo(payload: Array[Byte]): Option[ImageInfo] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some(ImageInfo(r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None
+    } finally iis.close()
+  }
+
+  case class ImageInfo(width: Int, height: Int, format: String)
+
   /** Batched decode over partitions. `batchHint` only documents the
-    * shape a real decoder would use (reusing codec contexts per batch). */
-  def extractMeta(assets: Dataset[MediaAsset], batchHint: Int = 64): Dataset[MediaMeta] = {
+    * shape a real decoder would use (reusing codec contexts per batch).
+    *
+    * `realImageDecode = true` routes `kind == "image"` assets through
+    * [[decodeImageInfo]] (real ImageIO header parse; undecodable
+    * payloads fall back to the stub so the pass is total). Default off:
+    * the gate corpus carries text-byte payloads, so its numbers are the
+    * stub's by construction. */
+  def extractMeta(assets: Dataset[MediaAsset], batchHint: Int = 64,
+      realImageDecode: Boolean = false): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // a real implementation allocates its codec context once here,
       // then streams batches of `batchHint` through it
-      it.map(decodeStub)
+      it.map { a =>
+        if (realImageDecode && a.kind == "image")
+          decodeImageInfo(a.payload) match {
+            case Some(info) =>
+              MediaMeta(a.asset_id, a.kind, a.payload.length.toLong,
+                info.width, info.height, n_frames = 1)
+            case None => decodeStub(a)
+          }
+        else decodeStub(a)
+      }
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,36 +34,61 @@ object Events {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Ordered conversion funnel: first view → first click within 24 h of
-    * that view → first purchase after the click (still inside the view's
-    * 24 h window), counted per stage. Each stage is a per-user MIN
-    * aggregation plus an equi-join on user_id — the standard distributed
-    * funnel shape (shuffles carry one row per qualifying user, never the
-    * event stream; timestamp+interval comparisons are exact in both
-    * engines). */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  /** N-stage ordered conversion funnel over arbitrary events: stage 1
+    * is each user's FIRST event passing `stages(0)`'s filter; stage i>1
+    * is the user's first event passing `stages(i)`'s filter that is
+    * strictly after their stage-(i−1) time and within `within` of the
+    * stage-1 ANCHOR time. Output: one row of per-stage qualifying-user
+    * counts, columns `n_<stageName>` in stage order.
+    *
+    * Scale shape: each stage is a per-user MIN aggregation plus an
+    * equi-join on the user key — the standard distributed funnel
+    * (shuffles carry one row per qualifying user, never the event
+    * stream; timestamp+interval comparisons are exact in both engines).
+    * Each non-final stage frame is referenced twice (next stage + its
+    * own count), so it is persisted — or Catalyst re-evaluates the whole
+    * subplan per reference (2·N event scans); the persists are
+    * registered with [[graft.util.IntermediateCaches]] for eager
+    * release after the result is materialized. */
+  def funnelStages(events: DataFrame, stages: Seq[(String, Column)],
+      within: java.time.Duration, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val win = expr(s"INTERVAL ${within.getSeconds} SECONDS")
+    def cached(df: DataFrame): DataFrame =
+      graft.util.IntermediateCaches.track(df.persist(lvl))
+    var stage = cached(events.filter(stages.head._2)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t_anchor"))
+      .withColumn("t_stage", col("t_anchor")))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += stage.agg(count(lit(1)).as(s"n_${stages.head._1}"))
+    for (((name, pred), i) <- stages.tail.zipWithIndex) {
+      val prev = stage.select(col(userCol), col("t_anchor"),
+        col("t_stage").as("t_prev"))
+      val next = events.filter(pred).join(prev, userCol)
+        .filter(col(tsCol) > col("t_prev") &&
+          col(tsCol) <= col("t_anchor") + win)
+        .groupBy(col(userCol), col("t_anchor"))
+        .agg(min(col(tsCol)).as("t_stage"))
+      // the LAST stage is referenced once (its count) — no persist
+      stage = if (i == stages.size - 2) next else cached(next)
+      counts += stage.agg(count(lit(1)).as(s"n_$name"))
+    }
+    counts.result().reduce(_.crossJoin(_))
+  }
+
+  /** The gate funnel: first view → first click within 24 h of that view
+    * → first purchase after the click (still inside the view's 24 h
+    * window) — the 3-stage instantiation of [[funnelStages]]. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-    // each stage frame is one row per qualifying user and is referenced
-    // twice (next stage + its own count) — persist them or Catalyst
-    // re-evaluates the whole subplan per reference (6 event scans);
-    // cache entries release via ContextCleaner once the result is
-    // dropped, like Dedup's candidate set
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      .persist(lvl)
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("v_ts") &&
-        col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
-      .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("c_ts"))
-      .persist(lvl)
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("c_ts") &&
-        col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_view")).crossJoin(
-        c.agg(count(lit(1)).as("n_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    funnelStages(ev, Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")),
+      java.time.Duration.ofHours(24))
   }
 
   val funnelSql: String =

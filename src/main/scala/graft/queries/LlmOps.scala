@@ -405,9 +405,13 @@ object LlmOps {
 
   /** MinHash-LSH banding + exact-Jaccard verification. Same oracle as the
     * brute-force query: with 64 hashes / 16 bands the planted ~0.97-Jaccard
-    * pairs are recalled with probability 1 - 1e-15. */
+    * pairs are recalled with probability 1 - 1e-15. Runs SALTED (salt=2,
+    * triangle partitioning) so the skew-tolerant production composition is
+    * the one the oracle certifies — ScaleSpec proves the candidate set is
+    * salt-invariant, this gate proves the composed pipeline is too. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+    Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5,
+      salt = 2)
 
   val dedupMinhashLshSql: String = JaccardOracle
 
@@ -537,9 +541,22 @@ object LlmOps {
     * the merge step before clustering when several near-dup signals
     * feed one pipeline. Full outer join on the pair key; on this
     * synthetic corpus the two evidence sets are disjoint, which is
-    * exactly what the union shape exists to surface. */
+    * exactly what the union shape exists to surface.
+    *
+    * Detector choice mirrors [[dedupGroups]]/[[dedupCorpus]]: the TEXT
+    * side is the MinHash-LSH scale path (same oracle as the brute-force
+    * inverted-index join — with 64 hashes / 16 bands the planted
+    * ~0.97-Jaccard pairs are recalled with probability 1 − 1e-15, so
+    * the banded pair set is value-identical). The COSINE side must stay
+    * exact here: the 0.44 threshold on this corpus sits at
+    * sign-agreement probability p = 1 − θ/π ≈ 0.65 (max cos ≈ 0.51, no
+    * θ→0 near-dups), where any practical hyperplane-LSH config recalls
+    * only ~40% of qualifying pairs — not oracle-able. At production
+    * scale a cosine evidence feed would come from a corpus whose dup
+    * pairs ARE near-angle (p → 1), where [[Ann.cosineLshPairs]] is the
+    * drop-in (recall spec at LlmOpsSpec). */
   def dedupEvidenceUnion(s: SparkSession, dir: String): DataFrame = {
-    val jac = Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+    val jac = Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
     val cos = Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.44)
     jac.join(cos, jac("doc_a") === cos("va") && jac("doc_b") === cos("vb"), "full_outer")
       .select(

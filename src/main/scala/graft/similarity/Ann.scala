@@ -131,22 +131,15 @@ object Ann {
       .distinct()
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-0.5, 0.5). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
-  /** Bit-signature of `planes` random-hyperplane signs. */
-  def lshSignature(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
-  }
+  /** Bit-signature of `planes` random-hyperplane signs: one table of the
+    * codegen'd [[org.apache.spark.sql.graft.CosineLshKeys]] expression
+    * (Rademacher hyperplanes hashed from (plane, dim) — no driver plane
+    * matrix, no interpreted higher-order-function stage; the previous
+    * per-plane `aggregate(zip_with(…))` formulation re-walked the vector
+    * once per plane in the interpreted evaluator). */
+  def lshSignature(vec: Column, planes: Int): Column =
+    org.apache.spark.sql.graft.CosineLshKeys
+      .cosine_lsh_keys(vec, planes, 1).getItem(0)
 
   /** IVF (inverted-file) ANN: vectors are assigned to the nearest of
     * `nCells` coarse cells; a query searches only the `probes` cells

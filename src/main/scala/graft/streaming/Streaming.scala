@@ -109,7 +109,16 @@ object Streaming {
     * arriving documents continuously fold into their dup group. The
     * final table must equal the BATCH `d_exact` answer — same oracle
     * SQL. (keep_id = MIN over the group is arrival-order independent,
-    * unlike dropDuplicates' keep-first.) */
+    * unlike dropDuplicates' keep-first.)
+    *
+    * STATE-SIZE CAVEAT (scale): complete-mode groupBy state is
+    * O(distinct fingerprints) and never expires — correct as a finite
+    * replay GATE (the memory sink is the oracle mechanism), unbounded
+    * on a 100 TB continuous corpus. The production shape is
+    * [[exactDedupStreamWatermarked]]: watermarked
+    * `dropDuplicatesWithinWatermark` keeps only the fingerprints seen
+    * within the watermark horizon, bounding state by arrival rate ×
+    * horizon. */
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream
@@ -122,6 +131,47 @@ object Streaming {
     withReplayPartitions(s, 4) {
       val q = agg.writeStream
         .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+  }
+
+  /** Watermarked streaming exact dedup — the shape that survives an
+    * unbounded corpus: `dropDuplicatesWithinWatermark` on the text
+    * fingerprint emits each fingerprint's FIRST arrival immediately
+    * (append mode) and expires a fingerprint's dedup state once the
+    * watermark passes its event time + delay, so state is
+    * O(fingerprints per watermark horizon) instead of O(all distinct
+    * fingerprints ever). The contract weakens accordingly: duplicates
+    * separated by more than the horizon are NOT collapsed — pick the
+    * delay to cover the pipeline's real reordering window.
+    *
+    * Documents carry no event time, so the replay synthesizes a
+    * deterministic arrival timestamp from doc_id (1 s apart); a
+    * production stream would use its ingestion time. Spec
+    * (StreamingSpec): output == batch keep-one-per-fingerprint within
+    * the horizon. */
+  def exactDedupStreamWatermarked(s: SparkSession, dir: String,
+      delay: String = "1 hour",
+      queryName: String = "graft_stream_dedup_wm"): DataFrame = {
+    val deduped = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      // offset past epoch 0: the stream's INITIAL watermark is epoch 0,
+      // and a row whose event time sits at/below the watermark is
+      // discarded as late — doc_id 0 would silently vanish
+      .select(col("doc_id"),
+        timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"),
+        graft.text.fingerprint_md5(col("text")).as("fp"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+    withReplayPartitions(s, 4) {
+      val q = deduped.writeStream
+        .outputMode("append")
         .format("memory")
         .queryName(queryName)
         .start()

@@ -81,9 +81,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_lsh_keys(vec, planesPerTable, tables) - multi-table sign-random-projection bucket keys"),
       (children: Seq[Expression]) => {
         require(children.size == 3, "cosine_lsh_keys(vec, planesPerTable, tables)")
+        // the parameters configure the expression at build time, so they
+        // must be literals — eval() on a non-foldable (column/cast-of-
+        // column) child here would throw an opaque UnresolvedException
+        def intLit(e: Expression, name: String): Int = {
+          if (!e.foldable) {
+            throw org.apache.spark.sql.errors.QueryCompilationErrors
+              .nonFoldableArgumentError("cosine_lsh_keys", name,
+                org.apache.spark.sql.types.IntegerType)
+          }
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"cosine_lsh_keys: $name must be a non-null integer literal, got $other")
+          }
+        }
         CosineLshKeys(children.head,
-          children(1).eval().asInstanceOf[Number].intValue(),
-          children(2).eval().asInstanceOf[Number].intValue())
+          intLit(children(1), "planesPerTable"),
+          intLit(children(2), "tables"))
       }))
 
     extensions.injectFunction((

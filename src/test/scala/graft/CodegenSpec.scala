@@ -79,6 +79,22 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN lshSignature rides CosineLshKeys — no interpreted lambda in the plan") {
+    codegenOnly {
+      val emb = Tables.embeddings(spark, SharedSpark.sf0001)
+      val signed = emb.select(col("vec_id"),
+        graft.similarity.Ann.lshSignature(col("embedding"), 8).as("sig"))
+      val plan = signed.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("lambdafunction") && !plan.contains("aggregate("),
+        s"interpreted HOF stage survived in:\n$plan")
+      assert(plan.contains("cosinelshkeys") || plan.contains("cosine_lsh_keys"))
+      // signature values sit in the declared bit range and discriminate
+      val sigs = signed.collect().map(_.getLong(1))
+      assert(sigs.forall(s => s >= 0 && s < (1L << 8)))
+      assert(sigs.distinct.length > 1)
+    }
+  }
+
   test("VectorOps dot/l2norm generate compiling Java and equal the HOF fold bit-for-bit") {
     codegenOnly {
       val rng = new scala.util.Random(3)

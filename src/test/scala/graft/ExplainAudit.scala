@@ -34,7 +34,9 @@ object ExplainAudit {
       // their final sort; tfidf/oov must broadcast the vocab side
       "t_entropy", "t_repetition", "t_chunks", "t_strat_sample",
       "t_oov", "t_tfidf", "d_winnow_pairs", "t_corpus_filter",
-      "d_dedup_corpus", "ev_funnel", "ev_retention").foreach(audit)
+      "d_dedup_corpus", "ev_funnel", "ev_retention",
+      // round 4: union must show banding (not the inverted-index join)
+      "d_dup_union", "s_ann_lsh").foreach(audit)
     spark.stop()
   }
 }

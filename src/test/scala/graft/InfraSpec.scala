@@ -111,6 +111,30 @@ class InfraSpec extends AnyFunSuite {
     assert(got == Tables.events(spark, sf0001).count())
   }
 
+  test("watermarked streaming dedup == batch one-per-fingerprint within the horizon") {
+    // the bounded-state production variant of st_dedup_stream: append
+    // mode + dropDuplicatesWithinWatermark emits exactly one row per
+    // fingerprint (the replay fits inside one watermark horizon, so the
+    // weakened contract coincides with exact dedup here)
+    val out = graft.streaming.Streaming
+      .exactDedupStreamWatermarked(spark, sf0001, queryName = "infra_dedup_wm")
+      .collect()
+    val batch = graft.dedup.Dedup
+      .exactGroups(Tables.documents(spark, sf0001)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // fp -> group size
+    // exactly one surviving row per distinct fingerprint
+    assert(out.map(_.getAs[String]("fp")).toSet == batch.keySet)
+    assert(out.length == batch.size)
+    // every kept doc genuinely carries the fingerprint it represents
+    val fpOf = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.fingerprint_md5(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(fpOf(r.getAs[Long]("doc_id")) == r.getAs[String]("fp"))
+    }
+  }
+
   // ------------------------------------------------------- port utils
 
   test("PortUtils retries past occupied ports") {

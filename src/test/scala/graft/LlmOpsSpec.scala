@@ -338,6 +338,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.forall(_._3 >= 0.0))
   }
 
+  test("d_dup_union's text evidence rides the banding detector, not the inverted-index join") {
+    val df = SparkEntry.queries("d_dup_union")(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("minhashsignature") || plan.contains("minhash_signature"),
+      "expected the MinHash-LSH detector on the text side")
+    assert(!plan.contains("s_df"),
+      "the brute-force detector's df-cap window leaked into the union plan")
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+  }
+
   test("connected components: chains, cliques, singleton pairs") {
     import graft.dedup.Dedup
     val pairs = Seq(

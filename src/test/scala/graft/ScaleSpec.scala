@@ -39,6 +39,90 @@ class ScaleSpec extends AnyFunSuite {
     assert(unsalted.nonEmpty && salted == unsalted)
   }
 
+  test("star contraction == min-label on mixed chains/cliques/pairs") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                            // path of 3
+      (10L, 11L),                                    // pair
+      (20L, 21L), (21L, 22L), (20L, 22L),            // triangle
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // chain (diameter 4)
+    ).toDF("doc_a", "doc_b")
+    val minlabel = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponents(pairs, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == minlabel)
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+  }
+
+  test("star contraction == min-label on the gate corpus near-dup graph") {
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5)
+    val minlabel = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponents(pairs, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minlabel.nonEmpty && star == minlabel)
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+  }
+
+  test("star contraction collapses a diameter-999 chain within 20 rounds; min-label throws loudly past its round budget") {
+    // 1000 nodes in a single path, ids permuted so labels can't ride the
+    // edge direction: min-label needs ~999 rounds (one hop per round),
+    // star contraction O(log² n). 919 is coprime with 1000 ⇒ permutation.
+    val perm = (0 until 1000).map(i => (i * 919) % 1000)
+    val chain = (0 until 999).map(i => (perm(i).toLong, perm(i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponents(chain, maxIters = 20, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(star.length == 1000 && star.forall(_._2 == 0L))
+    // the silent-partial-clustering guard: min-label must THROW when the
+    // diameter exceeds the round budget, never return unconverged labels
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 10)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+  }
+
+  test("triangle partitioning spreads a hot bucket's pair work across cells") {
+    // 40-doc hot bucket: unsalted, all C(40,2)=780 candidate pairs are
+    // generated under ONE shuffle key. With salt=4 the work lands on the
+    // 10 upper-triangle chunk cells; no cell may hold more than a
+    // fraction — the straggler-split claim, checked against the actual
+    // chunk assignment (pmod(xxhash64(id), salt), same as Skew's).
+    val hot = (0 until 40).map(_.toLong)
+    val salt = 4
+    val chunkOf = hot.toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(salt)).cast("int").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellLoad = hot.combinations(2).toSeq
+      .groupBy { case Seq(a, b) =>
+        val (ca, cb) = (chunkOf(a), chunkOf(b))
+        (math.min(ca, cb), math.max(ca, cb))
+      }.map { case (cell, ps) => cell -> ps.size }
+    val worst = cellLoad.values.max
+    assert(cellLoad.values.sum == 780)
+    // perfect spread would be 780/10 = 78/cell; allow hash imbalance but
+    // require the straggler to shrink by >3x vs the unsalted single task
+    assert(worst < 260, s"hot-bucket straggler not split: worst cell $worst of 780")
+    // and the salted operator still returns exactly the right pairs
+    val df = hot.map((_, "hot")).toDF("doc", "bucket")
+    val got = Skew.saltedSelfJoinPairs(df, Seq("bucket"), "doc", salt).count()
+    assert(got == 780)
+  }
+
+  test("IntermediateCaches.releaseAll unpersists exactly the operator-internal caches") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf0001)
+    Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "minhashLshPairs should have registered a persisted candidate set")
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseAll must leave no operator-internal cache behind")
+    assert(graft.util.IntermediateCaches.trackedCount == 0)
+  }
+
   test("cosineLshPairs on an empty corpus returns an empty frame with the right schema") {
     val empty = spark.emptyDataset[(Long, Array[Float])].toDF("vec_id", "embedding")
     val out = graft.similarity.Ann.cosineLshPairs(empty, 0.5)
