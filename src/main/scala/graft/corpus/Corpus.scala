@@ -1,0 +1,127 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the stages that turn a cleaned document
+  * set into training-ready data: deterministic global shuffle, packing
+  * documents into fixed-token-budget sequences, and benchmark
+  * decontamination.
+  *
+  * The first two need a GLOBAL order (a total shuffle rank, a running
+  * token offset), and the naive formulation — one window function over
+  * the whole corpus — collapses onto a single partition, the classic
+  * scale-killer. Both instead use a two-pass bucketed prefix: rows get
+  * a coarse deterministic bucket key; pass 1 aggregates one row per
+  * bucket (count or token sum — map-side combined, dimension-sized
+  * output); the exclusive prefix over THAT tiny frame is a window over
+  * #buckets rows; pass 2 joins the broadcast offsets back and runs the
+  * per-bucket window, which parallelizes across buckets. Global value =
+  * bucket offset + intra-bucket running value. At 100 TB the only
+  * single-partition work is the prefix over the bucket summary
+  * (millions of rows of two longs, not the corpus). */
+object Corpus {
+
+  /** Exclusive prefix offsets over a per-bucket summary: input one row
+    * per bucket with an additive `weight`, output (bucket, offset)
+    * where offset = Σ weight of all LOWER buckets. The window here runs
+    * over the bucket summary only — dimension-sized by construction —
+    * and the result is broadcast back to the corpus-sized side. */
+  private def bucketOffsets(perBucket: DataFrame, bucketCol: String,
+      weightCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bucketCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perBucket.select(col(bucketCol),
+      coalesce(sum(col(weightCol)).over(w), lit(0L)).as("bucket_offset"))
+  }
+
+  /** Deterministic global shuffle rank — every training pipeline's
+    * "shuffle the corpus, reproducibly" step. Order is (md5(id), id):
+    * uniform, seedable by salting the id, and identical on any cluster
+    * size. Returns (idCol, rank) with rank ∈ [1, N] dense over the
+    * corpus.
+    *
+    * Buckets are the first two hex chars of the hash key (256 buckets,
+    * each ~N/256 rows); because the bucket is a PREFIX of the ordering
+    * key, (bucket, key, id) order equals global (key, id) order, so
+    * bucket_offset + intra-bucket row_number IS the global rank. */
+  def shuffleRank(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(col(idCol).cast("string").cast("binary")).as("hk"))
+      .withColumn("bkt", substring(col("hk"), 1, 2))
+    val offsets = bucketOffsets(
+      keyed.groupBy(col("bkt")).agg(count(lit(1)).as("n")), "bkt", "n")
+    val perBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("hk"), col(idCol))
+    keyed.join(broadcast(offsets), "bkt")
+      .select(col(idCol),
+        (col("bucket_offset") + row_number().over(perBucket)).as("rank"))
+  }
+
+  /** Pack documents into fixed-token-budget training sequences:
+    * documents are laid out contiguously in `idCol` order (the order is
+    * the contract — run [[shuffleRank]] first and pack by rank for a
+    * shuffled layout) and a document belongs to the sequence its START
+    * offset falls in: seq_id = floor(exclusive_token_cumsum / budget).
+    * This is the "concatenate the corpus, chop every `budget` tokens,
+    * never split a document" packing: each sequence holds ≥⌊budget /
+    * max_doc_tokens⌋ docs and overflows by at most one document past
+    * the budget boundary (the straddler starts inside the sequence).
+    *
+    * Output: one row per sequence — (seq_id, n_docs, n_tokens,
+    * first_doc, last_doc).
+    *
+    * `tokensOf` maps the document row to its token count (a Column so
+    * callers can plug a real tokenizer's count column); `bucketSize`
+    * sets the coarse id-range bucket for the two-pass prefix (see the
+    * object scaladoc) — any value ≫ 1 works, smaller = more parallel
+    * buckets, larger = smaller bucket summary. */
+  def packSequences(docs: DataFrame, tokensOf: Column, budget: Int,
+      idCol: String = "doc_id", bucketSize: Int = 4096): DataFrame = {
+    require(budget > 0 && bucketSize > 1)
+    val toks = docs.select(col(idCol), tokensOf.cast("long").as("ntok"))
+      .withColumn("bkt", (col(idCol) / lit(bucketSize)).cast("long"))
+    val offsets = bucketOffsets(
+      toks.groupBy(col("bkt")).agg(sum(col("ntok")).as("t")), "bkt", "t")
+    val perBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.join(broadcast(offsets), "bkt")
+      .select(col(idCol), col("ntok"),
+        (col("bucket_offset") + sum(col("ntok")).over(perBucket) - col("ntok"))
+          .as("start_offset"))
+      .select(col(idCol), col("ntok"),
+        floor(col("start_offset") / lit(budget.toDouble)).cast("long").as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ 1 word
+    * `n`-gram with a benchmark/eval set — the n-gram-overlap
+    * contamination check of the published LLM training pipelines
+    * (typically n ≈ 8–13; the gate uses a smaller n scaled to its
+    * synthetic short documents). Returns (idCol, n_shared) with
+    * n_shared = count of DISTINCT contaminated n-grams per document,
+    * only for contaminated documents.
+    *
+    * Scale shape: a benchmark is fixed-size (it does not grow with the
+    * corpus), so its distinct n-gram set is always dimension-sized —
+    * build it once, broadcast it, and the corpus-side pass is
+    * explode → broadcast-hash semi join → per-doc count: one shuffle of
+    * (doc, count) pairs, never an n-gram self-join. Shingling is the
+    * one-pass codegen'd
+    * [[org.apache.spark.sql.graft.DistinctShingles]] expression on both
+    * sides. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = org.apache.spark.sql.graft.DistinctShingles
+      .distinct_shingles(col(textCol), n)
+    val benchGrams = benchmark.select(explode(grams).as("g")).distinct()
+    corpus.select(col(idCol), explode(grams).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

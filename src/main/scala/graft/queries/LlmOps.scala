@@ -703,4 +703,97 @@ object LlmOps {
       |  CAST(length(text) * 7 % 480 AS INT) AS height,
       |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END AS INT) AS n_frames
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------- corpus assembly
+
+  /** PII redaction gate. The synthetic corpus carries no PII, so the
+    * gate plants one instance of each class deterministically from
+    * doc_id (the SAME concat expression in Spark and the oracle —
+    * what's under test is the scrub+count pipeline, not the corpus),
+    * then scrubs and counts. Map-only chained regexp_replace — no
+    * shuffle; clean text is carried as md5 so the compare stays
+    * compact. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".1 ssn 123-45-6789 tel 555-123-4567"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        pii_count(col("aug"), "email").cast("long").as("n_email"),
+        pii_count(col("aug"), "ssn").cast("long").as("n_ssn"),
+        pii_count(col("aug"), "phone").cast("long").as("n_phone"),
+        pii_count(col("aug"), "ip").cast("long").as("n_ip"),
+        md5(pii_scrub(col("aug")).cast("binary")).as("clean_md5"))
+  }
+
+  /** Oracle built from the SAME [[graft.text.PiiPatterns]] strings the
+    * Scala scrubber folds over (single-quoted SQL literals do not
+    * process backslashes, so the regex text reaches DuckDB verbatim) —
+    * the patterns and their application order cannot drift between the
+    * engines. */
+  val piiScrubSql: String = {
+    val ps = graft.text.PiiPatterns
+    val scrub = ps.foldLeft("aug") { case (acc, (re, token)) =>
+      s"regexp_replace($acc, '$re', '$token', 'g')"
+    }
+    def cnt(i: Int) = s"len(regexp_extract_all(aug, '${ps(i)._1}'))"
+    s"""WITH a AS (SELECT doc_id,
+       |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+       |    || CAST(doc_id % 256 AS VARCHAR) || '.1 ssn 123-45-6789 tel 555-123-4567' AS aug
+       |  FROM documents)
+       |SELECT doc_id, ${cnt(0)} AS n_email, ${cnt(1)} AS n_ssn,
+       |  ${cnt(2)} AS n_phone, ${cnt(3)} AS n_ip,
+       |  md5($scrub) AS clean_md5
+       |FROM a""".stripMargin
+  }
+
+  /** Benchmark decontamination gate: the eval set is the deterministic
+    * doc_id % 20 slice, n = 4 word-grams (scaled to the synthetic
+    * ~54-token documents where the published 8–13-gram checks would
+    * never fire). Corpus-side pass is explode → broadcast semi-join —
+    * see [[graft.corpus.Corpus.decontaminate]]. */
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.corpus.Corpus.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n = 4)
+  }
+
+  val decontamSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i)),
+       |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
+
+  /** Sequence-packing gate: 256-token budget, contiguous doc_id order,
+    * bucketSize 64 so even sf0.01's 500 docs exercise the multi-bucket
+    * two-pass prefix (not one degenerate bucket). */
+  def packSeqs(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.packSequences(Tables.documents(s, dir),
+      tokensOf = n_tokens(col("text")), budget = 256, bucketSize = 64)
+
+  val packSeqsSql: String =
+    s"""WITH n AS (SELECT doc_id, len(string_split($NormSql, ' ')) AS ntok FROM documents),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM n)
+       |SELECT CAST(floor(sof / 256.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** Deterministic global shuffle gate — the full-corpus total order by
+    * (md5(doc_id), doc_id), ranked without a single-partition window
+    * (bucketed two-pass prefix; see [[graft.corpus.Corpus.shuffleRank]]). */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.shuffleRank(Tables.documents(s, dir))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"))
+
+  val corpusShuffleSql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |FROM documents""".stripMargin
 }

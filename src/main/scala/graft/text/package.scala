@@ -142,4 +142,46 @@ package object text {
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  // ------------------------------------------------------ PII redaction
+
+  /** PII patterns shared by the scrubber, the per-class counters, and
+    * the DuckDB oracle (plain RE2/Java-common syntax — no lookarounds,
+    * no possessive quantifiers — so both engines compile them
+    * identically). Redaction order matters and is fixed: emails first
+    * (their local parts may contain digit runs the later patterns would
+    * chew on), then SSN before phone (both dash-digit shapes; the
+    * narrower one must not be half-eaten), then IPv4 last. */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "[PHONE]",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "[IP]")
+
+  /** Redact emails, SSNs, phone numbers and IPv4 addresses to typed
+    * placeholder tokens — the standard pre-training scrub pass. Pure
+    * chained `regexp_replace` (codegen'd, map-only, no shuffle); at
+    * corpus scale this is a scan-bound pass like the other text
+    * signals. Counts of what WOULD be redacted come from
+    * [[pii_count]] on the unscrubbed column. */
+  def pii_scrub(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** Number of matches of one PII class (`email | ssn | phone | ip`) in
+    * the raw text — independent per-class scans of the ORIGINAL column,
+    * so a string matched by two classes counts in both (redaction order
+    * only affects [[pii_scrub]]'s output, never these counts). */
+  def pii_count(c: Column, kind: String): Column = {
+    val re = kind match {
+      case "email" => PiiPatterns(0)._1
+      case "ssn"   => PiiPatterns(1)._1
+      case "phone" => PiiPatterns(2)._1
+      case "ip"    => PiiPatterns(3)._1
+      case other => throw new IllegalArgumentException(
+        s"unknown PII class '$other' (email|ssn|phone|ip)")
+    }
+    regexp_count(c, lit(re))
+  }
 }

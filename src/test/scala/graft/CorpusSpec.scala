@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.text.{pii_count, pii_scrub}
+
+/** Corpus-assembly operators: deterministic shuffle rank and sequence
+  * packing (both via the bucketed two-pass global prefix — checked
+  * against single-threaded references), benchmark decontamination, and
+  * PII redaction. */
+class CorpusSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  // ------------------------------------------------------ shuffle rank
+
+  test("shuffleRank is the global (md5(id), id) total order, dense 1..N") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Corpus.shuffleRank(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(got.size == n)
+    assert(got.values.toSeq.sorted == (1L to n).toSeq)
+    // reference: single-threaded sort by the same key
+    val ref = got.keys.toSeq
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == ref)
+  }
+
+  test("shuffleRank plan: offsets broadcast, no single-partition corpus window") {
+    val plan = Corpus.shuffleRank(Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket offsets should broadcast:\n$plan")
+    // the CORPUS-side rank window must be partitioned by the bucket —
+    // only the dimension-sized offsets window may run single-partition
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"corpus window not bucket-partitioned:\n$plan")
+  }
+
+  // --------------------------------------------------- sequence packing
+
+  test("packSequences matches the sequential reference and never splits a doc") {
+    val budget = 25
+    // uneven token counts incl. one doc bigger than the whole budget
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, Seq.fill(30)("w").mkString(" ")), (2L, "x y"),
+      (3L, Seq.fill(10)("q").mkString(" ")), (4L, "one two three"),
+      (5L, Seq.fill(24)("z").mkString(" ")), (6L, "t"), (7L, "u v w x")
+    ).toDF("doc_id", "text")
+    val got = Corpus.packSequences(docs, text.n_tokens(col("text")),
+        budget, bucketSize = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // sequential reference: running start offset, seq = sof / budget
+    val toks = Seq(0L -> 5, 1L -> 30, 2L -> 2, 3L -> 10, 4L -> 3, 5L -> 24, 6L -> 1, 7L -> 4)
+    var sof = 0L
+    val ref = toks.map { case (id, nt) =>
+      val seq = sof / budget; sof += nt; (id, nt.toLong, seq)
+    }
+    val refAgg = ref.groupBy(_._3).map { case (seq, ds) =>
+      seq -> (ds.size.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max)
+    }
+    assert(got == refAgg)
+    // every doc packed exactly once
+    assert(got.values.map(_._1).sum == toks.size)
+    assert(got.values.map(_._2).sum == toks.map(_._2).sum)
+    // contiguity: doc ranges of consecutive sequences do not interleave
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((_, _, _, lastA), (_, _, firstB, _)) => assert(lastA < firstB)
+      case _ =>
+    }
+  }
+
+  test("packSequences is bucketSize-invariant (the prefix decomposition is exact)") {
+    val docs = Tables.documents(spark, sf0001)
+    val base = Corpus.packSequences(docs, text.n_tokens(col("text")), 256,
+        bucketSize = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (bs <- Seq(2, 7, 100000)) {
+      val alt = Corpus.packSequences(docs, text.n_tokens(col("text")), 256,
+          bucketSize = bs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(alt == base, s"bucketSize=$bs diverged")
+    }
+  }
+
+  // --------------------------------------------------- decontamination
+
+  test("decontaminate counts distinct shared n-grams per corpus doc") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "quick brown" and "brown fox" (and "the quick")
+      (1L, "see the quick brown fox run"),
+      // repeated shared gram counts ONCE (distinct shingles)
+      (2L, "lazy dog lazy dog lazy dog"),
+      // no 2-gram overlap
+      (3L, "completely different words entirely"),
+      // fewer tokens than n
+      (4L, "dog")
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(corpus, bench, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("decontaminate plan broadcasts the benchmark gram set") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = Corpus.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast (corpus-side never shuffles its grams):\n$plan")
+  }
+
+  // ------------------------------------------------------ PII scrubbing
+
+  test("pii_scrub redacts all four classes; pii_count counts them") {
+    val rows = Seq(
+      ("reach me at john.doe+spam@foo-bar.co.uk or jane@x.io thanks",
+        "reach me at [EMAIL] or [EMAIL] thanks", 2, 0, 0, 0),
+      ("ssn 123-45-6789 phone 555-123-4567 and 555.123.4567",
+        "ssn [SSN] phone [PHONE] and [PHONE]", 0, 1, 2, 0),
+      ("server 10.0.3.1 and 192.168.255.254 up", "server [IP] and [IP] up", 0, 0, 0, 2),
+      ("no pii here, just text 12345", "no pii here, just text 12345", 0, 0, 0, 0)
+    ).toDF("text", "want", "ne", "ns", "np", "ni")
+    val got = rows.select(
+      pii_scrub(col("text")).as("clean"), col("want"),
+      pii_count(col("text"), "email").as("ge"), col("ne"),
+      pii_count(col("text"), "ssn").as("gs"), col("ns"),
+      pii_count(col("text"), "phone").as("gp"), col("np"),
+      pii_count(col("text"), "ip").as("gi"), col("ni")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"scrub mismatch: ${r.getString(0)}")
+      assert(r.getInt(2) == r.getInt(3) && r.getInt(4) == r.getInt(5) &&
+        r.getInt(6) == r.getInt(7) && r.getInt(8) == r.getInt(9),
+        s"count mismatch on: $r")
+    }
+  }
+
+  test("pii_count rejects an unknown class") {
+    intercept[IllegalArgumentException] { pii_count(col("x"), "iban") }
+  }
+}

@@ -36,7 +36,11 @@ object ExplainAudit {
       "t_oov", "t_tfidf", "d_winnow_pairs", "t_corpus_filter",
       "d_dedup_corpus", "ev_funnel", "ev_retention",
       // round 4: union must show banding (not the inverted-index join)
-      "d_dup_union", "s_ann_lsh").foreach(audit)
+      "d_dup_union", "s_ann_lsh",
+      // corpus assembly: shuffle/pack broadcast their bucket offsets
+      // (no corpus-sized single-partition window), decontam broadcasts
+      // the benchmark grams, pii is map-only
+      "t_shuffle", "t_pack", "t_decontam", "t_pii_scrub").foreach(audit)
     spark.stop()
   }
 }
