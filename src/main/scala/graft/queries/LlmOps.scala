@@ -295,6 +295,110 @@ object LlmOps {
       |    (CASE WHEN lang = 'en' THEN '40' ELSE '80' END) END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Mixture rebalancing gate: rebalance the corpus to a prescribed
+    * language recipe (40% en, 15% each of de/es/fr/zh). All threshold
+    * math is integer floor division (see
+    * [[graft.sampling.Sampling.mixToTarget]]), so the oracle reproduces
+    * the kept set exactly. Output: per-language before/after counts plus
+    * the kept-id checksum. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val targets = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+    val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val after = graft.sampling.Sampling
+      .mixToTarget(docs, "doc_id", "lang", targets)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after"), sum(col("doc_id")).as("id_sum"))
+    before.join(after, Seq("lang")).orderBy(col("lang"))
+  }
+
+  val domainMixSql: String =
+    """WITH t AS (SELECT * FROM (VALUES ('en',40),('de',15),('es',15),('fr',15),('zh',15)) AS v(lang, pct)),
+      |c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n * 100 // pct) AS m FROM c JOIN t USING (lang)),
+      |r AS (SELECT lang, n, (256 * ((pct * (SELECT m FROM m)) // 100)) // n AS b
+      |      FROM c JOIN t USING (lang)),
+      |kept AS (SELECT d.lang, COUNT(*) AS n_after, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |         FROM documents d JOIN r USING (lang)
+      |         WHERE r.b >= 256 OR (r.b > 0 AND
+      |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.b))
+      |         GROUP BY d.lang)
+      |SELECT lang, r.n AS n_before, k.n_after, k.id_sum
+      |FROM r JOIN kept k USING (lang) ORDER BY lang""".stripMargin
+
+  /** Quality-weighted importance sampling gate: each document kept with
+    * probability equal to its quality score — deterministic (md5 bucket
+    * vs floor(quality·256); no RNG), so the oracle reproduces the kept
+    * set row for row. The standard "sample the corpus proportional to a
+    * learned quality signal" stage, with [[quality_score]] standing in
+    * for the learned scorer. Map-only, no shuffle. */
+  def qualitySample(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("quality"))
+    graft.sampling.Sampling
+      .weightedHashSample(scored, "doc_id", col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySampleSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm,
+       |  len(string_split(norm, ' ')) AS ntok,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM n),
+       |scored AS (SELECT doc_id,
+       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS quality
+       |FROM m)
+       |SELECT doc_id, quality FROM scored
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+       |  printf('%02x', LEAST(255, CAST(floor(quality * 256) AS INT)))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM cross-entropy scoring — the perplexity-style quality
+    * signal: fit a unigram LM on the corpus itself (top-V vocabulary by
+    * frequency, out-of-vocabulary floored to count 1) and score each
+    * document by the mean −log₂ p(token). Low CE = stereotypical text,
+    * high CE = rare-token-heavy; the filtering signal of the published
+    * pipelines with the n-gram LM reduced to its unigram core.
+    *
+    * V = 10 keeps part of the synthetic vocabulary out-of-vocab so the
+    * OOV floor is exercised. Shape: one token-count shuffle (map-side
+    * combined, vocabulary-sized output), top-V via TakeOrdered,
+    * broadcast joins of vocab + the one-row total, then a per-doc mean
+    * — the second shuffle carries one partial sum per (doc, partition).
+    * round(6) absorbs the engines' summation-order ulps (same bound as
+    * t_entropy). */
+  def textUnigramCE(s: SparkSession, dir: String): DataFrame = {
+    val V = 10
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(desc("cnt"), asc("token")).limit(V)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(2.0, coalesce(col("cnt"), lit(1L)).cast("double") / col("total")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(round(-avg(col("logp")), 6).as("ce"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textUnigramCESql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+       |v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10)
+       |SELECT doc_id,
+       |  ROUND(-AVG(log2(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / (SELECT total FROM tot))), 6) AS ce
+       |FROM tok LEFT JOIN v USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Token-window chunking with overlap (context-window packing): each
     * doc → ⌈max(ntok−size, 0)/stride⌉ + 1 chunks of ≤ `size` tokens
     * starting every `stride` — the count formula stops as soon as a

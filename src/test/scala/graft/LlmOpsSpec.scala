@@ -235,6 +235,80 @@ class LlmOpsSpec extends AnyFunSuite {
       s"en keep rate ${enKept / enAll} far from 0.25")
   }
 
+  test("weighted hash sample: keep decision is exactly bucket < floor(w*256)") {
+    import graft.sampling.Sampling
+    val rows = (0L until 400L).map(i => (i, (i % 5) * 0.25)) // w ∈ {0, .25, .5, .75, 1}
+    val df = rows.toDF("doc_id", "w")
+    val kept = Sampling.weightedHashSample(df, "doc_id", col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def bucket(id: Long): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2), 16)
+    val ref = rows.filter { case (id, w) =>
+      bucket(id) < math.min(255, math.floor(w * 256).toInt)
+    }.map(_._1).toSet
+    assert(kept == ref)
+    // w=0 keeps nothing; w=1 keeps all but the top 1/256 of hash space
+    assert(rows.filter(_._2 == 0.0).map(_._1).forall(!kept.contains(_)))
+  }
+
+  test("mixToTarget: integer thresholds, ratios near the recipe, subset per stratum") {
+    import graft.sampling.Sampling
+    val docs = Tables.documents(spark, sf001)
+    val targets = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+    val mixed = Sampling.mixToTarget(docs, "doc_id", "lang", targets)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference thresholds recomputed independently
+    val m = targets.map { case (l, t) => before(l) * 100L / t }.min
+    targets.foreach { case (l, t) =>
+      val kept = t * m / 100L
+      val b = 256L * kept / before(l)
+      assert(after.getOrElse(l, 0L) <= before(l))
+      // md5 buckets ~ uniform: achieved count within 4σ of the binomial
+      // around the bucket target (p = b/256 over n_l trials)
+      val p = b / 256.0
+      val expect = before(l) * p
+      val tol = 4 * math.sqrt(before(l) * p * (1 - p)) + 1
+      assert(math.abs(after.getOrElse(l, 0L) - expect) <= tol,
+        s"$l: after=${after.get(l)} expect≈$expect ±$tol (b=$b)")
+    }
+    // determinism + subset
+    val ids = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.mixToTarget(docs, "doc_id", "lang", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+    // the binding stratum keeps (almost) everything
+    val binding = targets.minBy { case (l, t) => before(l) * 100L / t }._1
+    val bindB = 256L * (targets(binding) * m / 100L) / before(binding)
+    assert(bindB >= 250, s"binding stratum $binding should keep ~all (b=$bindB)")
+  }
+
+  test("unigram CE: matches a single-threaded reference LM") {
+    val got = graft.queries.LlmOps.textUnigramCE(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: build the LM in plain Scala
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.text.norm_text(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val total = counts.values.sum.toDouble
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(10).toMap
+    val ref = docs.map { case (id, toks) =>
+      val ce = -toks.map(w => math.log(vocab.getOrElse(w, 1L).toDouble / total) / math.log(2.0)).sum / toks.size
+      id -> math.rint(ce * 1e6) / 1e6
+    }.toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, ce) =>
+      assert(math.abs(ce - ref(id)) <= 1e-6, s"doc $id: $ce vs ${ref(id)}")
+    }
+    // OOV exercised: V=10 < corpus vocabulary
+    assert(counts.size > 10)
+  }
+
   test("token chunking: counts and coverage invariants") {
     val chunks = graft.queries.LlmOps.textChunks(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
