@@ -734,6 +734,45 @@ object LlmOps {
        | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))
        |  * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
 
+  /** SemDeDup gate: the composed semantic-dedup pipeline — IVF cell
+    * partition → within-cell cosine pairs → connected components →
+    * keep min id (see [[graft.similarity.Ann.semDedup]]). The oracle
+    * replays every stage independently in SQL: argmax cell assignment
+    * as a window, the within-cell pair join, and the cluster closure
+    * as a recursive CTE — so detector, partitioner AND clustering are
+    * checked end-to-end. Deterministic seeds / no Lloyd here so the
+    * assignment is SQL-expressible; `lloydIters` is the production
+    * knob (cell geometry affects recall only). */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    Ann.semDedup(Tables.embeddings(s, dir), threshold = 0.44, nCells = 16)
+      .orderBy(col("vec_id"))
+
+  val semDedupSql: String =
+    s"""WITH RECURSIVE
+       |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |          FROM embeddings ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM embeddings a
+       |  JOIN asg aa ON aa.vec_id = a.vec_id
+       |  JOIN embeddings b ON a.vec_id < b.vec_id
+       |  JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+       |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |          UNION
+       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS vec_id, comp AS keep_id
+       |FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
+       |WHERE node <> comp ORDER BY vec_id""".stripMargin
+
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     Ann.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 

@@ -180,27 +180,49 @@ object Ann {
     seeds
   }
 
-  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-      nCells: Int = 16, probes: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 0): DataFrame = {
-    val spreadDf = graft.util.Partitioning.spreadIfNarrow(embeddings)
+  /** The seed (coarse-centroid) table: the `nCells` lowest-id vectors,
+    * optionally Lloyd-refined. */
+  private def ivfSeeds(embeddings: DataFrame, nCells: Int, lloydIters: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val seeds0 = embeddings.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
-    val seeds =
-      if (lloydIters <= 0) seeds0
-      else lloydRefine(spreadDf, seeds0, lloydIters, idCol, vecCol)
-    // one-row array of all seeds → broadcast nest-loop join + per-row
-    // argmax via struct ordering (deterministic tie-break: higher sim,
-    // then higher cell id). Assignment is a pure map pass — no groupBy,
-    // and in particular no shuffle keyed on the embedding vector.
+    if (lloydIters <= 0) seeds0
+    else lloydRefine(graft.util.Partitioning.spreadIfNarrow(embeddings),
+      seeds0, lloydIters, idCol, vecCol)
+  }
+
+  /** Assignment against a given seed table: one-row array of all seeds →
+    * broadcast nest-loop join + per-row argmax via struct ordering
+    * (deterministic tie-break: higher sim, then higher cell id). A pure
+    * map pass — no groupBy, and in particular no shuffle keyed on the
+    * embedding vector. */
+  private def assignToSeeds(spreadDf: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val seedArr = seeds.agg(collect_list(struct(col("cell_id"), col("cvec"))).as("seeds"))
-    val assigned = spreadDf.crossJoin(broadcast(seedArr))
+    spreadDf.crossJoin(broadcast(seedArr))
       .select(col(idCol), col(vecCol),
         array_max(transform(col("seeds"), sd =>
           struct(round(cosine(col(vecCol), sd.getField("cvec")), 9).as("s"),
             sd.getField("cell_id").as("cell_id"))))
           .getField("cell_id").as("cell"))
+  }
+
+  /** IVF cell assignment: every vector → the id of its nearest coarse
+    * cell (max rounded cosine, ties to the higher cell id). Returns
+    * (idCol, vecCol, cell). See [[assignToSeeds]] for the shape. */
+  def ivfAssign(embeddings: DataFrame, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 0): DataFrame =
+    assignToSeeds(graft.util.Partitioning.spreadIfNarrow(embeddings),
+      ivfSeeds(embeddings, nCells, lloydIters, idCol, vecCol), idCol, vecCol)
+
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 0): DataFrame = {
+    val spreadDf = graft.util.Partitioning.spreadIfNarrow(embeddings)
+    val seeds = ivfSeeds(embeddings, nCells, lloydIters, idCol, vecCol)
+    val assigned = assignToSeeds(spreadDf, seeds, idCol, vecCol)
     val queryCells = embeddings.filter(col(idCol) === queryVecId)
       .select(col(vecCol).as("qvec"))
       .crossJoin(broadcast(seeds))
@@ -216,6 +238,48 @@ object Ann {
         round(cosine(col(vecCol), col("qvec")), 6).as("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedded corpus — partition the vectors into
+    * coarse cells, find near-duplicate pairs WITHIN each cell only,
+    * cluster the pair graph, keep one representative (min id) per
+    * cluster. Returns the removal list: (idCol, keep_id) for every
+    * vector that loses to a lower-id semantic duplicate.
+    *
+    * The cell partition is the scale lever: pair search is O(Σ c_i²)
+    * over cell sizes instead of O(n²) over the corpus — with k
+    * balanced cells, a k× reduction, and the within-cell join is an
+    * equi-join on the cell id (one shuffle keyed by cell; a skewed
+    * cell salts like any hot join key). Cells come from [[ivfAssign]]:
+    * deterministic lowest-id seeds so the whole composition is
+    * SQL-oracle-able end-to-end; pass `lloydIters` > 0 for the
+    * production k-means geometry (affects WHICH near-dup pairs share a
+    * cell — i.e. recall — never the correctness of the within-cell
+    * verify). Pairs crossing a cell boundary are not candidates — the
+    * SemDeDup tradeoff by design.
+    *
+    * Clustering is [[graft.dedup.Dedup.connectedComponents]] — edges
+    * are O(pairs), labels O(dup-graph nodes), the same shape the text
+    * dedup pipelines run at 100 TB. */
+  def semDedup(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 16, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCells, idCol, vecCol, lloydIters)
+    val withNorm = assigned.select(col(idCol), col("cell"), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("cell"), col(idCol).as("va"),
+      col(vecCol).as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("cell"), col(idCol).as("vb"),
+      col(vecCol).as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    graft.dedup.Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol), col("comp").as("keep_id"))
   }
 
   /** Approximate top-k with multi-probe: candidates differ from the

@@ -2,7 +2,20 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Typed rows for the custom-state sessionizer ([[Streaming.sessionsCustomState]]).
+  * Session arithmetic runs on epoch MICROS Longs (`us`) — safer than
+  * juggling java.sql.Timestamp's split ms/nanos accessors. The `ts`
+  * Timestamp rides along UNUSED because Spark's event-time-timeout
+  * check requires the watermarked attribute itself to still be present
+  * in the grouped dataset — a projection that keeps only a derived
+  * column fails analysis. */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
+case class PendingSession(start: Long, last: Long, n: Long)
+case class SessionState(pending: Seq[PendingSession])
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
 /** Structured Streaming surface over the events table. The same
   * aggregation logic as the batch queries, expressed incrementally:
@@ -178,6 +191,129 @@ object Streaming {
       try q.processAllAvailable() finally q.stop()
     }
     s.table(queryName)
+  }
+
+  /** Stream-stream interval join — click-to-view attribution: every
+    * (click, view) pair of the same user where the view happened in the
+    * 6 hours up to the click. Both sides are watermarked and the join
+    * condition carries the event-time range, so the state store can
+    * evict views older than (click watermark − 6 h) and clicks older
+    * than the view watermark — state is bounded by arrival rate ×
+    * horizon, the only shape that survives an unbounded stream. An
+    * INNER join's output is emitted as matches arrive (completeness
+    * never waits on the watermark; the watermark only bounds state and
+    * lateness), so the replayed result must equal the batch join —
+    * which is the oracle. */
+  def clickViewJoinStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_join"): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val joined = clicks.join(views,
+        col("user_id") === col("view_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"))
+    withReplayPartitions(s, 4) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("click_id"), col("view_id"))
+  }
+
+  val clickViewJoinSql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+      |FROM events c JOIN events v
+      |  ON v.user_id = c.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+      | AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |ORDER BY click_id, view_id""".stripMargin
+
+  /** The per-key session fold for [[sessionsCustomState]]: pending
+    * sessions and incoming events (as width-1 sessions) merge-sort by
+    * start and fold under the gap rule — handling events that extend,
+    * bridge, or precede existing pending sessions, in any arrival
+    * order. Sessions whose end has been passed by the watermark are
+    * emitted (same `end ≤ watermark` closure the native session_window
+    * append mode applies); the rest stay in state with the event-time
+    * timeout parked at the earliest pending end (ceiled to the
+    * watermark's ms grain, so the timeout can never be at-or-below the
+    * current watermark — Spark rejects that). State per key is
+    * O(pending sessions), not O(events) — the fold compacts each
+    * session to (start, last, n). */
+  private def sessionize(gapUs: Long)(
+      user: Long, events: Iterator[SessEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val prior = if (state.exists) state.get.pending else Seq.empty
+    val incoming = events.map(e => PendingSession(e.us, e.us, 1L)).toSeq
+    val merged = (prior ++ incoming).sortBy(p => (p.start, p.last))
+      .foldLeft(List.empty[PendingSession]) { (acc, s) =>
+        acc match {
+          case cur :: rest if s.start <= cur.last + gapUs =>
+            PendingSession(cur.start, math.max(cur.last, s.last), cur.n + s.n) :: rest
+          case _ => s :: acc
+        }
+      }.reverse
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (closed, open) = merged.partition(p => p.last + gapUs <= wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionState(open))
+      state.setTimeoutTimestamp((open.map(_.last + gapUs).min + 999L) / 1000L)
+    }
+    closed.iterator.map(p => SessionOut(user, p.start, p.last + gapUs, p.n))
+  }
+
+  /** Streaming sessionization on the TYPED custom-state API —
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` with event-time
+    * timeout — the tool for session semantics the native session_window
+    * can't express (per-session payloads, conditional splits, custom
+    * merge rules). Here it re-implements exactly the 30-minute-gap /
+    * 10-minute-watermark sessionization of [[sessionsWindowed]] so the
+    * SAME batch oracle certifies it: append-mode output must equal the
+    * sessions closed by the final watermark.
+    *
+    * Scale: state lives per user key in the state store, bounded by
+    * open sessions per key (compacted to (start, last, n) triples);
+    * timeouts fire per key as the watermark passes each session end —
+    * no full-state scan, no unbounded growth. */
+  def sessionsCustomState(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_sessions_fmgs"): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[SessEvent]
+    val out = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionize(30L * 60L * 1000000L))
+    withReplayPartitions(s, 4) {
+      val q = out.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("sess_start"),
+        timestamp_micros(col("end_us")).as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
   }
 
   val sessionsWindowedSql: String =

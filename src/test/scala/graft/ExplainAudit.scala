@@ -40,7 +40,11 @@ object ExplainAudit {
       // corpus assembly: shuffle/pack broadcast their bucket offsets
       // (no corpus-sized single-partition window), decontam broadcasts
       // the benchmark grams, pii is map-only
-      "t_shuffle", "t_pack", "t_decontam", "t_pii_scrub").foreach(audit)
+      "t_shuffle", "t_pack", "t_decontam", "t_pii_scrub",
+      // round 4b: mixing/scoring are map-only or broadcast-LM;
+      // semdedup's pair join must be an equi-join on the cell id
+      "t_domain_mix", "t_quality_sample", "t_unigram_ce",
+      "s_semdedup").foreach(audit)
     spark.stop()
   }
 }

@@ -135,6 +135,38 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("clickViewJoinStream == batch interval join") {
+    val streamed = graft.streaming.Streaming
+      .clickViewJoinStream(spark, sf0001, queryName = "infra_cvj")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val batch = c.join(v, col("user_id") === col("vu") &&
+        col("vts") >= col("cts") - expr("INTERVAL 6 HOURS") && col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionizer == native session_window append output") {
+    val custom = graft.streaming.Streaming
+      .sessionsCustomState(spark, sf0001, queryName = "infra_sess_fmgs")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val native = graft.streaming.Streaming
+      .sessionsWindowed(spark, sf0001, queryName = "infra_sess_native")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(custom == native,
+      s"custom=${custom.size} native=${native.size} " +
+        s"onlyCustom=${(custom -- native).take(3)} onlyNative=${(native -- custom).take(3)}")
+    assert(custom.nonEmpty)
+  }
+
   // ------------------------------------------------------- port utils
 
   test("PortUtils retries past occupied ports") {

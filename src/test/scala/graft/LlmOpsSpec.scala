@@ -309,6 +309,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.size > 10)
   }
 
+  test("semDedup == IVF-assign ∘ within-cell exact pairs ∘ union-find reference") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = graft.queries.LlmOps.semDedup(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: reuse the (independently spec'd) assignment + exact
+    // pair detector, then a plain Scala union-find for the clustering
+    val cell = Ann.ivfAssign(emb, nCells = 16)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameCellPairs = Ann.cosinePairs(emb, threshold = 0.44)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cell(a) == cell(b) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    sameCellPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = sameCellPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val ref = nodes.map(n => n -> find(n)).filter { case (n, c) => n != c }.toMap
+    assert(got == ref)
+    assert(got.nonEmpty, "gate corpus should contain within-cell near-dups")
+    // removal list is conservative vs the unpartitioned exact detector:
+    // every removed vector is a true near-dup of something
+    val allDupNodes = Ann.cosinePairs(emb, threshold = 0.44)
+      .select("va", "vb").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet.subsetOf(allDupNodes))
+  }
+
+  test("semDedup removes planted exact-duplicate vectors") {
+    import graft.similarity.Ann
+    // three copies of one vector + two of another + unrelated singles
+    val v1 = Array.fill(8)(0.5f); val v2 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def noise(seed: Int) = Array.tabulate(8)(i =>
+      math.cos(seed * 37 + i * 13).toFloat) // deterministic, mutually far
+    val rows = Seq(
+      (0L, v1), (1L, v2), (2L, noise(1)), (3L, v1), (4L, noise(2)),
+      (5L, v2), (6L, noise(3)), (7L, v1))
+    val df = rows.toDF("vec_id", "embedding")
+    val removed = Ann.semDedup(df, threshold = 0.999, nCells = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical vectors always share a cell (same argmax), so exact
+    // copies are guaranteed removed regardless of cell geometry
+    assert(removed == Map(3L -> 0L, 7L -> 0L, 5L -> 1L))
+  }
+
   test("token chunking: counts and coverage invariants") {
     val chunks = graft.queries.LlmOps.textChunks(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
