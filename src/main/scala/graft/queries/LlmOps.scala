@@ -295,6 +295,56 @@ object LlmOps {
       |    (CASE WHEN lang = 'en' THEN '40' ELSE '80' END) END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Corpus-card statistics — the dataset-report query every corpus
+    * release ships: per-language document/token counts, mean quality,
+    * exact-duplicate rate and source diversity, in one pass. The
+    * norm/tokens attributes are staged once (same discipline as
+    * [[corpusFilter]]); the dup flag is the keeper window over the
+    * exact fingerprint; everything then folds into one groupBy(lang).
+    * Shape at scale: one exchange on fp (the window), one on lang (the
+    * dimension-sized report) — no joins, no corpus-sized intermediate. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"), col("source"), col("norm"),
+        split(col("norm"), " ").as("t"))
+    val scored = staged.select(col("doc_id"), col("lang"), col("source"),
+      size(col("t")).cast("long").as("ntok"),
+      quality_score_from(col("norm"), col("t")).as("q"),
+      md5(col("norm").cast("binary")).as("fp"))
+    scored
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        round(avg(col("q")), 6).as("mean_quality"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dups"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusStatsSql: String =
+    s"""WITH n AS (SELECT doc_id, lang, source, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, lang, source, norm,
+       |  len(string_split(norm, ' ')) AS ntok,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct,
+       |  md5(norm) AS fp FROM n),
+       |scored AS (SELECT doc_id, lang, source, ntok, fp,
+       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS q
+       |  FROM m),
+       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  ROUND(AVG(q), 6) AS mean_quality,
+       |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |  COUNT(DISTINCT source) AS n_sources
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Mixture rebalancing gate: rebalance the corpus to a prescribed
     * language recipe (40% en, 15% each of de/es/fr/zh). All threshold
     * math is integer floor division (see
@@ -375,11 +425,15 @@ object LlmOps {
     * t_entropy). */
   def textUnigramCE(s: SparkSession, dir: String): DataFrame = {
     val V = 10
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val vocab = counts.orderBy(desc("cnt"), asc("token")).limit(V)
-    val total = counts.agg(sum(col("cnt")).as("total"))
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(V)
+    // total corpus tokens == Σ per-doc n_tokens: a scalar scan-side
+    // aggregate — NOT a second evaluation of the token-count shuffle
+    // (sum(cnt) over the grouped frame would re-run the explode +
+    // exchange; this keeps the LM fit to ONE vocabulary-sized shuffle)
+    val total = docs.agg(sum(n_tokens(col("text")).cast("long")).as("total"))
     tok.join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

@@ -309,6 +309,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.size > 10)
   }
 
+  test("corpus stats: totals reconcile with the independent per-signal queries") {
+    val rows = graft.queries.LlmOps.corpusStats(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.values.map(_._1).sum == docs.count())
+    // token total == t_text_stats' sum
+    val tokTotal = docs.select(sum(graft.text.n_tokens(col("text")))).collect()(0).getLong(0)
+    assert(rows.values.map(_._2).sum == tokTotal)
+    // dup total == corpus-wide losers of exact-fp groups
+    val dupTotal = graft.dedup.Dedup.exactGroups(docs)
+      .agg(sum(col("n_docs") - 1)).collect()(0).getLong(0)
+    assert(rows.values.map(_._4).sum == dupTotal)
+    rows.values.foreach { case (_, _, q, _, nSrc) =>
+      assert(q > 0 && q <= 1 && nSrc >= 1 && nSrc <= 20)
+    }
+  }
+
   test("semDedup == IVF-assign ∘ within-cell exact pairs ∘ union-find reference") {
     import graft.similarity.Ann
     val emb = Tables.embeddings(spark, sf0001)
