@@ -273,10 +273,13 @@ object Events {
   }
 
   /** Sessionization via Spark's NATIVE session windows — same semantics
-    * as [[sessions]] expressed with the built-in merging session_window
-    * (window end = last event + gap; an event exactly at the end starts a
-    * NEW session, hence the >= in the oracle). This is the grouping that
-    * runs identically in Structured Streaming (see StreamingSessionSpec). */
+    * as [[sessions]] expressed with the built-in merging session_window.
+    * Boundary convention (probed empirically, SessionBoundarySpec): an
+    * event exactly `gap` after the previous one MERGES into its session
+    * — UpdatingSessionsIterator merges when sessionStart ≤ sessionEnd —
+    * so the oracle splits only on a STRICTLY greater gap, same as
+    * [[sessions]]. This is the grouping that runs identically in
+    * Structured Streaming. */
   def sessionWindows(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -289,7 +292,7 @@ object Events {
     """WITH marked AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
-      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800 * 1000000
+      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800 * 1000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (

@@ -352,11 +352,17 @@ object LlmOps {
     * the kept set exactly. Output: per-language before/after counts plus
     * the kept-id checksum. */
   def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, dir)
     val targets = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
-    val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    // collect the dimension-sized counts ONCE: they parameterize the
+    // thresholds AND become the n_before column (re-aggregating the
+    // corpus for the report would repeat the identical scan+exchange)
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = counts.toSeq.toDF("lang", "n_before")
     val after = graft.sampling.Sampling
-      .mixToTarget(docs, "doc_id", "lang", targets)
+      .mixToTarget(docs, "doc_id", "lang", targets, counts)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_after"), sum(col("doc_id")).as("id_sum"))
     before.join(after, Seq("lang")).orderBy(col("lang"))
@@ -366,12 +372,12 @@ object LlmOps {
     """WITH t AS (SELECT * FROM (VALUES ('en',40),('de',15),('es',15),('fr',15),('zh',15)) AS v(lang, pct)),
       |c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
       |m AS (SELECT MIN(n * 100 // pct) AS m FROM c JOIN t USING (lang)),
-      |r AS (SELECT lang, n, (256 * ((pct * (SELECT m FROM m)) // 100)) // n AS b
+      |r AS (SELECT lang, n, (65536 * ((pct * (SELECT m FROM m)) // 100)) // n AS b
       |      FROM c JOIN t USING (lang)),
       |kept AS (SELECT d.lang, COUNT(*) AS n_after, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |         FROM documents d JOIN r USING (lang)
-      |         WHERE r.b >= 256 OR (r.b > 0 AND
-      |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.b))
+      |         WHERE r.b >= 65536 OR (r.b > 0 AND
+      |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.b))
       |         GROUP BY d.lang)
       |SELECT lang, r.n AS n_before, k.n_after, k.id_sum
       |FROM r JOIN kept k USING (lang) ORDER BY lang""".stripMargin

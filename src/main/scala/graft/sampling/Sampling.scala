@@ -42,10 +42,8 @@ object Sampling {
     def keep(r: Double): Column =
       if (math.round(r * 256) >= 256) lit(true)
       else hexBucket(col(idCol)) < lit(threshold(r))
-    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
-      case ((stratum, r), rest) => when(col(strataCol) === stratum, keep(r)).otherwise(rest)
-    }
-    df.filter(cond)
+    df.filter(stratumDispatch(strataCol,
+      rates.map { case (s, r) => s -> keep(r) }, keep(defaultRate)))
   }
 
   /** Add a `split` column: 'test' for the first ~testPct of hash space,
@@ -68,11 +66,24 @@ object Sampling {
     * floor(weight·256), capped at 255/256 so weight=1.0 keeps ~255/256
     * of rows (the cap keeps the comparison inside 2-hex-char space; pass
     * weight ≥ 1 rows around the sampler if they must be kept whole).
-    * Map-only, no RNG: the kept set is a pure function of (id, weight),
-    * reproducible across engines and stable under repartitioning. */
+    * Out-of-domain weights degrade safely: negative or NULL weights
+    * keep NOTHING (unclamped, a negative int renders as two's-complement
+    * 'ffffffxx' and would silently keep EVERYTHING — and least() skips
+    * nulls). Map-only, no RNG: the kept set is a pure function of
+    * (id, weight), reproducible across engines and stable under
+    * repartitioning. */
   def weightedHashSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
     df.filter(hexBucket(col(idCol)) <
-      format_string("%02x", least(lit(255), floor(weight * 256).cast("int"))))
+      format_string("%02x", greatest(lit(0),
+        least(lit(255), coalesce(floor(weight * 256), lit(0))).cast("int"))))
+
+  /** Per-stratum dispatch shared by [[stratifiedHashSample]] and
+    * [[mixToTarget]]: route each row to its stratum's keep predicate. */
+  private def stratumDispatch(strataCol: String, keep: Map[String, Column],
+      default: Column): Column =
+    keep.toSeq.sortBy(_._1).foldRight(default) {
+      case ((stratum, k), rest) => when(col(strataCol) === stratum, k).otherwise(rest)
+    }
 
   /** Rebalance a corpus to a target per-stratum mixture — the data-mixing
     * stage that downsamples over-represented languages/sources to hit a
@@ -81,39 +92,54 @@ object Sampling {
     * `targetPct` maps each stratum to its integer share (must sum to
     * 100). The largest corpus the recipe can serve is M = min_l(n_l ·
     * 100 ÷ t_l); each stratum keeps k_l = t_l · M ÷ 100 rows via the
-    * hash-bucket threshold b_l = 256 · k_l ÷ n_l. ALL of that is integer
-    * arithmetic (floor division) — no float rounding to drift between
-    * engines — so a SQL oracle can replicate the kept set exactly.
-    * Strata absent from `targetPct` are dropped (share 0).
+    * hash-bucket threshold b_l = 65536 · k_l ÷ n_l (4 hex chars — fine
+    * enough that a stratum over-represented up to 65536× vs its share
+    * still keeps rows; beyond that b_l floors to 0 and the require
+    * fails LOUDLY rather than silently emptying the stratum). ALL of
+    * that is integer arithmetic (floor division) — no float rounding to
+    * drift between engines — so a SQL oracle can replicate the kept set
+    * exactly. Strata absent from `targetPct` are dropped (share 0).
     *
     * The per-stratum counts are a dimension-sized aggregate (strata ≪
-    * corpus) collected to the driver to build the filter predicate —
-    * the same cardinality class as a broadcast dimension. One count
-    * pass + one map-only filter pass; at 100 TB both are scan-bound.
-    * Hash granularity 1/256 makes kept counts approximate (±n_l/256 of
-    * k_l); the recipe's RATIOS converge at corpus scale. */
+    * corpus); the no-counts overload collects them with one extra
+    * aggregate pass — callers that already have the counts (a corpus
+    * report, a prior stage) should pass them through. One map-only
+    * filter pass either way; at 100 TB both are scan-bound. Hash
+    * granularity 1/65536 makes kept counts approximate (binomial
+    * around k_l); the recipe's RATIOS converge at corpus scale. */
   def mixToTarget(df: DataFrame, idCol: String, strataCol: String,
-      targetPct: Map[String, Int]): DataFrame = {
+      targetPct: Map[String, Int]): DataFrame =
+    mixToTarget(df, idCol, strataCol, targetPct,
+      df.groupBy(col(strataCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** [[mixToTarget]] with the per-stratum row counts supplied by the
+    * caller (they must be the df's true counts — thresholds derive from
+    * them). */
+  def mixToTarget(df: DataFrame, idCol: String, strataCol: String,
+      targetPct: Map[String, Int], counts: Map[String, Long]): DataFrame = {
     require(targetPct.values.sum == 100, s"target shares must sum to 100: $targetPct")
     require(targetPct.values.forall(_ > 0), s"target shares must be positive: $targetPct")
-    val counts = df.groupBy(col(strataCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     targetPct.keys.foreach { s =>
       require(counts.contains(s), s"stratum '$s' has a target share but no rows")
     }
     val m = targetPct.map { case (s, t) => counts(s) * 100L / t }.min
     val buckets = targetPct.map { case (s, t) =>
       val kept = t * m / 100L
-      s -> (256L * kept / counts(s))
+      s -> (65536L * kept / counts(s))
     }
-    val cond = buckets.toSeq.sortBy(_._1).foldRight(lit(false)) {
-      case ((stratum, b), rest) =>
-        val keep =
-          if (b >= 256L) lit(true)
-          else if (b <= 0L) lit(false)
-          else hexBucket(col(idCol)) < lit(f"$b%02x")
-        when(col(strataCol) === stratum, keep).otherwise(rest)
+    buckets.foreach { case (s, b) =>
+      require(b > 0L || m == 0L, s"stratum '$s' is over-represented beyond the " +
+        s"1/65536 sampling grain (n=${counts(s)}, target ${targetPct(s)}%, M=$m) — " +
+        "its threshold floors to zero; rebalance in stages or coarsen the recipe")
     }
-    df.filter(cond)
+    val keep = buckets.map { case (stratum, b) =>
+      stratum -> (
+        if (b >= 65536L) lit(true)
+        else if (b <= 0L) lit(false)
+        else substring(md5(col(idCol).cast("string").cast("binary")), 1, 4) <
+          lit(f"$b%04x"))
+    }
+    df.filter(stratumDispatch(strataCol, keep, lit(false)))
   }
 }

@@ -248,12 +248,19 @@ object Streaming {
     * order. Sessions whose end has been passed by the watermark are
     * emitted (same `end ≤ watermark` closure the native session_window
     * append mode applies); the rest stay in state with the event-time
-    * timeout parked at the earliest pending end (ceiled to the
-    * watermark's ms grain, so the timeout can never be at-or-below the
-    * current watermark — Spark rejects that). State per key is
-    * O(pending sessions), not O(events) — the fold compacts each
-    * session to (start, last, n). */
-  private def sessionize(gapUs: Long)(
+    * timeout parked ONE MS BELOW the earliest pending end (ceiled to
+    * the watermark's ms grain): Spark fires a timeout only when the
+    * watermark STRICTLY exceeds it, so parking at the end itself would
+    * never fire for a session ending exactly on the final watermark —
+    * while the `end ≤ watermark` emission the oracle (and the native
+    * operator) uses would include it. Parking one tick early makes the
+    * firing condition `wm ≥ ceil(end)` ⊇ `wm·1000 ≥ end`, and the emit
+    * predicate re-checks the exact micros. The park is floored to
+    * wm+1 (Spark rejects timeouts at or below the watermark); the
+    * re-fire then re-parks until the end is genuinely passed. State
+    * per key is O(pending sessions), not O(events) — the fold compacts
+    * each session to (start, last, n). */
+  private[graft] def sessionize(gapUs: Long)(
       user: Long, events: Iterator[SessEvent],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     val prior = if (state.exists) state.get.pending else Seq.empty
@@ -271,7 +278,8 @@ object Streaming {
     if (open.isEmpty) state.remove()
     else {
       state.update(SessionState(open))
-      state.setTimeoutTimestamp((open.map(_.last + gapUs).min + 999L) / 1000L)
+      val nextEndCeilMs = (open.map(_.last + gapUs).min + 999L) / 1000L
+      state.setTimeoutTimestamp(math.max(wmUs / 1000L + 1L, nextEndCeilMs - 1L))
     }
     closed.iterator.map(p => SessionOut(user, p.start, p.last + gapUs, p.n))
   }
@@ -320,7 +328,7 @@ object Streaming {
     """WITH marked AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
-      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800 * 1000000
+      |         OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800 * 1000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (

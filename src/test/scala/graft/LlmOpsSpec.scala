@@ -266,11 +266,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val m = targets.map { case (l, t) => before(l) * 100L / t }.min
     targets.foreach { case (l, t) =>
       val kept = t * m / 100L
-      val b = 256L * kept / before(l)
+      val b = 65536L * kept / before(l)
       assert(after.getOrElse(l, 0L) <= before(l))
       // md5 buckets ~ uniform: achieved count within 4σ of the binomial
-      // around the bucket target (p = b/256 over n_l trials)
-      val p = b / 256.0
+      // around the bucket target (p = b/65536 over n_l trials)
+      val p = b / 65536.0
       val expect = before(l) * p
       val tol = 4 * math.sqrt(before(l) * p * (1 - p)) + 1
       assert(math.abs(after.getOrElse(l, 0L) - expect) <= tol,
@@ -283,8 +283,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids == again)
     // the binding stratum keeps (almost) everything
     val binding = targets.minBy { case (l, t) => before(l) * 100L / t }._1
-    val bindB = 256L * (targets(binding) * m / 100L) / before(binding)
-    assert(bindB >= 250, s"binding stratum $binding should keep ~all (b=$bindB)")
+    val bindB = 65536L * (targets(binding) * m / 100L) / before(binding)
+    assert(bindB >= 64000, s"binding stratum $binding should keep ~all (b=$bindB)")
+  }
+
+  test("mixToTarget refuses a stratum whose threshold floors to zero") {
+    import graft.sampling.Sampling
+    // dominant stratum over-represented ~100000x vs its 1% share:
+    // b = 65536 * k / n floors to 0 — must throw, not silently drop it
+    val dom = (0L until 200000L).map(i => (i, "dom"))
+    val rare = (200000L until 200002L).map(i => (i, "rare"))
+    val df = (dom ++ rare).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, "doc_id", "lang", Map("dom" -> 1, "rare" -> 99))
+    }
+    assert(e.getMessage.contains("over-represented"))
+  }
+
+  test("weighted hash sample: negative and null weights keep nothing") {
+    import graft.sampling.Sampling
+    val df = Seq((0L, -0.1), (1L, -5.0), (2L, 0.9), (3L, 0.9))
+      .toDF("doc_id", "w")
+      .union(Seq((4L, Option.empty[Double])).toDF("doc_id", "w"))
+    val kept = Sampling.weightedHashSample(df, "doc_id", col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(Set(0L, 1L, 4L)), s"out-of-domain weights leaked rows: $kept")
+    assert(kept.subsetOf(Set(2L, 3L)))
   }
 
   test("unigram CE: matches a single-threaded reference LM") {
