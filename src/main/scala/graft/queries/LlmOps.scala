@@ -851,6 +851,30 @@ object LlmOps {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |ORDER BY sim DESC, va, vb LIMIT 10""".stripMargin
 
+  /** Retrieval composition — ANN top-k then payload fetch, the
+    * retrieve-then-read shape of a search/RAG pipeline. The k-row hit
+    * list broadcasts against the documents table, so the payload fetch
+    * is one broadcast-hash probe of the big side (never a shuffle of
+    * the corpus toward a 10-row result). Text rides as md5 to keep the
+    * gate compare compact. */
+  def annRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val hits = Ann.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    Tables.documents(s, dir)
+      .join(broadcast(hits), col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("sim"), col("lang"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(desc("sim"), col("vec_id"))
+  }
+
+  val annRetrieveSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |hits AS (SELECT vec_id, ROUND(${cosineSql("embedding", "qe")}, 6) AS sim
+       |         FROM embeddings, q WHERE vec_id <> 0
+       |         ORDER BY sim DESC, vec_id LIMIT 10)
+       |SELECT vec_id, sim, lang, md5(text) AS text_md5
+       |FROM hits JOIN documents ON doc_id = vec_id
+       |ORDER BY sim DESC, vec_id""".stripMargin
+
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =

@@ -261,22 +261,45 @@ object Ann {
     *
     * Clustering is [[graft.dedup.Dedup.connectedComponents]] — edges
     * are O(pairs), labels O(dup-graph nodes), the same shape the text
-    * dedup pipelines run at 100 TB. */
+    * dedup pipelines run at 100 TB.
+    *
+    * `salt` > 1 routes the within-cell pair search through
+    * [[graft.util.Skew.saltedSelfJoinPairs]] (triangle partitioning on
+    * the cell key): a pathologically hot cell — the realistic failure
+    * of clustered embeddings, where one dense region swallows a big
+    * cell — spreads its O(c²) pair work across salt·(salt+1)/2 tasks
+    * instead of one straggler. Pair set is identical (spec'd). */
   def semDedup(embeddings: DataFrame, threshold: Double,
       nCells: Int = 16, lloydIters: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: Int = 1): DataFrame = {
     val assigned = ivfAssign(embeddings, nCells, idCol, vecCol, lloydIters)
     val withNorm = assigned.select(col(idCol), col("cell"), col(vecCol),
       l2norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("cell"), col(idCol).as("va"),
-      col(vecCol).as("ea"), col("nrm").as("na"))
-    val b = withNorm.select(col("cell"), col(idCol).as("vb"),
-      col(vecCol).as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
-      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val sim = round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+    val pairs =
+      if (salt <= 1) {
+        val a = withNorm.select(col("cell"), col(idCol).as("va"),
+          col(vecCol).as("ea"), col("nrm").as("na"))
+        val b = withNorm.select(col("cell"), col(idCol).as("vb"),
+          col(vecCol).as("eb"), col("nrm").as("nb"))
+        a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+          .select(col("va").as("doc_a"), col("vb").as("doc_b"), sim.as("sim"))
+          .filter(col("sim") >= threshold)
+          .select(col("doc_a"), col("doc_b"))
+      } else {
+        // candidate pairs via triangle partitioning, vectors re-joined
+        // for the verify (candidate-sized, same shape as minhashLshPairs)
+        graft.util.Skew
+          .saltedSelfJoinPairs(withNorm.select(col("cell"), col(idCol)),
+            Seq("cell"), idCol, salt)
+          .join(withNorm.select(col(idCol).as("doc_a"),
+            col(vecCol).as("ea"), col("nrm").as("na")), "doc_a")
+          .join(withNorm.select(col(idCol).as("doc_b"),
+            col(vecCol).as("eb"), col("nrm").as("nb")), "doc_b")
+          .filter(sim >= threshold)
+          .select(col("doc_a"), col("doc_b"))
+      }
     graft.dedup.Dedup.connectedComponents(pairs)
       .filter(col("node") =!= col("comp"))
       .select(col("node").as(idCol), col("comp").as("keep_id"))

@@ -386,6 +386,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.keySet.subsetOf(allDupNodes))
   }
 
+  test("semDedup salted == unsalted (triangle partitioning on the cell key)") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf0001)
+    val plain = Ann.semDedup(emb, threshold = 0.44)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Ann.semDedup(emb, threshold = 0.44, salt = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == salted)
+    assert(plain.nonEmpty)
+  }
+
   test("semDedup removes planted exact-duplicate vectors") {
     import graft.similarity.Ann
     // three copies of one vector + two of another + unrelated singles
