@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * control needs at corpus scale. Map-only, codegen'd, no shuffle. */
 object Sampling {
 
-  /** First-two-hex-chars bucket of the id's md5 — 256 uniform buckets
-    * compared lexicographically (fixed-width lowercase hex, so string
-    * order == numeric order in every engine). */
-  private def hexBucket(id: Column): Column =
-    substring(md5(id.cast("string").cast("binary")), 1, 2)
+  /** First-`width`-hex-chars bucket of the id's md5 — 16^width uniform
+    * buckets compared lexicographically (fixed-width lowercase hex, so
+    * string order == numeric order in every engine). The single source
+    * of the id-hashing convention: every sampler and every SQL oracle
+    * must agree on cast-to-string → md5 → hex prefix. */
+  private def hexBucket(id: Column, width: Int = 2): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, width)
 
   private def threshold(p: Double): String = {
     require(p >= 0 && p <= 1, s"fraction out of range: $p")
@@ -73,9 +75,13 @@ object Sampling {
     * (id, weight), reproducible across engines and stable under
     * repartitioning. */
   def weightedHashSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    // clamp in LONG space BEFORE the int cast: floor() of an extreme
+    // negative weight is a Long whose 32-bit truncation can wrap
+    // positive (e.g. floor(w*256) = -4294967041 casts to int 255 =
+    // keep-everything) — the exact hole the clamp exists to close
     df.filter(hexBucket(col(idCol)) <
-      format_string("%02x", greatest(lit(0),
-        least(lit(255), coalesce(floor(weight * 256), lit(0))).cast("int"))))
+      format_string("%02x", greatest(lit(0L),
+        least(lit(255L), coalesce(floor(weight * 256), lit(0L)))).cast("int")))
 
   /** Per-stratum dispatch shared by [[stratifiedHashSample]] and
     * [[mixToTarget]]: route each row to its stratum's keep predicate. */
@@ -121,7 +127,8 @@ object Sampling {
     require(targetPct.values.sum == 100, s"target shares must sum to 100: $targetPct")
     require(targetPct.values.forall(_ > 0), s"target shares must be positive: $targetPct")
     targetPct.keys.foreach { s =>
-      require(counts.contains(s), s"stratum '$s' has a target share but no rows")
+      require(counts.getOrElse(s, 0L) > 0L,
+        s"stratum '$s' has a target share but no rows (counts: ${counts.get(s)})")
     }
     val m = targetPct.map { case (s, t) => counts(s) * 100L / t }.min
     val buckets = targetPct.map { case (s, t) =>
@@ -129,16 +136,14 @@ object Sampling {
       s -> (65536L * kept / counts(s))
     }
     buckets.foreach { case (s, b) =>
-      require(b > 0L || m == 0L, s"stratum '$s' is over-represented beyond the " +
+      require(b > 0L, s"stratum '$s' is over-represented beyond the " +
         s"1/65536 sampling grain (n=${counts(s)}, target ${targetPct(s)}%, M=$m) — " +
         "its threshold floors to zero; rebalance in stages or coarsen the recipe")
     }
     val keep = buckets.map { case (stratum, b) =>
       stratum -> (
         if (b >= 65536L) lit(true)
-        else if (b <= 0L) lit(false)
-        else substring(md5(col(idCol).cast("string").cast("binary")), 1, 4) <
-          lit(f"$b%04x"))
+        else hexBucket(col(idCol), 4) < lit(f"$b%04x"))
     }
     df.filter(stratumDispatch(strataCol, keep, lit(false)))
   }

@@ -274,8 +274,15 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       salt: Int = 1): DataFrame = {
     val assigned = ivfAssign(embeddings, nCells, idCol, vecCol, lloydIters)
-    val withNorm = assigned.select(col(idCol), col("cell"), col(vecCol),
-      l2norm(col(vecCol)).as("nrm"))
+    // the assignment pass (corpus-wide broadcast argmax over nCells
+    // centroids) is the expensive map stage and the plan below fans out
+    // over it — twice unsalted (both self-join sides), four times salted
+    // (both triangle sides + both vector re-joins). Persist it once;
+    // tracked in IntermediateCaches for eager release by callers.
+    val withNorm = graft.util.IntermediateCaches.track(
+      assigned.select(col(idCol), col("cell"), col(vecCol),
+        l2norm(col(vecCol)).as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sim = round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
     val pairs =
       if (salt <= 1) {

@@ -255,11 +255,9 @@ object Streaming {
     * while the `end ≤ watermark` emission the oracle (and the native
     * operator) uses would include it. Parking one tick early makes the
     * firing condition `wm ≥ ceil(end)` ⊇ `wm·1000 ≥ end`, and the emit
-    * predicate re-checks the exact micros. The park is floored to
-    * wm+1 (Spark rejects timeouts at or below the watermark); the
-    * re-fire then re-parks until the end is genuinely passed. State
-    * per key is O(pending sessions), not O(events) — the fold compacts
-    * each session to (start, last, n). */
+    * predicate re-checks the exact micros. State per key is O(pending
+    * sessions), not O(events) — the fold compacts each session to
+    * (start, last, n). */
   private[graft] def sessionize(gapUs: Long)(
       user: Long, events: Iterator[SessEvent],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -278,8 +276,13 @@ object Streaming {
     if (open.isEmpty) state.remove()
     else {
       state.update(SessionState(open))
+      // ceil(end)-1 is always ≥ the current watermark for an OPEN session
+      // (end > wmUs ⇒ ceil(end) ≥ wmMs+1); Spark accepts a timeout AT the
+      // watermark (it rejects only strictly-earlier), so no +1 floor —
+      // an extra ms there would park a within-1ms-of-wm session AT its
+      // ceil(end) and the strict fire condition could never reach it
       val nextEndCeilMs = (open.map(_.last + gapUs).min + 999L) / 1000L
-      state.setTimeoutTimestamp(math.max(wmUs / 1000L + 1L, nextEndCeilMs - 1L))
+      state.setTimeoutTimestamp(math.max(wmUs / 1000L, nextEndCeilMs - 1L))
     }
     closed.iterator.map(p => SessionOut(user, p.start, p.last + gapUs, p.n))
   }

@@ -298,16 +298,26 @@ class LlmOpsSpec extends AnyFunSuite {
       Sampling.mixToTarget(df, "doc_id", "lang", Map("dom" -> 1, "rare" -> 99))
     }
     assert(e.getMessage.contains("over-represented"))
+    // caller-supplied counts with a zero entry must fail the validation,
+    // not reach the threshold math as a division by zero
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, "doc_id", "lang",
+        Map("dom" -> 50, "rare" -> 50), Map("dom" -> 10L, "rare" -> 0L))
+    }
+    assert(e2.getMessage.contains("no rows"))
   }
 
   test("weighted hash sample: negative and null weights keep nothing") {
     import graft.sampling.Sampling
-    val df = Seq((0L, -0.1), (1L, -5.0), (2L, 0.9), (3L, 0.9))
+    // -16777215.00390625: floor(w*256) = -4294967041, whose 32-bit
+    // truncation wraps to +255 — the clamp must run in Long space
+    val df = Seq((0L, -0.1), (1L, -5.0), (2L, 0.9), (3L, 0.9),
+        (5L, -16777215.00390625))
       .toDF("doc_id", "w")
       .union(Seq((4L, Option.empty[Double])).toDF("doc_id", "w"))
     val kept = Sampling.weightedHashSample(df, "doc_id", col("w"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(!kept.exists(Set(0L, 1L, 4L)), s"out-of-domain weights leaked rows: $kept")
+    assert(!kept.exists(Set(0L, 1L, 4L, 5L)), s"out-of-domain weights leaked rows: $kept")
     assert(kept.subsetOf(Set(2L, 3L)))
   }
 

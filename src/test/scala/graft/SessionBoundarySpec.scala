@@ -89,5 +89,12 @@ class SessionBoundarySpec extends AnyFunSuite {
     assert(out4.isEmpty && st4.exists)
     assert(st4.getTimeoutTimestampMs.get < endMs,
       "timeout must park strictly below the session end (strict-fire semantics)")
+    // the tight corner: watermark ONE ms below the session end — the park
+    // must still be < end (Spark accepts a timeout AT the watermark), or a
+    // final watermark landing exactly on ceil(end) would never fire
+    val (out5, st5) = run(Seq(t0), endMs - 1)
+    assert(out5.isEmpty && st5.exists)
+    assert(st5.getTimeoutTimestampMs.get < endMs,
+      s"park=${st5.getTimeoutTimestampMs.get} must be < end=$endMs at wm=end-1")
   }
 }
