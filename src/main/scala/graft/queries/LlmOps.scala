@@ -492,6 +492,75 @@ object LlmOps {
        |  md5(array_to_string(ch, ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-then-pack composition: overlapping context-window chunks
+    * ([[textChunks]]) become the packing units of fixed-token-budget
+    * training sequences ([[graft.corpus.Corpus.packSequences]]) — the
+    * long-document path of a sequence-assembly pipeline (whole-doc
+    * packing would overflow any budget smaller than the longest doc;
+    * chunking first bounds the unit size). The composite chunk id
+    * doc_id·64 + chunk_idx preserves (doc, chunk) order as one sortable
+    * key (chunk counts here are ≤ ⌈(n_tok−50)/40⌉+1 ≪ 64); both stages
+    * keep their scale shapes — the generator is map-only, the pack
+    * prefix is bucketed two-pass. */
+  def chunkPack(s: SparkSession, dir: String): DataFrame = {
+    val chunks = textChunks(s, dir)
+      .select((col("doc_id") * 64 + col("chunk_idx")).as("chunk_gid"),
+        col("n_ctok"))
+    graft.corpus.Corpus.packSequences(chunks, col("n_ctok"), budget = 256,
+      idCol = "chunk_gid", bucketSize = 64)
+  }
+
+  val chunkPackSql: String =
+    s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |c AS (SELECT doc_id, i AS chunk_idx, t[i*40+1 : i*40+50] AS ch
+       |      FROM n, LATERAL (SELECT unnest(range(0,
+       |        CAST(ceil(greatest(len(t)-50, 0)/40.0) AS BIGINT) + 1)) AS i)),
+       |g AS (SELECT doc_id*64 + chunk_idx AS gid, len(ch) AS ntok FROM c),
+       |cum AS (SELECT gid, ntok,
+       |  SUM(ntok) OVER (ORDER BY gid ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM g)
+       |SELECT CAST(floor(sof / 256.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(gid) AS first_doc, MAX(gid) AS last_doc
+       |FROM cum GROUP BY 1""".stripMargin
+
+  /** Percentile-based quality cutoff — "keep the top 75% of the corpus
+    * by quality": the cutoff is the corpus's own P25 quality (exact
+    * `percentile`, which DuckDB's quantile_cont reproduces — the q23
+    * alignment), broadcast as a one-row frame; the filter pass is then
+    * map-only. At 100 TB the exact percentile is a full sort of the
+    * quality column — production swaps in approx_percentile (t-digest,
+    * one pass), which changes only WHERE the cutoff lands, never the
+    * filter semantics. Output: per-language survivor counts. */
+  def qualityCutoff(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+    val cut = scored.agg(round(expr("percentile(q, 0.25)"), 6).as("cut"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("q") >= col("cut"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val qualityCutoffSql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, lang, norm,
+       |  len(string_split(norm, ' ')) AS ntok,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM n),
+       |scored AS (SELECT doc_id, lang,
+       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS q
+       |FROM m),
+       |cut AS (SELECT ROUND(quantile_cont(q, 0.25), 6) AS cut FROM scored)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM scored WHERE q >= (SELECT cut FROM cut)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Out-of-vocabulary rate against the corpus's own top-100 token
     * vocabulary — the tokenizer-coverage signal. Two-stage: vocabulary
     * is a deterministic top-k (freq desc, token asc) small enough to

@@ -343,6 +343,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.size > 10)
   }
 
+  test("chunk-pack composition: conservation, no split units, bounded overflow") {
+    val seqs = graft.queries.LlmOps.chunkPack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chunks = graft.queries.LlmOps.textChunks(spark, sf0001).collect()
+      .map(r => r.getLong(2))
+    // every chunk lands in exactly one sequence; tokens conserved
+    assert(seqs.map(_._2).sum == chunks.length)
+    assert(seqs.map(_._3).sum == chunks.sum)
+    // a sequence overflows the budget by at most one straddling chunk
+    // (chunk size <= 50), and only the straddler's tail
+    assert(seqs.forall(_._3 <= 256 + 50 - 1))
+    assert(seqs.nonEmpty)
+  }
+
+  test("quality cutoff keeps exactly the >= P25 slice") {
+    val got = graft.queries.LlmOps.qualityCutoff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: collect scores, take exact interpolated P25, filter
+    val scored = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        graft.text.quality_score(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val qs = scored.map(_._3).sorted
+    val idx = 0.25 * (qs.length - 1)
+    val (lo, hi) = (qs(idx.toInt), qs(math.ceil(idx).toInt))
+    val cut = math.rint((lo + (idx - idx.toInt) * (hi - lo)) * 1e6) / 1e6
+    val keep = scored.filter(_._3 >= cut)
+    val ref = keep.groupBy(_._2).map { case (l, rs) =>
+      l -> (rs.size.toLong, rs.map(_._1).sum)
+    }
+    assert(got == ref)
+    // roughly the top 75%
+    assert(keep.size >= scored.length * 0.70 && keep.size <= scored.length * 0.80)
+  }
+
   test("corpus stats: totals reconcile with the independent per-signal queries") {
     val rows = graft.queries.LlmOps.corpusStats(spark, sf0001).collect()
       .map(r => r.getString(0) ->
