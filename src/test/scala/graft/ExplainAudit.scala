@@ -42,9 +42,12 @@ object ExplainAudit {
       // the benchmark grams, pii is map-only
       "t_shuffle", "t_pack", "t_decontam", "t_pii_scrub",
       // round 4b: mixing/scoring are map-only or broadcast-LM;
-      // semdedup's pair join must be an equi-join on the cell id
+      // semdedup's pair join must be an equi-join on the cell id;
+      // retrieval broadcasts the k-row hit list; cutoff broadcasts
+      // the one-row percentile
       "t_domain_mix", "t_quality_sample", "t_unigram_ce",
-      "s_semdedup").foreach(audit)
+      "s_semdedup", "s_ann_retrieve", "t_chunk_pack",
+      "t_quality_cutoff").foreach(audit)
     spark.stop()
   }
 }
