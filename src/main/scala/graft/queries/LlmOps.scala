@@ -503,9 +503,18 @@ object LlmOps {
     * keep their scale shapes — the generator is map-only, the pack
     * prefix is bucketed two-pass. */
   def chunkPack(s: SparkSession, dir: String): DataFrame = {
+    // the composite key is only injective while chunk_idx < 64; a
+    // 64+-chunk document (>2570 normalized tokens) would collide with
+    // its neighbor's chunk 0 and make the pack order nondeterministic —
+    // fail the row loudly instead (raise_error inside the gid expression
+    // cannot be pruned, unlike a side assert_true column)
+    val gid = when(col("chunk_idx") < 64,
+      col("doc_id") * 64 + col("chunk_idx"))
+      .otherwise(raise_error(concat(lit("chunkPack: doc "),
+        col("doc_id").cast("string"),
+        lit(" has 64+ chunks; widen the composite-id multiplier"))))
     val chunks = textChunks(s, dir)
-      .select((col("doc_id") * 64 + col("chunk_idx")).as("chunk_gid"),
-        col("n_ctok"))
+      .select(gid.as("chunk_gid"), col("n_ctok"))
     graft.corpus.Corpus.packSequences(chunks, col("n_ctok"), budget = 256,
       idCol = "chunk_gid", bucketSize = 64)
   }
@@ -532,10 +541,16 @@ object LlmOps {
     * one pass), which changes only WHERE the cutoff lands, never the
     * filter semantics. Output: per-language survivor counts. */
   def qualityCutoff(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), norm_text(col("text")).as("norm"))
-      .select(col("doc_id"), col("lang"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+    // the scored frame feeds BOTH the percentile aggregate and the
+    // filter side; persist it (three narrow columns per row) so the
+    // regex-heavy scoring pass over the corpus text runs once, not
+    // twice — tracked for eager release like the other operator caches
+    val scored = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), norm_text(col("text")).as("norm"))
+        .select(col("doc_id"), col("lang"),
+          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cut = scored.agg(round(expr("percentile(q, 0.25)"), 6).as("cut"))
     scored.crossJoin(broadcast(cut))
       .filter(col("q") >= col("cut"))

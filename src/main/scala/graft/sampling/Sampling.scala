@@ -128,7 +128,7 @@ object Sampling {
     require(targetPct.values.forall(_ > 0), s"target shares must be positive: $targetPct")
     targetPct.keys.foreach { s =>
       require(counts.getOrElse(s, 0L) > 0L,
-        s"stratum '$s' has a target share but no rows (counts: ${counts.get(s)})")
+        s"stratum '$s' has a target share but no rows (count: ${counts.getOrElse(s, 0L)})")
     }
     val m = targetPct.map { case (s, t) => counts(s) * 100L / t }.min
     val buckets = targetPct.map { case (s, t) =>

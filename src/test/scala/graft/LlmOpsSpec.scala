@@ -368,7 +368,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val qs = scored.map(_._3).sorted
     val idx = 0.25 * (qs.length - 1)
     val (lo, hi) = (qs(idx.toInt), qs(math.ceil(idx).toInt))
-    val cut = math.rint((lo + (idx - idx.toInt) * (hi - lo)) * 1e6) / 1e6
+    // HALF_UP like Spark's round() (math.rint is half-even and diverges
+    // when the interpolated cut lands exactly on .5e-6)
+    val cut = BigDecimal(lo + (idx - idx.toInt) * (hi - lo))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val keep = scored.filter(_._3 >= cut)
     val ref = keep.groupBy(_._2).map { case (l, rs) =>
       l -> (rs.size.toLong, rs.map(_._1).sum)
