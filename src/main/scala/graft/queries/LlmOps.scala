@@ -959,6 +959,31 @@ object LlmOps {
        |FROM hits JOIN documents ON doc_id = vec_id
        |ORDER BY sim DESC, vec_id""".stripMargin
 
+  /** Batched retrieval gate: exact top-3 corpus neighbors for every
+    * query in a 1-in-100 query slice, in ONE plan (broadcast query set,
+    * single scoring pass, per-query window rank) — see
+    * [[graft.similarity.Ann.batchTopK]]. */
+  def annBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.batchTopK(
+      corpus = emb.filter(col("vec_id") % 100 =!= 0),
+      queries = emb.filter(col("vec_id") % 100 === 0), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBatchSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |scored AS (SELECT q.query_id, e.vec_id,
+       |    ROUND(${cosineSql("e.embedding", "q.qe")}, 6) AS sim
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id % 100 <> 0 AND e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =

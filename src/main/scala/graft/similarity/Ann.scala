@@ -240,6 +240,32 @@ object Ann {
       .limit(k)
   }
 
+  /** Batched exact top-k: nearest `k` corpus vectors for EVERY query in
+    * a query set at once — the production retrieval shape (per-query
+    * [[bruteForceTopK]] calls would launch one job per query). The
+    * query set is dimension-sized by assumption and broadcasts; each
+    * corpus row then scores against all queries in one map pass
+    * (norms on both sides computed once), and the per-query top-k is a
+    * window rank over (query, sim) — one shuffle keyed by query id,
+    * carrying only rows that could rank (a size-k TakeOrdered per
+    * partition would prune further; the window form keeps the plan
+    * declarative and the oracle exact). */
+  def batchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = graft.util.Partitioning.spreadIfNarrow(corpus)
+      .select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("sim"), col(idCol))
+    c.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("cn") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication of an embedded corpus — partition the vectors into
     * coarse cells, find near-duplicate pairs WITHIN each cell only,

@@ -399,6 +399,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("batchTopK per query == independent bruteForceTopK runs") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val batch = Ann.batchTopK(corpus, queries, k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val solo = Ann.bruteForceTopK(emb.filter(col("vec_id") % 100 =!= 0 ||
+          col("vec_id") === q), queryVecId = q, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == solo, s"query $q: batch=${batch(q)} solo=$solo")
+    }
+  }
+
   test("semDedup == IVF-assign ∘ within-cell exact pairs ∘ union-find reference") {
     import graft.similarity.Ann
     val emb = Tables.embeddings(spark, sf0001)
