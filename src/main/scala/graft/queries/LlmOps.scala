@@ -1105,6 +1105,34 @@ object LlmOps {
        |SELECT doc_id, COUNT(*) AS n_shared
        |FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
 
+  /** The decontamination REMOVAL composition: flag corpus documents
+    * sharing eval-set n-grams ([[decontam]] reports them), anti-join
+    * them out, summarize the surviving corpus — what a pipeline
+    * actually runs before training. The flagged set is O(contaminated
+    * docs); the anti-join keys on doc_id (broadcastable whenever the
+    * contamination rate is sane). */
+  def decontamClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val flagged = graft.corpus.Corpus.decontaminate(
+      corpus, docs.filter(col("doc_id") % 20 === 0), n = 4)
+      .select(col("doc_id"))
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
+  val decontamCleanSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i)),
+       |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+       |flagged AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0)
+       |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents
+       |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+
   /** Sequence-packing gate: 256-token budget, contiguous doc_id order,
     * bucketSize 64 so even sf0.01's 500 docs exercise the multi-bucket
     * two-pass prefix (not one degenerate bucket). */

@@ -46,8 +46,8 @@ object ExplainAudit {
       // retrieval broadcasts the k-row hit list; cutoff broadcasts
       // the one-row percentile
       "t_domain_mix", "t_quality_sample", "t_unigram_ce",
-      "s_semdedup", "s_ann_retrieve", "t_chunk_pack",
-      "t_quality_cutoff").foreach(audit)
+      "s_semdedup", "s_ann_retrieve", "s_ann_batch", "t_chunk_pack",
+      "t_quality_cutoff", "t_decontam_clean").foreach(audit)
     spark.stop()
   }
 }
