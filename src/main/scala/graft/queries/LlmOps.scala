@@ -959,30 +959,37 @@ object LlmOps {
        |FROM hits JOIN documents ON doc_id = vec_id
        |ORDER BY sim DESC, vec_id""".stripMargin
 
-  /** Batched retrieval gate: exact top-3 corpus neighbors for every
-    * query in a 1-in-100 query slice, in ONE plan (broadcast query set,
-    * single scoring pass, per-query window rank) — see
-    * [[graft.similarity.Ann.batchTopK]]. */
+  /** Batched retrieval gate: exact top-3 corpus neighbors for a FIXED
+    * five-query set, in ONE plan (broadcast query set, single scoring
+    * pass, per-query window rank) — see
+    * [[graft.similarity.Ann.batchTopK]]. The query ids are an explicit
+    * constant list, not a corpus-proportional slice: batchTopK
+    * force-broadcasts its query side, so the gate must honor the
+    * operator's dimension-sized-queries contract at any scale. */
+  private val BatchQueryIds = Seq(0L, 100L, 200L, 300L, 400L)
+
   def annBatch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Ann.batchTopK(
-      corpus = emb.filter(col("vec_id") % 100 =!= 0),
-      queries = emb.filter(col("vec_id") % 100 === 0), k = 3)
+      corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)), k = 3)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val annBatchSql: String =
+  val annBatchSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |           WHERE vec_id % 100 = 0),
+       |           WHERE vec_id IN ($ids)),
        |scored AS (SELECT q.query_id, e.vec_id,
        |    ROUND(${cosineSql("e.embedding", "q.qe")}, 6) AS sim
        |  FROM embeddings e CROSS JOIN q
-       |  WHERE e.vec_id % 100 <> 0 AND e.vec_id <> q.query_id),
+       |  WHERE e.vec_id NOT IN ($ids)),
        |ranked AS (SELECT query_id, vec_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |  FROM scored)
        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
@@ -1097,11 +1104,18 @@ object LlmOps {
       docs.filter(col("doc_id") % 20 === 0), n = 4)
   }
 
-  val decontamSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+  /** Shared CTE block for both decontamination oracles — the shingling
+    * definition (n=4 word-grams over the normalized text, eval slice =
+    * doc_id % 20 == 0) must not drift between the report and removal
+    * gates, which verify the same [[graft.corpus.Corpus.decontaminate]]. */
+  private val DecontamCtes: String =
+    s"""toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
        |g AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i)),
-       |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+       |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)""".stripMargin
+
+  val decontamSql: String =
+    s"""WITH $DecontamCtes
        |SELECT doc_id, COUNT(*) AS n_shared
        |FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
 
@@ -1123,10 +1137,7 @@ object LlmOps {
   }
 
   val decontamCleanSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
-       |g AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
-       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i)),
-       |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+    s"""WITH $DecontamCtes,
        |flagged AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0)
        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept

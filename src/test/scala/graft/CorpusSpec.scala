@@ -16,19 +16,6 @@ class CorpusSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ shuffle rank
 
-  test("decontamClean survivors + flagged == corpus (flag and removal reconcile)") {
-    val summary = graft.queries.LlmOps.decontamClean(spark, sf0001).collect()(0)
-    val docs = Tables.documents(spark, sf0001)
-    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-    val flagged = graft.queries.LlmOps.decontam(spark, sf0001)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(summary.getLong(0) == corpus.count() - flagged.size)
-    val keptIds = corpus.select("doc_id").collect().map(_.getLong(0))
-      .filterNot(flagged).sorted
-    assert(summary.getLong(1) == keptIds.sum)
-    assert(flagged.nonEmpty, "gate eval slice should contaminate something")
-  }
-
   test("shuffleRank is the global (md5(id), id) total order, dense 1..N") {
     val docs = Tables.documents(spark, sf0001)
     val got = Corpus.shuffleRank(docs)
@@ -105,6 +92,19 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   // --------------------------------------------------- decontamination
+
+  test("decontamClean survivors + flagged == corpus (flag and removal reconcile)") {
+    val summary = graft.queries.LlmOps.decontamClean(spark, sf0001).collect()(0)
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val flagged = graft.queries.LlmOps.decontam(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(summary.getLong(0) == corpus.count() - flagged.size)
+    val keptIds = corpus.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(flagged).sorted
+    assert(summary.getLong(1) == keptIds.sum)
+    assert(flagged.nonEmpty, "gate eval slice should contaminate something")
+  }
 
   test("decontaminate counts distinct shared n-grams per corpus doc") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
