@@ -98,6 +98,40 @@ object LlmOps {
        |  SELECT unnest(string_split($NormSql, ' ')) AS token FROM documents) t
        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
 
+  /** Per-group heavy hitters: the top-3 word bigrams of each language —
+    * the corpus-browsing query behind "what does each slice look like".
+    * Two-level shape: explode bigrams → count by (lang, gram) (one
+    * map-side-combined shuffle whose output is vocabulary×languages,
+    * not corpus) → per-language window rank over the counts. Ties break
+    * on the gram text so the top-k is deterministic in both engines. */
+  def gramTop(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("freq"), asc("gram"))
+    Tables.documents(s, dir)
+      // stage the token array ONCE: shingles(text, 2) would re-inline
+      // the tokenize pipeline into every element_at (measured 8.7 s at
+      // sf0.1 vs sub-second staged — the interpreted-re-evaluation trap)
+      .select(col("lang"), tokens(col("text")).as("t"))
+      .select(col("lang"), explode(shingles_from(col("t"), 2)).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("gram"), col("freq"), col("rank").cast("long").as("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val gramTopSql: String =
+    s"""WITH toks AS (SELECT lang, string_split($NormSql, ' ') AS t FROM documents),
+       |g AS (SELECT lang, t[i]||' '||t[i+1] AS gram
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+       |c AS (SELECT lang, gram, COUNT(*) AS freq FROM g GROUP BY 1, 2),
+       |r AS (SELECT lang, gram, freq,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, gram) AS rank
+       |  FROM c)
+       |SELECT lang, gram, freq, rank FROM r WHERE rank <= 3
+       |ORDER BY lang, rank""".stripMargin
+
   /** Character-trigram Shannon entropy per document — the classic
     * gibberish/boilerplate signal (low entropy = repetitive text, high =
     * random noise; natural language sits in a band). Explode → two-level

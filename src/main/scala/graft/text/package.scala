@@ -134,14 +134,23 @@ package object text {
   /** Word n-gram shingles of the normalized text as an array column;
     * documents with fewer than n tokens yield an empty array (indexing
     * past the array would throw under Spark 4's ANSI mode, and a partial
-    * shingle would diverge from the SQL oracle). */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+    * shingle would diverge from the SQL oracle).
+    *
+    * PERF: this inlines `tokens(c)` into every element_at — fine when
+    * the optimizer collapses it, pathological when it doesn't (each
+    * gram position re-runs the tokenize pipeline). Hot paths should
+    * stage the token array as a projection attribute and call
+    * [[shingles_from]] — the same discipline as quality_score_from —
+    * or use the one-pass codegen'd DistinctShingles where per-doc
+    * distinctness is wanted. */
+  def shingles(c: Column, n: Int): Column = shingles_from(tokens(c), n)
+
+  /** [[shingles]] over a PRE-staged token-array attribute. */
+  def shingles_from(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   // ------------------------------------------------------ PII redaction
 
