@@ -141,6 +141,36 @@ object Events {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** 7-day rolling event totals per type — the RANGE-interval window
+    * frame (value-based, unlike q6's rows-based rank): aggregate to
+    * daily grain FIRST so the window's input is days × types, not the
+    * event stream, then run the range frame over the day-grain epoch
+    * seconds. At 100 TB the only window input is the dimension-sized
+    * daily summary — the event-grain shuffle happens once, map-side
+    * combined. */
+  def rolling(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(unix_timestamp(col("day")))
+      .rangeBetween(-6L * 86400L, 0L)
+    daily.select(col("event_type"), col("day"), col("n_events"),
+        sum(col("n_events")).over(w).as("n_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val rollingSql: String =
+    """WITH d AS (SELECT event_type,
+      |    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n_events,
+      |  CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |FROM d ORDER BY event_type, day""".stripMargin
+
   /** JSON extraction from the props column via from_json with an explicit
     * schema (codegen'd Jackson parse — no UDF). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
