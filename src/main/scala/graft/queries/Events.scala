@@ -141,6 +141,30 @@ object Events {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Hopping (sliding) windows — 1-hour windows every 30 minutes: each
+    * event lands in windowDuration/slideDuration = 2 windows, which
+    * Spark's window() generates inline (a 1→2 generator, map-only; the
+    * only shuffle is the (window, type) aggregation, map-side
+    * combined). The oracle replays the hop assignment with an explicit
+    * 2-element unnest over the 30-minute time buckets. */
+  def hopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hop_start"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("hop_start"), col("event_type"))
+
+  val hoppingSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+      |      - s * INTERVAL 30 MINUTE AS hop_start
+      |  FROM events, LATERAL (SELECT unnest([0, 1]) AS s))
+      |SELECT CAST(hop_start AS TIMESTAMP) AS hop_start, event_type,
+      |  COUNT(*) AS n_events
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** 7-day rolling event totals per type — the RANGE-interval window
     * frame (value-based, unlike q6's rows-based rank): aggregate to
     * daily grain FIRST so the window's input is days × types, not the

@@ -47,7 +47,10 @@ object ExplainAudit {
       // the one-row percentile
       "t_domain_mix", "t_quality_sample", "t_unigram_ce",
       "s_semdedup", "s_ann_retrieve", "s_ann_batch", "t_chunk_pack",
-      "t_quality_cutoff", "t_decontam_clean").foreach(audit)
+      "t_quality_cutoff", "t_decontam_clean",
+      // window-frame family: per-group heavy hitters, RANGE-interval
+      // rolling totals, hopping windows (1->2 generator, one exchange)
+      "t_gram_top", "ev_rolling", "ev_hopping").foreach(audit)
     spark.stop()
   }
 }
