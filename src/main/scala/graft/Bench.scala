@@ -136,7 +136,22 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val leaked = results.map(_._3.getOrElse("leaked_cached_rdds", 0L)).sum
     val spillBytes = results.map(_._3.getOrElse("spill_bytes", 0L)).sum
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
+    println(compact)
+    // ALSO persist the compact record to a file: stdout reaches the round
+    // artifact wrapped in sbt log decoration ("[info] " prefix, trailing
+    // "[success]" line), so no raw line is pure JSON and log-scraping
+    // parsers fail. The file is decoration-free and survives regardless.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[bench] compact record written to ${out.toAbsolutePath}")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1205,4 +1205,183 @@ object LlmOps {
     """SELECT doc_id,
       |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------ end-to-end pipeline
+
+  /** The CAPSTONE composition: the full corpus-assembly pipeline in one
+    * program — quality/exact-dup filter → MinHash-LSH near-dup removal →
+    * benchmark decontamination → target-mixture rebalance → deterministic
+    * global shuffle → sequence packing — emitting a per-stage funnel card
+    * (stage, n_docs, id_sum, n_tokens). Every stage is an individually
+    * oracled operator elsewhere in this file; what THIS gate proves is
+    * that they compose in one plan without pipeline breakers:
+    *
+    *  - The corpus parquet is scanned once for the pipeline trunk: the
+    *    scored+filtered frame (stage 1) is persisted, and the near-dup
+    *    detector, the dedup anti-join, the decontamination shingling and
+    *    every card aggregate all fan out over that cache (the only other
+    *    scan is the dimension-sized benchmark slice, which is external
+    *    input by definition).
+    *  - Text is dropped at the earliest stage that no longer needs it:
+    *    the post-decontamination persist carries only (doc_id, lang,
+    *    n_chars, ntok) — four narrow columns — so the mixture / shuffle /
+    *    packing tail and its card aggregates never touch a string again.
+    *  - Operator-internal persists (LSH candidates, CC labels, both
+    *    stage caches here) all register with
+    *    [[graft.util.IntermediateCaches]]; the driver releases them
+    *    after materializing, and ScaleSpec asserts nothing leaks.
+    *
+    * Stage parameters: quality floor 0.4 (keeps every language populated
+    * — the mixture stage needs all five strata), detector = the 100 TB
+    * MinHash-LSH path (n=3, τ=0.5, same recall argument as
+    * [[dedupMinhashLsh]]), benchmark = the raw doc_id % 20 slice with
+    * n=4 grams (as [[decontam]]), recipe = 40/15/15/15/15 (as
+    * [[domainMix]]), pack budget 256 in shuffle-rank order (the
+    * "shuffled layout" contract of
+    * [[graft.corpus.Corpus.packSequences]]). */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // ---- stage 1: quality + exact-dup canonical filter (corpusFilter
+    // shape, all languages). norm/tokens staged ONCE; the persisted
+    // frame keeps raw text for the downstream shingle detectors plus
+    // the narrow columns every later stage needs.
+    val staged = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("norm"), split(col("norm"), " ").as("t"))
+    val filt = graft.util.IntermediateCaches.track(staged
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        size(col("t")).as("ntok"),
+        quality_score_from(col("norm"), col("t")).as("quality"),
+        md5(col("norm").cast("binary")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id") && col("quality") >= 0.4)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"), col("ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ---- stage 2: near-dup removal (detect → cluster → anti-join)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(filt, n = 3, threshold = 0.5))
+    val losers = cc.filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    val dd = filt.join(losers, Seq("doc_id"), "left_anti")
+    // ---- stage 3: benchmark decontamination (flag → anti-join). The
+    // benchmark is the RAW eval slice — contamination is judged against
+    // the benchmark as published, not against its quality-filtered
+    // subset. Text is no longer needed past this point, so the persisted
+    // survivor frame is four narrow columns.
+    val flagged = graft.corpus.Corpus
+      .decontaminate(dd, docs.filter(col("doc_id") % 20 === 0), n = 4)
+      .select(col("doc_id"))
+    val clean = graft.util.IntermediateCaches.track(
+      dd.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ntok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ---- stage 4: mixture rebalance (integer-exact thresholds). The
+    // per-stratum counts collect is the pipeline's first action: it
+    // materializes the whole trunk into the two stage caches above.
+    val counts = clean.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = graft.sampling.Sampling.mixToTarget(clean, "doc_id", "lang",
+      Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15), counts)
+    // ---- stages 5+6: deterministic shuffle rank, then pack sequences
+    // in RANK order (both two-pass bucketed prefixes over the cached
+    // narrow frame; rank is dense in [1, N] so the id-range bucketing
+    // of packSequences applies to it directly)
+    val ranked = graft.corpus.Corpus.shuffleRank(mixed, "doc_id")
+    val packs = graft.corpus.Corpus.packSequences(
+      mixed.join(ranked, "doc_id").select(col("rank"), col("ntok")),
+      tokensOf = col("ntok"), budget = 256, idCol = "rank", bucketSize = 64)
+    // ---- funnel card: one row per stage over the cached frames
+    def card(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("ntok")).cast("long").as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("id_sum"),
+          col("n_tokens"))
+    card("1_filtered", filt)
+      .unionAll(card("2_deduped", dd))
+      .unionAll(card("3_decontaminated", clean))
+      .unionAll(card("4_mixed", mixed))
+      .unionAll(packs.agg(count(lit(1)).as("n_docs"),
+        sum(col("first_doc")).cast("long").as("id_sum"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .select(lit("5_packed").as("stage"), col("n_docs"), col("id_sum"),
+          col("n_tokens")))
+      .orderBy(col("stage"))
+  }
+
+  /** One CTE chain recomputing the WHOLE pipeline independently: the
+    * shingle/closure text is shared with the per-stage oracles above
+    * only in shape, re-derived here against the filtered corpus (the
+    * per-stage CTEs are all parameterized on `documents`; the capstone's
+    * detector input is the stage-1 survivor set). */
+  val pipelineE2eSql: String =
+    s"""WITH RECURSIVE
+       |n0 AS (SELECT doc_id, lang, n_chars, $NormSql AS norm FROM documents),
+       |m0 AS (SELECT doc_id, lang, n_chars, norm, string_split(norm,' ') AS t,
+       |        len(string_split(norm,' ')) AS ntok,
+       |        len(list_filter(string_split(norm,' '),
+       |            w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |        len(regexp_extract_all(norm,'[^a-z0-9 ]')) AS punct,
+       |        md5(norm) AS fp FROM n0),
+       |sc AS (SELECT doc_id, lang, n_chars, t, ntok, fp,
+       |        ROUND(0.4*(CAST(stop AS DOUBLE)/ntok)
+       |            + 0.3*LEAST(1.0, CAST(length(norm) AS DOUBLE)/500.0)
+       |            + 0.3*(1.0 - CAST(punct AS DOUBLE)/length(norm)), 6) AS quality FROM m0),
+       |keepers AS (SELECT fp, MIN(doc_id) AS keep_id FROM sc GROUP BY fp),
+       |filt AS (SELECT doc_id, lang, n_chars, t, ntok FROM sc
+       |         JOIN keepers ON doc_id = keep_id WHERE quality >= 0.4),
+       |sh AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] AS s
+       |       FROM filt, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |jac AS (SELECT doc_a, doc_b FROM inter
+       |        JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |        WHERE CAST(c AS DOUBLE)/(ca.n + cb.n - c) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |          UNION ALL SELECT doc_b, doc_a FROM jac),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |          UNION
+       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |losers AS (SELECT node FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
+       |           WHERE node <> comp),
+       |dd AS (SELECT * FROM filt WHERE doc_id NOT IN (SELECT node FROM losers)),
+       |bg AS (SELECT DISTINCT t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+       |       FROM m0, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i)
+       |       WHERE doc_id % 20 = 0),
+       |cg AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+       |       FROM dd, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i)),
+       |flagged AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+       |clean AS (SELECT doc_id, lang, n_chars, ntok FROM dd
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |tgt AS (SELECT * FROM (VALUES ('en',40),('de',15),('es',15),('fr',15),('zh',15)) AS v(lang, pct)),
+       |c1 AS (SELECT lang, COUNT(*) AS n FROM clean GROUP BY lang),
+       |mm AS (SELECT MIN(n * 100 // pct) AS m FROM c1 JOIN tgt USING (lang)),
+       |rr AS (SELECT lang, n, (65536 * ((pct * (SELECT m FROM mm)) // 100)) // n AS b
+       |       FROM c1 JOIN tgt USING (lang)),
+       |mixed AS (SELECT clean.* FROM clean JOIN rr USING (lang)
+       |          WHERE rr.b >= 65536 OR (rr.b > 0 AND
+       |            substring(md5(CAST(doc_id AS VARCHAR)),1,4) < printf('%04x', rr.b))),
+       |rk AS (SELECT doc_id, ntok,
+       |         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+       |       FROM mixed),
+       |cum AS (SELECT rank, ntok,
+       |          SUM(ntok) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) - ntok AS sof
+       |        FROM rk),
+       |packs AS (SELECT CAST(floor(sof / 256.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |          CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |          MIN(rank) AS first_doc, MAX(rank) AS last_doc
+       |          FROM cum GROUP BY 1)
+       |SELECT stage, n_docs, id_sum, n_tokens FROM (
+       |  SELECT '1_filtered' AS stage, COUNT(*) AS n_docs,
+       |    CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM filt
+       |  UNION ALL SELECT '2_deduped', COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM dd
+       |  UNION ALL SELECT '3_decontaminated', COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM clean
+       |  UNION ALL SELECT '4_mixed', COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM mixed
+       |  UNION ALL SELECT '5_packed', COUNT(*), CAST(SUM(first_doc) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM packs
+       |) ORDER BY stage""".stripMargin
 }

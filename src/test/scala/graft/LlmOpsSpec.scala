@@ -691,4 +691,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 3) // the, of, the
     assert(r.getInt(3) == 1) // '!'
   }
+
+  test("e2e pipeline capstone: monotone funnel, conserved tokens, caches released") {
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val card = graft.queries.LlmOps.pipelineE2e(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the gate's value-exactness is the DuckDB oracle's job; this spec
+    // pins the structural invariants that hold at ANY scale factor
+    val Seq(f, d, c, m) = Seq("1_filtered", "2_deduped",
+      "3_decontaminated", "4_mixed").map(card(_))
+    val p = card("5_packed")
+    // each removal stage only shrinks the corpus (docs AND tokens)
+    assert(f._1 >= d._1 && d._1 >= c._1 && c._1 >= m._1)
+    assert(f._3 >= d._3 && d._3 >= c._3 && c._3 >= m._3)
+    assert(Seq(f, d, c, m).forall(s => s._1 > 0))
+    // packing conserves the mixed corpus's tokens exactly and the
+    // sequence count is the token budget bound ⌈tokens/256⌉ ≤ n_seqs ≤ docs
+    assert(p._3 == m._3)
+    assert(p._1 >= (m._3 + 255) / 256 && p._1 <= m._1)
+    // sum of per-sequence first ranks over dense ranks [1, n_mixed]:
+    // lower-bounded by choosing the n_seqs smallest ranks
+    assert(p._2 >= p._1 * (p._1 + 1) / 2 && p._2 <= m._1.toLong * m._1)
+    // every operator-internal persist (stage caches, LSH candidates, CC
+    // labels) is registered and releasable — nothing survives the gate
+    assert(graft.util.IntermediateCaches.trackedCount > 0)
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(graft.util.IntermediateCaches.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
