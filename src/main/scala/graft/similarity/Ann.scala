@@ -152,22 +152,41 @@ object Ann {
     * pass; the search probes `probes/nCells` of the corpus. Cell ids
     * can be persisted as a partition column so a probe prunes parquet
     * partitions instead of scanning. */
+  /** Collect the dimension-sized seed table (k centroids — tiny by
+    * contract) into the reference-object shape the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroid]] argmax closes over.
+    * Floats widen to double exactly, so parity with the HOF cosine is
+    * bit-level. */
+  private def collectSeeds(seeds: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = seeds.select(col("cell_id"), col("cvec")).collect()
+    val cells = rows.map(_.getLong(0))
+    val cents = rows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case null => Double.NaN // null element: HOF cosine would be null for
+      // every vector → tie-break-only cell; NaN reproduces "never the
+      // argmax by value" without a nullable matrix (unreachable for the
+      // parquet embeddings, whose arrays are containsNull = false)
+    }.toArray)
+    (cells, cents)
+  }
+
   /** Lloyd refinement of IVF cells: assign → element-wise mean per cell
     * → repeat. Mean via posexplode + groupBy(cell, pos) stays fully
-    * distributed; only the k×d centroid table is driver-sized. Cell
-    * geometry affects recall-per-probe only, never re-rank correctness
-    * (the exhaustive-probe == brute-force spec holds for ANY seeds). */
+    * distributed; only the k×d centroid table is driver-sized (it is
+    * collected once per iteration to feed the codegen'd argmax — the
+    * previous broadcast-column formulation materialized the same table
+    * per iteration anyway, as a one-row crossJoin side). Cell geometry
+    * affects recall-per-probe only, never re-rank correctness (the
+    * exhaustive-probe == brute-force spec holds for ANY seeds). */
   private def lloydRefine(df: DataFrame, seeds0: DataFrame, iters: Int,
       idCol: String, vecCol: String): DataFrame = {
     var seeds = seeds0
     for (_ <- 0 until iters) {
-      val seedArr = seeds.agg(collect_list(struct(col("cell_id"), col("cvec"))).as("seeds"))
-      val assigned = df.crossJoin(broadcast(seedArr))
-        .select(col(vecCol),
-          array_max(transform(col("seeds"), sd =>
-            struct(round(cosine(col(vecCol), sd.getField("cvec")), 9).as("s"),
-              sd.getField("cell_id").as("cell_id"))))
-            .getField("cell_id").as("cell"))
+      val (cells, cents) = collectSeeds(seeds)
+      val assigned = df.select(col(vecCol),
+        org.apache.spark.sql.graft.NearestCentroid
+          .nearest_centroid(col(vecCol), cells, cents).as("cell"))
       seeds = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -182,7 +201,7 @@ object Ann {
 
   /** The seed (coarse-centroid) table: the `nCells` lowest-id vectors,
     * optionally Lloyd-refined. */
-  private def ivfSeeds(embeddings: DataFrame, nCells: Int, lloydIters: Int,
+  private[graft] def ivfSeeds(embeddings: DataFrame, nCells: Int, lloydIters: Int,
       idCol: String, vecCol: String): DataFrame = {
     val seeds0 = embeddings.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
@@ -191,12 +210,28 @@ object Ann {
       seeds0, lloydIters, idCol, vecCol)
   }
 
-  /** Assignment against a given seed table: one-row array of all seeds →
-    * broadcast nest-loop join + per-row argmax via struct ordering
-    * (deterministic tie-break: higher sim, then higher cell id). A pure
-    * map pass — no groupBy, and in particular no shuffle keyed on the
-    * embedding vector. */
+  /** Assignment against a given seed table: the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroid]] argmax with the
+    * collected (dimension-sized) centroid matrix as a codegen reference
+    * object — one vector-norm pass + k dots in a tight loop per row. A
+    * pure map pass: no groupBy, no shuffle keyed on the embedding
+    * vector, and no per-(row, seed) interpreted lambda (the previous
+    * `array_max(transform(…))` walked the HOF tree per seed — linear,
+    * but interpreted; at production cell counts, thousands of
+    * interpreted struct allocations per row). Deterministic tie-break:
+    * higher sim, then higher cell id. */
   private def assignToSeeds(spreadDf: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val (cells, cents) = collectSeeds(seeds)
+    spreadDf.select(col(idCol), col(vecCol),
+      org.apache.spark.sql.graft.NearestCentroid
+        .nearest_centroid(col(vecCol), cells, cents).as("cell"))
+  }
+
+  /** The interpreted broadcast-column HOF argmax the codegen expression
+    * replaced — kept as the value-equality reference for specs (the
+    * same role [[dotHof]] plays for VectorOps). */
+  private[graft] def assignToSeedsHof(spreadDf: DataFrame, seeds: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val seedArr = seeds.agg(collect_list(struct(col("cell_id"), col("cvec"))).as("seeds"))
     spreadDf.crossJoin(broadcast(seedArr))
@@ -277,7 +312,12 @@ object Ann {
     * over cell sizes instead of O(n²) over the corpus — with k
     * balanced cells, a k× reduction, and the within-cell join is an
     * equi-join on the cell id (one shuffle keyed by cell; a skewed
-    * cell salts like any hot join key). Cells come from [[ivfAssign]]:
+    * cell salts like any hot join key). SIZING RULE: the lever only
+    * works if k grows with the corpus — k ≈ n / targetCellSize, i.e.
+    * hold the MEAN CELL SIZE constant (hundreds to low thousands), not
+    * the cell count; a fixed k leaves each cell at n/k and the
+    * within-cell join quadratic again. Use [[semDedupByCellSize]] to
+    * derive k from the contract directly. Cells come from [[ivfAssign]]:
     * deterministic lowest-id seeds so the whole composition is
     * SQL-oracle-able end-to-end; pass `lloydIters` > 0 for the
     * production k-means geometry (affects WHICH near-dup pairs share a
@@ -295,6 +335,29 @@ object Ann {
     * of clustered embeddings, where one dense region swallows a big
     * cell — spreads its O(c²) pair work across salt·(salt+1)/2 tasks
     * instead of one straggler. Pair set is identical (spec'd). */
+  /** [[semDedup]] with `nCells` DERIVED from a target mean cell size —
+    * the sizing contract made explicit. Within-cell pair search is
+    * O(Σ c_i²) ≈ n · targetCellSize for balanced cells, so the cell
+    * count must GROW with the corpus: k ≈ n / targetCellSize. A fixed k
+    * (the gate's 16) silently degenerates toward O(n²/k) as n grows —
+    * at 100 TB each cell would hold n/16 vectors and the within-cell
+    * join is quadratic again. This overload counts the corpus once
+    * (scan-bound, reusable if the caller already knows n) and picks
+    * k = max(1, ⌈n / targetCellSize⌉); targetCellSize trades recall
+    * (bigger cells → fewer split near-dup pairs) against join cost
+    * (pair work per row ∝ targetCellSize). Published SemDeDup practice
+    * sits at a few hundred to a few thousand vectors per cell. */
+  def semDedupByCellSize(embeddings: DataFrame, threshold: Double,
+      targetCellSize: Long, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: Int = 1): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    val n = embeddings.count()
+    val k = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
+    require(k <= Int.MaxValue, s"derived cell count $k overflows Int")
+    semDedup(embeddings, threshold, k.toInt, lloydIters, idCol, vecCol, salt)
+  }
+
   def semDedup(embeddings: DataFrame, threshold: Double,
       nCells: Int = 16, lloydIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",

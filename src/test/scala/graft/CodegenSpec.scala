@@ -127,6 +127,37 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCentroid generates compiling Java and equals the HOF argmax") {
+    codegenOnly {
+      import org.apache.spark.sql.graft.NearestCentroid.nearest_centroid
+      val rng = new scala.util.Random(11)
+      val cents = Array.tabulate(64)(_ => Array.fill(32)(rng.nextGaussian()))
+      val cells = Array.tabulate(64)(i => i.toLong * 3 + 1)
+      val df = (0 until 200).map(i =>
+        (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat))).toDF("id", "v")
+      val got = df.select(col("id"),
+        nearest_centroid(col("v"), cells, cents).as("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent reference: driver-side argmax with the same rounding
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      rows.foreach { case (id, v) =>
+        val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val best = cents.zip(cells).map { case (c, cl) =>
+          val d = v.indices.foldLeft(0.0)((acc, j) => acc + v(j).toDouble * c(j))
+          (r9(d / (nv * math.sqrt(c.map(x => x * x).sum))), cl)
+        }.max
+        assert(got(id) == best._2, s"argmax drift for vector $id")
+      }
+      // float and double vector inputs agree
+      val dd = (0 until 20).map(i => (i.toLong, rows(i)._2.map(_.toDouble)))
+        .toDF("id", "v")
+        .select(col("id"), nearest_centroid(col("v"), cells, cents).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dd.forall { case (id, c) => got(id) == c })
+    }
+  }
+
   test("Confluent Avro serde expressions generate compiling Java") {
     codegenOnly {
       import graft.confluent._

@@ -692,6 +692,84 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 1) // '!'
   }
 
+  test("codegen NearestCentroid == HOF broadcast-column argmax (k = 16 and 256)") {
+    for (k <- Seq(16, 256)) {
+      val seeds = Ann.ivfSeeds(emb, k, 0, "vec_id", "embedding")
+      val got = Ann.ivfAssign(emb, nCells = k)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = Ann.assignToSeedsHof(emb, seeds, "vec_id", "embedding")
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"codegen/HOF assignment drift at k=$k")
+    }
+  }
+
+  test("NearestCentroid degenerate inputs match the HOF formulation") {
+    import org.apache.spark.sql.graft.NearestCentroid.nearest_centroid
+    // ties (duplicate centroid under two ids → higher id), zero-norm
+    // vector (NaN cosines → tie-break), zero-norm centroid vs finite
+    // ones (NaN sorts above any value in Spark's double order),
+    // dimension mismatch (null cosine sorts below everything)
+    val cells = Array(3L, 7L, 9L)
+    val dupCent = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = Seq(
+      (1L, Array(2.0f, 0.0f)),   // ties cells 3 and 9 → 9
+      (2L, Array(0.0f, 0.0f)),   // all NaN → highest cell 9
+      (3L, Array(0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+      nearest_centroid(col("embedding"), cells, dupCent).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 9L, 2L -> 9L, 3L -> 7L))
+    // zero-norm centroid: NaN beats every finite cosine, ties to high id
+    val zeroCent = Array(Array(1.0, 0.0), Array(0.0, 0.0))
+    val gz = df.filter(col("vec_id") === 1L).select(
+      nearest_centroid(col("embedding"), Array(1L, 2L), zeroCent).as("cell"))
+      .head().getLong(0)
+    assert(gz == 2L)
+    // dimension mismatch on one centroid: its null cosine always loses
+    val mixCent = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0))
+    val gm = df.filter(col("vec_id") === 1L).select(
+      nearest_centroid(col("embedding"), Array(1L, 2L), mixCent).as("cell"))
+      .head().getLong(0)
+    assert(gm == 2L)
+    // empty seed set: NULL (array_max over an empty array)
+    val ge = df.limit(1).select(
+      nearest_centroid(col("embedding"), Array.empty[Long],
+        Array.empty[Array[Double]]).as("cell")).head()
+    assert(ge.isNullAt(0))
+  }
+
+  test("semDedupByCellSize: derived k >= 64, planted duplicates recalled within cells") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // 960 cluster vectors (8 clusters, gaussian noise — same-cluster
+    // cosine ~0.86, far from the 0.999 threshold) + 64 planted EXACT
+    // duplicates; identical vectors share an argmax cell by
+    // construction, so within-cell recall of the planted pairs must be
+    // total no matter how the 64 derived cells carve the space
+    val base = (0L until 960L).map { i =>
+      val c = (i % 8).toInt
+      i -> Array.tabulate(dim)(d =>
+        (if (d == c) 10.0 else 0.0) + rnd.nextGaussian()).map(_.toFloat)
+    }
+    val dups = (0L until 64L).map(j => (2000L + j) -> base((j * 15).toInt)._2)
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val removed = Ann.semDedupByCellSize(df, threshold = 0.999,
+      targetCellSize = 16) // n=1024 → k = ceil(1024/16) = 64
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val expected = dups.map { case (dupId, _) => dupId -> (dupId - 2000L) * 15L }.toMap
+    assert(removed == expected,
+      s"planted-dup removal drift: missing ${expected.keySet -- removed.keySet}, " +
+        s"extra ${removed.keySet -- expected.keySet}")
+    // and the derived partition actually spreads: no cell swallows the corpus
+    val cellSizes = Ann.ivfAssign(df, nCells = 64)
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    assert(cellSizes.max < 1024 / 4,
+      s"cell lever inert: max cell ${cellSizes.max} of 1024")
+  }
+
   test("e2e pipeline capstone: monotone funnel, conserved tokens, caches released") {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val card = graft.queries.LlmOps.pipelineE2e(spark, sf001)
