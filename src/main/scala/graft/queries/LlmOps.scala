@@ -1025,6 +1025,54 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Batched retrieval on the IVF SCALE path — [[annBatch]]'s fixed
+    * query set composed with cell probing (assign once, probe 3 of 8
+    * cells per query, rank within probed cells only):
+    * [[graft.similarity.Ann.batchTopKIvf]]. FULLY oracled despite the
+    * approximation — cell assignment, probe selection and the pruned
+    * rank are all deterministic (round-9 argmax, ties to higher cell),
+    * so DuckDB recomputes the exact same candidate universe. */
+  def annBatchIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.batchTopKIvf(
+      corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
+      k = 3, nCells = 8, probes = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBatchIvfSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id NOT IN ($ids)
+       |               ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1),
+       |qc AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds s
+       |  WHERE q.vec_id IN ($ids)) t WHERE pr <= 3),
+       |scored AS (SELECT qc.query_id, e.vec_id,
+       |    ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
+       |  FROM embeddings e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN qc ON qc.cell = asg.cell
+       |  JOIN embeddings q ON q.vec_id = qc.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =

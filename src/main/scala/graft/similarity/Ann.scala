@@ -301,6 +301,61 @@ object Ann {
       .select(col("query_id"), col(idCol), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Batched retrieval on the IVF scale path: [[batchTopK]]'s
+    * query-set shape composed with [[ivfTopK]]'s cell probing — the
+    * production 100 TB retrieval is batched AND bucketed, and this is
+    * that composition in ONE plan:
+    *
+    *  1. assign the corpus ONCE (codegen
+    *     [[org.apache.spark.sql.graft.NearestCentroid]] argmax — a map
+    *     pass over the corpus, shared by every query);
+    *  2. pick each query's `probes` nearest cells (query set × seed
+    *     table — both dimension-sized by contract, so this is a
+    *     broadcast-able speck of a frame);
+    *  3. score each corpus row against exactly the queries probing its
+    *     cell (equi-join on the cell id — the corpus-sized side carries
+    *     ~probes/nCells of the query set per row, never all of it);
+    *  4. per-query rank with the same deterministic (sim desc, id)
+    *     window as [[batchTopK]] — Spark 4 plants a WindowGroupLimit
+    *     partial/final pair, so each map partition ships only k rows
+    *     per query into the rank exchange.
+    *
+    * Recall follows IVF semantics: a neighbor is findable iff its cell
+    * is probed (probes = nCells ⇒ exact, == [[batchTopK]] — spec'd);
+    * tie-breaks (round-9 cell cosine, ties to the higher cell id)
+    * mirror [[ivfTopK]] so both probe paths are SQL-oracle-able. */
+  def batchTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, probes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 0): DataFrame = {
+    val spreadDf = graft.util.Partitioning.spreadIfNarrow(corpus)
+    val seeds = ivfSeeds(corpus, nCells, lloydIters, idCol, vecCol)
+    val assigned = assignToSeeds(spreadDf, seeds, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"), l2norm(col(vecCol)).as("cn"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cs"), desc("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        l2norm(col(vecCol)).as("qn"))
+      .crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("qvec"), col("qn"),
+        col("cell_id").as("cell"),
+        round(cosine(col("qvec"), col("cvec")), 9).as("cs"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("sim"), col(idCol))
+    assigned.join(broadcast(queryCells), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("cn") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication of an embedded corpus — partition the vectors into
     * coarse cells, find near-duplicate pairs WITHIN each cell only,

@@ -740,6 +740,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ge.isNullAt(0))
   }
 
+  test("batchTopKIvf: exhaustive probes == batchTopK; partial probes recall planted neighbors") {
+    val qIds = Seq(0L, 100L, 200L)
+    val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
+    val queries = emb.filter(col("vec_id").isin(qIds: _*))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    // probing every cell makes IVF exact — row-identical to batchTopK
+    val exhaustive = Ann.batchTopKIvf(corpus, queries, k = 5,
+      nCells = 8, probes = 8).collect().map(key).toSet
+    val brute = Ann.batchTopK(corpus, queries, k = 5).collect().map(key).toSet
+    assert(exhaustive == brute)
+    // planted neighbors: each query's exact duplicate lands in the SAME
+    // cell (identical vector → identical argmax), so even 1-probe
+    // search must return it at rank 1 with sim 1.0
+    val rows = queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planted = rows.map { case (id, v) => (id + 5000L, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val got = Ann.batchTopKIvf(
+      corpus.select(col("vec_id"), col("embedding")).unionAll(planted),
+      queries, k = 1, nCells = 8, probes = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == qIds.map(q => (q, q + 5000L, 1.0)).toSet,
+      s"planted neighbor missed at 1 probe: $got")
+  }
+
   test("semDedupByCellSize: derived k >= 64, planted duplicates recalled within cells") {
     val dim = 16
     val rnd = new scala.util.Random(7)
