@@ -6,5 +6,15 @@ cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
 rm -rf "$OUT"
-sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep -Ei 'error|exception|\[verify\]' | head -30 || true
+LOG=$(mktemp)
+sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$LOG" | grep -Ei 'error|exception|\[verify\]' | head -30 || true
+# hygiene gate: any operator cache that survives its query's releaseAll
+# is a regression even when every value matches
+if grep -q '\[verify\] LEAK' "$LOG"; then
+  echo "== FAIL: leaked operator-internal caches =="
+  grep '\[verify\] LEAK' "$LOG"
+  rm -f "$LOG"
+  exit 1
+fi
+rm -f "$LOG"
 python3 scripts/oracle_check.py "$SF" "$OUT"

@@ -26,6 +26,13 @@ object Verify {
         // lineage-cut persists clearCache cannot see
         graft.util.IntermediateCaches.releaseAll(blocking = true)
         spark.catalog.clearCache()
+        // hygiene gate: anything still persisted is an operator cache
+        // that escaped the registry — flag it so verify_local.sh fails
+        val leaked = spark.sparkContext.getPersistentRDDs
+        if (leaked.nonEmpty) {
+          System.err.println(s"[verify] LEAK $name: ${leaked.size} persisted RDD(s) survive releaseAll")
+          leaked.values.foreach(_.unpersist(blocking = true))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

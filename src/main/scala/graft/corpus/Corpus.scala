@@ -76,7 +76,20 @@ object Corpus {
     * callers can plug a real tokenizer's count column); `bucketSize`
     * sets the coarse id-range bucket for the two-pass prefix (see the
     * object scaladoc) — any value ≫ 1 works, smaller = more parallel
-    * buckets, larger = smaller bucket summary. */
+    * buckets, larger = smaller bucket summary.
+    *
+    * BUCKET-KEY CHOICE RULE (skew): per-bucket rows are bounded by
+    * `bucketSize` by construction (ids are unique), so no id
+    * distribution can make one bucket hot beyond the parameter — but a
+    * SPARSE id space (hashed 64-bit ids, tombstoned ranges) degrades
+    * the OTHER side: the bucket summary approaches one row per doc and
+    * the "dimension-sized" offsets window becomes corpus-sized. Rule:
+    * keep idRange / bucketSize ≪ corpus (summary stays tiny), or —
+    * the robust default — pre-rank with [[shuffleRank]] and pack on
+    * the dense 1..N rank, which also gives the shuffled layout
+    * training wants anyway. ([[shuffleRank]] itself is immune: its
+    * buckets are an md5 PREFIX, uniform for any id space.) Spec'd in
+    * CorpusSpec "skew stress". */
   def packSequences(docs: DataFrame, tokensOf: Column, budget: Int,
       idCol: String = "doc_id", bucketSize: Int = 4096): DataFrame = {
     require(budget > 0 && bucketSize > 1)

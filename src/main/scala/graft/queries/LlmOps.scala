@@ -446,7 +446,8 @@ object LlmOps {
        |FROM m)
        |SELECT doc_id, quality FROM scored
        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-       |  printf('%02x', LEAST(255, CAST(floor(quality * 256) AS INT)))
+       |  printf('%02x', GREATEST(0, LEAST(255,
+       |    CAST(COALESCE(floor(quality * 256), 0) AS BIGINT))))
        |ORDER BY doc_id""".stripMargin
 
   /** Unigram-LM cross-entropy scoring — the perplexity-style quality
@@ -553,6 +554,11 @@ object LlmOps {
       idCol = "chunk_gid", bucketSize = 64)
   }
 
+  // NOTE: gid = doc_id*64 + chunk_idx is computed here WITHOUT the
+  // 64+-chunk guard — the invariant (chunk_idx < 64, i.e. docs under
+  // ~2570 normalized tokens) is enforced on the ENGINE side, whose
+  // raise_error fails the gate loudly before the oracle's collided ids
+  // could ever be compared.
   val chunkPackSql: String =
     s"""WITH n AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
        |c AS (SELECT doc_id, i AS chunk_idx, t[i*40+1 : i*40+50] AS ch

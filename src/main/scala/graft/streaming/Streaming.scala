@@ -193,19 +193,22 @@ object Streaming {
     s.table(queryName)
   }
 
-  /** Stream-stream interval join — click-to-view attribution: every
-    * (click, view) pair of the same user where the view happened in the
-    * 6 hours up to the click. Both sides are watermarked and the join
-    * condition carries the event-time range, so the state store can
-    * evict views older than (click watermark − 6 h) and clicks older
-    * than the view watermark — state is bounded by arrival rate ×
+  /** Stream-stream interval-join TRANSFORM — click-to-view attribution:
+    * every (click, view) pair of the same user where the view happened
+    * in the 6 hours up to the click. Both sides are watermarked and the
+    * join condition carries the event-time range, so the state store
+    * can evict views older than (click watermark − 6 h) and clicks
+    * older than the view watermark — state is bounded by arrival rate ×
     * horizon, the only shape that survives an unbounded stream. An
     * INNER join's output is emitted as matches arrive (completeness
     * never waits on the watermark; the watermark only bounds state and
-    * lateness), so the replayed result must equal the batch join —
-    * which is the oracle. */
-  def clickViewJoinStream(s: SparkSession, dir: String,
-      queryName: String = "graft_stream_join"): DataFrame = {
+    * lateness).
+    *
+    * Sink-agnostic: [[clickViewJoinStream]] replays it into a memory
+    * sink for the gate; StreamingSpec drives the SAME frame into a
+    * parquet file sink — the production shape — and proves identical
+    * output. */
+  private[graft] def clickViewJoinTransform(s: SparkSession, dir: String): DataFrame = {
     val clicks = eventsStream(s, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -216,11 +219,31 @@ object Streaming {
       .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", "10 minutes")
-    val joined = clicks.join(views,
+    clicks.join(views,
         col("user_id") === col("view_user") &&
           col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
           col("view_ts") <= col("click_ts"))
       .select(col("click_id"), col("view_id"), col("user_id"))
+  }
+
+  /** Gate replay of [[clickViewJoinTransform]]. Two properties of THIS
+    * HARNESS (not of the operator) make the replayed result equal the
+    * batch join, which is the oracle:
+    *
+    *  - the memory sink is the ORACLE MECHANISM only: it collects
+    *    results to the driver (bounded here — the replay emits ≤ the
+    *    matched-pair count). Production runs the same transform into a
+    *    file/kafka sink (proven sink-agnostic in StreamingSpec);
+    *  - single-micro-batch replay: the file source delivers the whole
+    *    corpus in one batch, so no row ever arrives with event time at
+    *    or below an ADVANCED watermark. A multi-batch replay
+    *    (maxFilesPerTrigger) of out-of-order files could drop rows
+    *    later than the 10-minute watermark as late INPUT — an
+    *    ingestion-discipline property shared by all the streaming
+    *    gates, not an operator bug. */
+  def clickViewJoinStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_join"): DataFrame = {
+    val joined = clickViewJoinTransform(s, dir)
     withReplayPartitions(s, 4) {
       val q = joined.writeStream
         .outputMode("append")

@@ -91,6 +91,55 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("skew stress: md5 buckets defuse a pathological id space; id-range buckets stay bounded") {
+    // 4096 ids engineered hot: one dense 100x cluster (0..3999 — all in
+    // the SAME id-range granule at bucketSize 4096) plus a sparse tail
+    // of 96 ids strewn across a 2^50 space. Range-bucketing would see a
+    // 4000-row hot bucket; the md5 prefix must not care.
+    val ids = ((0L until 4000L) ++
+      (1L to 96L).map(i => (1L << 50) + i * (1L << 40))).toSeq
+    val docs = ids.toDF("doc_id")
+    // (1) shuffleRank's hash-prefix buckets stay balanced under the skew
+    val bucketSizes = docs
+      .select(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("bkt"))
+      .groupBy(col("bkt")).count().collect().map(_.getLong(1))
+    assert(bucketSizes.max <= 4 * (ids.size / 256),
+      s"md5 bucket skew: max ${bucketSizes.max} of ${ids.size} over 256 buckets")
+    // and the rank is STILL the exact global order — skew never changes values
+    val got = Corpus.shuffleRank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = ids.sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == ref)
+    // (2) packSequences' id-range buckets: per-bucket rows are bounded
+    // by bucketSize BY CONSTRUCTION (ids are unique), so the planted
+    // hot cluster cannot exceed the granule — the skew ceiling is the
+    // parameter itself, not the data
+    val perBucket = docs
+      .select((col("doc_id") / lit(512)).cast("long").as("bkt"))
+      .groupBy(col("bkt")).count().collect().map(_.getLong(1))
+    assert(perBucket.max <= 512)
+    // and the pack output is invariant to how the skewed space is
+    // bucketed (the prefix decomposition is exact, whatever the spread)
+    def pack(bs: Int) = Corpus.packSequences(docs, lit(3), 64, bucketSize = bs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(pack(512) == pack(4096) && pack(512) == pack(1 << 20))
+    // (3) the SPARSE-id degenerate case and its documented fix: on a
+    // hashed id space the range-bucket summary approaches one row per
+    // doc (here: every sparse id its own bucket) — pre-ranking with
+    // shuffleRank densifies ids to 1..N, restoring a dimension-sized
+    // summary of ~N / bucketSize buckets (ranks are 1-based, so
+    // floor(rank/512) spans 0..N/512 inclusive)
+    val ranked = Corpus.shuffleRank(docs).select(col("rank").as("doc_id"))
+    val denseBuckets = ranked
+      .select((col("doc_id") / lit(512)).cast("long").as("bkt"))
+      .select(countDistinct(col("bkt"))).head().getLong(0)
+    assert(denseBuckets == ids.size / 512 + 1)
+  }
+
   // --------------------------------------------------- decontamination
 
   test("decontamClean survivors + flagged == corpus (flag and removal reconcile)") {

@@ -152,6 +152,30 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("clickViewJoinTransform is sink-agnostic: parquet file sink == memory sink") {
+    // the production shape: the SAME streaming frame the gate replays
+    // into its memory-sink oracle, driven into a file sink (append-mode
+    // parquet + checkpoint) — nothing driver-side in the output path
+    val out = java.nio.file.Files.createTempDirectory("cvj_file_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cvj_ckpt").toString
+    val q = graft.streaming.Streaming.clickViewJoinTransform(spark, sf0001)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val fromFiles = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromMemory = graft.streaming.Streaming
+      .clickViewJoinStream(spark, sf0001, queryName = "infra_cvj_file_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromFiles == fromMemory,
+      s"file=${fromFiles.size} memory=${fromMemory.size}")
+    assert(fromFiles.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer == native session_window append output") {
     val custom = graft.streaming.Streaming
       .sessionsCustomState(spark, sf0001, queryName = "infra_sess_fmgs")

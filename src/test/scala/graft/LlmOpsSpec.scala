@@ -795,6 +795,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"cell lever inert: max cell ${cellSizes.max} of 1024")
   }
 
+  test("semDedup with Lloyd-refined cells (lloydIters > 0) still recalls planted duplicates") {
+    // cell GEOMETRY changes under Lloyd refinement; the within-cell
+    // verify and the recall of identical vectors (same argmax cell for
+    // ANY centroid set) must not — the production-geometry variant of
+    // the semDedupByCellSize spec
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 240L).map { i =>
+      val c = (i % 4).toInt
+      i -> Array.tabulate(8)(d =>
+        (if (d == c) 10.0 else 0.0) + rnd.nextGaussian()).map(_.toFloat)
+    }
+    val dups = (0L until 16L).map(j => (500L + j) -> base((j * 15).toInt)._2)
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val removed = Ann.semDedup(df, threshold = 0.999, nCells = 8,
+      lloydIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val expected = dups.map { case (d, _) => d -> (d - 500L) * 15L }.toMap
+    assert(removed == expected)
+  }
+
   test("e2e pipeline capstone: monotone funnel, conserved tokens, caches released") {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val card = graft.queries.LlmOps.pipelineE2e(spark, sf001)
