@@ -1207,6 +1207,35 @@ object LlmOps {
        |SELECT doc_id, COUNT(*) AS n_shared
        |FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
 
+  /** FUZZY decontamination gate: corpus docs within 0.5 whole-text
+    * 3-gram Jaccard of any eval-slice doc, via bipartite MinHash-LSH
+    * banding + exact verify ([[graft.corpus.Corpus.decontaminateFuzzy]]
+    * — the paraphrase-robust complement to the exact-gram [[decontam]]).
+    * Oracled by the brute-force bipartite Jaccard join: at 64 hashes /
+    * 16 bands the ≥0.5-Jaccard pairs this corpus contains (planted
+    * near-dups straddling the eval slice, ~0.97 similarity) are
+    * recalled with probability 1 − 1e-15 — the d_minhash_lsh
+    * argument, bipartite. */
+  def decontamFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.corpus.Corpus.decontaminateFuzzy(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n = 3, threshold = 0.5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val decontamFuzzySql: String =
+    s"""WITH $ShingleCtes,
+       |bp AS (SELECT c.doc_id AS did, b.doc_id AS bench_id, COUNT(*) AS c
+       |       FROM sh c JOIN sh b ON c.s = b.s
+       |        AND c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+       |       GROUP BY 1, 2)
+       |SELECT did AS doc_id, bench_id,
+       |  CAST(c AS DOUBLE)/(ca.n + cb.n - c) AS jaccard
+       |FROM bp JOIN cnt ca ON ca.doc_id = did JOIN cnt cb ON cb.doc_id = bench_id
+       |WHERE CAST(c AS DOUBLE)/(ca.n + cb.n - c) >= 0.5
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   /** The decontamination REMOVAL composition: flag corpus documents
     * sharing eval-set n-grams ([[decontam]] reports them), anti-join
     * them out, summarize the surviving corpus — what a pipeline

@@ -173,6 +173,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("decontaminateFuzzy: bipartite LSH == brute force; catches paraphrase the exact-gram check misses") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val got = Corpus.decontaminateFuzzy(corpus, bench, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force bipartite reference: every (corpus, bench) pair by
+    // exact distinct-shingle Jaccard
+    val sh = org.apache.spark.sql.graft.DistinctShingles
+      .distinct_shingles(col("text"), 3)
+    val c = corpus.select(col("doc_id").as("cid"), sh.as("sc"))
+    val b = bench.select(col("doc_id").as("bid"), sh.as("sb"))
+    val brute = c.crossJoin(b)
+      .select(col("cid"), col("bid"),
+        (size(array_intersect(col("sc"), col("sb"))).cast("double") /
+          (size(col("sc")) + size(col("sb")) -
+            size(array_intersect(col("sc"), col("sb"))))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "sf0.001 should contain cross-slice near-dups")
+    // the case the exact-gram check is blind to: every 8th word of a
+    // 40-token eval doc paraphrased — no 8 consecutive original tokens
+    // survive (zero shared 8-grams), but whole-text 3-gram Jaccard
+    // stays high
+    val toks = (1 to 40).map(i => s"w$i")
+    val para = toks.zipWithIndex.map { case (w, i) =>
+      if ((i + 1) % 8 == 0) s"x${i + 1}" else w }
+    val benchDoc = Seq((100L, toks.mkString(" "))).toDF("doc_id", "text")
+    val paraDoc = Seq((200L, para.mkString(" "))).toDF("doc_id", "text")
+    assert(Corpus.decontaminate(paraDoc, benchDoc, n = 8).count() == 0,
+      "exact 8-gram check should miss the paraphrase")
+    val fuzzy = Corpus.decontaminateFuzzy(paraDoc, benchDoc, n = 3,
+      threshold = 0.4).collect()
+    assert(fuzzy.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((200L, 100L)),
+      "fuzzy check should flag the paraphrase")
+  }
+
   test("decontaminate plan broadcasts the benchmark gram set") {
     val docs = Tables.documents(spark, sf0001)
     val plan = Corpus.decontaminate(
