@@ -494,6 +494,56 @@ object LlmOps {
        |FROM tok LEFT JOIN v USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM cross-entropy — [[textUnigramCE]]'s model upgraded one
+    * order: score each document by the mean −log₂ p̂(wᵢ | wᵢ₋₁) under a
+    * bigram LM fit on the corpus itself. The table keeps the top-V₂
+    * bigrams by frequency; a bigram outside it backs off to count 1
+    * (the unigram gate's OOV floor, one order up); the context
+    * marginal C(w·) = Σ_v C(w,v) comes from the FULL bigram table, so
+    * every probability is a single IEEE division of exact ints —
+    * cross-engine deterministic, with round(6) absorbing only the
+    * per-doc mean's summation order (the t_unigram_ce bound).
+    *
+    * Scale shape: ONE bigram-count shuffle (map-side combined, output
+    * bounded by the observed-bigram vocabulary, not the corpus); the
+    * top-V₂ table and the context marginals both broadcast; the
+    * per-doc pass is explode → two broadcast joins → per-doc mean
+    * (second shuffle carries one partial sum per (doc, partition)). */
+  def textBigramCE(s: SparkSession, dir: String): DataFrame = {
+    val V2 = 30
+    val docs = Tables.documents(s, dir)
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles_from(col("t"), 2)).as("bg"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    // context marginals: an aggregate of the (vocabulary-sized) bigram
+    // counts, NOT a second pass over the corpus
+    val ctx = c2.select(split(col("bg"), " ").getItem(0).as("prev"), col("cnt"))
+      .groupBy(col("prev")).agg(sum(col("cnt")).as("ctx_n"))
+    val top = c2.orderBy(desc("cnt"), asc("bg")).limit(V2)
+    bg.select(col("doc_id"), col("bg"), split(col("bg"), " ").getItem(0).as("prev"))
+      .join(broadcast(top), Seq("bg"), "left")
+      .join(broadcast(ctx), Seq("prev"))
+      .select(col("doc_id"),
+        log(2.0, coalesce(col("cnt"), lit(1L)).cast("double") / col("ctx_n")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(round(-avg(col("logp")), 6).as("ce2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBigramCESql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, t[i] AS prev, t[i]||' '||t[i+1] AS bg
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+       |c2 AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg),
+       |ctx AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(SUM(cnt) AS BIGINT) AS ctx_n
+       |        FROM c2 GROUP BY 1),
+       |top AS (SELECT bg, cnt FROM c2 ORDER BY cnt DESC, bg LIMIT 30)
+       |SELECT doc_id,
+       |  ROUND(-AVG(log2(CAST(COALESCE(top.cnt, 1) AS DOUBLE) / ctx.ctx_n)), 6) AS ce2
+       |FROM bg LEFT JOIN top USING (bg) JOIN ctx USING (prev)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Token-window chunking with overlap (context-window packing): each
     * doc → ⌈max(ntok−size, 0)/stride⌉ + 1 chunks of ≤ `size` tokens
     * starting every `stride` — the count formula stops as soon as a
@@ -822,6 +872,59 @@ object LlmOps {
        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
        |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin
+
+  /** Quality-aware keeper selection — the production refinement of
+    * [[dedupGroups]]'s keep-min-id rule: per duplicate cluster keep the
+    * HIGHEST-QUALITY member (ties to the lower id), which is what a
+    * real pipeline does when near-dups differ in truncation/boilerplate.
+    * The quality pass is semi-join-pruned to DUP-GRAPH NODES ONLY
+    * (O(duplicates), not a corpus scoring pass): the cluster frame is
+    * already O(nodes), so the argmax is a struct-max aggregate per
+    * component — no window over the corpus. Both engines pick the
+    * keeper on the ROUNDED (6dp) quality, making the tie geometry
+    * cross-engine deterministic. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(d, n = 3, threshold = 0.5))
+    val scored = d
+      .join(cc.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+    cc.join(scored, cc("node") === scored("doc_id"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("comp"), (-col("best.negid")).as("keeper_id"),
+        col("best.q").as("keeper_q"), col("n_docs"))
+      .orderBy(col("comp"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes,
+       |comps AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+       |nn AS (SELECT doc_id, $NormSql AS norm FROM documents
+       |       WHERE doc_id IN (SELECT node FROM comps)),
+       |m AS (SELECT doc_id, norm,
+       |  len(string_split(norm, ' ')) AS ntok,
+       |  len(list_filter(string_split(norm, ' '),
+       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM nn),
+       |q AS (SELECT doc_id,
+       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS q
+       |FROM m),
+       |ranked AS (SELECT comp, node, q.q,
+       |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY q.q DESC, node) AS rn,
+       |    COUNT(*) OVER (PARTITION BY comp) AS n_docs
+       |  FROM comps JOIN q ON q.doc_id = node)
+       |SELECT comp, node AS keeper_id, q AS keeper_q, n_docs
+       |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
 
   /** Multi-detector duplicate evidence union: pairs flagged by EITHER
     * the text-Jaccard detector or the embedding-cosine detector, with
