@@ -50,7 +50,14 @@ object ExplainAudit {
       "t_quality_cutoff", "t_decontam_clean",
       // window-frame family: per-group heavy hitters, RANGE-interval
       // rolling totals, hopping windows (1->2 generator, one exchange)
-      "t_gram_top", "ev_rolling", "ev_hopping").foreach(audit)
+      "t_gram_top", "ev_rolling", "ev_hopping",
+      // round 5: the composed pipeline (trunk scanned once, stage
+      // caches fan out), batched IVF retrieval (broadcast query cells,
+      // WindowGroupLimit rank), bipartite fuzzy decontam (benchmark
+      // side broadcast, corpus never self-joins), bigram LM (both LM
+      // tables broadcast), keep-best keeper (node-pruned quality pass)
+      "t_pipeline_e2e", "s_ann_batch_ivf", "t_decontam_fuzzy",
+      "t_bigram_ce", "d_dedup_keep_best").foreach(audit)
     spark.stop()
   }
 }
