@@ -416,6 +416,40 @@ object LlmOps {
       |SELECT lang, r.n AS n_before, k.n_after, k.id_sum
       |FROM r JOIN kept k USING (lang) ORDER BY lang""".stripMargin
 
+  /** Temperature-flattened domain mix gate (T = 2): languages kept
+    * ∝ √n_l with the smallest stratum whole — the exponent-smoothed
+    * alternative to [[domainMix]]'s fixed recipe
+    * ([[graft.sampling.Sampling.mixToSqrtTemperature]]; exact integer
+    * sqrt keeps the kept set SQL-replicable, which general-α pow
+    * cannot). Output mirrors t_domain_mix: per-language before/after
+    * counts + kept-id checksum. */
+  def tempMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = counts.toSeq.toDF("lang", "n_before")
+    val after = graft.sampling.Sampling
+      .mixToSqrtTemperature(docs, "doc_id", "lang", counts)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after"), sum(col("doc_id")).as("id_sum"))
+    before.join(after, Seq("lang")).orderBy(col("lang"))
+  }
+
+  val tempMixSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(n) AS nmin FROM c),
+      |r AS (SELECT lang, n,
+      |  (65536 * CAST(floor(sqrt(CAST(n * (SELECT nmin FROM mn) AS DOUBLE))) AS BIGINT)) // n AS b
+      |  FROM c),
+      |kept AS (SELECT d.lang, COUNT(*) AS n_after, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |         FROM documents d JOIN r USING (lang)
+      |         WHERE r.b >= 65536 OR (r.b > 0 AND
+      |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.b))
+      |         GROUP BY d.lang)
+      |SELECT lang, r.n AS n_before, k.n_after, k.id_sum
+      |FROM r JOIN kept k USING (lang) ORDER BY lang""".stripMargin
+
   /** Quality-weighted importance sampling gate: each document kept with
     * probability equal to its quality score — deterministic (md5 bucket
     * vs floor(quality·256); no RNG), so the oracle reproduces the kept

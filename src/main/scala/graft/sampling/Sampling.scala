@@ -119,6 +119,41 @@ object Sampling {
       df.groupBy(col(strataCol)).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
 
+  /** Temperature-flattened domain rebalance at T = 2 (keep ∝ √n_l) —
+    * the exponent-smoothed sampling of the multilingual-LM recipes
+    * (sample languages ∝ n^α, α = 1/T), pinned at α = ½: the one
+    * non-trivial exponent whose arithmetic is cross-engine
+    * deterministic, because keep counts come from an EXACT integer
+    * square root (k_l = ⌊√(n_min · n_l)⌋ via BigInteger.sqrt — no
+    * floating point at all on the Scala side, and DuckDB's
+    * floor(sqrt(·)) agrees exactly for any n_min·n_l ≲ 4.5·10¹⁵, far
+    * beyond realistic per-stratum counts; general α needs pow, whose
+    * last-ulp rounding differs between libm implementations, so a
+    * portable oracle is impossible at the floor boundaries).
+    *
+    * Scaling: C = √n_min makes the SMALLEST stratum keep itself whole
+    * (k_min = n_min) and every larger stratum downsample toward
+    * sqrt-proportionality — pure flattening, no upsampling. Thresholds
+    * then follow the [[mixToTarget]] machinery: b_l = 65536·k_l ÷ n_l,
+    * 4-hex-char md5 bucket compare, all integer floor division.
+    * Map-only filter pass; counts are the dimension-sized aggregate. */
+  def mixToSqrtTemperature(df: DataFrame, idCol: String, strataCol: String,
+      counts: Map[String, Long]): DataFrame = {
+    require(counts.nonEmpty, "mixToSqrtTemperature needs at least one stratum")
+    counts.foreach { case (s, n) =>
+      require(n > 0L, s"stratum '$s' has a non-positive count: $n") }
+    val nMin = counts.values.min
+    val keep = counts.map { case (stratum, n) =>
+      val k = java.math.BigInteger.valueOf(nMin)
+        .multiply(java.math.BigInteger.valueOf(n)).sqrt().longValueExact()
+      val b = 65536L * k / n
+      stratum -> (
+        if (b >= 65536L) lit(true)
+        else hexBucket(col(idCol), 4) < lit(f"$b%04x"))
+    }
+    df.filter(stratumDispatch(strataCol, keep, lit(false)))
+  }
+
   /** [[mixToTarget]] with the per-stratum row counts supplied by the
     * caller (they must be the df's true counts — thresholds derive from
     * them). */

@@ -287,6 +287,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bindB >= 64000, s"binding stratum $binding should keep ~all (b=$bindB)")
   }
 
+  test("mixToSqrtTemperature: flattens toward sqrt-proportional, smallest stratum whole") {
+    import graft.sampling.Sampling
+    val docs = Tables.documents(spark, sf001)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Sampling.mixToSqrtTemperature(docs, "doc_id", "lang", before)
+    val after = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min
+    before.foreach { case (l, n) =>
+      // reference: k = isqrt(nMin·n) exactly, b = 65536k/n, binomial tol
+      val k = java.math.BigInteger.valueOf(nMin)
+        .multiply(java.math.BigInteger.valueOf(n)).sqrt().longValue()
+      val b = 65536L * k / n
+      if (n == nMin) assert(b == 65536L, s"smallest stratum must keep all (b=$b)")
+      val p = math.min(1.0, b / 65536.0)
+      val expect = n * p
+      val tol = 4 * math.sqrt(n * p * (1 - p)) + 1
+      assert(math.abs(after.getOrElse(l, 0L) - expect) <= tol,
+        s"$l: after=${after.get(l)} expect≈$expect ±$tol")
+    }
+    // flattening: keep RATE decreases with stratum size, but kept COUNT
+    // still increases — the signature of exponent-1/2 smoothing
+    val rates = before.toSeq.sortBy(_._2).map { case (l, n) =>
+      (n, after.getOrElse(l, 0L).toDouble / n) }
+    rates.sliding(2).foreach {
+      case Seq((na, ra), (nb, rb)) if na < nb =>
+        assert(rb <= ra + 0.05, s"keep rate should fall with size: $rates")
+      case _ =>
+    }
+  }
+
   test("mixToTarget refuses a stratum whose threshold floors to zero") {
     import graft.sampling.Sampling
     // dominant stratum over-represented ~100000x vs its 1% share:
