@@ -18,6 +18,22 @@ object LlmOps {
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Shared oracle text for the quality-score signals and formula —
+    * ONE definition (the ShingleCtes discipline) so the seven
+    * quality-based oracles (quality, corpus filter, weighted sample,
+    * percentile cutoff, keep-best keeper, e2e pipeline) cannot drift
+    * apart. Interpolating CTEs must expose a `norm` column. */
+  private val QualitySignalColsSql: String =
+    """len(string_split(norm, ' ')) AS ntok,
+  len(list_filter(string_split(norm, ' '),
+      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
+  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct"""
+
+  private val QualityScoreSql: String =
+    """ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
+      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
+      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6)"""
+
   // ------------------------------------------------------ text analysis
 
   def textStats(s: SparkSession, dir: String): DataFrame = {
@@ -50,14 +66,9 @@ object LlmOps {
   val textQualitySql: String =
     s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, norm,
-       |  len(string_split(norm, ' ')) AS ntok,
-       |  len(list_filter(string_split(norm, ' '),
-       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM n)
+       |  $QualitySignalColsSql FROM n)
        |SELECT doc_id,
-       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
-       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
-       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS quality
+       |  $QualityScoreSql AS quality
        |FROM m""".stripMargin
 
   def textLangId(s: SparkSession, dir: String): DataFrame =
@@ -229,15 +240,10 @@ object LlmOps {
   val corpusFilterSql: String =
     s"""WITH n AS (SELECT doc_id, n_chars, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, n_chars, norm, string_split(norm, ' ') AS t,
-       |  len(string_split(norm, ' ')) AS ntok,
-       |  len(list_filter(string_split(norm, ' '),
-       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct,
+       |  $QualitySignalColsSql,
        |  md5(norm) AS fp FROM n),
        |scored AS (SELECT doc_id, n_chars, fp,
-       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
-       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
-       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS quality,
+       |  $QualityScoreSql AS quality,
        |  CASE WHEN len(regexp_extract_all(norm, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
        |    WHEN len(list_filter(t, w -> w IN ('the','a','of'))) >= len(list_filter(t, w -> w IN ('der','die','und')))
        |     AND len(list_filter(t, w -> w IN ('the','a','of'))) >= len(list_filter(t, w -> w IN ('el','los','una')))
@@ -362,15 +368,10 @@ object LlmOps {
   val corpusStatsSql: String =
     s"""WITH n AS (SELECT doc_id, lang, source, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, lang, source, norm,
-       |  len(string_split(norm, ' ')) AS ntok,
-       |  len(list_filter(string_split(norm, ' '),
-       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct,
+       |  $QualitySignalColsSql,
        |  md5(norm) AS fp FROM n),
        |scored AS (SELECT doc_id, lang, source, ntok, fp,
-       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
-       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
-       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS q
+       |  $QualityScoreSql AS q
        |  FROM m),
        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
@@ -469,14 +470,9 @@ object LlmOps {
   val qualitySampleSql: String =
     s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, norm,
-       |  len(string_split(norm, ' ')) AS ntok,
-       |  len(list_filter(string_split(norm, ' '),
-       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM n),
+       |  $QualitySignalColsSql FROM n),
        |scored AS (SELECT doc_id,
-       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
-       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
-       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS quality
+       |  $QualityScoreSql AS quality
        |FROM m)
        |SELECT doc_id, quality FROM scored
        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
@@ -686,14 +682,9 @@ object LlmOps {
   val qualityCutoffSql: String =
     s"""WITH n AS (SELECT doc_id, lang, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, lang, norm,
-       |  len(string_split(norm, ' ')) AS ntok,
-       |  len(list_filter(string_split(norm, ' '),
-       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM n),
+       |  $QualitySignalColsSql FROM n),
        |scored AS (SELECT doc_id, lang,
-       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
-       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
-       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS q
+       |  $QualityScoreSql AS q
        |FROM m),
        |cut AS (SELECT ROUND(quantile_cont(q, 0.25), 6) AS cut FROM scored)
        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
@@ -944,14 +935,9 @@ object LlmOps {
        |nn AS (SELECT doc_id, $NormSql AS norm FROM documents
        |       WHERE doc_id IN (SELECT node FROM comps)),
        |m AS (SELECT doc_id, norm,
-       |  len(string_split(norm, ' ')) AS ntok,
-       |  len(list_filter(string_split(norm, ' '),
-       |      w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |  len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS punct FROM nn),
+       |  $QualitySignalColsSql FROM nn),
        |q AS (SELECT doc_id,
-       |  ROUND(0.4 * (CAST(stop AS DOUBLE) / ntok)
-       |      + 0.3 * LEAST(1.0, CAST(length(norm) AS DOUBLE) / 500.0)
-       |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(norm)), 6) AS q
+       |  $QualityScoreSql AS q
        |FROM m),
        |ranked AS (SELECT comp, node, q.q,
        |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY q.q DESC, node) AS rn,
@@ -1541,15 +1527,10 @@ object LlmOps {
     s"""WITH RECURSIVE
        |n0 AS (SELECT doc_id, lang, n_chars, $NormSql AS norm FROM documents),
        |m0 AS (SELECT doc_id, lang, n_chars, norm, string_split(norm,' ') AS t,
-       |        len(string_split(norm,' ')) AS ntok,
-       |        len(list_filter(string_split(norm,' '),
-       |            w -> w IN ('the','a','of','and','to','in','is'))) AS stop,
-       |        len(regexp_extract_all(norm,'[^a-z0-9 ]')) AS punct,
-       |        md5(norm) AS fp FROM n0),
+       |  $QualitySignalColsSql,
+       |  md5(norm) AS fp FROM n0),
        |sc AS (SELECT doc_id, lang, n_chars, t, ntok, fp,
-       |        ROUND(0.4*(CAST(stop AS DOUBLE)/ntok)
-       |            + 0.3*LEAST(1.0, CAST(length(norm) AS DOUBLE)/500.0)
-       |            + 0.3*(1.0 - CAST(punct AS DOUBLE)/length(norm)), 6) AS quality FROM m0),
+       |  $QualityScoreSql AS quality FROM m0),
        |keepers AS (SELECT fp, MIN(doc_id) AS keep_id FROM sc GROUP BY fp),
        |filt AS (SELECT doc_id, lang, n_chars, t, ntok FROM sc
        |         JOIN keepers ON doc_id = keep_id WHERE quality >= 0.4),

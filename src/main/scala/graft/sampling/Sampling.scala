@@ -147,6 +147,13 @@ object Sampling {
       val k = java.math.BigInteger.valueOf(nMin)
         .multiply(java.math.BigInteger.valueOf(n)).sqrt().longValueExact()
       val b = 65536L * k / n
+      // same loud-failure contract as mixToTarget: a threshold that
+      // floors to zero would silently EMPTY the stratum (reachable only
+      // past ~2^32-fold skew vs the smallest stratum, but the two
+      // mixers must agree on the failure mode)
+      require(b > 0L, s"stratum '$stratum' is over-represented beyond " +
+        s"the 1/65536 sampling grain (n=$n, n_min=$nMin) — its threshold " +
+        "floors to zero; rebalance in stages or coarsen the strata")
       stratum -> (
         if (b >= 65536L) lit(true)
         else hexBucket(col(idCol), 4) < lit(f"$b%04x"))

@@ -160,14 +160,19 @@ object Ann {
   private def collectSeeds(seeds: DataFrame): (Array[Long], Array[Array[Double]]) = {
     val rows = seeds.select(col("cell_id"), col("cvec")).collect()
     val cells = rows.map(_.getLong(0))
-    val cents = rows.map(_.getSeq[Any](1).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-      case null => Double.NaN // null element: HOF cosine would be null for
-      // every vector → tie-break-only cell; NaN reproduces "never the
-      // argmax by value" without a nullable matrix (unreachable for the
-      // parquet embeddings, whose arrays are containsNull = false)
-    }.toArray)
+    // a centroid containing a null element becomes a null MATRIX ROW:
+    // NearestCentroid yields a null similarity for it — sorting BELOW
+    // every real cosine, exactly like the HOF formulation's null
+    // cosine (unreachable for the parquet embeddings, whose arrays are
+    // containsNull = false, but the parity must not depend on that)
+    val cents = rows.map { r =>
+      val s = r.getSeq[Any](1)
+      if (s == null || s.contains(null)) null
+      else s.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    }
     (cells, cents)
   }
 
@@ -220,7 +225,7 @@ object Ann {
     * but interpreted; at production cell counts, thousands of
     * interpreted struct allocations per row). Deterministic tie-break:
     * higher sim, then higher cell id. */
-  private def assignToSeeds(spreadDf: DataFrame, seeds: DataFrame,
+  private[graft] def assignToSeeds(spreadDf: DataFrame, seeds: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val (cells, cents) = collectSeeds(seeds)
     spreadDf.select(col(idCol), col(vecCol),
@@ -255,12 +260,20 @@ object Ann {
       nCells: Int = 16, probes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 0): DataFrame = {
+    import embeddings.sparkSession.implicits._
     val spreadDf = graft.util.Partitioning.spreadIfNarrow(embeddings)
-    val seeds = ivfSeeds(embeddings, nCells, lloydIters, idCol, vecCol)
-    val assigned = assignToSeeds(spreadDf, seeds, idCol, vecCol)
+    // one seed derivation, shared by the assignment argmax and the
+    // query-side probe ranking (see batchTopKIvf)
+    val (cells, cents) = collectSeeds(
+      ivfSeeds(embeddings, nCells, lloydIters, idCol, vecCol))
+    val assigned = spreadDf.select(col(idCol), col(vecCol),
+      org.apache.spark.sql.graft.NearestCentroid
+        .nearest_centroid(col(vecCol), cells, cents).as("cell"))
+    val seedsLocal = cells.zip(cents.map(c => if (c == null) null else c.toSeq))
+      .toSeq.toDF("cell_id", "cvec")
     val queryCells = embeddings.filter(col(idCol) === queryVecId)
       .select(col(vecCol).as("qvec"))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(seedsLocal))
       .select(col("qvec"),
         struct(round(cosine(col("qvec"), col("cvec")), 9).as("s"),
           col("cell_id")).as("sc"))
@@ -328,16 +341,26 @@ object Ann {
       nCells: Int = 16, probes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 0): DataFrame = {
+    import corpus.sparkSession.implicits._
     val spreadDf = graft.util.Partitioning.spreadIfNarrow(corpus)
-    val seeds = ivfSeeds(corpus, nCells, lloydIters, idCol, vecCol)
-    val assigned = assignToSeeds(spreadDf, seeds, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("cell"), l2norm(col(vecCol)).as("cn"))
+    // ONE seed derivation: the collected matrix feeds both the codegen
+    // assignment argmax and (as a local frame) the query-side probe
+    // ranking — re-using the seeds PLAN on the query side would re-run
+    // its orderBy/limit scan per invocation
+    val (cells, cents) = collectSeeds(
+      ivfSeeds(corpus, nCells, lloydIters, idCol, vecCol))
+    val assigned = spreadDf.select(col(idCol), col(vecCol),
+      org.apache.spark.sql.graft.NearestCentroid
+        .nearest_centroid(col(vecCol), cells, cents).as("cell"),
+      l2norm(col(vecCol)).as("cn"))
+    val seedsLocal = cells.zip(cents.map(c => if (c == null) null else c.toSeq))
+      .toSeq.toDF("cell_id", "cvec")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("cs"), desc("cell"))
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         l2norm(col(vecCol)).as("qn"))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(seedsLocal))
       .select(col("query_id"), col("qvec"), col("qn"),
         col("cell_id").as("cell"),
         round(cosine(col("qvec"), col("cvec")), 9).as("cs"))

@@ -62,7 +62,10 @@ object NearestCentroid {
 
   /** Boxed cell id of the argmax seed; null iff the seed set is empty.
     * `norms` carries the precomputed centroid L2 norms (same fold as
-    * [[VectorOps.normCompute]], done once at expression construction). */
+    * [[VectorOps.normCompute]], done once at expression construction).
+    * A null matrix row (centroid with a null element) yields a null
+    * similarity — sorting below every real value, like the HOF
+    * formulation's null cosine. */
   def assignCompute(vec: ArrayData, vecFloat: Boolean, cells: Array[Long],
       cents: Array[Array[Double]], norms: Array[Double]): java.lang.Long = {
     if (cells.length == 0) return null
@@ -88,7 +91,7 @@ object NearestCentroid {
     while (s < cells.length) {
       val c = cents(s)
       val sim: java.lang.Double =
-        if (nv == null || c.length != n) null
+        if (c == null || nv == null || c.length != n) null
         else {
           var d = 0.0
           var j = 0
@@ -128,10 +131,13 @@ object NearestCentroid {
 
     @transient private lazy val norms: Array[Double] =
       centroids.map { c =>
-        var acc = 0.0
-        var i = 0
-        while (i < c.length) { acc += c(i) * c(i); i += 1 }
-        math.sqrt(acc)
+        if (c == null) Double.NaN // unused: a null row short-circuits to null sim
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < c.length) { acc += c(i) * c(i); i += 1 }
+          math.sqrt(acc)
+        }
       }
 
     override def nullSafeEval(a: Any): Any =

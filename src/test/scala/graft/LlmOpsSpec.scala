@@ -770,6 +770,19 @@ class LlmOpsSpec extends AnyFunSuite {
       nearest_centroid(col("embedding"), Array.empty[Long],
         Array.empty[Array[Double]]).as("cell")).head()
     assert(ge.isNullAt(0))
+    // null-element centroid == HOF parity: its cosine is null in the
+    // HOF formulation, which sorts BELOW every real value — the codegen
+    // path must never pick it by value (end-to-end through collectSeeds)
+    val nullSeed = Seq(
+      (9L, Seq[java.lang.Double](1.0, null)),
+      (2L, Seq[java.lang.Double](0.0, 1.0))).toDF("cell_id", "cvec")
+    val probe = Seq((1L, Array(5.0f, 1.0f))).toDF("vec_id", "embedding")
+    val viaCodegen = Ann.assignToSeeds(probe, nullSeed, "vec_id", "embedding")
+      .select(col("cell")).head().getLong(0)
+    val viaHof = Ann.assignToSeedsHof(probe, nullSeed, "vec_id", "embedding")
+      .select(col("cell")).head().getLong(0)
+    assert(viaCodegen == 2L && viaHof == 2L,
+      s"null-element centroid must lose: codegen=$viaCodegen hof=$viaHof")
   }
 
   test("batchTopKIvf: exhaustive probes == batchTopK; partial probes recall planted neighbors") {
