@@ -138,6 +138,30 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] from PRECOMPUTED corpus-side gram hashes — the
+    * cache-narrowing path (LlmOps.pipelineE2e stage 3): `corpusGrams`
+    * carries (idCol, gramsCol: array<long> =
+    * [[org.apache.spark.sql.graft.DistinctShingleHashes]] of each doc's
+    * text at the same `n`), so a pipeline that staged the hashes can
+    * run the contamination join off packed longs without re-shingling
+    * persisted text. The benchmark side (dimension-sized, external
+    * input) hashes its own text with the SAME expression, so equality
+    * matches string equality absent 64-bit collisions (cross-set
+    * false-match odds |corpus grams|·|bench grams|/2⁶⁴ — a handful of
+    * spuriously flagged docs corpus-WIDE even at 100 TB, negligible for
+    * a filter whose purpose is over-approximate containment). */
+  def decontaminateOn(corpusGrams: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", gramsCol: String = "grams",
+      textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark.select(explode(
+      org.apache.spark.sql.graft.DistinctShingleHashes
+        .distinct_shingle_hashes(col(textCol), n)).as("g")).distinct()
+    corpusGrams.select(col(idCol), explode(col(gramsCol)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** FUZZY benchmark decontamination: corpus documents whose whole-text
     * n-gram Jaccard against ANY benchmark document reaches `threshold`
     * — the near-duplicate complement to [[decontaminate]] (which flags

@@ -139,7 +139,14 @@ object Dedup {
     val sig = spread(docs)
       .select(col(idCol).as("doc"), org.apache.spark.sql.graft.MinHashSignature
         .minhash_signature(col(textCol), n, numHashes).as("sig"))
-    // band key = (band index, hash of the band's slice)
+    bandPairs(sig, bands, rows, salt)
+  }
+
+  /** Banding + bucket self-join over a (doc, sig) frame: band key =
+    * (band index, hash of the band's signature slice); docs sharing any
+    * full band pair up. Shared by the from-text and precomputed paths. */
+  private def bandPairs(sig: DataFrame, bands: Int, rows: Int,
+      salt: Int): DataFrame = {
     val banded = sig.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
@@ -150,6 +157,52 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact-jaccard verification of candidate pairs against per-doc
+    * shingle sets (`shSets`: (doc, sh) — element type is any
+    * equality-comparable type; hashed longs give identical jaccard
+    * values to strings absent 64-bit collisions). The shuffled side is
+    * semi-join-pruned to docs appearing in a candidate pair —
+    * O(candidates), never O(corpus). */
+  private def verifyByJaccard(cands: DataFrame, shSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val candIds = cands.select(col("doc_a").as("doc"))
+      .union(cands.select(col("doc_b").as("doc"))).distinct()
+    val pruned = shSets.join(candIds, Seq("doc"), "left_semi")
+    cands
+      .join(pruned.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(pruned.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs from PRECOMPUTED per-doc state — the
+    * cache-narrowing path for pipelines that stage signatures once
+    * instead of re-tokenizing persisted text (LlmOps.pipelineE2e
+    * stage 1). `pre` carries one row per doc: `idCol`, `sigCol` (a
+    * [[org.apache.spark.sql.graft.MinHashSignature]] of length
+    * `numHashes` — the caller must pass the matching `numHashes`, the
+    * banding slices by it) and `shCol` (the distinct-shingle set;
+    * [[org.apache.spark.sql.graft.DistinctShingleHashes]] longs
+    * recommended — packed primitives in the columnar cache, same
+    * jaccard values as strings absent 2⁻⁶⁴ collisions). Semantics are
+    * exactly [[minhashLshPairs]] given consistent precomputed columns. */
+  def minhashLshPairsOn(pre: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16, idCol: String = "doc",
+      sigCol: String = "sig", shCol: String = "sh", salt: Int = 1): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val cands = graft.util.IntermediateCaches.track(
+      bandPairs(pre.select(col(idCol).as("doc"), col(sigCol).as("sig")),
+        bands, numHashes / bands, salt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    verifyByJaccard(cands,
+      pre.select(col(idCol).as("doc"), col(shCol).as("sh")), threshold)
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification of the
@@ -187,22 +240,7 @@ object Dedup {
       graft.util.IntermediateCaches.track(
         shSets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else shSets0
-    // left-semi prefilter: only docs appearing in a candidate pair carry
-    // their (wide) shingle array into the verify joins — the shuffled
-    // side is O(candidates), not O(corpus)
-    val candIds = cands.select(col("doc_a").as("doc"))
-      .union(cands.select(col("doc_b").as("doc"))).distinct()
-    val shSets = shSets1.join(candIds, Seq("doc"), "left_semi")
-    cands
-      .join(shSets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shSets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
-        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyByJaccard(cands, shSets1, threshold)
   }
 
   /** Near-dup pairs by shared winnowing fingerprints — the MOSS

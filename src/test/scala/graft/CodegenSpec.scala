@@ -59,6 +59,27 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("DistinctShingleHashes generates compiling Java and equals xxhash64 over DistinctShingles") {
+    codegenOnly {
+      val rnd = new scala.util.Random(7)
+      val words = Array("alpha", "beta", "Gamma", "DELTA", "e5", "x", "longerword7")
+      val texts = (0 until 40).map(_ =>
+        Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+          .mkString(if (rnd.nextBoolean()) " " else "  \t ")) :+ "" :+ "one two"
+      for (n <- Seq(1, 3, 4)) {
+        val r = texts.toDF("t").select(
+          org.apache.spark.sql.graft.DistinctShingleHashes
+            .distinct_shingle_hashes(col("t"), n).as("hs"),
+          transform(org.apache.spark.sql.graft.DistinctShingles
+            .distinct_shingles(col("t"), n), s => xxhash64(s)).as("ref"))
+          .collect()
+        // bit-parity INCLUDING first-occurrence order, so set sizes,
+        // intersections and join keys built either way agree exactly
+        assert(r.forall(row => row.getSeq[Long](0) == row.getSeq[Long](1)))
+      }
+    }
+  }
+
   test("CosineLshKeys generates compiling Java, is deterministic and locality-sensitive") {
     codegenOnly {
       import org.apache.spark.sql.graft.CosineLshKeys.cosine_lsh_keys
