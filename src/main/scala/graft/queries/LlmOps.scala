@@ -437,12 +437,24 @@ object LlmOps {
     before.join(after, Seq("lang")).orderBy(col("lang"))
   }
 
+  // The oracle's isqrt must be EXACT like the engine's BigInteger.sqrt:
+  // the double sqrt candidate k0 is within ±1 of ⌊√x⌋ for any BIGINT x
+  // (the bigint→double cast errs ≤ 2⁹ absolute at 9.2·10¹⁸, shifting
+  // √x by < 10⁻⁷), so one integer-arithmetic correction step makes it
+  // exact over the whole BIGINT domain — no "counts stay below ~4.5e15"
+  // assumption left to enforce.
   val tempMixSql: String =
     """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
       |mn AS (SELECT MIN(n) AS nmin FROM c),
-      |r AS (SELECT lang, n,
-      |  (65536 * CAST(floor(sqrt(CAST(n * (SELECT nmin FROM mn) AS DOUBLE))) AS BIGINT)) // n AS b
+      |k0 AS (SELECT lang, n, n * (SELECT nmin FROM mn) AS x,
+      |  CAST(floor(sqrt(CAST(n * (SELECT nmin FROM mn) AS DOUBLE))) AS BIGINT) AS k0
       |  FROM c),
+      |ks AS (SELECT lang, n,
+      |  CASE WHEN k0 * k0 > x THEN k0 - 1
+      |       WHEN (k0 + 1) * (k0 + 1) <= x THEN k0 + 1
+      |       ELSE k0 END AS k
+      |  FROM k0),
+      |r AS (SELECT lang, n, (65536 * k) // n AS b FROM ks),
       |kept AS (SELECT d.lang, COUNT(*) AS n_after, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |         FROM documents d JOIN r USING (lang)
       |         WHERE r.b >= 65536 OR (r.b > 0 AND
@@ -1202,15 +1214,112 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** [[annBatchIvf]] on the PRODUCTION k-means geometry: two Lloyd
+    * iterations refine the seed cells before assignment/probing. Fully
+    * oracled — the refinement is the quantized-exact mean (see
+    * [[graft.similarity.Ann]] lloydRefine: 1e-9-grid longs, exact
+    * integer sum, one IEEE division), so DuckDB replays both iterations
+    * bit-for-bit and the whole refined pipeline hash-matches. This is
+    * the gate that certifies the refined-geometry path end-to-end;
+    * cell geometry affects recall only, the re-rank is exact cosine
+    * either way. */
+  def annBatchIvfLloyd(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.batchTopKIvf(
+      corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
+      k = 3, nCells = 8, probes = 3, lloydIters = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBatchIvfLloydSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    // corpus assignment to a given seed table: round-9 argmax, ties to
+    // the higher cell id — identical CTE shape per iteration
+    def asg(name: String, seeds: String) =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, s.cell_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+         |               s.cell_id DESC) AS rn
+         |  FROM embeddings e CROSS JOIN $seeds s
+         |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1)""".stripMargin
+    // quantized-exact per-cell mean (mirrors lloydRefine): 1e-9-grid
+    // longs, exact BIGINT sum, one double division by n·1e9
+    def mean(m: String, a: String, seedsOut: String) =
+      s"""$m AS (SELECT $a.cell, i,
+         |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000000.0, 0)
+         |                  AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000000.0) AS m
+         |  FROM embeddings e JOIN $a USING (vec_id),
+         |    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i)
+         |  GROUP BY $a.cell, i),
+         |$seedsOut AS (SELECT cell AS cell_id, list(m ORDER BY i) AS cvec
+         |              FROM $m GROUP BY cell)""".stripMargin
+    s"""WITH seeds0 AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id NOT IN ($ids)
+       |               ORDER BY vec_id LIMIT 8),
+       |${asg("a1", "seeds0")},
+       |${mean("m1", "a1", "seeds1")},
+       |${asg("a2", "seeds1")},
+       |${mean("m2", "a2", "seeds2")},
+       |${asg("asg", "seeds2")},
+       |qc AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds2 s
+       |  WHERE q.vec_id IN ($ids)) t WHERE pr <= 3),
+       |scored AS (SELECT qc.query_id, e.vec_id,
+       |    ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
+       |  FROM embeddings e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN qc ON qc.cell = asg.cell
+       |  JOIN embeddings q ON q.vec_id = qc.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10, planes = 4)
 
-  /** IVF-bucketed ANN — no oracle (probes a corpus subset); recall vs
-    * brute force asserted in spec. */
+  /** IVF-bucketed ANN — FULLY oracled despite probing a corpus subset,
+    * by the same determinism argument as [[annBatchIvf]]: seeds are the
+    * 16 lowest-id vectors, assignment is the round-9 argmax with ties
+    * to the higher cell id, the query's 4 probe cells rank the same
+    * way — so DuckDB recomputes the exact candidate universe and the
+    * re-rank is exact cosine over it. */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     Ann.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+
+  val annIvfSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+       |qc AS (SELECT cell FROM (
+       |  SELECT s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id = 0) t WHERE pr <= 4)
+       |SELECT e.vec_id, ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
+       |FROM embeddings e
+       |JOIN asg ON asg.vec_id = e.vec_id
+       |JOIN qc ON qc.cell = asg.cell
+       |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------- multimodal
 
@@ -1428,10 +1537,14 @@ object LlmOps {
     *    every card aggregate all fan out over that cache (the only other
     *    scan is the dimension-sized benchmark slice, which is external
     *    input by definition).
-    *  - Text is dropped at the earliest stage that no longer needs it:
-    *    the post-decontamination persist carries only (doc_id, lang,
-    *    n_chars, ntok) — four narrow columns — so the mixture / shuffle /
-    *    packing tail and its card aggregates never touch a string again.
+    *  - Raw text never enters a cache: stage 1 distills every
+    *    text-derived quantity the rest of the pipeline needs — MinHash
+    *    signature, 3-shingle hash set, 4-gram hash set (all codegen'd
+    *    one-pass expressions) — into primitive long-array columns in
+    *    the SAME projection, so the detector, the decontamination join
+    *    and every card aggregate read packed longs from the columnar
+    *    cache; the post-decontamination persist is down to four narrow
+    *    scalar columns.
     *  - Operator-internal persists (LSH candidates, CC labels, both
     *    stage caches here) all register with
     *    [[graft.util.IntermediateCaches]]; the driver releases them
@@ -1448,9 +1561,14 @@ object LlmOps {
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // ---- stage 1: quality + exact-dup canonical filter (corpusFilter
-    // shape, all languages). norm/tokens staged ONCE; the persisted
-    // frame keeps raw text for the downstream shingle detectors plus
-    // the narrow columns every later stage needs.
+    // shape, all languages). norm/tokens staged ONCE — and so is every
+    // derived quantity any later stage needs from the text: the MinHash
+    // signature + 3-shingle hash set (stage-2 detector) and the 4-gram
+    // hash set (stage-3 decontamination) are computed HERE, post-filter,
+    // so the persisted frame is doc_id + three primitive long arrays —
+    // raw text never enters a cache (it cost ~4 s of a 7 s query in GC
+    // at the pinned 8g heap when it did, and at 100 TB it is the
+    // difference between caching the corpus and caching ~2% of it).
     val staged = docs
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         norm_text(col("text")).as("norm"))
@@ -1464,21 +1582,32 @@ object LlmOps {
       .withColumn("keep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep_id") && col("quality") >= 0.4)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"), col("ntok"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("ntok"),
+        org.apache.spark.sql.graft.MinHashSignature
+          .minhash_signature(col("text"), 3, 64).as("sig"),
+        org.apache.spark.sql.graft.DistinctShingleHashes
+          .distinct_shingle_hashes(col("text"), 3).as("sh3"),
+        org.apache.spark.sql.graft.DistinctShingleHashes
+          .distinct_shingle_hashes(col("text"), 4).as("g4"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // ---- stage 2: near-dup removal (detect → cluster → anti-join)
+    // ---- stage 2: near-dup removal (detect → cluster → anti-join),
+    // banding + verifying off the staged signature/shingle-hash columns
     val cc = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(filt, n = 3, threshold = 0.5))
+      Dedup.minhashLshPairsOn(
+        filt.select(col("doc_id").as("doc"), col("sig"), col("sh3").as("sh")),
+        threshold = 0.5))
     val losers = cc.filter(col("node") =!= col("comp"))
       .select(col("node").as("doc_id"))
     val dd = filt.join(losers, Seq("doc_id"), "left_anti")
     // ---- stage 3: benchmark decontamination (flag → anti-join). The
     // benchmark is the RAW eval slice — contamination is judged against
     // the benchmark as published, not against its quality-filtered
-    // subset. Text is no longer needed past this point, so the persisted
-    // survivor frame is four narrow columns.
+    // subset — so ITS grams are hashed from its own text; the corpus
+    // side joins off the staged g4 hashes. The persisted survivor frame
+    // is four narrow columns.
     val flagged = graft.corpus.Corpus
-      .decontaminate(dd, docs.filter(col("doc_id") % 20 === 0), n = 4)
+      .decontaminateOn(dd.select(col("doc_id"), col("g4")),
+        docs.filter(col("doc_id") % 20 === 0), n = 4, gramsCol = "g4")
       .select(col("doc_id"))
     val clean = graft.util.IntermediateCaches.track(
       dd.join(flagged, Seq("doc_id"), "left_anti")

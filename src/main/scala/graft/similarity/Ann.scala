@@ -183,7 +183,22 @@ object Ann {
     * previous broadcast-column formulation materialized the same table
     * per iteration anyway, as a one-row crossJoin side). Cell geometry
     * affects recall-per-probe only, never re-rank correctness (the
-    * exhaustive-probe == brute-force spec holds for ANY seeds). */
+    * exhaustive-probe == brute-force spec holds for ANY seeds).
+    *
+    * The per-cell mean is QUANTIZED-EXACT, not `avg(double)`: each
+    * element rounds to the 1e-9 grid as a long (both engines'
+    * ROUND(x·1e9) is half-away-from-zero, so even exact-tie dyadic
+    * inputs agree), the sum is exact integer arithmetic — commutative,
+    * so partition order cannot perturb it — and the mean is ONE IEEE
+    * division by n·1e9. That makes a refined-geometry pipeline
+    * SQL-oracle-able end-to-end (s_ann_ivf_lloyd recomputes both
+    * iterations in DuckDB and hash-matches); avg(double) was
+    * partition-order-dependent, which is why no oracled gate could run
+    * lloydIters > 0 before. Grid error (≤5e-10 per element) moves cell
+    * geometry imperceptibly — and geometry affects recall only. The
+    * long sum holds to ~9·10⁹ members per cell at unit-scale
+    * embeddings; cells at 100 TB are sized by semDedupByCellSize far
+    * below that. */
   private def lloydRefine(df: DataFrame, seeds0: DataFrame, iters: Int,
       idCol: String, vecCol: String): DataFrame = {
     var seeds = seeds0
@@ -195,7 +210,8 @@ object Ann {
       seeds = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg((sum(round(col("x").cast("double") * lit(1e9), 0).cast("long"))
+          .cast("double") / (count(lit(1)).cast("double") * lit(1e9))).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cell_id"),
