@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   * width/height/format from actual PNG/JPEG/GIF/BMP bytes via the JDK's
   * ImageIO (header-only: the reader reports dimensions without
   * decompressing the raster, which is what a 100 TB metadata pass
-  * wants). Audio/video decode remains STUBBED (this container has no
-  * codecs): `decodeStub` derives deterministic fake dimensions from the
-  * payload bytes. The Spark-side plumbing — typed schema, batch
-  * iterator shape, partition sizing — is identical for both and tested;
-  * the gate queries run the stub path because the synthetic testdata
-  * payloads are text bytes, not media (MultimodalSpec exercises the
-  * real path on synthesized PNG/JPEG/BMP bytes).
+  * wants). AUDIO has a REAL header decoder too — [[decodeAudioInfo]]
+  * parses WAV/AIFF/AU container headers via `javax.sound.sampled`
+  * (JDK-only, no codec). Only VIDEO decode remains STUBBED (genuinely
+  * codec-bound; this container has none): `decodeStub` derives
+  * deterministic fake dimensions from the payload bytes. The Spark-side
+  * plumbing — typed schema, batch iterator shape, partition sizing — is
+  * identical for all three and tested; the gate queries run the stub
+  * path because the synthetic testdata payloads are text bytes, not
+  * media (MultimodalSpec exercises the real paths on synthesized
+  * PNG/JPEG/BMP and WAV bytes).
   */
 object Multimodal {
 
@@ -68,16 +71,46 @@ object Multimodal {
 
   case class ImageInfo(width: Int, height: Int, format: String)
 
+  /** Parsed audio envelope: container header fields only. */
+  case class AudioInfo(sampleRateHz: Int, channels: Int, sampleBits: Int,
+      nFrames: Long, format: String)
+
+  /** Real audio header decode: WAV/AIFF/AU headers parse with the JDK
+    * ALONE (`javax.sound.sampled.AudioSystem.getAudioFileFormat` — a
+    * container-header read, no codec involved), mirroring the ImageIO
+    * approach: header-only, a few hundred bytes of parsing per asset
+    * regardless of payload size. Compressed formats (mp3/ogg/aac) have
+    * no JDK provider and return None — the caller's stub fallback
+    * keeps the pass total, and only VIDEO remains genuinely
+    * codec-bound in this container. */
+  def decodeAudioInfo(payload: Array[Byte]): Option[AudioInfo] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      Some(AudioInfo(f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, aff.getFrameLength.toLong,
+        aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Batched decode over partitions. `batchHint` only documents the
     * shape a real decoder would use (reusing codec contexts per batch).
     *
     * `realImageDecode = true` routes `kind == "image"` assets through
-    * [[decodeImageInfo]] (real ImageIO header parse; undecodable
-    * payloads fall back to the stub so the pass is total). Default off:
-    * the gate corpus carries text-byte payloads, so its numbers are the
-    * stub's by construction. */
+    * [[decodeImageInfo]] (real ImageIO header parse); `realAudioDecode
+    * = true` routes `kind == "audio"` through [[decodeAudioInfo]]
+    * (JDK WAV/AIFF/AU header parse), packing the audio envelope into
+    * the shared meta shape as width = sample rate (Hz), height =
+    * channels, n_frames = container frame count. Undecodable payloads
+    * fall back to the stub either way so the pass is total. Defaults
+    * off: the gate corpus carries text-byte payloads, so its numbers
+    * are the stub's by construction. */
   def extractMeta(assets: Dataset[MediaAsset], batchHint: Int = 64,
-      realImageDecode: Boolean = false): Dataset[MediaMeta] = {
+      realImageDecode: Boolean = false,
+      realAudioDecode: Boolean = false): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // a real implementation allocates its codec context once here,
@@ -88,6 +121,14 @@ object Multimodal {
             case Some(info) =>
               MediaMeta(a.asset_id, a.kind, a.payload.length.toLong,
                 info.width, info.height, n_frames = 1)
+            case None => decodeStub(a)
+          }
+        else if (realAudioDecode && a.kind == "audio")
+          decodeAudioInfo(a.payload) match {
+            case Some(info) =>
+              MediaMeta(a.asset_id, a.kind, a.payload.length.toLong,
+                info.sampleRateHz, info.channels,
+                n_frames = math.min(info.nFrames, Int.MaxValue.toLong).toInt)
             case None => decodeStub(a)
           }
         else decodeStub(a)
