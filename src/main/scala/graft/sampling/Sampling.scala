@@ -125,11 +125,13 @@ object Sampling {
     * non-trivial exponent whose arithmetic is cross-engine
     * deterministic, because keep counts come from an EXACT integer
     * square root (k_l = ⌊√(n_min · n_l)⌋ via BigInteger.sqrt — no
-    * floating point at all on the Scala side, and DuckDB's
-    * floor(sqrt(·)) agrees exactly for any n_min·n_l ≲ 4.5·10¹⁵, far
-    * beyond realistic per-stratum counts; general α needs pow, whose
-    * last-ulp rounding differs between libm implementations, so a
-    * portable oracle is impossible at the floor boundaries).
+    * floating point at all on the Scala side; the SQL oracle corrects
+    * its double-sqrt candidate by one integer-arithmetic step, making
+    * it exact for ANY product that fits a BIGINT — see tempMixSql —
+    * so no count-magnitude assumption is load-bearing anywhere;
+    * general α needs pow, whose last-ulp rounding differs between
+    * libm implementations, so a portable oracle is impossible at the
+    * floor boundaries).
     *
     * Scaling: C = √n_min makes the SMALLEST stratum keep itself whole
     * (k_min = n_min) and every larger stratum downsample toward

@@ -194,6 +194,25 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute)
     assert(got.nonEmpty, "sf0.001 should contain cross-slice near-dups")
+    // FIXTURE CONTRACT (keeps the t_decontam_fuzzy gate deterministic,
+    // not flaky): LSH == brute-force equality above holds because every
+    // true pair sits FAR above the 0.5 threshold, where 16-band/4-row
+    // recall is ~certain — a pair at 0.5 exactly has only ~64% band
+    // recall, so a fixture that planted borderline pairs would make the
+    // gate's oracle comparison a coin flip. Assert the margin so a
+    // testdata regeneration that violates it fails HERE with a clear
+    // message, not downstream as an unexplained gate flake.
+    val margins = c.crossJoin(b)
+      .select(col("cid"), col("bid"),
+        (size(array_intersect(col("sc"), col("sb"))).cast("double") /
+          (size(col("sc")) + size(col("sb")) -
+            size(array_intersect(col("sc"), col("sb"))))).as("j"))
+      .filter(col("j") >= 0.5).select(col("j"))
+      .collect().map(_.getDouble(0))
+    assert(margins.forall(_ >= 0.9),
+      s"fuzzy-decontam fixture contract violated: a true pair's jaccard " +
+        s"(min ${margins.min}) is within banding-recall range of the 0.5 " +
+        "threshold — regenerate fixtures or raise band count")
     // the case the exact-gram check is blind to: every 8th word of a
     // 40-token eval doc paraphrased — no 8 consecutive original tokens
     // survive (zero shared 8-grams), but whole-text 3-gram Jaccard

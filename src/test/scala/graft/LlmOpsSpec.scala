@@ -783,6 +783,31 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(col("cell")).head().getLong(0)
     assert(viaCodegen == 2L && viaHof == 2L,
       s"null-element centroid must lose: codegen=$viaCodegen hof=$viaHof")
+    // null-element INPUT VECTOR parity (the mirror case): every cosine
+    // of a null-element vector is null in the HOF formulation, so the
+    // argmax falls through to the tie-break — highest cell id — and the
+    // codegen path must agree (its assignCompute nulls every cosine the
+    // same way). Unreachable for the parquet embeddings (containsNull =
+    // false), but the expression ACCEPTS containsNull inputs, so the
+    // parity claim needs an assertion, not a comment.
+    val goodSeeds = Seq(
+      (9L, Seq[java.lang.Double](1.0, 0.0)),
+      (2L, Seq[java.lang.Double](0.0, 1.0))).toDF("cell_id", "cvec")
+    val nullProbe = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, Seq[java.lang.Double](5.0, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+    val nvCodegen = Ann.assignToSeeds(nullProbe, goodSeeds, "vec_id", "embedding")
+      .select(col("cell")).head().getLong(0)
+    val nvHof = Ann.assignToSeedsHof(nullProbe, goodSeeds, "vec_id", "embedding")
+      .select(col("cell")).head().getLong(0)
+    assert(nvCodegen == nvHof && nvCodegen == 9L,
+      s"null-element input vector parity: codegen=$nvCodegen hof=$nvHof")
   }
 
   test("batchTopKIvf: exhaustive probes == batchTopK; partial probes recall planted neighbors") {
