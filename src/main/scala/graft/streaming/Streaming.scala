@@ -39,12 +39,22 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    eventsStreamFrom(s, dir)
+
+  /** [[eventsStream]] with source knobs exposed: `glob` widens past the
+    * single-file gate layout, `extraOptions` passes source rate limits
+    * (e.g. maxFilesPerTrigger=1 — the multi-batch incremental replay
+    * InfraSpec certifies against the batch oracle). */
+  private[graft] def eventsStreamFrom(s: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // basePath must be a dir
-      .parquet(dir)
+    val reader = extraOptions.foldLeft(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", glob)) { // basePath must be a dir
+      case (r, (k, v)) => r.option(k, v) }
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -63,9 +73,10 @@ object Streaming {
   /** Hourly tumbling-window totals per event type, with a 1-hour
     * watermark. Run synchronously to a memory sink; returns the final
     * table (complete mode). */
-  def hourlyWindowed(s: SparkSession, dir: String,
-      queryName: String = "graft_stream_hourly"): DataFrame = {
-    val agg = eventsStream(s, dir)
+  /** The hourly tumbling transform alone — shared by the gate replay
+    * and InfraSpec's multi-batch incremental replay. */
+  private[graft] def hourlyAgg(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -74,6 +85,10 @@ object Streaming {
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  def hourlyWindowed(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_hourly"): DataFrame = {
+    val agg = hourlyAgg(eventsStream(s, dir))
     withReplayPartitions(s, 4) {
       val q = agg.writeStream
         .outputMode("complete")

@@ -79,6 +79,117 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  /** Write `df` as ONE parquet file at `dest` (the single-file layout
+    * the streaming gates' file source globs expect), with an explicit
+    * mtime so multi-file splits replay in a deterministic order. */
+  private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
+      dest: java.io.File, mtime: Long): Unit = {
+    val staging = new java.io.File(dest.getParentFile, dest.getName + ".staging")
+    df.coalesce(1).write.parquet(staging.getPath)
+    val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    staging.listFiles().foreach(_.delete()); staging.delete()
+    assert(dest.setLastModified(mtime))
+  }
+
+  test("multi-batch incremental replay (maxFilesPerTrigger=1) == batch oracle") {
+    // Every gate replays the file source in ONE micro-batch; this spec
+    // certifies the INCREMENTAL path beyond that: a time-ordered
+    // 3-file split of events, one file per trigger, must reproduce the
+    // same batch answer. Watermark-safe input by construction — each
+    // later file's earliest event is newer than the earlier files' max,
+    // so no row ever arrives at/below an advanced watermark (the
+    // ingestion discipline the gate docstrings assume, now a tested
+    // property instead of an assumption).
+    val dir = java.nio.file.Files.createTempDirectory("graft_multibatch").toFile
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet") // ts: nanos Long
+    val n = raw.count()
+    val parts = 3
+    val ranked = raw.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"events_$i%02d.parquet"), 1000000L + i * 60000L)
+    }
+    val agg = graft.streaming.Streaming.hourlyAgg(
+      graft.streaming.Streaming.eventsStreamFrom(spark, dir.getPath,
+        glob = "events_*.parquet", extraOptions = Map("maxFilesPerTrigger" -> "1")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("infra_multibatch").start()
+    try q.processAllAvailable() finally q.stop()
+    // genuinely incremental: one batch per file
+    assert(q.recentProgress.count(_.numInputRows > 0) >= parts,
+      s"expected >= $parts data batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val streamed = spark.table("infra_multibatch")
+      .orderBy(col("hour"), col("event_type")).collect()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionization state stays key-bounded under a planted hot user (50% of events)") {
+    import graft.streaming.{SessEvent, SessionOut, SessionState, Streaming}
+    // The realistic skew failure for streaming state: ONE user owns
+    // every other event. State must stay O(keys · open sessions per
+    // key) — the sessionizer compacts each pending session to a
+    // (start, last, n) triple — never O(events of the hot key).
+    val nEv = 4000
+    val base = 1600000000000000L // micros; clear of the epoch-0 watermark
+    val rows = (0 until nEv).map { i =>
+      val user = if (i % 2 == 0) 7L else 100L + ((i / 2) % 50)
+      // global clock: 1 min per event, a 2 h jump every 400th event →
+      // the hot user's stream merges into long sessions split at jumps;
+      // cold users (100 min apart) split every time
+      val us = base + i.toLong * 60000000L + (i / 400).toLong * 7200000000L
+      (i.toLong, us * 1000L, user, "view", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toFile
+    writeOneParquet(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      new java.io.File(dir, "events.parquet"), 2000000L)
+    // custom-state sessionizer, inlined so the query handle (and its
+    // state-store metrics) is observable
+    val ev = Streaming.eventsStreamFrom(spark, dir.getPath)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[SessEvent]
+    val out = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        Streaming.sessionize(30L * 60L * 1000000L))
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("infra_skew_custom").start()
+    try q.processAllAvailable() finally q.stop()
+    val maxStateRows = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    val nKeys = 51L // hot user + 50 cold users
+    assert(maxStateRows <= nKeys,
+      s"state rows $maxStateRows exceed key count $nKeys — state is " +
+        "scaling with the hot key's events, not with open sessions")
+    // and the skewed output is still CORRECT: it must equal the native
+    // session_window append path on the same input (same 30 min gap /
+    // 10 min watermark closure)
+    val custom = spark.table("infra_skew_custom")
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("s"),
+        timestamp_micros(col("end_us")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val native = Streaming.sessionsWindowed(spark, dir.getPath, "infra_skew_native")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(custom == native,
+      s"custom=${custom.size} native=${native.size} " +
+        s"onlyCustom=${(custom -- native).take(3)} onlyNative=${(native -- custom).take(3)}")
+    // the hot user genuinely sessionized (long merged runs, split at jumps)
+    val hotSessions = custom.filter(_._1 == 7L)
+    assert(hotSessions.nonEmpty && hotSessions.exists(_._4 > 100L),
+      s"hot user sessions: ${hotSessions.map(_._4).toSeq.sorted}")
+  }
+
   test("stateful streaming: running count per user via flatMapGroupsWithState") {
     val input = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id")).as[(Long, Long)]
