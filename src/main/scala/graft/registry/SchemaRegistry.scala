@@ -106,7 +106,22 @@ class ConfluentAvroRegistry(val client: SchemaRegistryClient) extends Serializab
   /** Register if absent; if present and different, check compatibility
     * (new-can-read-old, or mutual-read when `mutualReadCheck`) and
     * register the new version. Throws [[IncompatibleSchemaException]] on
-    * violation, or if the subject exists and `updateAllowed` is false. */
+    * violation, or if the subject exists and `updateAllowed` is false.
+    *
+    * CONCURRENCY SEMANTICS (pinned by HttpConfluentSerdeSpec's racing-
+    * writers spec, against the real HTTP client): the get-latest →
+    * check → register sequence is NOT atomic, so two writers racing an
+    * empty or stale subject can each pass the client-side check before
+    * the other's register lands. What holds regardless of
+    * interleaving: no registration is ever lost (every successful call
+    * returns an id that permanently resolves to its own schema), ids
+    * are stable (identical documents dedupe to one id), and latest is
+    * last-writer-wins. What does NOT hold: the compatibility gate is
+    * ADVISORY under concurrent writers — a racing pair of mutually
+    * incompatible schemas can both land if both observed the
+    * pre-race state. A production Confluent server enforces
+    * compatibility server-side at version-append; this client-side
+    * check complements that enforcement, it cannot replace it. */
   def setOrUpdateSchema(subject: String, schema: Schema,
       updateAllowed: Boolean = false, mutualReadCheck: Boolean = false): (Int, Schema) =
     latest(subject) match {

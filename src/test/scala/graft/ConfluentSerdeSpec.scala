@@ -213,6 +213,82 @@ class HttpConfluentSerdeSpec extends ConfluentSerdeBehaviors
     }
   }
 
+  test("racing setOrUpdateSchema writers: no lost registration, last-writer-wins, advisory compat") {
+    import org.apache.avro.Schema
+    import graft.registry.ConfluentAvroRegistry
+    val reg = new ConfluentAvroRegistry(client)
+    def rec(extra: String) = new Schema.Parser().parse(
+      s"""{"type":"record","name":"r","fields":[{"name":"x","type":"long"}$extra]}""")
+    val sA = rec(""",{"name":"a","type":["null","string"],"default":null}""")
+    val sB = rec(""",{"name":"b","type":["null","long"],"default":null}""")
+    def race[T](l: => T, r: => T): (Either[Throwable, T], Either[Throwable, T]) = {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def run(body: => T) = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        barrier.await(); try Right(body) catch { case e: Throwable => Left(e) }
+      }
+      val (fa, fb) = (run(l), run(r))
+      (fa.get(30, java.util.concurrent.TimeUnit.SECONDS),
+        fb.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    }
+    // identical-document race: the store dedupes under its version lock
+    // — every writer gets the SAME id
+    val sameIds = (0 until 4).map(_ => java.util.concurrent.CompletableFuture
+      .supplyAsync(() => client.register("race-same-value", sA.toString)))
+      .map(_.get(30, java.util.concurrent.TimeUnit.SECONDS)).toSet
+    assert(sameIds.size == 1)
+    // mutually COMPATIBLE writers (each adds its own optional field):
+    // every interleaving passes the check, so BOTH must succeed, both
+    // ids must permanently resolve to their own schema, and latest is
+    // one of the two (last-writer-wins, never torn)
+    for (round <- 0 until 10) {
+      val subj = s"race-compat-$round-value"
+      val (ra, rb) = race(
+        reg.setOrUpdateSchema(subj, sA, updateAllowed = true),
+        reg.setOrUpdateSchema(subj, sB, updateAllowed = true))
+      val (idA, idB) = (ra.toOption.get._1, rb.toOption.get._1)
+      assert(client.getById(idA).contains(sA.toString), s"round $round: lost A")
+      assert(client.getById(idB).contains(sB.toString), s"round $round: lost B")
+      val latest = client.getLatest(subj).map(_._2)
+      assert(latest.contains(sA.toString) || latest.contains(sB.toString))
+    }
+    // mutually INCOMPATIBLE writers (x: string vs x: long — neither
+    // reads the other; note string↔bytes WOULD be Avro-promotable):
+    // each outcome is success (observed pre-race state) or a loud
+    // IncompatibleSchemaException (observed the rival) — never a lost
+    // registration, never a torn latest, and at least one lands (both
+    // can only throw after observing a registered rival)
+    val sX = rec("").toString.replace("\"long\"", "\"string\"")
+    val sY = rec("").toString
+    var sawBothLand = false
+    var sawReject = false
+    for (round <- 0 until 10) {
+      val subj = s"race-incompat-$round-value"
+      val (ra, rb) = race(
+        reg.setOrUpdateSchema(subj, new Schema.Parser().parse(sX), updateAllowed = true),
+        reg.setOrUpdateSchema(subj, new Schema.Parser().parse(sY), updateAllowed = true))
+      val outcomes = Seq(ra, rb)
+      outcomes.foreach {
+        case Left(e) => assert(e.isInstanceOf[IncompatibleSchemaException],
+          s"round $round: unexpected failure $e")
+        case Right((id, s)) => assert(client.getById(id).contains(s.toString))
+      }
+      assert(outcomes.exists(_.isRight), s"round $round: nobody registered")
+      if (outcomes.forall(_.isRight)) sawBothLand = true
+      if (outcomes.exists(_.isLeft)) sawReject = true
+      val latest = client.getLatest(subj).map(_._2)
+      assert(outcomes.collect { case Right((_, s)) => s.toString }
+        .exists(latest.contains), s"round $round: torn latest $latest")
+    }
+    // sequential (non-racing) incompatible update still throws — the
+    // advisory gate is real whenever the read isn't stale
+    val subj = "race-seq-value"
+    reg.setOrUpdateSchema(subj, new Schema.Parser().parse(sX), updateAllowed = true)
+    intercept[IncompatibleSchemaException] {
+      reg.setOrUpdateSchema(subj, new Schema.Parser().parse(sY), updateAllowed = true)
+    }
+    info(s"race coverage over 10 rounds: bothLand=$sawBothLand reject=$sawReject")
+  }
+
   test("http client is task-serializable (registry lookups from executors)") {
     import SharedSpark.spark
     import spark.implicits._
