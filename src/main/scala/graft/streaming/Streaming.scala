@@ -255,7 +255,10 @@ object Streaming {
     *    (maxFilesPerTrigger) of out-of-order files could drop rows
     *    later than the 10-minute watermark as late INPUT — an
     *    ingestion-discipline property shared by all the streaming
-    *    gates, not an operator bug. */
+    *    gates, not an operator bug. The discipline is TESTED, not
+    *    assumed: InfraSpec's multi-batch replay drives a time-ordered
+    *    file split with maxFilesPerTrigger=1 and reproduces the batch
+    *    answer exactly across ≥3 micro-batches. */
   def clickViewJoinStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_join"): DataFrame = {
     val joined = clickViewJoinTransform(s, dir)

@@ -57,7 +57,11 @@ object ExplainAudit {
       // side broadcast, corpus never self-joins), bigram LM (both LM
       // tables broadcast), keep-best keeper (node-pruned quality pass)
       "t_pipeline_e2e", "s_ann_batch_ivf", "t_decontam_fuzzy",
-      "t_bigram_ce", "d_dedup_keep_best").foreach(audit)
+      "t_bigram_ce", "d_dedup_keep_best",
+      // round 6: fully-oracled IVF probe paths — assignment must stay a
+      // map pass (broadcast seeds), Lloyd means must not add exchanges
+      // beyond the per-iteration (cell, pos) aggregate
+      "s_ann_ivf", "s_ann_ivf_lloyd").foreach(audit)
     spark.stop()
   }
 }
