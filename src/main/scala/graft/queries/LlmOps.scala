@@ -463,6 +463,52 @@ object LlmOps {
       |SELECT lang, r.n AS n_before, k.n_after, k.id_sum
       |FROM r JOIN kept k USING (lang) ORDER BY lang""".stripMargin
 
+  /** Epoch-mix gate — mixing WITH REPETITION: quality tiers assign
+    * epochs (≥0.55 → 3, ≥0.45 → 2, else 1 — the up-sample-the-good-
+    * tail recipe), [[graft.sampling.Sampling.epochUpsample]] replicates
+    * rows map-only, and the expanded corpus flows through the SAME
+    * deterministic shuffle-rank + pack machinery as t_pack — replicas
+    * interleave by md5 of the composite (doc, epoch) id, so the three
+    * copies of a 3-epoch document land far apart in the packed order,
+    * which is the point of epoch mixing. The composite id doc_id·4 +
+    * epoch is injective (epoch ≤ 3 < 4), the chunkPack convention.
+    * Exact-comparison tiers on the round-6 quality score are
+    * cross-engine safe (established by the ≥0.4 corpusFilter gates). */
+  def epochMix(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
+        quality_score_from(col("norm"), col("t")).as("q"))
+    val epochs = when(col("q") >= 0.55, 3).when(col("q") >= 0.45, 2).otherwise(1)
+    val expanded = graft.sampling.Sampling.epochUpsample(scored, epochs)
+      .select((col("doc_id") * 4 + col("epoch")).as("sid"), col("ntok"))
+    val ranked = graft.corpus.Corpus.shuffleRank(expanded, "sid")
+    graft.corpus.Corpus.packSequences(
+      expanded.join(ranked, "sid").select(col("rank"), col("ntok")),
+      tokensOf = col("ntok"), budget = 256, idCol = "rank", bucketSize = 64)
+  }
+
+  val epochMixSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm, $QualitySignalColsSql FROM n),
+       |sc AS (SELECT doc_id, ntok, $QualityScoreSql AS q FROM m),
+       |e AS (SELECT doc_id, ntok,
+       |        CASE WHEN q >= 0.55 THEN 3 WHEN q >= 0.45 THEN 2 ELSE 1 END AS epochs
+       |      FROM sc),
+       |x AS (SELECT doc_id * 4 + ep AS sid, ntok
+       |      FROM e, LATERAL (SELECT unnest(generate_series(1, epochs)) AS ep)),
+       |rk AS (SELECT sid, ntok,
+       |         ROW_NUMBER() OVER (ORDER BY md5(CAST(sid AS VARCHAR)), sid) AS rank
+       |       FROM x),
+       |cum AS (SELECT rank, ntok,
+       |          SUM(ntok) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) - ntok AS sof
+       |        FROM rk)
+       |SELECT CAST(floor(sof / 256.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(rank) AS first_doc, MAX(rank) AS last_doc
+       |FROM cum GROUP BY 1""".stripMargin
+
   /** Quality-weighted importance sampling gate: each document kept with
     * probability equal to its quality score — deterministic (md5 bucket
     * vs floor(quality·256); no RNG), so the oracle reproduces the kept

@@ -191,4 +191,23 @@ object Sampling {
     }
     df.filter(stratumDispatch(strataCol, keep, lit(false)))
   }
+
+  /** Epoch upsampling — mixing WITH REPETITION: each row is replicated
+    * `epochsCol` times with an `epoch` index in [1, epochs], the
+    * up-sample-high-quality-sources stage of the published LLM data
+    * recipes (a source or quality tier "seen for N epochs" is exactly
+    * N replicas of its rows in the assembled corpus; downstream shuffle
+    * ranking then interleaves the replicas deterministically).
+    *
+    * `epochsCol` must be a deterministic positive int expression
+    * (a quality-tier CASE, a per-source lookup) — the replication is a
+    * 1→N generator (`explode(sequence(1, epochs))`), map-only, no
+    * shuffle, so at 100 TB the cost is the extra rows themselves, and
+    * those flow straight into the bucketed pack prefix without ever
+    * materializing per-doc copies of the TEXT (callers carry doc_id +
+    * token counts through the expansion, not payloads — the packed
+    * manifest references each document by id, the storage layer
+    * dedupes). All carried columns pass through unchanged. */
+  def epochUpsample(df: DataFrame, epochsCol: Column): DataFrame =
+    df.withColumn("epoch", explode(sequence(lit(1), epochsCol)))
 }

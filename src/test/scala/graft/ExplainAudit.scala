@@ -45,7 +45,7 @@ object ExplainAudit {
       // semdedup's pair join must be an equi-join on the cell id;
       // retrieval broadcasts the k-row hit list; cutoff broadcasts
       // the one-row percentile
-      "t_domain_mix", "t_quality_sample", "t_unigram_ce",
+      "t_domain_mix", "t_quality_sample", "t_unigram_ce", "t_epoch_mix",
       "s_semdedup", "s_ann_retrieve", "s_ann_batch", "t_chunk_pack",
       "t_quality_cutoff", "t_decontam_clean",
       // window-frame family: per-group heavy hitters, RANGE-interval

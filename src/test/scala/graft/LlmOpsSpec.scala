@@ -319,6 +319,38 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epochUpsample: exact per-tier replication, distinct epoch indices, map-only plan") {
+    import graft.sampling.Sampling
+    val df = Seq((1L, 0.60, 10L), (2L, 0.50, 20L), (3L, 0.20, 30L)).toDF("id", "q", "ntok")
+    val tiers = when(col("q") >= 0.55, 3).when(col("q") >= 0.45, 2).otherwise(1)
+    val e = Sampling.epochUpsample(df, tiers)
+    val rows = e.select(col("id"), col("epoch"), col("ntok")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // each row replicated exactly `epochs` times, epoch = 1..n, carried
+    // columns untouched
+    assert(rows.toSet == Set((1L, 1, 10L), (1L, 2, 10L), (1L, 3, 10L),
+      (2L, 1, 20L), (2L, 2, 20L), (3L, 1, 30L)))
+    // map-only: the replication is a generator, no exchange in the plan
+    val plan = e.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochUpsample must not shuffle:\n$plan")
+    // gate-shape invariant: the t_epoch_mix composition conserves the
+    // epoch-weighted token total through rank + pack
+    val packed = graft.queries.LlmOps.epochMix(spark, sf001)
+    val packedTokens = packed.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    val expanded = Sampling.epochUpsample(
+      Tables.documents(spark, sf001)
+        .select(col("doc_id"), graft.text.norm_text(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
+          graft.text.quality_score_from(col("norm"), col("t")).as("q")),
+      when(col("q") >= 0.55, 3).when(col("q") >= 0.45, 2).otherwise(1))
+    val expandedTokens = expanded.agg(sum(col("ntok"))).collect().head.getLong(0)
+    assert(packedTokens == expandedTokens, "packing must conserve epoch-weighted tokens")
+    val baseTokens = expanded.filter(col("epoch") === 1)
+      .agg(sum(col("ntok"))).collect().head.getLong(0)
+    assert(expandedTokens > baseTokens, "upsampling must actually replicate")
+  }
+
   test("mixToTarget refuses a stratum whose threshold floors to zero") {
     import graft.sampling.Sampling
     // dominant stratum over-represented ~100000x vs its 1% share:
