@@ -190,6 +190,42 @@ class InfraSpec extends AnyFunSuite {
       s"hot user sessions: ${hotSessions.map(_._4).toSeq.sorted}")
   }
 
+  test("RocksDB state store == default provider for native AND custom sessionization") {
+    // The production streaming state backend: HDFS-backed in-memory maps
+    // hold every key's state on-heap, which is exactly what a 100 TB
+    // key space overflows; RocksDBStateStoreProvider (bundled with
+    // Spark 4) spills state off-heap/on-disk per partition. The gates
+    // run the default provider; this spec certifies both sessionization
+    // paths are provider-agnostic — same closed-session output on
+    // RocksDB, so flipping the conf at scale is a no-op semantically.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def sessionSets(): (Set[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)],
+        Set[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]) = {
+      val nat = graft.streaming.Streaming
+        .sessionsWindowed(spark, sf0001, s"infra_rocks_nat_${System.nanoTime}")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val cus = graft.streaming.Streaming
+        .sessionsCustomState(spark, sf0001, s"infra_rocks_cus_${System.nanoTime}")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      (nat, cus)
+    }
+    val (natDefault, cusDefault) = sessionSets()
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (natRocks, cusRocks) = sessionSets()
+      assert(natRocks == natDefault,
+        s"native session_window drifted on RocksDB: ${natRocks.size} vs ${natDefault.size}")
+      assert(cusRocks == cusDefault,
+        s"custom-state sessionizer drifted on RocksDB: ${cusRocks.size} vs ${cusDefault.size}")
+      assert(natRocks.nonEmpty && cusRocks == natRocks)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful streaming: running count per user via flatMapGroupsWithState") {
     val input = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id")).as[(Long, Long)]
