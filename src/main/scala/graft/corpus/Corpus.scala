@@ -91,7 +91,28 @@ object Corpus {
     * buckets are an md5 PREFIX, uniform for any id space.) Spec'd in
     * CorpusSpec "skew stress". */
   def packSequences(docs: DataFrame, tokensOf: Column, budget: Int,
-      idCol: String = "doc_id", bucketSize: Int = 4096): DataFrame = {
+      idCol: String = "doc_id", bucketSize: Int = 4096): DataFrame =
+    packOffsets(docs, tokensOf, budget, idCol, bucketSize)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+
+  /** The per-document PLACEMENT behind [[packSequences]] — one row per
+    * doc: (idCol, ntok, seq_id, offset_in_seq). This is the pack
+    * MANIFEST a trainer actually consumes (which sequence each document
+    * lands in and at which token offset — the attention-boundary /
+    * position-id input of sequence-packed training), where
+    * [[packSequences]] is its per-sequence summary. Same bucketed
+    * two-pass prefix, no extra shuffle — the manifest is the pre-
+    * aggregation frame. */
+  def packManifest(docs: DataFrame, tokensOf: Column, budget: Int,
+      idCol: String = "doc_id", bucketSize: Int = 4096): DataFrame =
+    packOffsets(docs, tokensOf, budget, idCol, bucketSize)
+      .select(col(idCol), col("ntok"), col("seq_id"),
+        (col("start_offset") - col("seq_id") * budget).as("offset_in_seq"))
+
+  private def packOffsets(docs: DataFrame, tokensOf: Column, budget: Int,
+      idCol: String, bucketSize: Int): DataFrame = {
     require(budget > 0 && bucketSize > 1)
     val toks = docs.select(col(idCol), tokensOf.cast("long").as("ntok"))
       .withColumn("bkt", (col(idCol) / lit(bucketSize)).cast("long"))
@@ -104,11 +125,8 @@ object Corpus {
       .select(col(idCol), col("ntok"),
         (col("bucket_offset") + sum(col("ntok")).over(perBucket) - col("ntok"))
           .as("start_offset"))
-      .select(col(idCol), col("ntok"),
+      .select(col(idCol), col("ntok"), col("start_offset"),
         floor(col("start_offset") / lit(budget.toDouble)).cast("long").as("seq_id"))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
-        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing ≥ 1 word

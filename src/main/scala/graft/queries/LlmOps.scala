@@ -1555,6 +1555,25 @@ object LlmOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Pack-manifest gate: the per-document PLACEMENT
+    * ([[graft.corpus.Corpus.packManifest]]) — which sequence each doc
+    * lands in and at which token offset, the artifact a sequence-packed
+    * trainer actually consumes (attention boundaries / position ids).
+    * Same machinery as t_pack pre-aggregation, so the oracle is the
+    * same cum-sum CTE minus the GROUP BY. */
+  def packManifestGate(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.packManifest(Tables.documents(s, dir),
+      tokensOf = n_tokens(col("text")), budget = 256, bucketSize = 64)
+      .orderBy(col("doc_id"))
+
+  val packManifestSql: String =
+    s"""WITH n AS (SELECT doc_id, len(string_split($NormSql, ' ')) AS ntok FROM documents),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM n)
+       |SELECT doc_id, ntok, CAST(floor(sof / 256.0) AS BIGINT) AS seq_id,
+       |  CAST(sof - 256 * floor(sof / 256.0) AS BIGINT) AS offset_in_seq
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Deterministic global shuffle gate — the full-corpus total order by
     * (md5(doc_id), doc_id), ranked without a single-partition window
     * (bucketed two-pass prefix; see [[graft.corpus.Corpus.shuffleRank]]). */

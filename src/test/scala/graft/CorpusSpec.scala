@@ -78,6 +78,36 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("packManifest placement: offsets sequential per sequence, aggregates to packSequences") {
+    val budget = 25
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, Seq.fill(30)("w").mkString(" ")), (2L, "x y"),
+      (3L, Seq.fill(10)("q").mkString(" ")), (4L, "one two three"),
+      (5L, Seq.fill(24)("z").mkString(" ")), (6L, "t"), (7L, "u v w x")
+    ).toDF("doc_id", "text")
+    val manifest = Corpus.packManifest(docs, text.n_tokens(col("text")),
+        budget, bucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // sequential reference placement
+    var sof = 0L
+    val ref = Seq(0L -> 5, 1L -> 30, 2L -> 2, 3L -> 10, 4L -> 3, 5L -> 24, 6L -> 1, 7L -> 4)
+      .map { case (id, nt) =>
+        val row = (id, nt.toLong, sof / budget, sof % budget); sof += nt; row }
+    assert(manifest.toSeq == ref)
+    // every offset_in_seq is a valid in-sequence position: the doc
+    // STARTS inside its sequence's budget window
+    assert(manifest.forall { case (_, _, _, off) => off >= 0 && off < budget })
+    // the manifest aggregates to exactly the packSequences summary
+    val fromManifest = manifest.groupBy(_._3).map { case (seq, ds) =>
+      seq -> (ds.size.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max) }
+    val summary = Corpus.packSequences(docs, text.n_tokens(col("text")),
+        budget, bucketSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(fromManifest == summary)
+  }
+
   test("packSequences is bucketSize-invariant (the prefix decomposition is exact)") {
     val docs = Tables.documents(spark, sf0001)
     val base = Corpus.packSequences(docs, text.n_tokens(col("text")), 256,
