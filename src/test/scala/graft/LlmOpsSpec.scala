@@ -918,11 +918,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(removed == expected)
   }
 
-  test("e2e pipeline capstone: monotone funnel, conserved tokens, caches released") {
+  test("e2e pipeline capstone: monotone funnel, conserved tokens, one corpus scan, caches released") {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
-    val card = graft.queries.LlmOps.pipelineE2e(spark, sf001)
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val df = graft.queries.LlmOps.pipelineE2e(spark, sf001)
+    val card = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // SCAN-NODE AUDIT (the docstring's "corpus scanned once" claim,
+    // asserted): walk the finalized physical plan INCLUDING cached
+    // plans (the pipeline trunk lives inside InMemoryRelations) and
+    // count FileSourceScan operators over documents.parquet. Exactly
+    // two may exist — the stage-1 trunk scan and the dimension-sized
+    // benchmark slice (external input by definition). A third scan
+    // means a stage fell off the cache and re-reads the corpus.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    // manual recursion: AQE hides subtrees behind LEAF nodes (query
+    // stages, reused exchanges) and caches behind InMemoryRelation, so
+    // TreeNode.collect alone sees none of the real scans
+    def docScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Seq.empty[FileSourceScanExec]
+      }
+      val hidden = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      here ++ (p.children ++ hidden).flatMap(docScans)
+    }
+    val all = docScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    // dedupe by INSTANCE: every stage reading the shared trunk cache
+    // resolves to the same cachedPlan scan object; two equal-but-
+    // distinct instances would mean the corpus is genuinely read twice
+    val scans = all.foldLeft(Vector.empty[FileSourceScanExec])(
+      (acc, s) => if (acc.exists(_ eq s)) acc else acc :+ s)
+    assert(scans.size == 2,
+      s"expected exactly 2 documents.parquet scans (trunk + benchmark " +
+        s"slice), found ${scans.size}:\n${scans.map(_.simpleString(80)).mkString("\n")}")
     // the gate's value-exactness is the DuckDB oracle's job; this spec
     // pins the structural invariants that hold at ANY scale factor
     val Seq(f, d, c, m) = Seq("1_filtered", "2_deduped",
