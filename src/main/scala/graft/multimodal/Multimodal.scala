@@ -9,20 +9,21 @@ import org.apache.spark.sql.functions._
   * of a pandas-batch UDF: one fused stage, no per-row closure dispatch
   * into Python, no shuffle).
   *
-  * Decode paths: IMAGES have a REAL decoder — [[decodeImageInfo]] reads
-  * width/height/format from actual PNG/JPEG/GIF/BMP bytes via the JDK's
-  * ImageIO (header-only: the reader reports dimensions without
-  * decompressing the raster, which is what a 100 TB metadata pass
-  * wants). AUDIO has a REAL header decoder too — [[decodeAudioInfo]]
-  * parses WAV/AIFF/AU container headers via `javax.sound.sampled`
-  * (JDK-only, no codec). Only VIDEO decode remains STUBBED (genuinely
-  * codec-bound; this container has none): `decodeStub` derives
-  * deterministic fake dimensions from the payload bytes. The Spark-side
-  * plumbing — typed schema, batch iterator shape, partition sizing — is
-  * identical for all three and tested; the gate queries run the stub
-  * path because the synthetic testdata payloads are text bytes, not
-  * media (MultimodalSpec exercises the real paths on synthesized
-  * PNG/JPEG/BMP and WAV bytes).
+  * Decode paths — ALL THREE kinds have REAL header decoders, none needs
+  * a codec: IMAGES via [[decodeImageInfo]] (width/height/format from
+  * actual PNG/JPEG/GIF/BMP bytes through the JDK's ImageIO, header-only
+  * — the reader reports dimensions without decompressing the raster,
+  * which is what a 100 TB metadata pass wants); AUDIO via
+  * [[decodeAudioInfo]] (WAV/AIFF/AU container headers through
+  * `javax.sound.sampled`, JDK-only); VIDEO via [[decodeVideoInfo]]
+  * (MP4/ISO-BMFF box walk with pure byte reads — ftyp brand, mvhd
+  * duration, tkhd dimensions, stts frame count). `decodeStub` survives
+  * only as the corrupt-/unrecognized-payload fallback that keeps every
+  * pass total. The Spark-side plumbing — typed schema, batch iterator
+  * shape, partition sizing — is identical for all three and tested; the
+  * gate queries run the stub path because the synthetic testdata
+  * payloads are text bytes, not media (MultimodalSpec exercises the
+  * real paths on synthesized PNG/JPEG/BMP, WAV, and MP4 bytes).
   */
 object Multimodal {
 
@@ -88,13 +89,130 @@ object Multimodal {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload))
       val f = aff.getFormat
-      Some(AudioInfo(f.getSampleRate.toInt, f.getChannels,
+      // the JDK reports unknown fields as NOT_SPECIFIED (-1) — e.g.
+      // frame length for AU/AIFF-C streams of unknown length — and a
+      // -1 smuggled into MediaMeta would break the "total pass with
+      // sane envelopes" contract; treat any unspecified field as
+      // undecodable so the caller's stub fallback engages
+      val ns = javax.sound.sampled.AudioSystem.NOT_SPECIFIED
+      if (f.getSampleRate <= 0 || f.getSampleRate == ns.toFloat ||
+          f.getChannels == ns || f.getSampleSizeInBits == ns ||
+          aff.getFrameLength == ns) None
+      else Some(AudioInfo(f.getSampleRate.toInt, f.getChannels,
         f.getSampleSizeInBits, aff.getFrameLength.toLong,
         aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+
+  /** Parsed video envelope: container header fields only. */
+  case class VideoInfo(width: Int, height: Int, durationMs: Long,
+      nFrames: Long, brand: String)
+
+  /** Real video container header decode: MP4/ISO-BMFF (MPEG-4 Part 12)
+    * box structure parses with pure JVM byte reads — no codec, the same
+    * cost model as the ImageIO / javax.sound paths. Walks the box tree
+    * (`[size:u32][type:4cc]`, size 1 → 64-bit largesize follows, size 0
+    * → box runs to end of payload; `moov/trak/mdia/minf/stbl` recurse):
+    *
+    *  - `ftyp` → major brand (isom/mp42/qt  …),
+    *  - `moov/mvhd` → movie timescale + duration (v0: 32-bit at body
+    *    offsets 12/16; v1: at 20/24 with 64-bit duration) → duration ms,
+    *  - `moov/trak/tkhd` → track width/height as 16.16 fixed point (v0:
+    *    body offsets 76/80; v1: 88/92) — the visual track is the one
+    *    with nonzero width,
+    *  - `…/stbl/stts` → frame count = Σ sample_count over entries (the
+    *    time-to-sample table indexes every sample without decoding any).
+    *
+    * Returns None when the payload has no well-formed `moov` with a
+    * visual track — corrupt bytes, non-BMFF containers (mkv/webm/avi
+    * need their own walkers), or audio-only MP4s — and the caller's
+    * stub fallback keeps the pass total. Malformed sizes (truncated
+    * boxes, size < 8, 64-bit sizes past the buffer) stop the walk
+    * rather than throw. */
+  def decodeVideoInfo(payload: Array[Byte]): Option[VideoInfo] = {
+    def u32(off: Int): Long =
+      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    var brand = ""
+    var timescale = 0L
+    var duration = -1L
+    var width, height = 0
+    var nFrames = -1L
+    // true while walking the subtree of the trak whose tkhd carried the
+    // visual dimensions — gates which stts is credited as the frame
+    // count, so an audio trak's sample table can never masquerade as
+    // frames (tkhd precedes mdia in every muxer's layout, so the width
+    // check always sees tkhd before its trak's stts)
+    var inVisualTrak = false
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && depth < 8) {
+        val size32 = u32(off)
+        val typ = fourcc(off + 4)
+        var body = off + 8
+        val boxEnd =
+          if (size32 == 0) end
+          else if (size32 == 1) {
+            if (off + 16 > end) return
+            body = off + 16
+            val s = u64(off + 8)
+            if (s < 16 || s > (end - off).toLong) return else off + s.toInt
+          }
+          else if (size32 < 8 || off + size32 > end) return
+          else off + size32.toInt
+        typ match {
+          case "ftyp" if body + 4 <= boxEnd && brand.isEmpty =>
+            brand = fourcc(body)
+          case "mvhd" if body + 1 <= boxEnd =>
+            val v = payload(body) & 0xff
+            if (v == 1 && body + 32 <= boxEnd) {
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else if (v == 0 && body + 20 <= boxEnd) {
+              timescale = u32(body + 12); duration = u32(body + 16)
+            }
+          case "tkhd" if body + 1 <= boxEnd && width == 0 =>
+            val v = payload(body) & 0xff
+            val wOff = if (v == 1) body + 88 else body + 76
+            if (wOff + 8 <= boxEnd) {
+              val w = (u32(wOff) >> 16).toInt
+              val h = (u32(wOff + 4) >> 16).toInt
+              if (w > 0) { width = w; height = h; inVisualTrak = true }
+            }
+          case "stts" if body + 8 <= boxEnd && inVisualTrak && nFrames < 0 =>
+            val entries = u32(body + 4)
+            var (i, sum, e) = (body + 8, 0L, 0L)
+            while (e < entries && i + 8 <= boxEnd) {
+              sum += u32(i); i += 8; e += 1
+            }
+            if (e == entries) nFrames = sum
+          case "trak" =>
+            val outer = inVisualTrak
+            inVisualTrak = false
+            walk(body, boxEnd, depth + 1)
+            // restore on exit so sibling traks never inherit this trak's
+            // visual status (width>0 already bars any second tkhd claim)
+            inVisualTrak = outer
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(body, boxEnd, depth + 1)
+          case _ =>
+        }
+        off = boxEnd
+      }
+    }
+    try walk(0, payload.length, 0)
+    catch { case _: ArrayIndexOutOfBoundsException => return None }
+    if (width <= 0 || timescale <= 0 || duration < 0) None
+    else Some(VideoInfo(width, height, duration * 1000L / timescale,
+      math.max(nFrames, 0L),
+      if (brand.isEmpty) "bmff" else brand.trim))
+  }
 
   /** Batched decode over partitions. `batchHint` only documents the
     * shape a real decoder would use (reusing codec contexts per batch).
@@ -104,13 +222,16 @@ object Multimodal {
     * = true` routes `kind == "audio"` through [[decodeAudioInfo]]
     * (JDK WAV/AIFF/AU header parse), packing the audio envelope into
     * the shared meta shape as width = sample rate (Hz), height =
-    * channels, n_frames = container frame count. Undecodable payloads
-    * fall back to the stub either way so the pass is total. Defaults
-    * off: the gate corpus carries text-byte payloads, so its numbers
-    * are the stub's by construction. */
+    * channels, n_frames = container frame count; `realVideoDecode =
+    * true` routes `kind == "video"` through [[decodeVideoInfo]]
+    * (MP4/ISO-BMFF box parse), n_frames = the stts sample count.
+    * Undecodable payloads fall back to the stub either way so the pass
+    * is total. Defaults off: the gate corpus carries text-byte
+    * payloads, so its numbers are the stub's by construction. */
   def extractMeta(assets: Dataset[MediaAsset], batchHint: Int = 64,
       realImageDecode: Boolean = false,
-      realAudioDecode: Boolean = false): Dataset[MediaMeta] = {
+      realAudioDecode: Boolean = false,
+      realVideoDecode: Boolean = false): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // a real implementation allocates its codec context once here,
@@ -128,6 +249,14 @@ object Multimodal {
             case Some(info) =>
               MediaMeta(a.asset_id, a.kind, a.payload.length.toLong,
                 info.sampleRateHz, info.channels,
+                n_frames = math.min(info.nFrames, Int.MaxValue.toLong).toInt)
+            case None => decodeStub(a)
+          }
+        else if (realVideoDecode && a.kind == "video")
+          decodeVideoInfo(a.payload) match {
+            case Some(info) =>
+              MediaMeta(a.asset_id, a.kind, a.payload.length.toLong,
+                info.width, info.height,
                 n_frames = math.min(info.nFrames, Int.MaxValue.toLong).toInt)
             case None => decodeStub(a)
           }

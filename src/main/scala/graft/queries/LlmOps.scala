@@ -438,20 +438,25 @@ object LlmOps {
   }
 
   // The oracle's isqrt must be EXACT like the engine's BigInteger.sqrt:
-  // the double sqrt candidate k0 is within ±1 of ⌊√x⌋ for any BIGINT x
+  // the double sqrt candidate is within ±1 of ⌊√x⌋ for any BIGINT x
   // (the bigint→double cast errs ≤ 2⁹ absolute at 9.2·10¹⁸, shifting
   // √x by < 10⁻⁷), so one integer-arithmetic correction step makes it
-  // exact over the whole BIGINT domain — no "counts stay below ~4.5e15"
-  // assumption left to enforce.
+  // exact over the whole BIGINT domain. Two overflow guards keep the
+  // correction itself in-domain near 2⁶³: the candidate is clamped to
+  // 3037000499 = ⌊√(2⁶³−1)⌋ (an overshooting candidate would square past
+  // BIGINT max; the clamp loses nothing since no true ⌊√x⌋ exceeds it),
+  // and the +1 branch only fires below the clamp so (k0+1)² ≤
+  // 3037000499² < 2⁶³ always fits.
   val tempMixSql: String =
     """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
       |mn AS (SELECT MIN(n) AS nmin FROM c),
       |k0 AS (SELECT lang, n, n * (SELECT nmin FROM mn) AS x,
-      |  CAST(floor(sqrt(CAST(n * (SELECT nmin FROM mn) AS DOUBLE))) AS BIGINT) AS k0
+      |  LEAST(CAST(floor(sqrt(CAST(n * (SELECT nmin FROM mn) AS DOUBLE))) AS BIGINT),
+      |        3037000499) AS k0
       |  FROM c),
       |ks AS (SELECT lang, n,
       |  CASE WHEN k0 * k0 > x THEN k0 - 1
-      |       WHEN (k0 + 1) * (k0 + 1) <= x THEN k0 + 1
+      |       WHEN k0 < 3037000499 AND (k0 + 1) * (k0 + 1) <= x THEN k0 + 1
       |       ELSE k0 END AS k
       |  FROM k0),
       |r AS (SELECT lang, n, (65536 * k) // n AS b FROM ks),
@@ -481,8 +486,17 @@ object LlmOps {
       .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
         quality_score_from(col("norm"), col("t")).as("q"))
     val epochs = when(col("q") >= 0.55, 3).when(col("q") >= 0.45, 2).otherwise(1)
+    // the composite key is only injective while epoch ≤ 3 < 4; if the
+    // tier expression ever grows a 4+-epoch tier, replicas would collide
+    // with the next doc's epoch-0 slot and the pack order would go
+    // nondeterministic — fail the row loudly instead (raise_error inside
+    // the sid expression cannot be pruned), the chunkPack gid convention
+    val sid = when(col("epoch") <= 3, col("doc_id") * 4 + col("epoch"))
+      .otherwise(raise_error(concat(lit("epochMix: epoch "),
+        col("epoch").cast("string"),
+        lit(" > 3; widen the composite-id multiplier"))))
     val expanded = graft.sampling.Sampling.epochUpsample(scored, epochs)
-      .select((col("doc_id") * 4 + col("epoch")).as("sid"), col("ntok"))
+      .select(sid.as("sid"), col("ntok"))
     val ranked = graft.corpus.Corpus.shuffleRank(expanded, "sid")
     graft.corpus.Corpus.packSequences(
       expanded.join(ranked, "sid").select(col("rank"), col("ntok")),

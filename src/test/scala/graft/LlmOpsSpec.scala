@@ -349,6 +349,16 @@ class LlmOpsSpec extends AnyFunSuite {
     val baseTokens = expanded.filter(col("epoch") === 1)
       .agg(sum(col("ntok"))).collect().head.getLong(0)
     assert(expandedTokens > baseTokens, "upsampling must actually replicate")
+    // tier-boundary margin: the gate compares a Double quality score to
+    // exact constants with >=, which is only cross-engine safe while no
+    // document sits on a boundary — pin that no score at the gate's SF is
+    // within 1e-9 of 0.45 or 0.55, so a last-ulp divergence between
+    // Spark's and DuckDB's arithmetic cannot flip a tier
+    val minMargin = expanded.filter(col("epoch") === 1)
+      .select(least(abs(col("q") - 0.45), abs(col("q") - 0.55)).as("m"))
+      .agg(min(col("m"))).collect().head.getDouble(0)
+    assert(minMargin > 1e-9,
+      s"a quality score sits within $minMargin of an epoch-tier boundary")
   }
 
   test("mixToTarget refuses a stratum whose threshold floors to zero") {

@@ -115,6 +115,116 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(4L) == Multimodal.decodeStub(raw4))
   }
 
+  // ---- video: hand-assembled MP4/ISO-BMFF boxes (the JDK ships no MP4
+  // muxer, so unlike the image/audio cases the container is synthesized
+  // field by field — which also makes the expected offsets explicit) ----
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+  private def bmffBox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  // spec layouts: ISO/IEC 14496-12 §8.2.2 (mvhd), §8.3.2 (tkhd), §8.6.1.2 (stts)
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+    bmffBox("mvhd", zeros(4), zeros(8), be32(timescale), be32(duration), zeros(80))
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+    bmffBox("mvhd", Array(1.toByte), zeros(3), zeros(16), be32(timescale),
+      be64(duration), zeros(80))
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    bmffBox("tkhd", zeros(4), zeros(8), be32(1), zeros(4), be32(0), zeros(8),
+      zeros(8), zeros(36), be32(w.toLong << 16), be32(h.toLong << 16))
+  private def tkhdV1(w: Int, h: Int): Array[Byte] =
+    bmffBox("tkhd", Array(1.toByte), zeros(3), zeros(16), be32(1), zeros(4),
+      be64(0), zeros(8), zeros(8), zeros(36),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+  private def stts(entries: (Long, Long)*): Array[Byte] =
+    bmffBox("stts", zeros(4), be32(entries.size.toLong),
+      entries.toArray.flatMap { case (n, d) => be32(n) ++ be32(d) })
+  private def trak(tkhd: Array[Byte], sttsBox: Array[Byte]): Array[Byte] =
+    bmffBox("trak", tkhd,
+      bmffBox("mdia", bmffBox("minf", bmffBox("stbl", sttsBox))))
+  private def ftyp(brand: String): Array[Byte] =
+    bmffBox("ftyp", brand.getBytes("US-ASCII"), be32(0), "mp41".getBytes("US-ASCII"))
+
+  test("decodeVideoInfo reads brand/duration/dimensions/frames from v0 MP4 boxes") {
+    val mp4 = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(timescale = 1000, duration = 2500),
+      trak(tkhdV0(640, 360), stts(30L -> 100L, 45L -> 200L)))
+    val info = Multimodal.decodeVideoInfo(mp4)
+    assert(info.contains(Multimodal.VideoInfo(640, 360, 2500, 75, "isom")), s"$info")
+  }
+
+  test("decodeVideoInfo handles version-1 mvhd/tkhd offsets and 64-bit duration") {
+    val mp4 = ftyp("mp42") ++ bmffBox("moov",
+      mvhdV1(timescale = 90000, duration = 450000), // 5 s in a 90 kHz timescale
+      trak(tkhdV1(1920, 1080), stts(24L -> 3750L)))
+    val info = Multimodal.decodeVideoInfo(mp4)
+    assert(info.contains(Multimodal.VideoInfo(1920, 1080, 5000, 24, "mp42")), s"$info")
+  }
+
+  test("decodeVideoInfo credits frames to the visual trak, not a preceding audio trak") {
+    // audio trak first (tkhd width 0, its own stts with 999 samples),
+    // video trak second — frame count must come from the video trak
+    val mp4 = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 8000),
+      trak(tkhdV0(0, 0), stts(999L -> 1L)),
+      trak(tkhdV0(320, 240), stts(12L -> 512L)))
+    val info = Multimodal.decodeVideoInfo(mp4)
+    assert(info.contains(Multimodal.VideoInfo(320, 240, 8000, 12, "isom")), s"$info")
+  }
+
+  test("decodeVideoInfo returns None for junk/truncated/audio-only payloads") {
+    assert(Multimodal.decodeVideoInfo("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoInfo(Array.empty[Byte]).isEmpty)
+    // well-formed ftyp but no moov
+    assert(Multimodal.decodeVideoInfo(ftyp("isom")).isEmpty)
+    // moov with an audio-only trak (no visual dimensions)
+    val audioOnly = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 1000), trak(tkhdV0(0, 0), stts(100L -> 1L)))
+    assert(Multimodal.decodeVideoInfo(audioOnly).isEmpty)
+    // truncated mid-box: the declared moov size runs past the payload
+    val whole = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 2500), trak(tkhdV0(64, 48), stts(5L -> 1L)))
+    assert(Multimodal.decodeVideoInfo(whole.dropRight(20)).isEmpty)
+  }
+
+  test("extractMeta(realVideoDecode) decodes real MP4 assets distributed, stubs the rest") {
+    val mp4 = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 4000), trak(tkhdV0(854, 480), stts(120L -> 33L)))
+    val assets = Seq(
+      MediaAsset(1L, "video", mp4),
+      MediaAsset(2L, "video", "corrupt payload".getBytes), // stub fallback
+      MediaAsset(3L, "image", mp4)                         // kind gates the decode
+    ).toDS()
+    val metas = Multimodal.extractMeta(assets, realVideoDecode = true)
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(metas(1L).width == 854 && metas(1L).height == 480 &&
+      metas(1L).n_frames == 120 && metas(1L).n_bytes == mp4.length.toLong)
+    val stub2 = Multimodal.decodeStub(MediaAsset(2L, "video", "corrupt payload".getBytes))
+    assert(metas(2L) == stub2)
+    val raw3 = assets.filter(_.asset_id == 3L).head()
+    assert(metas(3L) == Multimodal.decodeStub(raw3))
+  }
+
+  test("decodeAudioInfo rejects envelopes with NOT_SPECIFIED fields") {
+    // an AIFF-C/AU stream of unknown length reports frameLength = -1;
+    // simulate the honest JDK behavior with an AU header whose data size
+    // field is 0xffffffff (unknown) — if the JDK still reports concrete
+    // fields for this payload the guard is simply not exercised here,
+    // so only assert that no -1 ever escapes into a Some
+    val au = Array[Byte](0x2e, 0x73, 0x6e, 0x64) ++ // ".snd"
+      be32(24) ++ be32(0xffffffffL) ++ be32(3) ++ be32(8000) ++ be32(1) ++
+      Array.fill(64)(0x11.toByte)
+    Multimodal.decodeAudioInfo(au).foreach { i =>
+      assert(i.nFrames >= 0 && i.sampleRateHz > 0 && i.channels > 0 &&
+        i.sampleBits > 0, s"NOT_SPECIFIED leaked into $i")
+    }
+  }
+
   test("default extractMeta is unchanged (stub path) — the gate contract") {
     val a = Seq(MediaAsset(9L, "image", imageBytes(40, 20, "png"))).toDS()
     val meta = Multimodal.extractMeta(a).collect().head
