@@ -129,6 +129,89 @@ object Corpus {
         floor(col("start_offset") / lit(budget.toDouble)).cast("long").as("seq_id"))
   }
 
+  /** STRICT-budget packing — the no-straddle discipline: a document that
+    * does not fit in the open sequence CLOSES it and starts the next one
+    * (next-fit bin packing in `idCol` order), so every sequence's token
+    * total is ≤ `budget` — no straddler overflow — except a single
+    * oversized document (ntok > budget), which sits ALONE in its own
+    * over-budget sequence. Real trainers run both disciplines:
+    * [[packSequences]]' chop-at-boundary layout wastes zero tokens but
+    * lets the last document overflow (the trainer truncates or wraps);
+    * strict packing never overflows but leaves tail slack in each
+    * sequence. Use the one the trainer's attention layout expects.
+    *
+    * A GLOBAL next-fit is inherently sequential (each boundary depends
+    * on the residual fill of everything before it), which no two-pass
+    * prefix can reproduce — so the discipline here is BUCKET-ALIGNED
+    * next-fit: documents are packed within their `bucketSize`-wide id
+    * bucket (each bucket starts a fresh sequence) and sequence ids are
+    * stitched globally by the same dimension-sized prefix pass as
+    * [[packSequences]] (offset = Σ sequences of lower buckets). Sequences
+    * never span a bucket boundary — the per-shard packing every sharded
+    * training layout uses anyway, and the property that makes the
+    * operator embarrassingly parallel: each bucket's fold touches only
+    * its own ≤ `bucketSize` documents.
+    *
+    * Per-bucket work is a `collect_list` + sorted `aggregate` fold —
+    * O(b²) element copies per bucket (the fold appends to an array),
+    * so keep `bucketSize` in the hundreds-to-low-thousands; buckets
+    * process independently across the cluster, and the only global
+    * coordination is the per-bucket sequence-count prefix (two longs per
+    * bucket). Output: one row per document — (idCol, ntok, seq_id,
+    * offset_in_seq), the same manifest shape as [[packManifest]]. */
+  def packStrictManifest(docs: DataFrame, tokensOf: Column, budget: Int,
+      idCol: String = "doc_id", bucketSize: Int = 1024): DataFrame = {
+    require(budget > 0 && bucketSize > 1)
+    val outType = "array<struct<id:bigint,ntok:bigint,seq:bigint,off:bigint>>"
+    val toks = docs.select(col(idCol), tokensOf.cast("long").as("ntok"))
+      .withColumn("bkt", (col(idCol) / lit(bucketSize)).cast("long"))
+    // per-bucket doc list in id order: collect_list order is partition-
+    // dependent, so array_sort on (id, ntok) structs (id is the leading
+    // field) restores the deterministic fold order
+    val folded = toks
+      .groupBy(col("bkt"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("ntok")))).as("ds"))
+      .select(col("bkt"), aggregate(
+        col("ds"),
+        struct(lit(0L).as("fill"), lit(-1L).as("seq"),
+          array().cast(outType).as("out")),
+        (acc, d) => {
+          // seq = -1 is the "no open sequence" sentinel: the first doc
+          // always opens sequence 0, even when it alone exceeds budget
+          val newSeq = (acc.getField("fill") + d.getField("ntok") > budget) ||
+            (acc.getField("seq") < 0)
+          val seq2 = when(newSeq, acc.getField("seq") + 1)
+            .otherwise(acc.getField("seq"))
+          val off = when(newSeq, lit(0L)).otherwise(acc.getField("fill"))
+          val fill2 = when(newSeq, d.getField("ntok"))
+            .otherwise(acc.getField("fill") + d.getField("ntok"))
+          struct(fill2.as("fill"), seq2.as("seq"),
+            concat(acc.getField("out"), array(struct(
+              d.getField("id").as("id"), d.getField("ntok").as("ntok"),
+              seq2.as("seq"), off.as("off")))).as("out"))
+        },
+        acc => struct(acc.getField("out").as("out"),
+          (acc.getField("seq") + 1).as("nseq"))).as("r"))
+    val offsets = bucketOffsets(
+      folded.select(col("bkt"), col("r.nseq").as("nseq")), "bkt", "nseq")
+    folded.join(broadcast(offsets), "bkt")
+      .select(col("bucket_offset"), explode(col("r.out")).as("d"))
+      .select(col("d.id").as(idCol), col("d.ntok").as("ntok"),
+        (col("bucket_offset") + col("d.seq")).as("seq_id"),
+        col("d.off").as("offset_in_seq"))
+  }
+
+  /** Per-sequence summary of [[packStrictManifest]] — same output shape
+    * as [[packSequences]] (seq_id, n_docs, n_tokens, first_doc,
+    * last_doc), under the strict discipline: n_tokens ≤ budget for every
+    * sequence except a singleton holding one oversized document. */
+  def packStrict(docs: DataFrame, tokensOf: Column, budget: Int,
+      idCol: String = "doc_id", bucketSize: Int = 1024): DataFrame =
+    packStrictManifest(docs, tokensOf, budget, idCol, bucketSize)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ 1 word
     * `n`-gram with a benchmark/eval set — the n-gram-overlap
     * contamination check of the published LLM training pipelines

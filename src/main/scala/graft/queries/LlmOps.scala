@@ -1344,6 +1344,94 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Measured recall@k of the IVF approximation vs exact brute force —
+    * the quality-vs-cost curve of the scale path, AS a gate: for the
+    * fixed query set, [[graft.similarity.Ann.batchTopKIvf]] top-3 at
+    * probes ∈ {1, 4} of 8 cells is intersected with
+    * [[graft.similarity.Ann.batchTopK]]'s exact top-3, in ONE plan.
+    * Output is the recall table itself: (probes, n_hit, n_true,
+    * recall). FULLY oracled — deterministic assignment/probing means
+    * DuckDB recomputes the identical candidate universes, so even the
+    * recall numbers hash-match. (probes = 8 would be exact by the
+    * spec'd exhaustive-probe == brute-force equivalence; the gate
+    * measures the cheap end of the curve.) */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*))
+    val queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+    val truth = Ann.batchTopK(corpus, queries, k = 3)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Seq(1, 4).map { p =>
+      Ann.batchTopKIvf(corpus, queries, k = 3, nCells = 8, probes = p)
+        .select(lit(p.toLong).as("probes"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val hits = approx.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hit"))
+    // left join from the static probes axis so a zero-recall probe
+    // count still emits its row
+    Seq(1L, 4L).toDF("probes")
+      .join(hits, Seq("probes"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("probes"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"), 6)
+          .as("recall"))
+      .orderBy(col("probes"))
+  }
+
+  val annRecallSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    // IVF top-3 per query at a given probe count — the annBatchIvfSql
+    // candidate machinery parameterized on probes (shared asg CTE)
+    def ivf(name: String, qcName: String, probes: Int) =
+      s"""$qcName AS (SELECT query_id, cell FROM (
+         |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+         |               s.cell_id DESC) AS pr
+         |  FROM embeddings q CROSS JOIN seeds s
+         |  WHERE q.vec_id IN ($ids)) t WHERE pr <= $probes),
+         |$name AS (SELECT query_id, vec_id FROM (
+         |  SELECT qc.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qc.query_id
+         |      ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
+         |               e.vec_id) AS rank
+         |  FROM embeddings e
+         |  JOIN asg ON asg.vec_id = e.vec_id
+         |  JOIN $qcName qc ON qc.cell = asg.cell
+         |  JOIN embeddings q ON q.vec_id = qc.query_id) t WHERE rank <= 3)""".stripMargin
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id NOT IN ($ids)
+       |               ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
+       |               e.vec_id) AS rank
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id IN ($ids) AND e.vec_id NOT IN ($ids)) t WHERE rank <= 3),
+       |${ivf("iv1", "qc1", 1)},
+       |${ivf("iv4", "qc4", 4)},
+       |hits AS (
+       |  SELECT CAST(1 AS BIGINT) AS probes,
+       |    (SELECT COUNT(*) FROM iv1 JOIN truth USING (query_id, vec_id)) AS n_hit
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT),
+       |    (SELECT COUNT(*) FROM iv4 JOIN truth USING (query_id, vec_id))),
+       |t AS (SELECT COUNT(*) AS n_true FROM truth)
+       |SELECT probes, n_hit, n_true,
+       |  ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+       |FROM hits, t ORDER BY probes""".stripMargin
+  }
+
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
@@ -1587,6 +1675,58 @@ object LlmOps {
        |SELECT doc_id, ntok, CAST(floor(sof / 256.0) AS BIGINT) AS seq_id,
        |  CAST(sof - 256 * floor(sof / 256.0) AS BIGINT) AS offset_in_seq
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Strict-budget (no-straddle) packing gate: next-fit within id
+    * buckets — a doc that would overflow the open sequence closes it —
+    * so every multi-doc sequence holds ≤ 256 tokens
+    * ([[graft.corpus.Corpus.packStrict]]; compare t_pack, whose
+    * chop-at-boundary discipline lets the last doc straddle past the
+    * budget). The oracle replays the same fold as a DuckDB recursive CTE
+    * (one iteration per doc index within each bucket, all buckets in
+    * parallel per step) + the same per-bucket sequence-count prefix
+    * stitch. */
+  def packStrictGate(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.packStrict(Tables.documents(s, dir),
+      tokensOf = n_tokens(col("text")), budget = 256, bucketSize = 64)
+
+  private def packStrictStepCtes: String =
+    s"""n AS (
+       |  SELECT doc_id, CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS ntok,
+       |    doc_id // 64 AS bkt,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |step AS (
+       |  SELECT bkt, rn, doc_id, ntok, ntok AS fill,
+       |    CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.bkt, n.rn, n.doc_id, n.ntok,
+       |    CASE WHEN s.fill + n.ntok > 256 THEN n.ntok ELSE s.fill + n.ntok END,
+       |    CASE WHEN s.fill + n.ntok > 256 THEN s.seq + 1 ELSE s.seq END,
+       |    CASE WHEN s.fill + n.ntok > 256 THEN CAST(0 AS BIGINT) ELSE s.fill END
+       |  FROM step s JOIN n ON n.bkt = s.bkt AND n.rn = s.rn + 1),
+       |cnt AS (SELECT bkt, MAX(seq) + 1 AS nseq FROM step GROUP BY bkt),
+       |ofs AS (SELECT bkt, CAST(COALESCE(SUM(nseq) OVER (ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so FROM cnt)""".stripMargin
+
+  val packStrictSql: String =
+    s"""WITH RECURSIVE $packStrictStepCtes
+       |SELECT o.so + s.seq AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(s.ntok) AS BIGINT) AS n_tokens,
+       |  MIN(s.doc_id) AS first_doc, MAX(s.doc_id) AS last_doc
+       |FROM step s JOIN ofs o USING (bkt) GROUP BY 1""".stripMargin
+
+  /** Per-document placement under the strict discipline — the manifest
+    * twin of t_pack_strict, mirroring t_pack_manifest. */
+  def packStrictManifestGate(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.packStrictManifest(Tables.documents(s, dir),
+      tokensOf = n_tokens(col("text")), budget = 256, bucketSize = 64)
+      .orderBy(col("doc_id"))
+
+  val packStrictManifestSql: String =
+    s"""WITH RECURSIVE $packStrictStepCtes
+       |SELECT s.doc_id, s.ntok, o.so + s.seq AS seq_id, s.off AS offset_in_seq
+       |FROM step s JOIN ofs o USING (bkt) ORDER BY doc_id""".stripMargin
 
   /** Deterministic global shuffle gate — the full-corpus total order by
     * (md5(doc_id), doc_id), ranked without a single-partition window

@@ -108,6 +108,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(fromManifest == summary)
   }
 
+  test("packStrict: next-fit reference, budget never exceeded except oversized singletons") {
+    val budget = 25
+    val bucketSize = 4
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, Seq.fill(30)("w").mkString(" ")), (2L, "x y"),
+      (3L, Seq.fill(10)("q").mkString(" ")), (4L, "one two three"),
+      (5L, Seq.fill(24)("z").mkString(" ")), (6L, "t"), (7L, "u v w x"),
+      (8L, Seq.fill(13)("m").mkString(" ")), (9L, "a"), (10L, "b c")
+    ).toDF("doc_id", "text")
+    val manifest = Corpus.packStrictManifest(docs, text.n_tokens(col("text")),
+        budget, bucketSize = bucketSize)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // sequential reference: bucket-aligned next-fit with stitched seq ids
+    val ntoks = Seq(0L -> 5L, 1L -> 30L, 2L -> 2L, 3L -> 10L, 4L -> 3L,
+      5L -> 24L, 6L -> 1L, 7L -> 4L, 8L -> 13L, 9L -> 1L, 10L -> 2L)
+    var gseq = 0L
+    val ref = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    ntoks.groupBy(_._1 / bucketSize).toSeq.sortBy(_._1).foreach { case (_, ds) =>
+      var fill = 0L; var seq = -1L
+      ds.sortBy(_._1).foreach { case (id, t) =>
+        if (seq < 0 || fill + t > budget) { seq += 1; ref(id) = (t, gseq + seq, 0L); fill = t }
+        else { ref(id) = (t, gseq + seq, fill); fill += t }
+      }
+      gseq += seq + 1
+    }
+    assert(manifest == ref.toMap, s"got $manifest")
+    // strict discipline: every multi-doc sequence fits the budget;
+    // an over-budget sequence can only be a single oversized doc
+    val summary = Corpus.packStrict(docs, text.n_tokens(col("text")),
+        budget, bucketSize = bucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    summary.foreach { case (seqId, nDocs, nTok) =>
+      assert(nTok <= budget || nDocs == 1,
+        s"seq $seqId: $nDocs docs, $nTok tokens > $budget")
+    }
+    // the summary is exactly the manifest's per-sequence aggregation
+    val fromManifest = ref.toSeq.groupBy(_._2._2)
+      .map { case (s, ds) => (s, ds.size.toLong, ds.map(_._2._1).sum) }.toSet
+    assert(summary.toSet == fromManifest)
+    // offsets within each sequence are the running token prefix
+    ref.toSeq.groupBy(_._2._2).values.foreach { ds =>
+      val sorted = ds.sortBy(_._1)
+      sorted.foldLeft(0L) { case (expOff, (id, (t, _, off))) =>
+        assert(off == expOff, s"doc $id offset $off != $expOff"); expOff + t
+      }
+    }
+  }
+
   test("packSequences is bucketSize-invariant (the prefix decomposition is exact)") {
     val docs = Tables.documents(spark, sf0001)
     val base = Corpus.packSequences(docs, text.n_tokens(col("text")), 256,
