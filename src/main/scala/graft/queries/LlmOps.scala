@@ -1676,6 +1676,112 @@ object LlmOps {
        |  CAST(sof - 256 * floor(sof / 256.0) AS BIGINT) AS offset_in_seq
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ BPE tokenizer
+
+  /** Merge rounds for the BPE gates. Small so the generated oracle SQL
+    * (one pair-count + argmax + recursive merge-apply CTE block per
+    * round) stays reviewable; the operators themselves take any k. */
+  private val BpeMergeRounds = 6
+
+  private def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** BPE tokenizer LEARNING as a gate ([[graft.text.Bpe.learnMerges]]):
+    * the top-6 byte-pair merges of the corpus vocabulary, with their
+    * pair frequencies — subword tokenization is what a real training
+    * pipeline counts tokens in, and the learning loop is pure
+    * aggregation (pair counts are exact integer sums over the
+    * vocabulary; the argmax tie-break (freq DESC, pair ASC) is total).
+    * The merge list itself is driver-sized by contract (the
+    * centroid-collect pattern), so emitting it as a local frame is the
+    * operator's natural output shape. The oracle replays each round in
+    * DuckDB: pair-count CTE + argmax + a recursive CTE applying the
+    * round's merge with the same greedy leftmost fold. */
+  def bpeLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.Bpe.learnMerges(bpeWordFreq(s, dir), BpeMergeRounds)
+      .zipWithIndex
+      .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
+      .toDF("round", "lhs", "rhs", "freq")
+  }
+
+  /** One oracle round: pair counts over s{r-1} → argmax b{r} → greedy
+    * merge-apply (recursive CTE over the symbol index — all words
+    * advance one symbol per iteration) → s{r}. MATERIALIZED is
+    * load-bearing: each s/b CTE is referenced by two downstream CTEs,
+    * and DuckDB would otherwise inline (re-evaluate) the whole chain
+    * per reference — 2^rounds blowup measured as a >170 s timeout vs
+    * 1.7 s materialized. */
+  private def bpeRoundCte(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p$r AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
+       |    CAST(SUM(freq) AS BIGINT) AS pf
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+       |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+       |b$r AS MATERIALIZED (SELECT l, r, pf FROM p$r ORDER BY pf DESC, l, r LIMIT 1),
+       |m$r AS (
+       |  SELECT word, freq, syms, CASE WHEN len(syms) = 0 THEN 0 ELSE 1 END AS i,
+       |    syms[1:1] AS acc FROM $prev
+       |  UNION ALL
+       |  SELECT word, freq, syms, i + 1,
+       |    CASE WHEN acc[-1] = (SELECT l FROM b$r) AND syms[i+1] = (SELECT r FROM b$r)
+       |         THEN list_append(list_slice(acc, 1, len(acc) - 1),
+       |                          (SELECT l FROM b$r) || syms[i+1])
+       |         ELSE list_append(acc, syms[i+1]) END
+       |  FROM m$r WHERE i < len(syms)),
+       |s$r AS MATERIALIZED (SELECT word, freq, acc AS syms FROM m$r WHERE i = len(syms))""".stripMargin
+  }
+
+  private def bpeChainCtes: String =
+    s"""s0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+       |  FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${(1 to BpeMergeRounds).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+
+  val bpeLearnSql: String =
+    s"""WITH RECURSIVE $bpeChainCtes
+       |${(1 to BpeMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, pf AS freq FROM b$r")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** Packing on SUBWORD token counts — t_pack's machinery re-run with
+    * [[org.apache.spark.sql.graft.BpeTokens.bpe_count]] (the codegen'd
+    * greedy application of the merges [[bpeLearn]] just derived from
+    * the same corpus) instead of the whitespace count: the gate where
+    * sequence budgets finally mean tokenizer tokens, closing the one
+    * place the pipeline surface diverged from a real training
+    * pipeline. Fully oracled: the vocabulary chain gives every word's
+    * final symbol count, and per-doc BPE counts are the sum over the
+    * doc's words — encode-time merge application in learned order
+    * equals the learner's round-interleaved application for any fixed
+    * word, so both engines count identical tokens. */
+  def packBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.text.Bpe.learnMerges(bpeWordFreq(s, dir), BpeMergeRounds)
+      .map { case (l, r, _) => (l, r) }
+    graft.corpus.Corpus.packSequences(Tables.documents(s, dir),
+      tokensOf = org.apache.spark.sql.graft.BpeTokens
+        .bpe_count(tokens(col("text")), merges),
+      budget = 1024, bucketSize = 64)
+  }
+
+  val packBpeSql: String =
+    s"""WITH RECURSIVE $bpeChainCtes,
+       |nsym AS (SELECT word, CAST(len(syms) AS BIGINT) AS ns FROM s$BpeMergeRounds),
+       |dt AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word FROM documents),
+       |n AS (SELECT doc_id, CAST(SUM(COALESCE(ns, 0)) AS BIGINT) AS ntok
+       |      FROM dt LEFT JOIN nsym USING (word) GROUP BY doc_id),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM n)
+       |SELECT CAST(floor(sof / 1024.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Strict-budget (no-straddle) packing gate: next-fit within id
     * buckets — a doc that would overflow the open sequence closes it —
     * so every multi-doc sequence holds ≤ 256 tokens
