@@ -223,13 +223,24 @@ object Streaming {
     * sink for the gate; StreamingSpec drives the SAME frame into a
     * parquet file sink — the production shape — and proves identical
     * output. */
-  private[graft] def clickViewJoinTransform(s: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(s, dir)
+  private[graft] def clickViewJoinTransform(s: SparkSession, dir: String): DataFrame =
+    clickViewJoinTransformFrom(s, dir)
+
+  /** [[clickViewJoinTransform]] with the source knobs exposed (same
+    * role as [[eventsStreamFrom]]): InfraSpec drives a time-ordered
+    * multi-file split with maxFilesPerTrigger=1 through it to observe
+    * watermark-driven state EVICTION batch by batch — the single-file
+    * gate replay holds everything in one micro-batch, where nothing
+    * ever expires. */
+  private[graft] def clickViewJoinTransformFrom(s: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val clicks = eventsStreamFrom(s, dir, glob, extraOptions)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "10 minutes")
-    val views = eventsStream(s, dir)
+    val views = eventsStreamFrom(s, dir, glob, extraOptions)
       .filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
         col("ts").as("view_ts"))

@@ -226,6 +226,126 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB state store == default provider for join, dedup, and watermarked dedup") {
+    // Completes the provider certification beyond sessionization: the
+    // remaining stateful gate paths — stream-stream interval join
+    // (symmetric hash join state), complete-mode dedup aggregation, and
+    // dropDuplicatesWithinWatermark — must be provider-agnostic too.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def results(): (Seq[(Long, Long, Long)], Set[(String, Long, Long)], Set[Long]) = {
+      val join = graft.streaming.Streaming
+        .clickViewJoinStream(spark, sf0001, s"infra_rocks_join_${System.nanoTime}")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val dedup = graft.streaming.Streaming
+        .exactDedupStream(spark, sf0001, s"infra_rocks_dd_${System.nanoTime}")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val wm = graft.streaming.Streaming
+        .exactDedupStreamWatermarked(spark, sf0001,
+          queryName = s"infra_rocks_wm_${System.nanoTime}")
+        .collect().map(_.getLong(0)).toSet
+      (join, dedup, wm)
+    }
+    val (joinD, dedupD, wmD) = results()
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (joinR, dedupR, wmR) = results()
+      assert(joinR == joinD,
+        s"stream-stream join drifted on RocksDB: ${joinR.size} vs ${joinD.size}")
+      assert(dedupR == dedupD,
+        s"dedup aggregation drifted on RocksDB: ${dedupR.size} vs ${dedupD.size}")
+      assert(wmR == wmD,
+        s"watermarked dedup drifted on RocksDB: ${wmR.size} vs ${wmD.size}")
+      assert(joinR.nonEmpty && dedupR.nonEmpty && wmR.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("stream-stream join state is watermark-horizon-bounded under a planted hot user, both providers") {
+    // The join-side twin of the sessionization skew test: one user owns
+    // half of ALL events, and the interval join's state must still be
+    // bounded by (arrival rate × horizon + one in-flight file), never
+    // by the stream so far — the eviction the 6 h range + 10 min delay
+    // promise. A single-file replay cannot observe eviction (everything
+    // arrives in one micro-batch), so this drives a time-ordered 6-file
+    // split with maxFilesPerTrigger = 1.
+    val nEv = 3000
+    val perFile = 500
+    val base = 1600000000000000L // micros
+    val rows = (0 until nEv).map { i =>
+      // 1 min apart → the 6 h + 10 min horizon holds ≤ 370 events;
+      // hot user 7 on even i, 50 cold users share the rest; view/click
+      // alternate in pairs so the hot user gets both sides
+      val user = if (i % 2 == 0) 7L else 100L + ((i / 2) % 50)
+      val typ = if (i % 4 < 2) "view" else "click"
+      val us = base + i.toLong * 60000000L
+      (i.toLong, us * 1000L, user, typ, 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_joinskew").toFile
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    for (i <- 0 until nEv / perFile) {
+      writeOneParquet(
+        df.filter(col("event_id") >= i * perFile && col("event_id") < (i + 1) * perFile),
+        new java.io.File(dir, f"events_$i%02d.parquet"), 3000000L + i * 60000L)
+    }
+    // batch oracle: same interval join over the whole event set
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.schema(df.schema).parquet(dir.getPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val c = all.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val v = all.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val oracle = c.join(v, col("user_id") === col("vu") &&
+        col("vts") >= col("cts") - expr("INTERVAL 6 HOURS") && col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oracle.nonEmpty)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(tag: String): (Set[(Long, Long, Long)], Long, Int) = {
+      val joined = graft.streaming.Streaming.clickViewJoinTransformFrom(
+        spark, dir.getPath, glob = "events_*.parquet",
+        extraOptions = Map("maxFilesPerTrigger" -> "1"))
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(s"infra_joinskew_$tag").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(s"infra_joinskew_$tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val maxState = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).max
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (got, maxState, dataBatches)
+    }
+    // horizon rows: 6 h + 10 min at 1 event/min = 370, plus the newest
+    // file still entirely in state (eviction uses the PREVIOUS batch's
+    // watermark, so the in-flight 500 have not aged yet), plus slack
+    // for the boundary batch. Unbounded buffering would reach ~3000.
+    val bound = 370L + perFile + 330L
+    val (gotDefault, stateDefault, batchesDefault) = run("default")
+    assert(batchesDefault >= nEv / perFile,
+      s"expected >= ${nEv / perFile} data batches, got $batchesDefault")
+    assert(gotDefault == oracle,
+      s"join drifted from batch oracle: ${gotDefault.size} vs ${oracle.size}")
+    assert(stateDefault <= bound,
+      s"state rows $stateDefault exceed horizon bound $bound — join state " +
+        "is scaling with the stream, not the watermark horizon")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (gotRocks, stateRocks, _) = run("rocksdb")
+      assert(gotRocks == oracle, "RocksDB output drifted from the batch oracle")
+      assert(stateRocks <= bound,
+        s"RocksDB state rows $stateRocks exceed horizon bound $bound")
+    } finally prev match {
+      case Some(v2) => spark.conf.set(key, v2)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful streaming: running count per user via flatMapGroupsWithState") {
     val input = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id")).as[(Long, Long)]
