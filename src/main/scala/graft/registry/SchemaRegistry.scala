@@ -116,27 +116,49 @@ class ConfluentAvroRegistry(val client: SchemaRegistryClient) extends Serializab
     * interleaving: no registration is ever lost (every successful call
     * returns an id that permanently resolves to its own schema), ids
     * are stable (identical documents dedupe to one id), and latest is
-    * last-writer-wins. What does NOT hold: the compatibility gate is
-    * ADVISORY under concurrent writers — a racing pair of mutually
-    * incompatible schemas can both land if both observed the
-    * pre-race state. A production Confluent server enforces
-    * compatibility server-side at version-append; this client-side
-    * check complements that enforcement, it cannot replace it. */
+    * last-writer-wins. What does NOT hold with a check-free server: the
+    * client-side compatibility gate alone is ADVISORY under concurrent
+    * writers — a racing pair of mutually incompatible schemas can both
+    * land if both observed the pre-race state. A production Confluent
+    * server closes that window by enforcing compatibility server-side
+    * ATOMICALLY at version-append (and the test StubRegistryServer
+    * demonstrates it with `enforceCompat = true`): the losing racer's
+    * register comes back HTTP 409. This method absorbs that verdict —
+    * on 409 it re-reads latest, re-runs the client-side check against
+    * the schema that actually won the race, and either retries (the
+    * rival turned out compatible) or throws the same
+    * [[IncompatibleSchemaException]] a stale-free sequential caller
+    * would have gotten. */
   def setOrUpdateSchema(subject: String, schema: Schema,
-      updateAllowed: Boolean = false, mutualReadCheck: Boolean = false): (Int, Schema) =
-    latest(subject) match {
-      case None => (client.register(subject, schema.toString), schema)
-      case Some((id, existing)) if existing == schema => (id, schema)
-      case Some((_, existing)) =>
-        if (!updateAllowed) throw new IncompatibleSchemaException(
-          s"subject $subject already has a different schema and updateAllowed=false; " +
-            s"diff: ${graft.avro.SchemaDiff.diff(schema, existing).mkString("; ")}")
-        val problems = checkCompatibility(schema, existing, mutualReadCheck)
-        if (problems.nonEmpty) throw new IncompatibleSchemaException(
-          s"schema update for $subject is incompatible: ${problems.mkString("; ")}; " +
-            s"diff: ${graft.avro.SchemaDiff.diff(schema, existing).mkString("; ")}")
-        (client.register(subject, schema.toString), schema)
+      updateAllowed: Boolean = false, mutualReadCheck: Boolean = false): (Int, Schema) = {
+    val maxAttempts = 3
+    var attempt = 0
+    var lastRejection: SchemaRegistryHttpException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      latest(subject) match {
+        case None => ()
+        case Some((id, existing)) if existing == schema => return (id, schema)
+        case Some((_, existing)) =>
+          if (!updateAllowed) throw new IncompatibleSchemaException(
+            s"subject $subject already has a different schema and updateAllowed=false; " +
+              s"diff: ${graft.avro.SchemaDiff.diff(schema, existing).mkString("; ")}")
+          val problems = checkCompatibility(schema, existing, mutualReadCheck)
+          if (problems.nonEmpty) throw new IncompatibleSchemaException(
+            s"schema update for $subject is incompatible: ${problems.mkString("; ")}; " +
+              s"diff: ${graft.avro.SchemaDiff.diff(schema, existing).mkString("; ")}")
+      }
+      try return (client.register(subject, schema.toString), schema)
+      catch {
+        // the server's atomic gate saw a version this client's read
+        // missed — loop to re-read and re-judge against it
+        case e: SchemaRegistryHttpException if e.status == 409 => lastRejection = e
+      }
     }
+    throw new IncompatibleSchemaException(
+      s"schema update for $subject kept losing the register race and the " +
+        s"server's compatibility gate rejected it: ${lastRejection.getMessage}")
+  }
 
   /** Register if absent, otherwise return the existing latest schema. */
   def setOrGetSchema(subject: String, schema: Schema): (Int, Schema) =

@@ -289,6 +289,95 @@ class HttpConfluentSerdeSpec extends ConfluentSerdeBehaviors
     info(s"race coverage over 10 rounds: bothLand=$sawBothLand reject=$sawReject")
   }
 
+  test("enforcing server: racing incompatible writers can no longer both land") {
+    import org.apache.avro.Schema
+    import graft.registry.{ConfluentAvroRegistry, SchemaRegistryHttpException}
+    val srv = new StubRegistryServer("serde-http-enforced", enforceCompat = true)
+    try {
+      val http = new HttpSchemaRegistry(srv.url)
+      def rec(xType: String, extra: String = "") = new Schema.Parser().parse(
+        s"""{"type":"record","name":"r","fields":[{"name":"x","type":"$xType"}$extra]}""")
+      val sLong = rec("long")
+      val sStr = rec("string") // long↔string: neither reads the other
+      val sPlus = rec("long", """,{"name":"a","type":["null","string"],"default":null}""")
+
+      // 1. the gate is server-side: a RAW register (no client-side check
+      // at all) of an incompatible schema comes back HTTP 409, while a
+      // compatible evolution and an identical re-register both succeed
+      val id0 = http.register("enf-a-value", sLong.toString)
+      val e = intercept[SchemaRegistryHttpException] {
+        http.register("enf-a-value", sStr.toString)
+      }
+      assert(e.status == 409, s"expected 409, got ${e.status}: ${e.getMessage}")
+      assert(http.register("enf-a-value", sPlus.toString) != id0)
+      assert(http.register("enf-a-value", sPlus.toString) != id0) // identical dedupes, no check
+      assert(http.getLatest("enf-a-value").map(_._2).contains(sPlus.toString))
+
+      // 2. racing mutually incompatible writers: with the atomic
+      // server-side gate EXACTLY ONE lands every round (the advisory-
+      // only spec above shows both CAN land without it), the loser gets
+      // the same IncompatibleSchemaException a sequential caller would,
+      // and latest is the winner — never torn
+      val reg = new ConfluentAvroRegistry(http)
+      for (round <- 0 until 10) {
+        val subj = s"enf-race-$round-value"
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        def run(s: Schema) = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+          barrier.await()
+          try Right(reg.setOrUpdateSchema(subj, s, updateAllowed = true))
+          catch { case t: Throwable => Left(t) }
+        }
+        val (fa, fb) = (run(sLong), run(sStr))
+        val outcomes = Seq(fa, fb).map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        assert(outcomes.count(_.isRight) == 1,
+          s"round $round: expected exactly one winner, got $outcomes")
+        outcomes.collect { case Left(t) => t }.foreach { t =>
+          assert(t.isInstanceOf[IncompatibleSchemaException],
+            s"round $round: loser surfaced $t, not IncompatibleSchemaException")
+        }
+        val Right((_, winner)) = outcomes.find(_.isRight).get: @unchecked
+        assert(http.getLatest(subj).map(_._2).contains(winner.toString),
+          s"round $round: torn latest")
+      }
+
+      // 3. retry-on-409 re-judges against the schema that actually won:
+      // a client whose first latest-read is stale (sees an empty
+      // subject) registers, gets 409 from the server's gate, re-reads,
+      // and converges to the sequential verdict instead of surfacing a
+      // raw HTTP error
+      http.register("enf-stale-value", sLong.toString)
+      val staleOnce = new graft.registry.SchemaRegistryClient {
+        private val reads = new java.util.concurrent.atomic.AtomicInteger
+        override def register(s: String, j: String): Int = http.register(s, j)
+        override def getById(id: Int): Option[String] = http.getById(id)
+        override def getLatest(s: String): Option[(Int, String)] =
+          if (reads.getAndIncrement() == 0) None else http.getLatest(s)
+        override def subjects: Set[String] = http.subjects
+      }
+      val staleReg = new ConfluentAvroRegistry(staleOnce)
+      val ex = intercept[IncompatibleSchemaException] {
+        staleReg.setOrUpdateSchema("enf-stale-value", sStr, updateAllowed = true)
+      }
+      assert(ex.getMessage.contains("incompatible"))
+      // same stale start, compatible schema: the server's gate passes it
+      // straight through — staleness costs nothing when the write is legal
+      val staleOnce2 = new graft.registry.SchemaRegistryClient {
+        private val reads = new java.util.concurrent.atomic.AtomicInteger
+        override def register(s: String, j: String): Int = http.register(s, j)
+        override def getById(id: Int): Option[String] = http.getById(id)
+        override def getLatest(s: String): Option[(Int, String)] =
+          if (reads.getAndIncrement() == 0) None else http.getLatest(s)
+        override def subjects: Set[String] = http.subjects
+      }
+      val (idP, _) = new ConfluentAvroRegistry(staleOnce2)
+        .setOrUpdateSchema("enf-stale-value", sPlus, updateAllowed = true)
+      assert(http.getById(idP).contains(sPlus.toString))
+    } finally {
+      srv.stop()
+      InMemorySchemaRegistry.reset("serde-http-enforced")
+    }
+  }
+
   test("http client is task-serializable (registry lookups from executors)") {
     import SharedSpark.spark
     import spark.implicits._

@@ -14,9 +14,18 @@ import graft.registry.InMemorySchemaRegistry
 /** In-test stub of the Confluent schema-registry REST API, backed by an
   * [[InMemorySchemaRegistry]] store — just enough surface for
   * [[graft.registry.HttpSchemaRegistry]]: subjects list, register,
-  * latest-version, schema-by-id, plus proper 404s. */
-class StubRegistryServer(regName: String) {
+  * latest-version, schema-by-id, plus proper 404s.
+  *
+  * With `enforceCompat = true` the server replicates a production
+  * Confluent broker's AUTHORITATIVE compatibility gate: the
+  * latest-read, Avro can-read check, and version-append happen under
+  * one server-side lock, so no interleaving of racing writers can land
+  * two mutually incompatible versions — the loser gets HTTP 409
+  * (Confluent's incompatible-schema status). */
+class StubRegistryServer(regName: String, enforceCompat: Boolean = false) {
   private val reg = new InMemorySchemaRegistry(regName)
+  private val compat = new graft.registry.ConfluentAvroRegistry(reg)
+  private val appendLock = new Object
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
   server.createContext("/", (ex: HttpExchange) => {
@@ -41,6 +50,28 @@ class StubRegistryServer(regName: String) {
 
   private def jstr(s: String): String = JsonMethods.compact(JsonMethods.render(JString(s)))
 
+  /** The server-side gate: check-and-append is ATOMIC (one lock spans
+    * the latest read, the new-can-read-old validation, and the version
+    * append), which is exactly the atomicity a client-side check cannot
+    * have. Identical documents still dedupe to their existing id
+    * without a check (re-registering the current schema is always
+    * legal, matching Confluent). */
+  private def checkedRegister(subject: String, schema: String): Either[String, Int] =
+    if (!enforceCompat) Right(reg.register(subject, schema))
+    else appendLock.synchronized {
+      reg.getLatest(subject) match {
+        case Some((_, existing)) if existing != schema =>
+          val problems =
+            try compat.checkCompatibility(
+              new org.apache.avro.Schema.Parser().parse(schema),
+              new org.apache.avro.Schema.Parser().parse(existing), mutualRead = false)
+            catch { case e: Exception => Seq(s"unparseable schema: ${e.getMessage}") }
+          if (problems.nonEmpty) Left(problems.mkString("; "))
+          else Right(reg.register(subject, schema))
+        case _ => Right(reg.register(subject, schema))
+      }
+    }
+
   private def route(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     // raw path: segments are still %-encoded, so an encoded '/' inside a
@@ -55,8 +86,11 @@ class StubRegistryServer(regName: String) {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         JsonMethods.parse(body) \ "schema" match {
           case JString(schema) =>
-            val id = reg.register(subject, schema)
-            respond(ex, 200, s"""{"id":$id}""")
+            checkedRegister(subject, schema) match {
+              case Right(id) => respond(ex, 200, s"""{"id":$id}""")
+              case Left(problems) => respond(ex, 409,
+                s"""{"error_code":409,"message":${jstr("incompatible schema: " + problems)}}""")
+            }
           case _ => respond(ex, 422, """{"error_code":42201,"message":"invalid schema"}""")
         }
       case ("GET", List("subjects", subject, "versions", "latest")) =>
