@@ -26,6 +26,38 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Incremental exact dedup: classify a NEW batch of documents against
+    * a historical fingerprint index — the production shape for a
+    * continuously-ingested corpus, where re-deduplicating the full
+    * history per batch is the scale-killer. The history side is
+    * fingerprints ONLY (16 bytes/doc, never text); persist it bucketed
+    * by `fp` and the per-batch join is shuffle-free on the history side
+    * (only the — typically far smaller — batch repartitions to the
+    * index's bucketing).
+    *
+    * Output: one row per batch doc with `status`:
+    *  - `dup_hist`  — fingerprint already present in history (wins over
+    *                  everything: the historical copy is the keeper)
+    *  - `kept`      — first occurrence: lowest `idCol` among batch docs
+    *                  with a history-absent fingerprint
+    *  - `dup_batch` — history-absent fingerprint already claimed by a
+    *                  lower-id doc in the same batch
+    * `kept` rows (plus their fps) are what gets appended to the corpus
+    * AND to the fingerprint index for the next batch. */
+  def incrementalExact(newDocs: DataFrame, historyFps: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = newDocs.select(col(idCol), fingerprint_md5(col(textCol)).as("fp"))
+    val hist = historyFps.select(col("fp")).distinct()
+      .withColumn("in_hist", lit(true))
+    val firsts = fps.groupBy(col("fp")).agg(min(col(idCol)).as("first_id"))
+    fps.join(hist, Seq("fp"), "left")
+      .join(firsts, Seq("fp"))
+      .select(col(idCol), col("fp"),
+        when(col("in_hist"), "dup_hist")
+          .when(col(idCol) === col("first_id"), "kept")
+          .otherwise("dup_batch").as("status"))
+  }
+
   /** Spread single-file corpora across the cluster; wide inputs pass
     * through untouched (no full-corpus round-robin shuffle at scale). */
   private def spread(df: DataFrame): DataFrame =

@@ -7,6 +7,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
+import graft.sketch.Sketch
 import graft.text._
 
 /** Training-data pipeline operators over documents/embeddings, each with
@@ -2039,4 +2040,148 @@ object LlmOps {
        |  UNION ALL SELECT '4_mixed', COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM mixed
        |  UNION ALL SELECT '5_packed', COUNT(*), CAST(SUM(first_doc) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM packs
        |) ORDER BY stage""".stripMargin
+
+  // --------------------------------- sketches: bounded-state profiling
+
+  /** Shared oracle CTE: the distinct-per-doc 3-shingle stream with
+    * source attribution — the sketch gates' input (same shingle
+    * formation as ShingleCtes / DistinctShingles). */
+  private val SketchShingleCtes: String =
+    s"""toks AS (SELECT doc_id, source, string_split($NormSql, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i))""".stripMargin
+
+  /** KMV distinct-cardinality sketch per source over 3-shingles: the
+    * bounded-state COUNT(DISTINCT) (k=64 longs per group, ever). The
+    * gate emits BOTH the estimate and the exact count, so the oracle
+    * hash pins the estimator math AND records the measured error; the
+    * k-th hash itself is in the output — the sketch is deterministic
+    * down to the bit. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val sh = Tables.documents(s, dir).select(col("source"),
+      explode(org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col("text"), 3)).as("sh"))
+    sh.groupBy(col("source"))
+      .agg(Sketch.kmv_sketch(Sketch.hash60(col("sh")), k).as("kmv"),
+        countDistinct(col("sh")).as("n_exact"))
+      .select(col("source"), col("n_exact"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        get(col("kmv"), lit(k - 1)).as("h_k"),
+        Sketch.kmvEstimate(col("kmv"), k).as("est"))
+      .orderBy(col("source"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH $SketchShingleCtes,
+       |hd AS (SELECT DISTINCT source, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+       |rk AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hd),
+       |ag AS (SELECT source, COUNT(*) AS n_h, MAX(CASE WHEN rn = 64 THEN h END) AS h_k
+       |       FROM rk WHERE rn <= 64 GROUP BY 1),
+       |ex AS (SELECT source, COUNT(DISTINCT s) AS n_exact FROM sh GROUP BY 1)
+       |SELECT source, n_exact, ag.n_h AS n_kept, ag.h_k,
+       |  CASE WHEN ag.n_h < 64 THEN CAST(ag.n_h AS DOUBLE)
+       |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(ag.h_k AS DOUBLE), 4) END AS est
+       |FROM ex JOIN ag USING (source) ORDER BY source""".stripMargin
+
+  /** CountMin heavy-hitter estimates over the corpus 3-shingle stream
+    * (by document frequency): the sketch is 3×1024 exact counters —
+    * fixed state at ANY corpus size — and estimates for the top-20
+    * exact shingles come out with their guaranteed-nonnegative
+    * overestimate, so the gate hash pins both the sketch math and the
+    * measured collision error. */
+  def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val (depth, width) = (3, 1024)
+    val sh = Tables.documents(s, dir).select(
+      explode(org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col("text"), 3)).as("s"))
+    val sketch = Sketch.cmsSketch(sh, "s", depth, width)
+    val exact = sh.groupBy(col("s")).agg(count(lit(1)).as("exact"))
+    val top = exact.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact").desc, col("s"))))
+      .filter(col("rk") <= 20).drop("rk")
+    Sketch.cmsEstimate(sketch, top, "s", depth, width)
+      .select(col("s"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overest"))
+      .orderBy(col("exact").desc, col("s"))
+  }
+
+  val cmsHeavySql: String = {
+    def bucket(seedExpr: String, v: String) =
+      s"CAST(('0x' || substr(md5(CAST($seedExpr AS VARCHAR) || '|' || $v), 1, 15)) AS BIGINT) % 1024"
+    s"""WITH $SketchShingleCtes,
+       |occ AS (SELECT s FROM sh),
+       |sd AS (SELECT unnest([0, 1, 2]) AS seed),
+       |sk AS (SELECT seed, ${bucket("seed", "s")} AS bucket, COUNT(*) AS cnt
+       |       FROM occ CROSS JOIN sd GROUP BY 1, 2),
+       |ex AS (SELECT s, COUNT(*) AS exact FROM occ GROUP BY 1),
+       |top AS (SELECT s, exact FROM (
+       |  SELECT s, exact, ROW_NUMBER() OVER (ORDER BY exact DESC, s) AS rk FROM ex) WHERE rk <= 20)
+       |SELECT t.s, t.exact, MIN(sk.cnt) AS est, MIN(sk.cnt) - t.exact AS overest
+       |FROM top t CROSS JOIN sd JOIN sk ON sk.seed = sd.seed
+       |  AND sk.bucket = ${bucket("sd.seed", "t.s")}
+       |GROUP BY 1, 2 ORDER BY exact DESC, s""".stripMargin
+  }
+
+  // --------------------------- incremental dedup + learned classifier
+
+  /** Incremental exact dedup gate: docs with id % 5 == 0 arrive as the
+    * new batch; the rest are history (as a fingerprint-only index).
+    * Output classifies every batch doc as kept / dup_hist / dup_batch —
+    * see Dedup.incrementalExact for the per-batch scale argument. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalExact(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(fingerprint_md5(col("text")).as("fp")))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH batch AS (SELECT doc_id, md5($NormSql) AS fp FROM documents WHERE doc_id % 5 = 0),
+       |hist AS (SELECT DISTINCT md5($NormSql) AS fp FROM documents WHERE doc_id % 5 <> 0),
+       |firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
+       |SELECT b.doc_id, b.fp,
+       |  CASE WHEN h.fp IS NOT NULL THEN 'dup_hist'
+       |       WHEN b.doc_id = f.first_id THEN 'kept'
+       |       ELSE 'dup_batch' END AS status
+       |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
+       |JOIN firsts f ON f.fp = b.fp""".stripMargin
+
+  /** Multinomial Naive Bayes language classifier, trained on the ~15/16
+    * of docs whose id-md5 doesn't start with '0' and scored on the
+    * held-out 1/16 — the learned counterpart to the t_langid heuristic.
+    * Scores are quantized-exact (integer log-likelihood sums), so the
+    * argmax and the score both hash-match across engines; see
+    * graft.text.Classify. */
+  def nbClassify(s: SparkSession, dir: String): DataFrame =
+    Classify.nbClassifyHoldout(s, Tables.documents(s, dir), "lang")
+
+  val nbClassifySql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $NormSql AS norm FROM documents),
+       |tr AS (SELECT * FROM n WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+       |te AS (SELECT * FROM n WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+       |trt AS (SELECT lang, unnest(string_split(norm, ' ')) AS t FROM tr),
+       |cnt AS (SELECT lang, t, COUNT(*) AS c FROM trt GROUP BY 1, 2),
+       |tot AS (SELECT lang, COUNT(*) AS tc FROM trt GROUP BY 1),
+       |v AS (SELECT COUNT(DISTINCT t) AS v FROM trt),
+       |pri AS (SELECT lang, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+       |          / (SELECT COUNT(*) FROM tr)) * 1e9) AS BIGINT) AS priorq
+       |        FROM tr GROUP BY 1),
+       |tet AS (SELECT doc_id, t, COUNT(*) AS m FROM (
+       |          SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM te) GROUP BY 1, 2),
+       |sc AS (SELECT tet.doc_id, tot.lang, CAST(pri.priorq + SUM(tet.m *
+       |         CAST(ROUND(ln((COALESCE(cnt.c, 0) + 1)
+       |           / CAST(tot.tc + v.v AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS scoreq
+       |       FROM tet CROSS JOIN tot CROSS JOIN v
+       |       LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.t = tet.t
+       |       JOIN pri ON pri.lang = tot.lang
+       |       GROUP BY 1, 2, pri.priorq),
+       |best AS (SELECT doc_id, lang, scoreq,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY scoreq DESC, lang) AS rk
+       |         FROM sc)
+       |SELECT b.doc_id, te.lang AS actual, b.lang AS pred, b.scoreq,
+       |  ROUND(CAST(b.scoreq AS DOUBLE) / 1e9, 6) AS score
+       |FROM best b JOIN te ON te.doc_id = b.doc_id WHERE b.rk = 1""".stripMargin
 }

@@ -1,0 +1,88 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.KmvAggregator
+
+/** Bounded-state cardinality and frequency sketches for corpus-scale
+  * profiling. Exact COUNT(DISTINCT) and exact heavy-hitter counting
+  * hold state proportional to the number of distinct values — at 100 TB
+  * of token/shingle streams that is the scale-killer; these hold k
+  * longs (KMV) or depth×width counters (CountMin) per group regardless
+  * of input size, and both are fully DETERMINISTIC (md5-derived hashes,
+  * set-minima, integer counters), so unlike RNG-seeded sketch libraries
+  * every estimate is reproducible across engines, runs, and partition
+  * layouts — each sketch gate hash-matches a DuckDB replay.
+  *
+  * Scale shape: both sketches are classic partial-aggregables — the KMV
+  * buffer and the CMS bucket counts combine map-side, so the shuffle
+  * carries one bounded sketch per group (KMV) or at most depth×width
+  * rows total (CMS), never the value stream.
+  */
+object Sketch {
+
+  /** Engine-portable 60-bit non-negative hash: first 15 hex chars of
+    * the value's md5 read as an integer. DuckDB recomputes it as
+    * `CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)` — same md5 bytes,
+    * same hex prefix, same value; 60 bits keeps every downstream
+    * product (width modulo, estimator division) inside BIGINT/exact-
+    * double range. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** KMV sketch aggregate: sorted array of the k smallest distinct
+    * [[hash60]] values in the group (shorter when the group has fewer
+    * distinct values — then the sketch IS the exact distinct set). */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    udaf(KmvAggregator(k), Encoders.scalaLong)(hash)
+
+  /** KMV cardinality estimate from a [[kmv_sketch]] array: exact size
+    * when the sketch never filled (we saw every distinct value);
+    * otherwise `(k-1) / frac(h_k)` with `frac(h) = h / 2^60`, i.e. one
+    * exact-double multiply and one IEEE division — deterministic.
+    * `round(4)` fixes the decimal form for cross-engine hashing. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble * KmvSpace) / get(sketch, lit(k - 1)).cast("double"), 4))
+
+  /** 2^60 as an exact double (6 significant bits). */
+  val KmvSpace: Double = math.pow(2, 60)
+
+  /** CountMin bucket of a value under hash row `seed`:
+    * hash60(seed || '|' || v) mod width. Non-negative input keeps `%`
+    * identical across engines. */
+  def cmsBucket(c: Column, seed: Int, width: Int): Column =
+    hash60(concat(lit(seed.toString), lit("|"), c)) % width
+
+  /** CountMin sketch of a value column: (seed, bucket, cnt) with
+    * depth×width rows at most — ONE narrow aggregation regardless of
+    * input size; counts are exact integers (no saturation). */
+  def cmsSketch(values: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame =
+    values.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("seed"),
+          cmsBucket(col(valueCol), i, width).as("bucket"))): _*)).as("sb"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for candidate values against a [[cmsSketch]]:
+    * est(v) = min over hash rows of the bucket count — the CountMin
+    * guarantee is est >= true count, with overestimate bounded by
+    * collisions. The sketch is depth×width rows → broadcast; the
+    * candidate set drives the plan (estimates are map-side after the
+    * broadcast join, no shuffle over the value stream). */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val passThrough = candidates.columns.map(col).toSeq
+    candidates
+      .select(passThrough :+ explode(array((0 until depth).map(i =>
+        struct(lit(i).as("seed"),
+          cmsBucket(col(valueCol), i, width).as("bucket"))): _*)).as("sb"): _*)
+      .join(broadcast(sketch),
+        col("sb.seed") === sketch("seed") && col("sb.bucket") === sketch("bucket"))
+      .groupBy(passThrough: _*)
+      .agg(min(col("cnt")).as("est"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes over token counts — the classic learned
+  * document classifier for corpus curation (language / domain / quality
+  * routing), as two declarative plans: [[nbTrain]] produces the model
+  * TABLES (class priors + per-class token counts), [[nbScore]] joins
+  * them onto test-document tokens and arg-maxes the posterior.
+  *
+  * Cross-engine determinism (the repo's quantized-exact convention):
+  * every log-likelihood is quantized to a 1e-9 grid as a BIGINT at the
+  * leaf — `round(ln((cnt+1)/(tot_c+V)) * 1e9)` — so the per-document
+  * score is an EXACT INTEGER SUM (partition/merge order cannot perturb
+  * it), the argmax compares integers, and the reported score is one
+  * IEEE division off the integer. Laplace (+1) smoothing handles
+  * test tokens unseen in a class (or unseen entirely).
+  *
+  * Scale shape: training is one shuffle on (class, token) with map-side
+  * combine; the model is vocab×classes rows — broadcast when it fits,
+  * shuffle-join on token otherwise (token skew on stopword-like heavy
+  * tokens follows the same salting rule as the dedup banding paths).
+  * Scoring is join → one aggregation by (doc, class); the class
+  * dimension is a broadcast. */
+object Classify {
+
+  private val Grid = 1e9
+
+  /** Quantized-log model tables from labeled training docs:
+    * (class, token, llq) token log-likelihoods — including one
+    * `token = NULL` row per class carrying the unseen-token likelihood
+    * — plus (class, priorq) log-priors. Both long-quantized. */
+  def nbTrain(train: DataFrame, classCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = train.select(col(classCol).as("cls"),
+      explode(tokens(col(textCol))).as("t"))
+    val cnt = toks.groupBy(col("cls"), col("t")).agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy(col("cls")).agg(count(lit(1)).as("tc"))
+    val vocab = toks.agg(countDistinct(col("t")).as("v"))
+    def llq(c: Column) = round(
+      log((c + lit(1)).cast("double") / (col("tc") + col("v")).cast("double"))
+        * Grid).cast("long")
+    val seen = cnt.join(tot, "cls").crossJoin(broadcast(vocab))
+      .select(col("cls"), col("t"), llq(col("c")).as("llq"))
+    val unseen = tot.crossJoin(broadcast(vocab))
+      .select(col("cls"), lit(null).cast("string").as("t"),
+        llq(lit(0L)).as("llq"))
+    val nDocs = train.agg(count(lit(1)).as("n"))
+    val priors = train.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        round(log(col("nc").cast("double") / col("n").cast("double")) * Grid)
+          .cast("long").as("priorq"))
+    (seen.unionByName(unseen), priors)
+  }
+
+  /** Score test docs against an [[nbTrain]] model: one row per doc with
+    * the argmax class, its quantized integer score, and the score as a
+    * double (one division off the integer, rounded for hashing).
+    * Tie-break on equal integer scores: class name ascending. */
+  def nbScore(test: DataFrame, likelihoods: DataFrame, priors: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val unseenLl = likelihoods.filter(col("t").isNull)
+      .select(col("cls"), col("llq").as("unseenq"))
+    val seenLl = likelihoods.filter(col("t").isNotNull)
+    val toks = test.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("m"))
+    val perClass = toks
+      .crossJoin(broadcast(priors.select(col("cls"))))
+      .join(seenLl, Seq("cls", "t"), "left")
+      .join(broadcast(unseenLl), Seq("cls"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("m") * coalesce(col("llq"), col("unseenq"))).as("tokq"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col(idCol), col("cls"), (col("priorq") + col("tokq")).as("scoreq"))
+    val best = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("scoreq").desc, col("cls")))
+    perClass.withColumn("rk", best).filter(col("rk") === 1)
+      .select(col(idCol), col("cls").as("pred"), col("scoreq"),
+        round(col("scoreq").cast("double") / Grid, 6).as("score"))
+  }
+
+  /** Train-on-most, score-held-out in one plan (the gate shape): docs
+    * whose id md5 starts with '0' (a deterministic ~1/16 split, same
+    * hex-bucket convention as Sampling) are held out and scored by a
+    * model trained on the rest. Output: doc_id, actual class, predicted
+    * class, quantized + readable score. */
+  def nbClassifyHoldout(s: SparkSession, docs: DataFrame,
+      classCol: String, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
+    val train = docs.filter(bucket =!= "0")
+    val test = docs.filter(bucket === "0")
+    val (ll, priors) = nbTrain(train, classCol, textCol)
+    nbScore(test, ll, priors, idCol, textCol)
+      .join(docs.select(col(idCol), col(classCol).as("actual")), Seq(idCol))
+      .select(col(idCol), col("actual"), col("pred"), col("scoreq"), col("score"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sketch.Sketch
+import graft.text.Classify
+import org.apache.spark.sql.graft.KmvAggregator
+
+class SketchSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  // ------------------------------------------------------------- KMV
+
+  test("KmvAggregator keeps the k smallest distinct values, any order, any split") {
+    val agg = KmvAggregator(4)
+    val values = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L)
+    // sequential reduce
+    val seq = values.foldLeft(agg.zero)(agg.reduce)
+    assert(seq.toSeq == Seq(1L, 2L, 3L, 5L))
+    // every 2-way split merges to the same sketch
+    for (cut <- values.indices) {
+      val (a, b) = values.splitAt(cut)
+      val m = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(m.toSeq == Seq(1L, 2L, 3L, 5L), s"split at $cut")
+    }
+    // fewer distinct than k: sketch IS the distinct set
+    val small = Seq(5L, 5L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(small.toSeq == Seq(2L, 5L))
+  }
+
+  test("kmv_sketch is partition-layout-invariant and the estimate is measured-accurate") {
+    val k = 64
+    val n = 5000
+    val df1 = spark.range(n).select(Sketch.hash60(col("id").cast("string")).as("h"))
+    val df32 = spark.range(n).repartition(32)
+      .select(Sketch.hash60(col("id").cast("string")).as("h"))
+    val s1 = df1.agg(Sketch.kmv_sketch(col("h"), k)).as[Array[Long]].head()
+    val s32 = df32.agg(Sketch.kmv_sketch(col("h"), k)).as[Array[Long]].head()
+    assert(s1.toSeq == s32.toSeq, "sketch drifted under repartitioning")
+    assert(s1.length == k && s1.toSeq == s1.sorted.toSeq)
+    val est = df1.agg(Sketch.kmv_sketch(col("h"), k).as("s"))
+      .select(Sketch.kmvEstimate(col("s"), k)).as[Double].head()
+    // KMV standard error is ~1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.5, s"estimate $est for true $n")
+  }
+
+  // ------------------------------------------------------------- CMS
+
+  test("CountMin estimates dominate true counts and are exact without collisions") {
+    // 20 values, width 1024: collisions are possible but the MIN over 3
+    // rows must never under-count — the CountMin guarantee is one-sided.
+    val freq = (1 to 20).map(i => (s"v$i", i.toLong))
+    val values = freq.flatMap { case (v, c) => Seq.fill(c.toInt)(v) }
+      .toDF("s")
+    val sketch = Sketch.cmsSketch(values, "s", depth = 3, width = 1024)
+    assert(sketch.agg(sum(col("cnt"))).as[Long].head() == 3L * freq.map(_._2).sum)
+    val cand = freq.toDF("s", "exact")
+    val est = Sketch.cmsEstimate(sketch, cand, "s", depth = 3, width = 1024)
+      .select(col("s"), col("exact"), col("est"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 20)
+    est.foreach { case (v, exact, e) =>
+      assert(e >= exact, s"CMS under-counted $v: $e < $exact")
+    }
+    // with 20 distinct values in 1024 buckets, collisions are unlikely
+    // enough that at least half the estimates are exact
+    assert(est.count { case (_, exact, e) => e == exact } >= 10)
+  }
+
+  test("cmsSketch output is bounded by depth x width regardless of input size") {
+    val big = spark.range(20000).select(col("id").cast("string").as("s"))
+    val sketch = Sketch.cmsSketch(big, "s", depth = 3, width = 64)
+    assert(sketch.count() <= 3L * 64)
+  }
+
+  // ------------------------------------------- incremental exact dedup
+
+  test("incrementalExact: history wins, batch-first wins, rest are dups") {
+    val hist = Seq("alpha text", "beta text").toDF("text")
+      .select(graft.text.fingerprint_md5(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "alpha text"),   // in history → dup_hist even though min id
+      (11L, "gamma text"),   // new → kept
+      (12L, "gamma text"),   // batch dup of 11 → dup_batch
+      (13L, "Beta   TEXT"),  // normalizes into history → dup_hist
+      (14L, "delta text")    // new → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, hist)
+      .select(col("doc_id"), col("status")).as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "dup_hist", 11L -> "kept", 12L -> "dup_batch",
+      13L -> "dup_hist", 14L -> "kept"))
+  }
+
+  test("incrementalExact kept set == full-corpus exact dedup restricted to the batch") {
+    // appending the kept docs reproduces what offline dedup of
+    // history+batch would have kept from the batch
+    val docs = Tables.documents(spark, sf001)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val kept = Dedup.incrementalExact(batch,
+        hist.select(graft.text.fingerprint_md5(col("text")).as("fp")))
+      .filter(col("status") === "kept").select(col("doc_id"))
+      .as[Long].collect().toSet
+    val offline = Dedup.exactGroups(docs).select(col("keep_id")).as[Long]
+      .collect().toSet
+    // a batch doc survives offline dedup iff its fp's global keeper is
+    // itself; with history ids ≠ batch ids the batch survivors are
+    // exactly the incremental kept set MINUS those whose fp exists in
+    // history under a HIGHER id (offline would keep the lower batch id)
+    val histFps = hist.select(graft.text.fingerprint_md5(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    val batchFp = batch.select(col("doc_id"),
+        graft.text.fingerprint_md5(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    kept.foreach { id =>
+      assert(!histFps.contains(batchFp(id)), s"kept doc $id exists in history")
+    }
+    // and every kept doc IS its fp's first occurrence within the batch
+    val firsts = batchFp.groupBy(_._2).map { case (fp, xs) => fp -> xs.keys.min }
+    kept.foreach { id => assert(firsts(batchFp(id)) == id) }
+    // sanity vs offline keepers: kept ⊆ offline keepers ∪ {batch docs
+    // whose keeper is a history doc} — i.e. no kept doc duplicates
+    // another kept doc
+    assert(kept.map(batchFp).size == kept.size)
+    assert(offline.nonEmpty)
+  }
+
+  // ------------------------------------------------ Naive Bayes
+
+  test("nbTrain/nbScore: separable classes classify perfectly, scores quantized-exact") {
+    val train = Seq(
+      (1L, "spam", "buy cheap pills buy now cheap"),
+      (2L, "spam", "cheap pills now buy"),
+      (3L, "spam", "now now buy cheap"),
+      (4L, "ham", "meeting notes project plan review"),
+      (5L, "ham", "project review plan meeting"),
+      (6L, "ham", "notes plan meeting project")
+    ).toDF("doc_id", "cls", "text")
+    val test = Seq(
+      (100L, "cheap pills buy"),
+      (101L, "project meeting notes")
+    ).toDF("doc_id", "text")
+    val (ll, priors) = Classify.nbTrain(train, "cls", "text")
+    // model shape: one unseen row per class; priors are ln(1/2) quantized
+    assert(ll.filter(col("t").isNull).count() == 2)
+    val pq = priors.select(col("priorq")).as[Long].collect().toSet
+    assert(pq == Set(math.round(math.log(0.5) * 1e9)))
+    val got = Classify.nbScore(test, ll, priors, "doc_id", "text")
+      .select(col("doc_id"), col("pred")).as[(Long, String)].collect().toMap
+    assert(got == Map(100L -> "spam", 101L -> "ham"))
+    // quantized scores are integers — identical under repartitioning
+    val s1 = Classify.nbScore(test, ll, priors, "doc_id", "text")
+      .select(col("doc_id"), col("scoreq")).as[(Long, Long)].collect().toSet
+    val s2 = Classify.nbScore(test.repartition(7), ll.repartition(5), priors,
+        "doc_id", "text")
+      .select(col("doc_id"), col("scoreq")).as[(Long, Long)].collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("nbClassifyHoldout recovers a token-derived label with high accuracy") {
+    // the corpus's lang COLUMN is assigned independently of the text (no
+    // classifier can learn it — the t_nb_classify gate pins the math, not
+    // accuracy), so learnability is asserted on a label that IS a
+    // function of the tokens: the lang_id heuristic's output
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("hlang", graft.text.lang_id(col("text")))
+    val out = Classify.nbClassifyHoldout(spark, docs, "hlang")
+      .select(col("actual"), col("pred")).as[(String, String)].collect()
+    assert(out.nonEmpty)
+    val acc = out.count { case (a, p) => a == p }.toDouble / out.length
+    assert(acc >= 0.8, s"NB accuracy $acc on a token-derived label")
+  }
+}
