@@ -2128,18 +2128,35 @@ object LlmOps {
 
   /** Incremental exact dedup gate: docs with id % 5 == 0 arrive as the
     * new batch; the rest are history (as a fingerprint-only index).
-    * Output classifies every batch doc as kept / dup_hist / dup_batch —
-    * see Dedup.incrementalExact for the per-batch scale argument. */
+    * The corpus has no natural exact dups, so the batch additionally
+    * carries synthesized arrivals that exercise every status: re-crawls
+    * of history docs (id+10000, every 7th history doc → dup_hist) and
+    * within-batch replays (id+20000, every 9th batch doc → dup_batch,
+    * their lower-id originals staying kept). See Dedup.incrementalExact
+    * for the per-batch scale argument. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val recrawls = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val replays = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
     Dedup.incrementalExact(
-      docs.filter(col("doc_id") % 5 === 0),
+      fresh.unionByName(recrawls).unionByName(replays),
       docs.filter(col("doc_id") % 5 =!= 0)
         .select(fingerprint_md5(col("text")).as("fp")))
   }
 
   val dedupIncrementalSql: String =
-    s"""WITH batch AS (SELECT doc_id, md5($NormSql) AS fp FROM documents WHERE doc_id % 5 = 0),
+    s"""WITH batch AS (
+       |  SELECT doc_id, md5($NormSql) AS fp FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, md5($NormSql) FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000, md5($NormSql) FROM documents
+       |  WHERE doc_id % 5 = 0 AND doc_id % 9 = 0),
        |hist AS (SELECT DISTINCT md5($NormSql) AS fp FROM documents WHERE doc_id % 5 <> 0),
        |firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
        |SELECT b.doc_id, b.fp,

@@ -147,6 +147,52 @@ object Streaming {
     * `dropDuplicatesWithinWatermark` keeps only the fingerprints seen
     * within the watermark horizon, bounding state by arrival rate ×
     * horizon. */
+  /** Streaming KMV distinct-user sketch per event type (complete mode):
+    * the sketch buffer IS the streaming state — 64 longs per group no
+    * matter how long the stream runs, which is the streaming face of
+    * the bounded-state argument (exact streaming COUNT(DISTINCT) is
+    * unsupported precisely because its state is unbounded; the sketch
+    * is the production answer). The emitted estimate is
+    * order-invariant (k smallest distinct hashes), so the stream
+    * result equals the batch replay bit-for-bit and the DuckDB oracle
+    * recomputes it from the static table. */
+  def kmvDistinctStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_kmv"): DataFrame = {
+    import graft.sketch.Sketch
+    val k = 64
+    val agg = eventsStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(Sketch.kmv_sketch(
+        Sketch.hash60(col("user_id").cast("string")), k).as("kmv"))
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+      .select(col("event_type"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        get(col("kmv"), lit(k - 1)).as("h_k"),
+        Sketch.kmvEstimate(col("kmv"), k).as("est"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvDistinctStreamSql: String =
+    """WITH hd AS (SELECT DISTINCT event_type,
+      |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |rk AS (SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hd),
+      |ag AS (SELECT event_type, COUNT(*) AS n_h, MAX(CASE WHEN rn = 64 THEN h END) AS h_k
+      |       FROM rk WHERE rn <= 64 GROUP BY 1)
+      |SELECT event_type, n_h AS n_kept, h_k,
+      |  CASE WHEN n_h < 64 THEN CAST(n_h AS DOUBLE)
+      |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE), 4) END AS est
+      |FROM ag ORDER BY event_type""".stripMargin
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

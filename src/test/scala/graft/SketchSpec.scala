@@ -77,6 +77,30 @@ class SketchSpec extends AnyFunSuite {
     assert(sketch.count() <= 3L * 64)
   }
 
+  test("streaming KMV sketch == batch sketch (bounded state in the stream)") {
+    // the sketch is a pure function of the SET of hashes, so micro-batch
+    // arrival order cannot perturb it: stream output must equal the
+    // batch aggregation bit-for-bit, including the estimate
+    // h_k is null when a group has fewer than k distinct users (the
+    // sf0.001 case — the estimate is then the exact sketch size)
+    def read(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getDouble(3))
+    val stream = graft.streaming.Streaming
+      .kmvDistinctStream(spark, sf0001, s"sketch_kmv_${System.nanoTime}")
+      .collect().map(read).toSeq
+    val k = 64
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(Sketch.kmv_sketch(
+        Sketch.hash60(col("user_id").cast("string")), k).as("kmv"))
+      .select(col("event_type"), size(col("kmv")).cast("long"),
+        get(col("kmv"), lit(k - 1)), Sketch.kmvEstimate(col("kmv"), k))
+      .orderBy(col("event_type"))
+      .collect().map(read).toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   // ------------------------------------------- incremental exact dedup
 
   test("incrementalExact: history wins, batch-first wins, rest are dups") {
