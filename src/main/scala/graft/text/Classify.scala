@@ -36,9 +36,15 @@ object Classify {
       : (DataFrame, DataFrame) = {
     val toks = train.select(col(classCol).as("cls"),
       explode(tokens(col(textCol))).as("t"))
-    val cnt = toks.groupBy(col("cls"), col("t")).agg(count(lit(1)).as("c"))
-    val tot = toks.groupBy(col("cls")).agg(count(lit(1)).as("tc"))
-    val vocab = toks.agg(countDistinct(col("t")).as("v"))
+    // ONE corpus-scale aggregation; class totals and the vocabulary size
+    // derive from this vocab×classes-sized frame rather than re-scanning
+    // the token stream (persisted: three consumers in the model plan —
+    // released by the harness via IntermediateCaches)
+    val cnt = graft.util.IntermediateCaches.track(
+      toks.groupBy(col("cls"), col("t")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = cnt.groupBy(col("cls")).agg(sum(col("c")).as("tc"))
+    val vocab = cnt.agg(countDistinct(col("t")).as("v"))
     def llq(c: Column) = round(
       log((c + lit(1)).cast("double") / (col("tc") + col("v")).cast("double"))
         * Grid).cast("long")

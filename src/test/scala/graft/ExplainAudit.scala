@@ -61,7 +61,15 @@ object ExplainAudit {
       // round 6: fully-oracled IVF probe paths — assignment must stay a
       // map pass (broadcast seeds), Lloyd means must not add exchanges
       // beyond the per-iteration (cell, pos) aggregate
-      "s_ann_ivf", "s_ann_ivf_lloyd").foreach(audit)
+      "s_ann_ivf", "s_ann_ivf_lloyd",
+      // round 7: KMV must partial-aggregate (ObjectHashAggregate
+      // partial_kmv before the exchange), CMS estimates broadcast the
+      // depth×width sketch, incremental dedup joins on fp only (no
+      // text through the shuffle), NB scoring broadcasts the model and
+      // priors, strict packing stays two-pass bucketed, pack-on-BPE
+      // stays a map pass over the broadcast merge table
+      "t_kmv_distinct", "t_cms_heavy", "d_incremental", "t_nb_classify",
+      "t_pack_strict", "t_pack_bpe", "s_ann_recall").foreach(audit)
     spark.stop()
   }
 }
