@@ -1275,6 +1275,71 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Batched retrieval on the PRODUCT-QUANTIZATION scale path —
+    * [[annBatch]]'s fixed query set scored by ADC over m=4 subspace
+    * codes (ksub=8 per-subspace codebook from the lowest-id corpus
+    * vectors): [[graft.similarity.Ann.batchTopKPq]]. FULLY oracled
+    * despite the compression: codebook, per-subspace argmin codes
+    * (round-9 L2², ties to the lower code) and the BIGINT-quantized
+    * ADC partial sums are all deterministic, so DuckDB recomputes
+    * bit-identical sims from the same parquet. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.batchTopKPq(
+      corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
+      k = 3, m = 4, ksub = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annPqSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    val m = 4; val ksub = 8; val sub = 16 // dim 64 = 4 × 16
+    val js = (0 until m).mkString(", ")
+    s"""WITH cb AS (
+       |  SELECT j.j, s.code, list_slice(s.e, j.j*$sub+1, (j.j+1)*$sub) AS sub
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+       |               embedding::DOUBLE[] AS e
+       |        FROM embeddings WHERE vec_id NOT IN ($ids)
+       |        ORDER BY vec_id LIMIT $ksub) s
+       |  CROSS JOIN (SELECT unnest([$js]) AS j) j),
+       |cvn AS (SELECT vec_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+       |  FROM embeddings WHERE vec_id NOT IN ($ids)),
+       |qvn AS (SELECT vec_id AS query_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |enc AS (SELECT vec_id, j, code FROM (
+       |  SELECT x.vec_id, x.j, x.code,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+       |      ORDER BY ROUND((list_dot_product(x.sl, x.sl)
+       |          - 2*list_dot_product(x.sl, x.sub))
+       |          + list_dot_product(x.sub, x.sub), 9) ASC, x.code ASC) AS rn
+       |  FROM (SELECT e.vec_id, cb.j, cb.code, cb.sub,
+       |               list_slice(e.ev, cb.j*$sub+1, (cb.j+1)*$sub) AS sl
+       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |              WHERE vec_id NOT IN ($ids)) e
+       |        CROSS JOIN cb) x) t WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.j, cb.code,
+       |    CAST(ROUND(list_dot_product(
+       |      list_slice(q.ev, cb.j*$sub+1, (cb.j+1)*$sub), cb.sub) * 1e9) AS BIGINT) AS pq
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |        WHERE vec_id IN ($ids)) q
+       |  CROSS JOIN cb),
+       |sc AS (SELECT l.query_id, enc.vec_id, SUM(l.pq) AS squant
+       |  FROM enc JOIN lut l ON l.j = enc.j AND l.code = enc.code
+       |  GROUP BY l.query_id, enc.vec_id),
+       |scored AS (SELECT sc.query_id, sc.vec_id,
+       |    ROUND((CAST(sc.squant AS DOUBLE) / 1e9) / (cvn.cn * qvn.qn), 6) AS sim
+       |  FROM sc JOIN cvn ON cvn.vec_id = sc.vec_id
+       |  JOIN qvn ON qvn.query_id = sc.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** [[annBatchIvf]] on the PRODUCTION k-means geometry: two Lloyd
     * iterations refine the seed cells before assignment/probing. Fully
     * oracled — the refinement is the quantized-exact mean (see

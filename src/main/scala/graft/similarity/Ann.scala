@@ -514,4 +514,165 @@ object Ann {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  // ===== Product quantization (PQ) =====
+  //
+  // The memory-bound scale path for ANN: each d-dim vector compresses to
+  // m small codes (one per d/m-dim subspace — the nearest entry of a
+  // per-subspace codebook), and query scoring becomes table lookups
+  // (asymmetric distance computation, ADC): dot(q, vec) ≈ Σⱼ
+  // dot(qⱼ, codebook[j][codeⱼ]), where the per-(subspace, code) partials
+  // are precomputed once per query. At 100 TB this is what makes the
+  // index RAM-resident — m bytes per vector instead of 4d — and scoring
+  // per (row, query) is m array reads + m-1 integer adds, no FLOPs.
+  // (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011.)
+  //
+  // Everything is deterministic so DuckDB can replay it exactly:
+  //  - codebook = sub-slices of the `ksub` LOWEST-ID corpus vectors
+  //    (code = 0-based rank by id), same convention as ivfSeeds;
+  //  - encode = argmin of round(‖x−c‖², 9) per subspace, ties to the
+  //    LOWER code, with the L2² expanded as
+  //    (dot(x,x) − 2·dot(x,c)) + dot(c,c) — three sequence-order dots
+  //    DuckDB reproduces bit-for-bit via list_dot_product;
+  //  - ADC partials are quantized to round(dot·1e9) BIGINTs, so the
+  //    per-row sum over m partials is EXACT integer arithmetic (no
+  //    summation-order ambiguity), and only the final
+  //    (squant/1e9)/(‖x‖·‖q‖) normalization touches IEEE division.
+
+  /** Left-to-right Σx², the exact fold order of [[VectorOps]] /
+    * DuckDB's list_dot_product(x, x). */
+  private def ssqLR(a: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * a(i); i += 1 }
+    acc
+  }
+
+  private def dotLR(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Spark Round-on-double at scale 0 of x·1e9 — the quantized ADC
+    * partial. Mirrors `CAST(ROUND(x * 1e9) AS BIGINT)` in DuckDB (both
+    * engines round HALF_UP = half away from zero on doubles). */
+  private def quant9(x: Double): Long =
+    BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Driver-side PQ codebook: `cents(j)(c)` = subspace-`j` slice of the
+    * `c`-th lowest-id corpus vector. ksub×dim doubles — dimension-sized
+    * by contract (the same shape as [[collectSeeds]]' seed matrix), so
+    * the collect is a speck and the matrix rides into codegen literals.
+    * Returns (subspace width, codebook). */
+  private[graft] def pqCodebook(corpus: DataFrame, m: Int, ksub: Int,
+      idCol: String, vecCol: String): (Int, Array[Array[Array[Double]]]) = {
+    val rows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(ksub).collect()
+    val vecs = rows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cents = Array.tabulate(m, vecs.length) { (j, c) =>
+      java.util.Arrays.copyOfRange(vecs(c), j * sub, (j + 1) * sub)
+    }
+    (sub, cents)
+  }
+
+  /** The `m` PQ code columns for `vec`: per subspace the 0-based code of
+    * the nearest sub-centroid by round(L2², 9), ties to the lower code
+    * (array_min on struct(dist, code) — Spark's struct ordering is
+    * field-wise ascending). All builtins — slice/VectorOps.dot/
+    * array_min stay inside whole-stage codegen; the repeated dot(s, s)
+    * per subspace is shared by codegen subexpression elimination.
+    * Null-element inputs follow the embeddings data contract
+    * (containsNull = false); a null dist would win array_min where
+    * DuckDB's NULLS LAST loses it, so the parity holds on that
+    * contract only (same caveat as every cosine gate). */
+  private def pqCodeCols(vec: Column, sub: Int,
+      cents: Array[Array[Array[Double]]]): Seq[Column] =
+    cents.indices.map { j =>
+      val s = slice(vec, j * sub + 1, sub)
+      val entries = cents(j).indices.map { c =>
+        val cv = cents(j)(c)
+        val dist = round(
+          (dot(s, s) - lit(2.0) * dot(s, typedLit(cv.toSeq))) + lit(ssqLR(cv)), 9)
+        struct(dist, lit(c.toLong))
+      }
+      array_min(array(entries: _*)).getField("col2")
+    }
+
+  /** The encoded corpus: (id, codes array<long> of length m) — the
+    * m-byte-per-vector index frame a 100 TB ANN keeps hot. One map pass
+    * over a broadcast-literal codebook. */
+  def pqEncode(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (sub, cents) = pqCodebook(corpus, m, ksub, idCol, vecCol)
+    graft.util.Partitioning.spreadIfNarrow(corpus)
+      .select(col(idCol),
+        array(pqCodeCols(col(vecCol), sub, cents): _*).as("codes"))
+  }
+
+  /** Batched ANN on the PQ scale path: [[batchTopK]]'s query-set shape
+    * scored by ADC over PQ codes instead of exact dots.
+    *
+    *  1. codebook + query set collect driver-side (both dimension-sized
+    *     by contract — queries are the batch contract's broadcast side
+    *     anyway) and meet in a per-query LUT of quantized partials;
+    *  2. ONE map pass encodes each corpus row (m argmins) and sums its
+    *     m LUT partials per query — exact BIGINT adds, no shuffle;
+    *  3. sim = (squant/1e9)/(‖x‖·‖q‖) and the per-query (sim desc, id)
+    *     window rank — the single exchange in the plan, WindowGroupLimit
+    *     pre-pruned to k rows per query per partition.
+    *
+    * Approximation error is the PQ reconstruction error; recall vs
+    * [[batchTopK]] is measured by the `s_ann_recall_pq` gate. Fully
+    * oracled: codebook, codes, LUT partials and the quantized sum are
+    * all deterministic, so DuckDB recomputes identical sims. */
+  def batchTopKPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (sub, cents) = pqCodebook(corpus, m, ksub, idCol, vecCol)
+    val qRows = queries.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val qNorms = qVecs.map(v => math.sqrt(ssqLR(v)))
+    val lut: Array[Array[Array[Long]]] = qVecs.map { qv =>
+      cents.zipWithIndex.map { case (cbj, j) =>
+        cbj.map { cv =>
+          quant9(dotLR(java.util.Arrays.copyOfRange(qv, j * sub, (j + 1) * sub), cv))
+        }
+      }
+    }
+    val enc = graft.util.Partitioning.spreadIfNarrow(corpus)
+      .select(col(idCol),
+        array(pqCodeCols(col(vecCol), sub, cents): _*).as("codes"),
+        l2norm(col(vecCol)).as("cn"))
+    val perQuery = qIds.indices.map { qi =>
+      val squant = cents.indices.map { j =>
+        element_at(typedLit(lut(qi)(j).toSeq),
+          (col("codes").getItem(j) + lit(1L)).cast("int"))
+      }.reduce(_ + _)
+      struct(lit(qIds(qi)).as("query_id"), squant.as("squant"),
+        lit(qNorms(qi)).as("qn"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("sim"), col(idCol))
+    enc.select(col(idCol), col("cn"), explode(array(perQuery: _*)).as("sc"))
+      .filter(col(idCol) =!= col("sc.query_id"))
+      .select(col("sc.query_id").as("query_id"), col(idCol),
+        round((col("sc.squant").cast("double") / lit(1e9))
+          / (col("cn") * col("sc.qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }
