@@ -1498,6 +1498,125 @@ object LlmOps {
        |FROM hits, t ORDER BY probes""".stripMargin
   }
 
+  /** Measured recall@k of the PQ approximation vs exact brute force —
+    * [[annRecall]]'s quality-curve gate for the product-quantization
+    * scale path, across codebook training: top-3 by ADC at pqIters ∈
+    * {0 (seed-slice codebook), 2 (per-subspace quantized-exact Lloyd)}
+    * intersected with [[graft.similarity.Ann.batchTopK]]'s exact top-3.
+    * Output is the recall table (iters, n_hit, n_true, recall). FULLY
+    * oracled: the training means are 1e-9-grid exact integer sums
+    * (commutative — partition order cannot perturb them), encode/ADC
+    * are deterministic argmins/BIGINT sums, so DuckDB replays the whole
+    * trained pipeline and the recall numbers hash-match. */
+  def annRecallPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*))
+    val queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+    val truth = Ann.batchTopK(corpus, queries, k = 3)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Seq(0, 2).map { it =>
+      Ann.batchTopKPq(corpus, queries, k = 3, m = 4, ksub = 8, pqIters = it)
+        .select(lit(it.toLong).as("iters"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val hits = approx.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("iters")).agg(count(lit(1)).as("n_hit"))
+    Seq(0L, 2L).toDF("iters")
+      .join(hits, Seq("iters"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("iters"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"), 6)
+          .as("recall"))
+      .orderBy(col("iters"))
+  }
+
+  val annRecallPqSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    val m = 4; val ksub = 8; val sub = 16 // dim 64 = 4 × 16
+    val js = (0 until m).mkString(", ")
+    // per-(vec, subspace) argmin code against a given codebook — the
+    // annPqSql enc CTE parameterized on the codebook name
+    def enc(name: String, cb: String) =
+      s"""$name AS (SELECT vec_id, j, code FROM (
+         |  SELECT x.vec_id, x.j, x.code,
+         |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+         |      ORDER BY ROUND((list_dot_product(x.sl, x.sl)
+         |          - 2*list_dot_product(x.sl, x.sub))
+         |          + list_dot_product(x.sub, x.sub), 9) ASC, x.code ASC) AS rn
+         |  FROM (SELECT s.vec_id, cb.j, cb.code, cb.sub, s.sl
+         |        FROM sl s JOIN $cb cb ON cb.j = s.j) x) t WHERE rn = 1)""".stripMargin
+    // quantized-exact per-(subspace, code, element) mean + COALESCE
+    // refresh of the codebook (empty codes keep their prior centroid) —
+    // mirrors Ann.pqTrainedCodebook's one iteration
+    def refine(mName: String, encN: String, cbIn: String, cbOut: String) =
+      s"""$mName AS (SELECT en.j, en.code, i.i - 1 AS spos,
+         |    CAST(SUM(CAST(ROUND(s.sl[i.i] * 1e9) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1e9) AS mval
+         |  FROM sl s JOIN $encN en ON en.vec_id = s.vec_id AND en.j = s.j,
+         |    LATERAL (SELECT unnest(generate_series(1, len(s.sl))) AS i) i
+         |  GROUP BY en.j, en.code, spos),
+         |$cbOut AS (SELECT x.j, x.code, list(COALESCE(mm.mval, x.el) ORDER BY x.i) AS sub
+         |  FROM (SELECT c.j, c.code, i.i, c.sub[i.i] AS el
+         |        FROM $cbIn c, LATERAL (SELECT unnest(generate_series(1, len(c.sub))) AS i) i) x
+         |  LEFT JOIN $mName mm ON mm.j = x.j AND mm.code = x.code AND mm.spos = x.i - 1
+         |  GROUP BY x.j, x.code)""".stripMargin
+    // ADC top-3 per query against a given (codebook, encoding) pair
+    def pqTop(name: String, encN: String, cb: String) =
+      s"""lut_$name AS (SELECT q.vec_id AS query_id, cb.j, cb.code,
+         |    CAST(ROUND(list_dot_product(
+         |      list_slice(q.ev, cb.j*$sub+1, (cb.j+1)*$sub), cb.sub) * 1e9) AS BIGINT) AS pq
+         |  FROM qv q CROSS JOIN $cb cb),
+         |sc_$name AS (SELECT l.query_id, en.vec_id, SUM(l.pq) AS squant
+         |  FROM $encN en JOIN lut_$name l ON l.j = en.j AND l.code = en.code
+         |  GROUP BY l.query_id, en.vec_id),
+         |$name AS (SELECT query_id, vec_id FROM (
+         |  SELECT sc.query_id, sc.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sc.query_id ORDER BY
+         |      ROUND((CAST(sc.squant AS DOUBLE) / 1e9) / (cvn.cn * qvn.qn), 6) DESC,
+         |      sc.vec_id) AS rank
+         |  FROM sc_$name sc JOIN cvn ON cvn.vec_id = sc.vec_id
+         |  JOIN qvn ON qvn.query_id = sc.query_id) t WHERE rank <= 3)""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |                WHERE vec_id NOT IN ($ids)),
+       |qv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |       WHERE vec_id IN ($ids)),
+       |sl AS (SELECT e.vec_id, jj.j,
+       |         list_slice(e.ev, jj.j*$sub+1, (jj.j+1)*$sub) AS sl
+       |       FROM corpus e CROSS JOIN (SELECT unnest([$js]) AS j) jj),
+       |cvn AS (SELECT vec_id, sqrt(list_dot_product(ev, ev)) AS cn FROM corpus),
+       |qvn AS (SELECT vec_id AS query_id, sqrt(list_dot_product(ev, ev)) AS qn FROM qv),
+       |cb0 AS (
+       |  SELECT j.j, s.code, list_slice(s.e, j.j*$sub+1, (j.j+1)*$sub) AS sub
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ev AS e
+       |        FROM corpus ORDER BY vec_id LIMIT $ksub) s
+       |  CROSS JOIN (SELECT unnest([$js]) AS j) j),
+       |${enc("enc0", "cb0")},
+       |${refine("m1", "enc0", "cb0", "cb1")},
+       |${enc("enc1", "cb1")},
+       |${refine("m2", "enc1", "cb1", "cb2")},
+       |${enc("enc2", "cb2")},
+       |truth AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
+       |               e.vec_id) AS rank
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id IN ($ids) AND e.vec_id NOT IN ($ids)) t WHERE rank <= 3),
+       |${pqTop("pq0", "enc0", "cb0")},
+       |${pqTop("pq2", "enc2", "cb2")},
+       |hits AS (
+       |  SELECT CAST(0 AS BIGINT) AS iters,
+       |    (SELECT COUNT(*) FROM pq0 JOIN truth USING (query_id, vec_id)) AS n_hit
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT),
+       |    (SELECT COUNT(*) FROM pq2 JOIN truth USING (query_id, vec_id))),
+       |t AS (SELECT COUNT(*) AS n_true FROM truth)
+       |SELECT iters, n_hit, n_true,
+       |  ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+       |FROM hits, t ORDER BY iters""".stripMargin
+  }
+
   /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
     * recall vs brute force asserted in spec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =

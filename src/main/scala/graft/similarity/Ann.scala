@@ -605,12 +605,67 @@ object Ann {
       array_min(array(entries: _*)).getField("col2")
     }
 
+  /** Per-subspace Lloyd refinement of the PQ codebook — the TRAINED
+    * codebook a production index ships (the seed slice is only the
+    * iteration-0 geometry). Each iteration runs ALL m subspace k-means
+    * in ONE distributed pass:
+    *
+    *  1. encode: the codegen'd [[pqCodeCols]] argmin assigns every
+    *     corpus row a code per subspace (map-only);
+    *  2. posexplode the vector ONCE — element (pos, x) belongs to
+    *     subspace j = pos div sub at offset pos mod sub, and picks its
+    *     code from the row's codes array — then groupBy (j, code, spos)
+    *     computes the new centroid element as the QUANTIZED-EXACT mean
+    *     (1e-9-grid longs, exact commutative BIGINT sum, one IEEE
+    *     division — the proven s_ann_ivf_lloyd arithmetic), so DuckDB
+    *     replays every iteration bit-for-bit and the trained pipeline
+    *     stays fully SQL-oracle-able;
+    *  3. the m·ksub·(d/m) = ksub·d means collect driver-side (codebook-
+    *     sized by contract — same speck as the seed collect) and
+    *     overwrite the matrix; a code that captured NO rows keeps its
+    *     previous centroid (deterministic, and the SQL mirrors it with
+    *     a COALESCE against the prior codebook).
+    *
+    * Codebook geometry affects reconstruction error (hence recall —
+    * measured by the `s_ann_recall_pq` gate at iters 0 vs 2) but never
+    * the determinism of encode/ADC. */
+  private[graft] def pqTrainedCodebook(corpus: DataFrame, m: Int, ksub: Int,
+      pqIters: Int, idCol: String,
+      vecCol: String): (Int, Array[Array[Array[Double]]]) = {
+    var (sub, cents) = pqCodebook(corpus, m, ksub, idCol, vecCol)
+    if (pqIters > 0) {
+      val spread = graft.util.Partitioning.spreadIfNarrow(corpus)
+      for (_ <- 0 until pqIters) {
+        val means = spread
+          .select(col(vecCol).as("v"),
+            array(pqCodeCols(col(vecCol), sub, cents): _*).as("codes"))
+          .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+          .select(expr(s"pos div $sub").cast("int").as("j"),
+            expr(s"pos % $sub").cast("int").as("spos"),
+            element_at(col("codes"), expr(s"pos div $sub").cast("int") + lit(1)).as("code"),
+            col("x"))
+          .groupBy(col("j"), col("code"), col("spos"))
+          .agg((sum(round(col("x").cast("double") * lit(1e9), 0).cast("long"))
+            .cast("double") / (count(lit(1)).cast("double") * lit(1e9))).as("mval"))
+          .collect()
+        val next = Array.tabulate(m, ksub) { (j, c) => cents(j)(c).clone() }
+        means.foreach { r =>
+          next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+        }
+        cents = next
+      }
+    }
+    (sub, cents)
+  }
+
   /** The encoded corpus: (id, codes array<long> of length m) — the
     * m-byte-per-vector index frame a 100 TB ANN keeps hot. One map pass
-    * over a broadcast-literal codebook. */
+    * over a broadcast-literal codebook; `pqIters` > 0 trains it first
+    * ([[pqTrainedCodebook]]). */
   def pqEncode(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (sub, cents) = pqCodebook(corpus, m, ksub, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pqIters: Int = 0): DataFrame = {
+    val (sub, cents) = pqTrainedCodebook(corpus, m, ksub, pqIters, idCol, vecCol)
     graft.util.Partitioning.spreadIfNarrow(corpus)
       .select(col(idCol),
         array(pqCodeCols(col(vecCol), sub, cents): _*).as("codes"))
@@ -634,8 +689,9 @@ object Ann {
     * all deterministic, so DuckDB recomputes identical sims. */
   def batchTopKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (sub, cents) = pqCodebook(corpus, m, ksub, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pqIters: Int = 0): DataFrame = {
+    val (sub, cents) = pqTrainedCodebook(corpus, m, ksub, pqIters, idCol, vecCol)
     val qRows = queries.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).collect()
     val qIds = qRows.map(_.getLong(0))

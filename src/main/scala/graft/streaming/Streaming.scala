@@ -29,33 +29,34 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Lon
   */
 object Streaming {
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS); file streams need an
-    * explicit schema, so read ts as Long (nanosAsLong) and convert. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def eventsStream(s: SparkSession, dir: String): DataFrame =
     eventsStreamFrom(s, dir)
 
   /** [[eventsStream]] with source knobs exposed: `glob` widens past the
     * single-file gate layout, `extraOptions` passes source rate limits
     * (e.g. maxFilesPerTrigger=1 — the multi-batch incremental replay
-    * InfraSpec certifies against the batch oracle). */
+    * InfraSpec certifies against the batch oracle).
+    *
+    * File streams need an explicit schema, but the events generator has
+    * shipped `ts` under multiple physical layouts (INT64 nanos,
+    * timestamp[us] NTZ — see [[graft.Tables.events]]). Hardcoding one
+    * layout silently corrupts the others (micros read as nanos → 1970-era
+    * windows, NO error), so the schema comes from a driver-side probe of
+    * the matching files' parquet footers (a batch-read schema inference —
+    * footer metadata only, no data scan), and the same
+    * [[graft.Tables.normalizeEventTs]] branch as the batch path rewrites
+    * `ts` to TimestampType. EventsTsLayoutSpec pins every layout with
+    * committed fixtures. */
   private[graft] def eventsStreamFrom(s: SparkSession, dir: String,
       glob: String = "events.parquet",
       extraOptions: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed = s.read.option("pathGlobFilter", glob).parquet(dir).schema
     val reader = extraOptions.foldLeft(
-      s.readStream.schema(rawSchema)
+      s.readStream.schema(probed)
         .option("pathGlobFilter", glob)) { // basePath must be a dir
       case (r, (k, v)) => r.option(k, v) }
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(reader.parquet(dir))
   }
 
   /** Synchronous replay window: every micro-batch of a stateful query

@@ -103,7 +103,9 @@ class InfraSpec extends AnyFunSuite {
     // property instead of an assumption).
     val dir = java.nio.file.Files.createTempDirectory("graft_multibatch").toFile
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf0001/events.parquet") // ts: nanos Long
+    // raw keeps whatever physical ts layout the generator shipped; the
+    // split files reuse it and eventsStreamFrom adapts (normalizeEventTs)
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
     val n = raw.count()
     val parts = 3
     val ranked = raw.withColumn("rn", row_number().over(
