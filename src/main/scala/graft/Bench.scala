@@ -108,10 +108,13 @@ object Bench {
     // reached steady state, so min(pass1, pass2) measures the operator,
     // not the session's mood. Both pass totals are emitted so a reviewer
     // can see the warmup delta without a re-run.
-    def runPass(): Seq[(String, Double, Map[String, Long])] =
+    def runPass(): Seq[(String, Double, Map[String, Long])] = {
+      // each pass pays the BPE merge learning once (see clearBpeMergeCache)
+      graft.queries.LlmOps.clearBpeMergeCache()
       ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
+    }
     val pass1 = runPass()
     val pass2 = runPass()
     val results = pass1.zip(pass2).map { case ((name, a, ma), (_, b, mb)) =>
@@ -154,7 +157,15 @@ object Bench {
     val spillBytes = results.map(_._3.getOrElse("spill_bytes", 0L)).sum
     val gcMs = results.map(_._3.getOrElse("gc_ms", 0L)).sum
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"pass1_sec":${r3(p1Total)},"pass2_sec":${r3(p2Total)},"gc_ms":$gcMs,"leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
+    // GC-normalized secondary metric, so cross-round comparisons stop
+    // needing manual GC attribution (totals historically swung ~2× on
+    // identical code purely from session GC mood): jvmGCTime is summed
+    // PER TASK and `cpus` tasks share the one local JVM, so the
+    // wall-clock GC cost is ≈ gc_ms / cpus; value_at_gc0 subtracts it.
+    // An estimate (task overlap with GC pauses is not exactly uniform),
+    // but a PINNED one — α = 1/cpus, recorded in the line itself.
+    val valueAtGc0 = total - gcMs.toDouble / 1000.0 / cpus.toDouble
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"pass1_sec":${r3(p1Total)},"pass2_sec":${r3(p2Total)},"gc_ms":$gcMs,"value_at_gc0":${r3(valueAtGc0)},"gc_alpha":"1/$cpus","leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
     println(compact)
     // ALSO persist the compact record to a file: stdout reaches the round
     // artifact wrapped in sbt log decoration ("[info] " prefix, trailing

@@ -339,22 +339,14 @@ object Dedup {
 
   private val CacheLvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-  /** Lineage cut for iterative loops: materialize `df` into a persisted
-    * RDD and return a frame whose LOGICAL plan is a leaf over it, plus
-    * an explicit release handle. Required because each CC round
-    * references the previous round's frame more than once — carrying
-    * lineage multiplies the logical plan per round, and plan analysis
-    * (not data!) blows up exponentially in the iteration count even
-    * when persist makes execution incremental. `Dataset.persist` alone
-    * does NOT cut the logical plan; this does. Row-level recompute
-    * after release walks the RDD lineage chain (linear, RDD-side), so
-    * released results stay usable, just slower. */
-  private def cutLineage(df: DataFrame): (DataFrame, Boolean => Unit) = {
-    val rdd = df.rdd
-    rdd.persist(CacheLvl)
-    val cut = df.sparkSession.createDataFrame(rdd, df.schema)
-    (cut, blocking => { rdd.unpersist(blocking); () })
-  }
+  /** Lineage cut for iterative loops — see [[graft.util.Lineage]]
+    * (promoted to util so the BPE merge learner shares it). Each CC
+    * round references the previous round's frame more than once, so
+    * carried lineage multiplies the logical plan per round and plan
+    * analysis (not data!) blows up in the iteration count even when
+    * persist makes execution incremental. */
+  private def cutLineage(df: DataFrame): (DataFrame, Boolean => Unit) =
+    graft.util.Lineage.cut(df)
 
   /** Decimal-exact aggregate of a Long column — the per-round
     * convergence scalar. coalesce: SUM over an empty frame is null; an

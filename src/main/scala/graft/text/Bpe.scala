@@ -60,25 +60,32 @@ object Bpe {
     * merge list (left, right, pairFreq) — shorter than `k` iff the
     * vocabulary runs out of adjacent pairs first.
     *
-    * Each round's vocabulary frame is persisted before the argmax
-    * materializes it (the next round's fold reads it back instead of
-    * re-running all previous folds from the source); persists register
-    * with [[graft.util.IntermediateCaches]] and the previous round's is
-    * released as soon as its successor is materialized. */
+    * Each round's vocabulary goes through [[graft.util.Lineage.cut]]
+    * (persisted RDD + constant-depth logical plan) BEFORE the argmax
+    * materializes it, and the previous round releases as soon as its
+    * successor lands. Plain `persist` is NOT enough here: carrying the
+    * fold lineage grew per-round ANALYSIS cost ~2× per round (measured:
+    * round 14 took 2.8 s, round 19 took 102 s then OOM'd an 8 GB
+    * driver on a vocabulary of ~10k words) — the classic iterative-
+    * Catalyst failure the CC loops already guard against. */
   def learnMerges(wordFreq: DataFrame, k: Int,
       wordCol: String = "word", freqCol: String = "freq"): Seq[(String, String, Long)] = {
     require(k >= 1, s"k must be >= 1: $k")
-    var vocab = wordFreq.select(charSyms(col(wordCol)).as("syms"),
-      col(freqCol).cast("long").as("freq"))
-    var prev: Option[DataFrame] = None
+    var (vocab, release) = graft.util.Lineage.cut(
+      wordFreq.select(charSyms(col(wordCol)).as("syms"),
+        col(freqCol).cast("long").as("freq")))
+    // round r-1's release is deferred until round r's argmax has
+    // materialized round r's cut RDD (the argmax IS the materializing
+    // job — one Spark job per round, no extra count pass; releasing
+    // r-1 earlier would force r's first evaluation to recompute the
+    // whole chain from the source)
+    var prevRelease: Option[Boolean => Unit] = None
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     try {
       var round = 0
       var dry = false
       while (round < k && !dry) {
-        val v = graft.util.IntermediateCaches.track(
-          vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val best = v
+        val best = vocab
           .filter(size(col("syms")) >= 2)
           .select(col("freq"), explode(
             transform(sequence(lit(1), size(col("syms")) - 1),
@@ -88,17 +95,23 @@ object Bpe {
           .agg(sum(col("freq")).as("pf"))
           .orderBy(desc("pf"), asc("l"), asc("r"))
           .limit(1).collect()
-        prev.foreach(_.unpersist(false))
-        prev = Some(v)
+        prevRelease.foreach(_(false))
+        prevRelease = Some(release)
         if (best.isEmpty) dry = true
         else {
           val (l, r, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((l, r, pf))
-          vocab = v.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          val (next, releaseNext) = graft.util.Lineage.cut(
+            vocab.select(applyMerge(col("syms"), l, r).as("syms"), col("freq")))
+          vocab = next
+          release = releaseNext
           round += 1
         }
       }
       merges.toSeq
-    } finally prev.foreach(_.unpersist(false))
+    } finally {
+      prevRelease.foreach(_(false))
+      release(false)
+    }
   }
 }

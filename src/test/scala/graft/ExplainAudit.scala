@@ -69,7 +69,12 @@ object ExplainAudit {
       // priors, strict packing stays two-pass bucketed, pack-on-BPE
       // stays a map pass over the broadcast merge table
       "t_kmv_distinct", "t_cms_heavy", "d_incremental", "t_nb_classify",
-      "t_pack_strict", "t_pack_bpe", "s_ann_recall").foreach(audit)
+      "t_pack_strict", "t_pack_bpe", "s_ann_recall",
+      // round 9: PQ scoring must stay one map pass + the single rank
+      // exchange (WindowGroupLimit-pruned — also plan-asserted in
+      // LlmOpsSpec); the encode gate is a map pass over the broadcast
+      // merge table
+      "s_ann_pq", "s_ann_recall_pq", "t_bpe_encode").foreach(audit)
     spark.stop()
   }
 }

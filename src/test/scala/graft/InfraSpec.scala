@@ -348,6 +348,90 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KMV sketch: group-bounded state under high-cardinality keys, update mode, both providers") {
+    import graft.sketch.Sketch
+    // The bounded-state claim made adversarial: 10 000 distinct users
+    // stream through a per-event-type KMV DISTINCT sketch, and streaming
+    // state must stay O(groups) — one sketch row (64 longs) per event
+    // type — NEVER O(distinct users), which is exactly the unbounded
+    // state that makes exact streaming COUNT(DISTINCT) unsupported.
+    // Update mode (the production sink shape for a continuously-read
+    // estimate: emit only changed groups per batch) via foreachBatch, a
+    // time-ordered 3-file replay so the sketch state actually carries
+    // across micro-batches, certified on the default AND RocksDB
+    // providers.
+    val nEv = 30000; val nUsers = 10000
+    val types = Seq("view", "click", "buy")
+    val base = 1600000000000000L // micros
+    val all = (0 until nEv).map { i =>
+      val us = base + i.toLong * 1000000L
+      (i.toLong, us * 1000L, 1000L + (i % nUsers).toLong, types(i % 3), 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvstream").toFile
+    val df = all.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val perFile = nEv / 3
+    for (i <- 0 until 3) {
+      writeOneParquet(
+        df.filter(col("event_id") >= i * perFile && col("event_id") < (i + 1) * perFile),
+        new java.io.File(dir, f"events_$i%02d.parquet"), 4000000L + i * 60000L)
+    }
+    val k = 64
+    // batch oracle over the full set: (type -> (n_kept, est))
+    val batch = df
+      .groupBy(col("event_type"))
+      .agg(Sketch.kmv_sketch(Sketch.hash60(col("user_id").cast("string")), k).as("kmv"))
+      .select(col("event_type"), size(col("kmv")).cast("long").as("n_kept"),
+        Sketch.kmvEstimate(col("kmv"), k).as("est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(batch.size == 3 && batch.values.forall(_._1 == k.toLong))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(tag: String): (Map[String, (Long, Double)], Long, Int) = {
+      val agg = graft.streaming.Streaming
+        .eventsStreamFrom(spark, dir.getPath, glob = "events_*.parquet",
+          extraOptions = Map("maxFilesPerTrigger" -> "1"))
+        .groupBy(col("event_type"))
+        .agg(Sketch.kmv_sketch(Sketch.hash60(col("user_id").cast("string")), k).as("kmv"))
+        .select(col("event_type"), size(col("kmv")).cast("long").as("n_kept"),
+          Sketch.kmvEstimate(col("kmv"), k).as("est"))
+      // per-key latest emission across update-mode batches
+      val latest = scala.collection.mutable.Map.empty[String, (Long, Double)]
+      var batches = 0
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect()
+          latest.synchronized {
+            if (rows.nonEmpty) batches += 1
+            rows.foreach(r =>
+              latest(r.getString(0)) = (r.getLong(1), r.getDouble(2)))
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val maxState = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      (latest.toMap, maxState, batches)
+    }
+    val (gotDefault, stateDefault, batchesDefault) = run("default")
+    assert(batchesDefault >= 3, s"expected >= 3 data batches, got $batchesDefault")
+    assert(gotDefault == batch,
+      s"update-mode KMV drifted from batch: $gotDefault vs $batch")
+    assert(stateDefault <= types.size.toLong,
+      s"state rows $stateDefault exceed group count ${types.size} — sketch state " +
+        s"is scaling with the $nUsers distinct users, not with groups")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (gotRocks, stateRocks, _) = run("rocksdb")
+      assert(gotRocks == batch, "RocksDB KMV drifted from the batch oracle")
+      assert(stateRocks <= types.size.toLong,
+        s"RocksDB state rows $stateRocks exceed group count ${types.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful streaming: running count per user via flatMapGroupsWithState") {
     val input = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id")).as[(Long, Long)]

@@ -229,6 +229,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(graft.queries.LlmOps.nbClassify(spark, sf001).count() > 0)
   }
 
+  test("batched top-k rank is WindowGroupLimit-pruned (plan-asserted)") {
+    // batchTopK/batchTopKIvf/batchTopKPq docstrings lean on Spark 4
+    // planting a WindowGroupLimit partial/final pair around the
+    // per-query rank window, so each map partition ships only k rows
+    // per query into the rank exchange. That was prose until now: if a
+    // Spark upgrade or a plan refactor drops the optimization, the
+    // exchange silently carries the full scored corpus instead — so
+    // assert the node is actually in the executed plan.
+    val corpus = emb.filter(!col("vec_id").isin(0L, 100L))
+    val queries = emb.filter(col("vec_id").isin(0L, 100L))
+    for ((tag, df) <- Seq(
+        "batchTopK" -> Ann.batchTopK(corpus, queries, k = 3),
+        "batchTopKIvf" -> Ann.batchTopKIvf(corpus, queries, k = 3, nCells = 8, probes = 3),
+        "batchTopKPq" -> Ann.batchTopKPq(corpus, queries, k = 3))) {
+      df.collect() // finalize AQE so the asserted plan is the executed one
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$tag: WindowGroupLimit missing from the executed plan:\n${plan.take(1500)}")
+    }
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f))).toDF("a", "b", "c")
     val r = df.select(

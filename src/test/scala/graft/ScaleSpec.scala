@@ -12,6 +12,39 @@ class ScaleSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
 
+  test("Lineage.cut: same rows, constant-depth plan, usable after release") {
+    // the iterative-loop guard (CC rounds, BPE merge learning): the cut
+    // frame must carry identical data behind a LEAF logical plan — no
+    // trace of the original lineage — and must still evaluate after its
+    // cache is released (row-level recompute walks the RDD chain)
+    val base = (1L to 100L).toDF("id")
+      .select(col("id"), (col("id") * 2).as("v"))
+      .filter(col("id") % 3 =!= 0)
+    val (cut, release) = graft.util.Lineage.cut(base)
+    try {
+      assert(cut.schema == base.schema)
+      assert(cut.collect().toSeq.sortBy(_.getLong(0)) ==
+        base.collect().toSeq.sortBy(_.getLong(0)))
+      // leaf plan: one node, no Filter/Project lineage carried
+      val logical = cut.queryExecution.logical
+      assert(logical.children.isEmpty, s"cut plan is not a leaf:\n$logical")
+      // 30 stacked rounds stay flat: each cut's plan is again a leaf
+      var f = cut
+      var releases = List(release)
+      for (_ <- 1 to 30) {
+        val (nf, r) = graft.util.Lineage.cut(f.select(col("id"), (col("v") + 1).as("v")))
+        f = nf; releases ::= r
+      }
+      assert(f.queryExecution.logical.children.isEmpty)
+      assert(f.agg(sum(col("v"))).collect().head.getLong(0) ==
+        base.agg(sum(col("v") + 30)).collect().head.getLong(0))
+      releases.foreach(_(true))
+      // released but still usable
+      assert(f.count() == base.count())
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally release(true)
+  }
+
   test("saltedSelfJoinPairs == plain self-join pairs, every salt") {
     // skewed buckets on purpose: one hot bucket with 12 members
     val rows = (Seq.tabulate(12)(i => (i.toLong, "hot")) ++
