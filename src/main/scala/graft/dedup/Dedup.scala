@@ -26,6 +26,63 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** SPAN-level exact dedup — the within-document complement of the
+    * doc-level detectors (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499: duplicated
+    * SUBSTRINGS degrade models even when no two whole documents match):
+    * for every document, the merged token ranges whose `n`-gram also
+    * appears in at least one OTHER document. Output: (idCol, span_start,
+    * span_end, n_grams) with 0-based token positions, end exclusive —
+    * the removal list a span-level cleaner consumes.
+    *
+    *  1. gram formation: one generator pass per doc — positions ride
+    *     posexplode, each gram is md5(space-joined n tokens) so the
+    *     shuffle key is 16 bytes regardless of n (the gram TEXT never
+    *     shuffles);
+    *  2. cross-doc grams: groupBy(gram) with a partial-aggregated
+    *     distinct-doc count — corpus-frequency-bound, and the ubiquitous
+    *     boilerplate grams that would skew it are precisely the signal;
+    *  3. mark: left-semi join of gram occurrences against the
+    *     duplicated-gram set (occurrence-sized, never corpus²);
+    *  4. merge: per-doc interval union via one window (running max of
+    *     span ends; a gram starting at or before the running max extends
+    *     the open span, adjacency merges).
+    *
+    * Everything is exact integer/string logic — no RNG, no floats — so
+    * the DuckDB oracle (`d_dup_spans`) replays it bit-for-bit. Exact
+    * duplicate documents surface as one full-length span each; partial
+    * overlaps surface as just the shared window. */
+  def duplicateSpans(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("start"))
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(n))).cast("binary"))))
+        .as(Seq("start", "g")))
+    val dupGrams = grams
+      .groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val prevMax = max(col("end")).over(w.rowsBetween(Long.MinValue, -1))
+    grams.join(dupGrams, Seq("g"), "left_semi")
+      .select(col(idCol), col("start").cast("long").as("start"),
+        (col("start") + n).cast("long").as("end"))
+      .withColumn("new_span",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Incremental exact dedup: classify a NEW batch of documents against
     * a historical fingerprint index — the production shape for a
     * continuously-ingested corpus, where re-deduplicating the full

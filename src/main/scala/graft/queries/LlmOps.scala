@@ -804,6 +804,46 @@ object LlmOps {
     s"""SELECT md5($NormSql) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Gram width for the span-level dedup gate: 8 tokens is wide enough
+    * that random token collisions in the synthetic corpus are
+    * impossible (31-word vocabulary → 31⁻⁸) while planted exact/near
+    * duplicates still share full windows. */
+  private val SpanGramWidth = 8
+
+  /** Span-level exact dedup gate ([[graft.dedup.Dedup.duplicateSpans]]):
+    * per document, the merged token ranges whose 8-gram also appears in
+    * another document — the substring-dedup removal list (Lee et al.
+    * 2022). Fully oracled: gram keys are md5 of the space-joined window
+    * on both engines, dup selection is an exact distinct-doc count, the
+    * interval merge is the same running-max window. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(s, dir), n = SpanGramWidth)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  val dupSpansSql: String = {
+    val n = SpanGramWidth
+    s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+       |        md5(array_to_string(list_slice(t, i, i + ${n - 1}), ' ')) AS g
+       |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - ${n - 1})) AS i)
+       |      WHERE len(t) >= $n),
+       |d AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |h AS (SELECT doc_id, start, start + $n AS e FROM g JOIN d USING (g)),
+       |m AS (SELECT doc_id, start, e,
+       |        MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM h),
+       |sp AS (SELECT doc_id, start, e,
+       |        SUM(CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY start
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |      FROM m)
+       |SELECT doc_id, MIN(start) AS span_start, MAX(e) AS span_end,
+       |  COUNT(*) AS n_grams
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** Shared oracle CTE text — ONE definition of the shingle inverted
     * index, the thresholded scored pair set, and the recursive closure,
     * so the four Jaccard-based oracles (pairs, groups, corpus, evidence

@@ -25,6 +25,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(truePairs.size == 25)
   }
 
+  test("duplicateSpans: planted shared windows yield exact merged spans") {
+    // vocab chosen so NOTHING collides except the plants: doc 1 and
+    // doc 2 share tokens [5, 15) of doc 1 (10 tokens → 8-grams at
+    // starts 5, 6, 7 → one merged span [5, 15) in doc 1); docs 3 and 4
+    // are exact duplicates of length 12 (8-grams at 0..4 → one
+    // full-length span [0, 12), 5 grams); doc 5 is all-unique noise.
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared = words("sh", 10)
+    val d1 = words("a", 5) ++ shared ++ words("b", 5)           // len 20
+    val d2 = words("c", 3) ++ shared ++ words("d", 7)           // len 20
+    val dup = words("e", 12)
+    val d5 = words("f", 20)
+    val docs = Seq(
+      (1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+      (3L, dup.mkString(" ")), (4L, dup.mkString(" ")),
+      (5L, d5.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 5L, 15L, 3L),   // shared window inside doc 1
+      (2L, 3L, 13L, 3L),   // same window at its doc-2 offset
+      (3L, 0L, 12L, 5L),   // exact dup: whole doc
+      (4L, 0L, 12L, 5L)), s"spans drifted: $got")
+    // doc-level detectors see NOTHING here below their thresholds: the
+    // span detector is the only one that names the shared substring
+    assert(Dedup.exactGroups(docs).filter(col("n_docs") >= 2).count() == 1)
+    // and the gate runs non-trivially on the driver corpus (exact-dup
+    // docs guarantee full-length spans at sf0.01)
+    assert(graft.queries.LlmOps.dupSpans(spark, sf001).count() > 0)
+  }
+
   test("simhash banding: high recall of true near-dups at tight hamming") {
     val sh = Dedup.simhashPairs(docs, maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

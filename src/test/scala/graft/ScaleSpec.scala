@@ -20,6 +20,9 @@ class ScaleSpec extends AnyFunSuite {
     val base = (1L to 100L).toDF("id")
       .select(col("id"), (col("id") * 2).as("v"))
       .filter(col("id") % 3 =!= 0)
+    // other suites share this session and may hold their own tracked
+    // caches; assert release only over the RDDs THIS test creates
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val (cut, release) = graft.util.Lineage.cut(base)
     try {
       assert(cut.schema == base.schema)
@@ -41,7 +44,8 @@ class ScaleSpec extends AnyFunSuite {
       releases.foreach(_(true))
       // released but still usable
       assert(f.count() == base.count())
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+      val leftover = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+      assert(leftover.isEmpty, s"cut RDDs survive release: $leftover")
     } finally release(true)
   }
 
