@@ -73,8 +73,8 @@ object ExplainAudit {
       // round 9: PQ scoring must stay one map pass + the single rank
       // exchange (WindowGroupLimit-pruned — also plan-asserted in
       // LlmOpsSpec); the encode gate is a map pass over the broadcast
-      // merge table
-      "s_ann_pq", "s_ann_recall_pq", "t_bpe_encode").foreach(audit)
+      // merge table; span dedup shuffles 16-byte gram hashes only
+      "s_ann_pq", "s_ann_recall_pq", "t_bpe_encode", "d_dup_spans").foreach(audit)
     spark.stop()
   }
 }
