@@ -2361,6 +2361,70 @@ object LlmOps {
        |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(ag.h_k AS DOUBLE), 4) END AS est
        |FROM ex JOIN ag USING (source) ORDER BY source""".stripMargin
 
+  /** Histogram quantile sketch gate: per-source P25/P50/P75 of the
+    * quality score from a 256-bucket bounded histogram
+    * ([[graft.sketch.Sketch.histSketch]]/[[graft.sketch.Sketch.histQuantiles]]),
+    * next to the EXACT order statistic (deterministic percentile_disc:
+    * the value at rank ceil(p·n/100) under (quality, doc_id) order) and
+    * the measured absolute error — which the half-bucket-width bound
+    * caps at 1/512 ≈ 0.00195 by construction (spec-asserted). The
+    * bounded-state percentile: GK/t-digest summaries are merge-order-
+    * dependent and can't be oracled; the histogram's exact integer
+    * counts hash-match a DuckDB replay. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq(25, 50, 75)
+    val q = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      quality_score(col("text")).as("q"))
+    val est = Sketch.histQuantiles(
+      Sketch.histSketch(q, "q", Seq("source"), 256, 0.0, 1.0),
+      Seq("source"), ps, 256, 0.0, 1.0)
+    val wRank = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    val wN = Window.partitionBy(col("source"))
+    val exact = q
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_rows", count(lit(1)).over(wN))
+      .select(col("source"), col("q"), col("rn"), col("n_rows"),
+        explode(array(ps.map(p => lit(p.toLong)): _*)).as("p"))
+      .filter(col("rn") === expr("(p * n_rows + 99) div 100"))
+      .select(col("source"), col("p"), col("q").as("exact_q"))
+    est.join(exact, Seq("source", "p"))
+      .select(col("source"), col("p"), col("n_docs"), col("bucket"),
+        col("est_q"), col("exact_q"),
+        round(abs(col("est_q") - col("exact_q")), 6).as("abs_err"))
+      .orderBy(col("source"), col("p"))
+  }
+
+  val quantileSketchSql: String =
+    s"""WITH n AS (SELECT doc_id, source, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, source, norm, $QualitySignalColsSql FROM n),
+       |q AS (SELECT doc_id, source, $QualityScoreSql AS q FROM m),
+       |h AS (SELECT source,
+       |        LEAST(GREATEST(CAST(floor((q - 0.0) * 256.0) AS BIGINT), 0), 255) AS bucket,
+       |        COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+       |c AS (SELECT source, bucket, cnt,
+       |        SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |        SUM(cnt) OVER (PARTITION BY source) AS n_rows
+       |      FROM h),
+       |ps AS (SELECT unnest([CAST(25 AS BIGINT), CAST(50 AS BIGINT),
+       |                      CAST(75 AS BIGINT)]) AS p),
+       |est AS (SELECT source, p, CAST(MAX(n_rows) AS BIGINT) AS n_docs,
+       |               MIN(bucket) AS bucket
+       |        FROM c CROSS JOIN ps WHERE cum * 100 >= p * n_rows GROUP BY 1, 2),
+       |rk AS (SELECT source, q,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY source) AS n_rows FROM q),
+       |ex AS (SELECT source, p, q AS exact_q FROM rk CROSS JOIN ps
+       |       WHERE rn = (p * n_rows + 99) // 100)
+       |SELECT e.source, e.p, e.n_docs, e.bucket,
+       |  ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6) AS est_q,
+       |  x.exact_q,
+       |  ROUND(ABS(ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6)
+       |            - x.exact_q), 6) AS abs_err
+       |FROM est e JOIN ex x USING (source, p)
+       |ORDER BY source, p""".stripMargin
+
   /** CountMin heavy-hitter estimates over the corpus 3-shingle stream
     * (by document frequency): the sketch is 3×1024 exact counters —
     * fixed state at ANY corpus size — and estimates for the top-20

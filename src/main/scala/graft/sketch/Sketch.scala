@@ -67,6 +67,61 @@ object Sketch {
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Bucket index of `value` in a `buckets`-wide uniform histogram over
+    * [lo, hi], clamped to the edge buckets (values at/past `hi` land in
+    * the last bucket). Deterministic float math in a FIXED operation
+    * order — keep in sync with the gate SQL. */
+  def histBucket(value: Column, buckets: Int, lo: Double, hi: Double): Column =
+    least(greatest(
+        floor((value - lit(lo)) * lit(buckets.toDouble / (hi - lo))).cast("long"),
+        lit(0L)),
+      lit(buckets - 1L))
+
+  /** Histogram QUANTILE sketch: per group, the per-bucket counts of a
+    * bounded uniform histogram — at most `buckets` rows per group
+    * whatever the input size, the bounded-state answer to percentiles
+    * the way KMV is to COUNT(DISTINCT). Classic partial-aggregable (the
+    * bucket counts combine map-side). Unlike GK/t-digest — whose merge
+    * order perturbs the summary, making them impossible to oracle
+    * bit-for-bit — the histogram is exact integer counts, so estimates
+    * are deterministic across engines and partition layouts, with the
+    * error bound traded for it being FIXED a priori: the q-quantile
+    * estimate (bucket midpoint) sits within half a bucket width of an
+    * exact order statistic (spec-asserted; the `t_quantile_sketch` gate
+    * emits the measured error next to the estimate). */
+  def histSketch(values: DataFrame, valueCol: String, groupCols: Seq[String],
+      buckets: Int, lo: Double, hi: Double): DataFrame =
+    values.groupBy(groupCols.map(col) :+
+        histBucket(col(valueCol), buckets, lo, hi).as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a [[histSketch]]: for each percentile `p`
+    * (integer, 0–100), the midpoint of the first bucket whose running
+    * count reaches p% of the group — `100·cum ≥ p·n` is exact BIGINT
+    * arithmetic, equivalent to `cum ≥ ceil(p·n/100)`, so the chosen
+    * bucket CONTAINS the exact p-th order statistic and the midpoint
+    * estimate is within half a bucket width of it. One window pass over
+    * the (group × bucket)-sized sketch — never over the value stream. */
+  def histQuantiles(sketch: DataFrame, groupCols: Seq[String], ps: Seq[Int],
+      buckets: Int, lo: Double, hi: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val width = (hi - lo) / buckets
+    sketch
+      .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("n_rows", sum(col("cnt")).over(wAll))
+      .select(groupCols.map(col) :+ col("bucket") :+ col("cum") :+ col("n_rows") :+
+        explode(array(ps.map(p => lit(p.toLong)): _*)).as("p"): _*)
+      .filter(col("cum") * lit(100L) >= col("p") * col("n_rows"))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(max(col("n_rows")).as("n_docs"), min(col("bucket")).as("bucket"))
+      .select(groupCols.map(col) :+ col("p") :+ col("n_docs") :+ col("bucket") :+
+        round(lit(lo) + (col("bucket").cast("double") + lit(0.5)) * lit(width), 6)
+          .as("est_q"): _*)
+  }
+
   /** Point estimates for candidate values against a [[cmsSketch]]:
     * est(v) = min over hash rows of the bucket count — the CountMin
     * guarantee is est >= true count, with overestimate bounded by

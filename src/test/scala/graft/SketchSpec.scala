@@ -12,6 +12,39 @@ class SketchSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
 
+  // ---------------------------------------------- histogram quantiles
+
+  test("histogram quantile sketch: half-bucket error bound, monotone, known distribution") {
+    import graft.sketch.Sketch
+    // known distribution: values i/1000 for i in 0..999, one group —
+    // P25/P50/P75 exact order statistics are 0.249/0.499/0.749 (rank
+    // ceil(p·n/100) in 0-based value terms), every estimate must land
+    // within half a bucket width (1/512) of them
+    val df = (0 until 1000).map(i => ("g", i.toLong, i / 1000.0)).toDF("grp", "id", "v")
+    val est = Sketch.histQuantiles(
+        Sketch.histSketch(df, "v", Seq("grp"), 256, 0.0, 1.0),
+        Seq("grp"), Seq(25, 50, 75), 256, 0.0, 1.0)
+      .orderBy(col("p")).collect()
+    val bound = 0.5 / 256 + 1e-9
+    val exactByP = Map(25L -> 0.249, 50L -> 0.499, 75L -> 0.749)
+    est.foreach { r =>
+      val (p, n, e) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(n == 1000L)
+      assert(math.abs(e - exactByP(p)) <= bound,
+        s"p$p estimate $e off exact ${exactByP(p)} beyond half-bucket $bound")
+    }
+    assert(est.map(_.getDouble(4)).sliding(2).forall(w => w(0) <= w(1)),
+      "quantile estimates not monotone in p")
+    // the gate itself: measured error column obeys the bound on the
+    // driver corpus, per source and percentile
+    val gate = graft.queries.LlmOps.quantileSketch(spark, sf001).collect()
+    assert(gate.length >= 3)
+    gate.foreach { r =>
+      assert(r.getDouble(6) <= bound,
+        s"gate abs_err ${r.getDouble(6)} exceeds half-bucket bound: $r")
+    }
+  }
+
   // ------------------------------------------------------------- KMV
 
   test("KmvAggregator keeps the k smallest distinct values, any order, any split") {
