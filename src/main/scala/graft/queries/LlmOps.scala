@@ -2395,8 +2395,10 @@ object LlmOps {
       .orderBy(col("source"), col("p"))
   }
 
-  val quantileSketchSql: String =
-    s"""WITH n AS (SELECT doc_id, source, $NormSql AS norm FROM documents),
+  /** Shared CTE chain for the histogram-quantile oracles (batch gate +
+    * streaming twin): quality → bucket counts → cumulative pick. */
+  private val QuantileSketchCtes: String =
+    s"""n AS (SELECT doc_id, source, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, source, norm, $QualitySignalColsSql FROM n),
        |q AS (SELECT doc_id, source, $QualityScoreSql AS q FROM m),
        |h AS (SELECT source,
@@ -2411,7 +2413,10 @@ object LlmOps {
        |                      CAST(75 AS BIGINT)]) AS p),
        |est AS (SELECT source, p, CAST(MAX(n_rows) AS BIGINT) AS n_docs,
        |               MIN(bucket) AS bucket
-       |        FROM c CROSS JOIN ps WHERE cum * 100 >= p * n_rows GROUP BY 1, 2),
+       |        FROM c CROSS JOIN ps WHERE cum * 100 >= p * n_rows GROUP BY 1, 2)""".stripMargin
+
+  val quantileSketchSql: String =
+    s"""WITH $QuantileSketchCtes,
        |rk AS (SELECT source, q,
        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
        |         COUNT(*) OVER (PARTITION BY source) AS n_rows FROM q),
@@ -2423,6 +2428,19 @@ object LlmOps {
        |  ROUND(ABS(ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6)
        |            - x.exact_q), 6) AS abs_err
        |FROM est e JOIN ex x USING (source, p)
+       |ORDER BY source, p""".stripMargin
+
+  /** Oracle for the STREAMING histogram-quantile twin
+    * ([[graft.streaming.Streaming.quantileSketchStream]]): the batch
+    * estimate columns only — the stream's bounded state cannot (and
+    * must not) produce the exact order statistic. Stream == batch
+    * because the sketch is integer bucket counts: arrival order
+    * cannot perturb them. */
+  val quantileSketchStreamSql: String =
+    s"""WITH $QuantileSketchCtes
+       |SELECT e.source, e.p, e.n_docs, e.bucket,
+       |  ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6) AS est_q
+       |FROM est e
        |ORDER BY source, p""".stripMargin
 
   /** CountMin heavy-hitter estimates over the corpus 3-shingle stream

@@ -194,6 +194,43 @@ object Streaming {
       |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE), 4) END AS est
       |FROM ag ORDER BY event_type""".stripMargin
 
+  /** Streaming histogram-quantile sketch per source (complete mode):
+    * the per-(source, bucket) counts ARE the streaming state — at most
+    * 256 integer counters per source however long the stream runs,
+    * the quantile face of the bounded-state argument ([[kmvDistinctStream]]
+    * is the COUNT(DISTINCT) face; exact streaming percentiles would
+    * hold every value ever seen). The final-watermark sketch is
+    * order-invariant (integer bucket counts), so the stream result
+    * equals the batch sketch bit-for-bit and the quantile estimates
+    * derived from it match the batch gate's — the DuckDB oracle
+    * recomputes them from the static table (estimate columns of
+    * t_quantile_sketch; the exact order statistic is deliberately NOT
+    * emitted here — computing it needs the full value stream, which is
+    * exactly what the sketch exists to avoid). */
+  def quantileSketchStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_quantile"): DataFrame = {
+    import graft.sketch.Sketch
+    val agg = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), graft.text.quality_score(col("text")).as("q"))
+      .groupBy(col("source"),
+        Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Sketch.histQuantiles(s.table(queryName), Seq("source"),
+        Seq(25, 50, 75), 256, 0.0, 1.0)
+      .orderBy(col("source"), col("p"))
+  }
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

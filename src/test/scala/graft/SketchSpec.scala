@@ -45,6 +45,25 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming histogram quantile == batch estimates (order-invariant sketch)") {
+    // the streaming twin holds (source × bucket) integer counters as
+    // its only state; arrival order cannot perturb integer counts, so
+    // the final-stream estimates must equal the batch gate's estimate
+    // columns exactly
+    val stream = graft.streaming.Streaming
+      .quantileSketchStream(spark, sf001, "sketch_stq_spec")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val batch = graft.queries.LlmOps.quantileSketch(spark, sf001)
+      .select(col("source"), col("p"), col("n_docs"), col("bucket"), col("est_q"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream drifted from batch: ${stream.take(3)} vs ${batch.take(3)}")
+  }
+
   // ------------------------------------------------------------- KMV
 
   test("KmvAggregator keeps the k smallest distinct values, any order, any split") {
