@@ -40,6 +40,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned HERE, not only via build.sbt javaOptions: the NTZ events
+      // layout (Tables.normalizeEventTs) reads wall-clocks as UTC
+      // instants, which must hold when Bench runs outside sbt too
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,9 +113,19 @@ object Bench {
     // not the session's mood. Both pass totals are emitted so a reviewer
     // can see the warmup delta without a re-run.
     def runPass(): Seq[(String, Double, Map[String, Long])] = {
-      // each pass pays the BPE merge learning once (see clearBpeMergeCache)
+      // each pass pays the BPE merge learning once (see clearBpeMergeCache),
+      // timed as its OWN line item: with the per-pass memo the learning
+      // cost otherwise lands on whichever BPE gate runs first in sort
+      // order (t_bpe_encode), skewing that gate's cross-round numbers.
+      // The suite total stays honest either way; this makes per-gate
+      // timings measure the gate, and the shared derivation visible.
       graft.queries.LlmOps.clearBpeMergeCache()
-      ordered.map { case (name, fn) =>
+      val learn = {
+        val (sec, m) = once("bpe_learn_shared", (sp, d) => {
+          graft.queries.LlmOps.prewarmBpeMerges(sp, d); sp.range(1).toDF })
+        ("bpe_learn_shared", sec, m)
+      }
+      learn +: ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
     }

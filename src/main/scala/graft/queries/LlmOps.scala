@@ -1915,17 +1915,39 @@ object LlmOps {
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** One merge-learning run per (corpus dir, k), shared by the three
-    * BPE gates (t_bpe_learn / t_bpe_encode / t_pack_bpe): learning is
-    * k sequential vocabulary aggregations, and each gate re-deriving
-    * the identical deterministic merge list would triple that cost in
-    * Verify/Bench. Pure memoization of a deterministic derivation —
-    * results are identical with or without the cache. */
+  /** One merge-learning run per (corpus content, k), shared by the
+    * three BPE gates (t_bpe_learn / t_bpe_encode / t_pack_bpe):
+    * learning is k sequential vocabulary aggregations, and each gate
+    * re-deriving the identical deterministic merge list would triple
+    * that cost in Verify/Bench. Pure memoization of a deterministic
+    * derivation — results are identical with or without the cache.
+    * The key carries a listing fingerprint (file paths/sizes/mtimes of
+    * `documents.parquet`, driver-side metadata only) so a dir whose
+    * files are regenerated within one JVM (spec temp dirs) can never be
+    * served a stale merge list. */
   private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String, Long)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long)]]
+
+  /** Cheap content fingerprint of `dir/documents.parquet`: a hash of
+    * every constituent file's (name, length, modification time) from
+    * one Hadoop listing — no data read. 0 when listing fails (the
+    * subsequent read raises the real error). */
+  private def corpusFingerprint(s: SparkSession, dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.sortBy(_.getPath.toString)
+        else Seq(fs.getFileStatus(p))
+      files.foldLeft(17L) { (acc, st) =>
+        ((acc * 31L + st.getPath.getName.hashCode) * 31L +
+          st.getLen) * 31L + st.getModificationTime
+      }
+    } catch { case _: java.io.IOException => 0L }
 
   private def learnedMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
-    bpeMergeCache.getOrElseUpdate((dir, BpeMergeRounds),
+    bpeMergeCache.getOrElseUpdate((dir, corpusFingerprint(s, dir), BpeMergeRounds),
       graft.text.Bpe.learnMerges(bpeWordFreq(s, dir), BpeMergeRounds))
 
   /** Drop the memoized merge lists. Bench calls this at the start of
@@ -1935,6 +1957,14 @@ object LlmOps {
     * gets — but a memo surviving across passes would make the learning
     * vanish from the reported totals entirely). */
   def clearBpeMergeCache(): Unit = bpeMergeCache.clear()
+
+  /** Force the shared merge derivation for `dir` into the memo NOW.
+    * Bench times this call as its own `bpe_learn_shared` line item so
+    * the three BPE gates' per-gate timings measure merge APPLICATION,
+    * not whichever gate happened to fault the learning in first. */
+  def prewarmBpeMerges(s: SparkSession, dir: String): Unit = {
+    learnedMerges(s, dir); ()
+  }
 
   /** BPE tokenizer LEARNING as a gate ([[graft.text.Bpe.learnMerges]]):
     * the top-K byte-pair merges of the corpus vocabulary, with their
@@ -2396,13 +2426,16 @@ object LlmOps {
   }
 
   /** Shared CTE chain for the histogram-quantile oracles (batch gate +
-    * streaming twin): quality → bucket counts → cumulative pick. */
+    * streaming twin): quality → bucket counts → cumulative pick. The
+    * bucket/midpoint fragments are GENERATED from the Scala sketch's
+    * own constants ([[graft.sketch.Sketch.histBucketSql]]) so the two
+    * engines share one operation order by construction. */
   private val QuantileSketchCtes: String =
     s"""n AS (SELECT doc_id, source, $NormSql AS norm FROM documents),
        |m AS (SELECT doc_id, source, norm, $QualitySignalColsSql FROM n),
        |q AS (SELECT doc_id, source, $QualityScoreSql AS q FROM m),
        |h AS (SELECT source,
-       |        LEAST(GREATEST(CAST(floor((q - 0.0) * 256.0) AS BIGINT), 0), 255) AS bucket,
+       |        ${Sketch.histBucketSql("q", 256, 0.0, 1.0)} AS bucket,
        |        COUNT(*) AS cnt FROM q GROUP BY 1, 2),
        |c AS (SELECT source, bucket, cnt,
        |        SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
@@ -2423,9 +2456,9 @@ object LlmOps {
        |ex AS (SELECT source, p, q AS exact_q FROM rk CROSS JOIN ps
        |       WHERE rn = (p * n_rows + 99) // 100)
        |SELECT e.source, e.p, e.n_docs, e.bucket,
-       |  ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6) AS est_q,
+       |  ${Sketch.histMidpointSql("e.bucket", 256, 0.0, 1.0)} AS est_q,
        |  x.exact_q,
-       |  ROUND(ABS(ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6)
+       |  ROUND(ABS(${Sketch.histMidpointSql("e.bucket", 256, 0.0, 1.0)}
        |            - x.exact_q), 6) AS abs_err
        |FROM est e JOIN ex x USING (source, p)
        |ORDER BY source, p""".stripMargin
@@ -2439,7 +2472,7 @@ object LlmOps {
   val quantileSketchStreamSql: String =
     s"""WITH $QuantileSketchCtes
        |SELECT e.source, e.p, e.n_docs, e.bucket,
-       |  ROUND(0.0 + (CAST(e.bucket AS DOUBLE) + 0.5) * ${1.0 / 256.0}, 6) AS est_q
+       |  ${Sketch.histMidpointSql("e.bucket", 256, 0.0, 1.0)} AS est_q
        |FROM est e
        |ORDER BY source, p""".stripMargin
 

@@ -70,12 +70,35 @@ object Sketch {
   /** Bucket index of `value` in a `buckets`-wide uniform histogram over
     * [lo, hi], clamped to the edge buckets (values at/past `hi` land in
     * the last bucket). Deterministic float math in a FIXED operation
-    * order — keep in sync with the gate SQL. */
+    * order — the oracle SQL side of the SAME operation chain comes from
+    * [[histBucketSql]], so the two engines cannot drift. */
   def histBucket(value: Column, buckets: Int, lo: Double, hi: Double): Column =
     least(greatest(
-        floor((value - lit(lo)) * lit(buckets.toDouble / (hi - lo))).cast("long"),
+        floor((value - lit(lo)) * lit(histScale(buckets, lo, hi))).cast("long"),
         lit(0L)),
       lit(buckets - 1L))
+
+  /** The single precomputed scale both engines multiply by. Scala's
+    * shortest-roundtrip Double printing reparses to the identical IEEE
+    * value in DuckDB, so embedding THIS constant in the SQL reproduces
+    * [[histBucket]]'s `(v - lo) * scale` operation order exactly —
+    * previously the oracle wrote `* buckets / (hi-lo)` by hand, which
+    * only coincided for the unit range. */
+  private def histScale(buckets: Int, lo: Double, hi: Double): Double =
+    buckets.toDouble / (hi - lo)
+
+  /** DuckDB fragment computing [[histBucket]] for `valueExpr` — same
+    * constants, same operation order, generated not hand-kept-in-sync. */
+  def histBucketSql(valueExpr: String, buckets: Int, lo: Double, hi: Double): String =
+    s"LEAST(GREATEST(CAST(floor(($valueExpr - $lo) * " +
+      s"${histScale(buckets, lo, hi)}) AS BIGINT), 0), ${buckets - 1})"
+
+  /** DuckDB fragment for the bucket-midpoint quantile estimate — the
+    * SQL twin of [[histQuantiles]]' `est_q` expression (same `lo +
+    * (bucket + 0.5) * width` order, same 6-decimal rounding). */
+  def histMidpointSql(bucketExpr: String, buckets: Int, lo: Double, hi: Double): String =
+    s"ROUND($lo + (CAST($bucketExpr AS DOUBLE) + 0.5) * " +
+      s"${(hi - lo) / buckets}, 6)"
 
   /** Histogram QUANTILE sketch: per group, the per-bucket counts of a
     * bounded uniform histogram — at most `buckets` rows per group

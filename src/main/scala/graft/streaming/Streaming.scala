@@ -46,18 +46,41 @@ object Streaming {
     * footer metadata only, no data scan), and the same
     * [[graft.Tables.normalizeEventTs]] branch as the batch path rewrites
     * `ts` to TimestampType. EventsTsLayoutSpec pins every layout with
-    * committed fixtures. */
+    * committed fixtures.
+    *
+    * When the probe finds NO matching file (empty staging dir — the
+    * start-stream-then-files-arrive deployment shape), it falls back to
+    * the canonical micros-TimestampType events schema instead of
+    * failing construction: late-arriving files in either micros layout
+    * read fine under it, and a late NANOS file would need the probe
+    * anyway (its footer is what reveals the Long surface). */
   private[graft] def eventsStreamFrom(s: SparkSession, dir: String,
       glob: String = "events.parquet",
       extraOptions: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val probed =
+      try s.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") =>
+        canonicalEventsSchema
+      }
     val reader = extraOptions.foldLeft(
       s.readStream.schema(probed)
         .option("pathGlobFilter", glob)) { // basePath must be a dir
       case (r, (k, v)) => r.option(k, v) }
     graft.Tables.normalizeEventTs(reader.parquet(dir))
   }
+
+  /** The events table's logical schema with `ts` already in the
+    * normalized TimestampType form — the empty-directory fallback for
+    * the footer probe above. Column set pinned by TestdataContractSpec. */
+  private[graft] val canonicalEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** Synchronous replay window: every micro-batch of a stateful query
     * commits one state-store instance PER shuffle partition per

@@ -51,6 +51,36 @@ class EventsTsLayoutSpec extends AnyFunSuite {
     assert(collected(0) == collected(2), "nanos vs utc batch rows differ")
   }
 
+  test("stream constructed on an EMPTY dir works once files arrive (fallback schema)") {
+    import graft.streaming.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream").toFile
+    dir.deleteOnExit()
+    // construction must not throw — probe finds nothing, canonical
+    // schema takes over (start-stream-then-files-arrive deployment)
+    val stream = Streaming.eventsStream(spark, dir.getAbsolutePath)
+    assert(stream.schema("ts").dataType == TimestampType)
+    val agg = stream
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("empty_start").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start").isEmpty)
+      // the files-arrive step: copy the micros-UTC fixture in
+      val src = java.nio.file.Paths.get(fixture("events_ts_utc"), "events.parquet")
+      java.nio.file.Files.copy(src,
+        dir.toPath.resolve("events.parquet"))
+      q.processAllAvailable()
+      val expected = Tables.events(spark, fixture("events_ts_utc"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("hour", "event_type").collect().toSeq
+      val got = spark.table("empty_start").orderBy("hour", "event_type").collect().toSeq
+      assert(got == expected, s"late-arriving files misread: $got")
+    } finally q.stop()
+  }
+
   test("streaming source normalizes every layout to the batch answer (hourly agg)") {
     import graft.streaming.Streaming
     val expected = Tables.events(spark, fixture("events_ts_nanos"))
