@@ -2348,6 +2348,146 @@ object LlmOps {
        |  UNION ALL SELECT '5_packed', COUNT(*), CAST(SUM(first_doc) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM packs
        |) ORDER BY stage""".stripMargin
 
+  /** Span-cleaning pipeline capstone — the round-9 operators COMPOSED:
+    * span-level exact dedup ([[graft.dedup.Dedup.duplicateSpans]]
+    * semantics, Lee et al. 2022) applied as a REMOVAL stage, with the
+    * quality cutoff driven by the bounded-state histogram quantile
+    * sketch ([[graft.sketch.Sketch.histSketch]]) instead of an exact
+    * order statistic. Program:
+    *
+    *  1. stage the corpus ONCE: per doc — ntok, quality, the positional
+    *     8-gram 60-bit hashes (`g8`) and per-position token hashes
+    *     (`ph`), all primitive long arrays (raw text never enters the
+    *     cache — the t_pipeline_e2e discipline);
+    *  2. span detection over `g8`: cross-doc duplicated grams → per-doc
+    *     merged removal intervals → tokens removed per doc;
+    *  3. quality threshold = the corpus P25 from a 256-bucket histogram
+    *     sketch — at 100 TB the exact percentile is a full sort, the
+    *     sketch is one bounded aggregation (this is qualityCutoff's
+    *     documented production swap, now actually exercised);
+    *  4. survivors (quality ≥ sketch cutoff) emit a per-language card:
+    *     doc/id/token totals with span-adjusted `n_tokens_clean`, the
+    *     cutoff itself, and `clean_fp` — a bit_xor fingerprint of the
+    *     (position|token) hashes OUTSIDE removal spans, which pins the
+    *     actual cleaned text content, not just its length (XOR is
+    *     order-invariant, so both engines agree whatever the plan).
+    *
+    * Everything is exact integer/hash logic plus the fixed-order float
+    * ops shared with the quantile gate, so the DuckDB oracle replays
+    * the whole chain bit-for-bit. One corpus scan, plan-asserted in
+    * LlmOpsSpec. */
+  def pipelineSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = SpanGramWidth
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"), col("norm"),
+        split(col("norm"), " ").as("t"))
+    val filt = graft.util.IntermediateCaches.track(staged
+      .select(col("doc_id"), col("lang"), size(col("t")).as("ntok"),
+        quality_score_from(col("norm"), col("t")).as("quality"),
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            i => Sketch.hash60(concat_ws(" ", slice(col("t"), i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<bigint>")).as("g8"),
+        transform(col("t"),
+          (tok, i) => Sketch.hash60(concat(i.cast("string"), lit("|"), tok))).as("ph"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // span detection: same plan shape as duplicateSpans, off the cache
+    val occ = filt.select(col("doc_id"), posexplode(col("g8")).as(Seq("start", "h")))
+    val dup = occ.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMax = max(col("end")).over(w.rowsBetween(Long.MinValue, -1))
+    val merged = occ.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        (col("start") + n).cast("long").as("end"))
+      .withColumn("new_span",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("ss"), max(col("end")).as("se"))
+    val removedPerDoc = merged.groupBy(col("doc_id"))
+      .agg(sum(col("se") - col("ss")).as("removed"))
+    // sketch-driven cutoff: corpus P25 from 256 bounded buckets
+    val cut = Sketch.histQuantiles(
+        Sketch.histSketch(filt.select(col("quality").as("q")), "q",
+          Seq.empty, 256, 0.0, 1.0),
+        Seq.empty, Seq(25), 256, 0.0, 1.0)
+      .select(col("est_q").as("cut"))
+    val surv = filt.join(removedPerDoc, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("removed"), lit(0L)))
+      .crossJoin(broadcast(cut))
+      .filter(col("quality") >= col("cut"))
+    // cleaned-text fingerprint: survivors' position hashes outside spans
+    val pos = surv.select(col("doc_id"), col("lang"),
+      posexplode(col("ph")).as(Seq("p", "h")))
+    val kept = pos.join(merged,
+      pos("doc_id") === merged("doc_id") &&
+        col("p") >= col("ss") && col("p") < col("se"), "left_anti")
+    val fp = kept.groupBy(col("lang")).agg(expr("bit_xor(h)").as("clean_fp"))
+    surv.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("ntok") - col("rm")).cast("long").as("n_tokens_clean"),
+        sum(col("rm")).cast("long").as("n_tokens_removed"),
+        max(col("cut")).as("cut"))
+      .join(fp, Seq("lang"), "left")
+      .withColumn("clean_fp", coalesce(col("clean_fp"), lit(0L)))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineSpansSql: String = {
+    val n = SpanGramWidth
+    s"""WITH t0 AS (SELECT doc_id, lang, $NormSql AS norm FROM documents),
+       |tt AS (SELECT doc_id, lang, norm, string_split(norm, ' ') AS t FROM t0),
+       |m AS (SELECT doc_id, lang, norm, t, $QualitySignalColsSql FROM tt),
+       |q AS (SELECT doc_id, lang, t, ntok, $QualityScoreSql AS quality FROM m),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+       |        CAST('0x' || substr(md5(array_to_string(
+       |          list_slice(t, i, i + ${n - 1}), ' ')), 1, 15) AS BIGINT) AS h
+       |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(t) - ${n - 1})) AS i)
+       |      WHERE len(t) >= $n),
+       |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |hh AS (SELECT doc_id, start, start + $n AS e FROM g JOIN d USING (h)),
+       |mm AS (SELECT doc_id, start, e,
+       |        MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM hh),
+       |sp AS (SELECT doc_id, start, e,
+       |        SUM(CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY start
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM mm),
+       |mg AS (SELECT doc_id, MIN(start) AS ss, MAX(e) AS se FROM sp GROUP BY doc_id, span_id),
+       |rem AS (SELECT doc_id, SUM(se - ss) AS removed FROM mg GROUP BY doc_id),
+       |hb AS (SELECT ${Sketch.histBucketSql("quality", 256, 0.0, 1.0)} AS bucket,
+       |         COUNT(*) AS cnt FROM q GROUP BY 1),
+       |cb AS (SELECT bucket, cnt,
+       |        SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+       |        SUM(cnt) OVER () AS n_rows FROM hb),
+       |cut AS (SELECT ${Sketch.histMidpointSql("MIN(bucket)", 256, 0.0, 1.0)} AS cut
+       |        FROM cb WHERE cum * 100 >= 25 * n_rows),
+       |surv AS (SELECT q.doc_id, q.lang, q.t, q.ntok,
+       |           COALESCE(rem.removed, 0) AS rm, (SELECT cut FROM cut) AS cut
+       |         FROM q LEFT JOIN rem USING (doc_id)
+       |         WHERE q.quality >= (SELECT cut FROM cut)),
+       |pos AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS p,
+       |          CAST('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '|' || t[i]),
+       |            1, 15) AS BIGINT) AS h
+       |        FROM surv, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+       |kept AS (SELECT pos.doc_id, pos.lang, pos.h FROM pos LEFT JOIN mg
+       |           ON pos.doc_id = mg.doc_id AND pos.p >= mg.ss AND pos.p < mg.se
+       |         WHERE mg.doc_id IS NULL),
+       |fp AS (SELECT lang, bit_xor(h) AS clean_fp FROM kept GROUP BY lang)
+       |SELECT s.lang, COUNT(*) AS n_docs, CAST(SUM(s.doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(s.ntok - s.rm) AS BIGINT) AS n_tokens_clean,
+       |  CAST(SUM(s.rm) AS BIGINT) AS n_tokens_removed,
+       |  MAX(s.cut) AS cut,
+       |  COALESCE(MAX(fp.clean_fp), 0) AS clean_fp
+       |FROM surv s LEFT JOIN fp USING (lang)
+       |GROUP BY s.lang ORDER BY s.lang""".stripMargin
+  }
+
   // --------------------------------- sketches: bounded-state profiling
 
   /** Shared oracle CTE: the distinct-per-doc 3-shingle stream with

@@ -1066,6 +1066,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(removed == expected)
   }
 
+  test("span-cleaning capstone: one corpus scan, consistent totals, caches released") {
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val df = graft.queries.LlmOps.pipelineSpans(spark, sf001)
+    val rows = df.collect()
+    // scan-node audit (same machinery as the e2e capstone below):
+    // EVERY stage — span detection, sketch cutoff, survivors,
+    // cleaned-text fingerprint — fans out over the one staged cache,
+    // so exactly ONE documents.parquet scan may exist in the plan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def docScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Seq.empty[FileSourceScanExec]
+      }
+      val hidden = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      here ++ (p.children ++ hidden).flatMap(docScans)
+    }
+    val all = docScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    val scans = all.foldLeft(Vector.empty[FileSourceScanExec])(
+      (acc, s) => if (acc.exists(_ eq s)) acc else acc :+ s)
+    assert(scans.size == 1,
+      s"expected exactly 1 documents.parquet scan (the staged trunk), " +
+        s"found ${scans.size}:\n${scans.map(_.simpleString(80)).mkString("\n")}")
+    // structural invariants that hold at any SF: survivors exist, the
+    // sketch cutoff is a bucket midpoint in (0,1), span removal took
+    // tokens from SOMEWHERE (the corpus has planted duplicates), and
+    // clean+removed decompose the survivors' token total
+    assert(rows.nonEmpty)
+    val cutVals = rows.map(r => r.getDouble(r.fieldIndex("cut"))).distinct
+    assert(cutVals.length == 1 && cutVals.head > 0.0 && cutVals.head < 1.0)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_tokens_removed"))).sum > 0,
+      "no spans removed — planted duplicates should produce cross-doc 8-grams")
+    // fingerprints are nonzero for populated languages (XOR of 60-bit
+    // hashes collapsing to 0 by chance is ~2^-60 per language)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("n_docs")) > 0))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(graft.util.IntermediateCaches.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("e2e pipeline capstone: monotone funnel, conserved tokens, one corpus scan, caches released") {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val df = graft.queries.LlmOps.pipelineE2e(spark, sf001)
