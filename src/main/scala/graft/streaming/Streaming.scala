@@ -13,6 +13,15 @@ import org.apache.spark.sql.types._
   * in the grouped dataset — a projection that keeps only a derived
   * column fails analysis. */
 case class SessEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
+
+/** Typed rows for the streaming incremental dedup
+  * ([[Streaming.incrementalDedupStream]]): per-fingerprint state is a
+  * CONSTANT-SIZE record — whether the fp was in the pre-stream history
+  * index, and which arriving doc (if any) claimed `kept` — never a
+  * list of docs, so state rows = distinct fingerprints, each O(1). */
+case class IncDoc(doc_id: Long, fp: String)
+case class IncState(inHist: Boolean, firstId: Long)
+case class IncOut(doc_id: Long, fp: String, status: String)
 case class PendingSession(start: Long, last: Long, n: Long)
 case class SessionState(pending: Seq[PendingSession])
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
@@ -252,6 +261,93 @@ object Streaming {
     Sketch.histQuantiles(s.table(queryName), Seq("source"),
         Seq(25, 50, 75), 256, 0.0, 1.0)
       .orderBy(col("source"), col("p"))
+  }
+
+  /** Per-fingerprint fold for [[incrementalDedupStream]]: arriving docs
+    * classify against the state exactly as the batch
+    * [[graft.dedup.Dedup.incrementalExact]] does against its index —
+    * `dup_hist` when the fp predates the stream, first claimant `kept`,
+    * later same-fp arrivals `dup_batch`. Within one micro-batch the
+    * claimant is the LOWEST doc_id (sorted fold), so a single-batch
+    * replay equals the batch operator bit-for-bit; across micro-batches
+    * first-arrival wins — the true streaming contract, and the two
+    * coincide whenever ingestion is id-ordered (InfraSpec drives that
+    * multi-batch case). */
+  private[graft] def incrementalFold(fp: String, rows: Iterator[IncDoc],
+      state: GroupState[IncState]): Iterator[IncOut] = {
+    var cur = state.getOption.getOrElse(IncState(inHist = false, firstId = -1L))
+    val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+      val status =
+        if (cur.inHist) "dup_hist"
+        else if (cur.firstId < 0) { cur = cur.copy(firstId = d.doc_id); "kept" }
+        else "dup_batch"
+      IncOut(d.doc_id, d.fp, status)
+    }
+    state.update(cur)
+    out.iterator
+  }
+
+  /** Streaming incremental exact dedup — [[graft.dedup.Dedup.incrementalExact]]
+    * as CONTINUOUS ingest: the historical fingerprint index is loaded
+    * as flatMapGroupsWithState INITIAL STATE (fp-keyed, constant-size
+    * records — the streaming twin of the batch operator's
+    * fingerprint-only history side), and every arriving document is
+    * classified kept / dup_hist / dup_batch in one pass, appending
+    * immediately. State grows by one O(1) record per NEW fingerprint —
+    * the same growth the batch index itself has, which is the bound a
+    * 100 TB continuous corpus needs (and the RocksDB provider spills it
+    * off-heap; InfraSpec certifies provider equivalence + the row
+    * bound). Same batch composition and oracle as `d_incremental`:
+    * single-batch replay == batch answer bit-for-bit. */
+  /** The incremental-dedup streaming TRANSFORM alone — the gate replay
+    * wraps it; InfraSpec drives it directly to observe state-store row
+    * counts, provider equivalence, and a multi-batch id-ordered split.
+    * `histDir` is where the history index is read from (always the full
+    * static table), `glob`/`extraOptions` vary the stream source. */
+  private[graft] def incrementalDedupTransform(s: SparkSession, dir: String,
+      histDir: String,
+      glob: String = "documents.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val hist = graft.Tables.documents(s, histDir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(graft.text.fingerprint_md5(col("text")).as("fp"))
+      .distinct()
+      .as[String]
+      .map(fp => (fp, IncState(inHist = true, firstId = -1L)))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val batch = src.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(src.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(src.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .select(col("doc_id"), graft.text.fingerprint_md5(col("text")).as("fp"))
+      .as[IncDoc]
+    batch.groupByKey(_.fp)
+      .flatMapGroupsWithState[IncState, IncOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), hist)(incrementalFold)
+      .toDF()
+  }
+
+  def incrementalDedupStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_incr"): DataFrame = {
+    val out = incrementalDedupTransform(s, dir, histDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("doc_id"))
   }
 
   def exactDedupStream(s: SparkSession, dir: String,

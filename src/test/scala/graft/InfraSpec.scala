@@ -136,6 +136,78 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("incremental dedup stream: state fp-bounded, RocksDB == default, multi-batch == batch") {
+    import graft.streaming.Streaming
+    // batch truth: the d_incremental operator on the same composition
+    val batchAnswer = graft.queries.LlmOps.dedupIncremental(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Set[(Long, String, String)], Long, Int) = {
+      val out = Streaming.incrementalDedupTransform(spark, dir,
+        histDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val maxStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      (rows, maxStateRows, batches)
+    }
+    val (got, stateRows, _) = run(sf0001, "documents.parquet", Map.empty, "infra_incr")
+    assert(got == batchAnswer,
+      s"stream=${got.size} batch=${batchAnswer.size} " +
+        s"onlyStream=${(got -- batchAnswer).take(3)} onlyBatch=${(batchAnswer -- got).take(3)}")
+    assert(got.nonEmpty && got.exists(_._3 == "dup_hist") &&
+      got.exists(_._3 == "kept") && got.exists(_._3 == "dup_batch"))
+    // state bound: one O(1) record per distinct fingerprint (history ∪
+    // batch), NEVER per document — the fingerprint-index shape
+    val docs = Tables.documents(spark, sf0001)
+    val histFps = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(graft.text.fingerprint_md5(col("text")).as("fp"))
+    val batchFps = docs.filter(col("doc_id") % 5 === 0)
+      .select(graft.text.fingerprint_md5(col("text")).as("fp"))
+    val nFps = histFps.union(batchFps).distinct().count()
+    assert(stateRows <= nFps,
+      s"state rows $stateRows exceed distinct fingerprint count $nFps")
+    // RocksDB provider equivalence (the off-heap state backend a 100 TB
+    // fingerprint index actually runs on)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (rocks, _, _) = run(sf0001, "documents.parquet", Map.empty,
+        s"infra_incr_rocks_${System.nanoTime}")
+      assert(rocks == got, s"RocksDB drifted: ${rocks.size} vs ${got.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // multi-batch continuous-ingest replay: id-ordered 3-file split,
+    // one file per trigger — first-arrival == min-id under ordered
+    // ingestion, so the stream still equals the batch oracle while the
+    // fp index state carries over BETWEEN micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_split").toFile
+    val n = docs.count()
+    val parts = 3
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"documents_$i%02d.parquet"), 2000000L + i * 60000L)
+    }
+    val (multi, _, batches) = run(dir.getPath, "documents_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_incr_multi")
+    assert(batches >= parts,
+      s"expected >= $parts data batches, got $batches")
+    assert(multi == batchAnswer,
+      s"multi-batch drifted: ${multi.size} vs ${batchAnswer.size} " +
+        s"diff=${((multi -- batchAnswer) ++ (batchAnswer -- multi)).take(5)}")
+  }
+
   test("sessionization state stays key-bounded under a planted hot user (50% of events)") {
     import graft.streaming.{SessEvent, SessionOut, SessionState, Streaming}
     // The realistic skew failure for streaming state: ONE user owns
