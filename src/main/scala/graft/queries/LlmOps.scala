@@ -844,6 +844,52 @@ object LlmOps {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** Span-level NEAR dedup gate ([[graft.dedup.Dedup.fuzzySpans]]):
+    * merged token ranges covered by 16-token windows whose 3-gram
+    * Jaccard with a window of ANOTHER document reaches 0.5 — the fuzzy
+    * complement of `d_dup_spans` (a few drifted tokens no longer hide
+    * a shared passage). The engine runs banded MinHash-LSH candidate
+    * generation + exact-Jaccard verification; the oracle replays the
+    * EXACT all-pairs threshold — equality holds because window
+    * near-dups sit ≥ 0.8 Jaccard on this corpus family while 32×2
+    * banding misses a 0.8 pair with probability ~6e−15 (spec-asserted
+    * banded == exact at both gate SFs). */
+  def dupSpansFuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzySpans(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  val dupSpansFuzzySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, CAST(i*8 AS BIGINT) AS start, t[i*8+1 : i*8+16] AS wt
+       |      FROM t, LATERAL (SELECT unnest(range(0,
+       |        CAST(floor(greatest(len(t)-16, 0)/8.0) AS BIGINT) + 1)) AS i)),
+       |ws AS (SELECT doc_id, start, start + len(wt) AS e, wt FROM w WHERE len(wt) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, start, wt[i]||' '||wt[i+1]||' '||wt[i+2] AS s
+       |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(wt)-2)) AS i)),
+       |cnt AS (SELECT doc_id, start, COUNT(*) AS n FROM sh GROUP BY 1, 2),
+       |inter AS (SELECT a.doc_id da, a.start sa, b.doc_id db, b.start sb, COUNT(*) c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2, 3, 4),
+       |jac AS (SELECT da, sa, db, sb
+       |        FROM inter JOIN cnt ca ON ca.doc_id = da AND ca.start = sa
+       |                   JOIN cnt cb ON cb.doc_id = db AND cb.start = sb
+       |        WHERE CAST(c AS DOUBLE)/(ca.n + cb.n - c) >= 0.5),
+       |mt AS (SELECT da AS doc_id, sa AS start FROM jac
+       |       UNION SELECT db, sb FROM jac),
+       |mw AS (SELECT ws.doc_id, ws.start, ws.e FROM ws JOIN mt
+       |         ON mt.doc_id = ws.doc_id AND mt.start = ws.start),
+       |mm AS (SELECT doc_id, start, e,
+       |        MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM mw),
+       |sp AS (SELECT doc_id, start, e,
+       |        SUM(CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY start
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM mm)
+       |SELECT doc_id, MIN(start) AS span_start, MAX(e) AS span_end,
+       |  COUNT(*) AS n_windows
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** Shared oracle CTE text — ONE definition of the shingle inverted
     * index, the thresholded scored pair set, and the recursive closure,
     * so the four Jaccard-based oracles (pairs, groups, corpus, evidence

@@ -58,6 +58,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(graft.queries.LlmOps.dupSpans(spark, sf001).count() > 0)
   }
 
+  test("fuzzySpans: drifted shared passage caught by near windows, invisible to exact 8-grams") {
+    // The case exact span dedup CANNOT see: a 16-token shared passage
+    // with two drifted tokens (positions 5 and 11) — every identical
+    // run is ≤ 5 tokens, so no 8-gram recurs — while the aligned
+    // 16-token windows still share 11 of 19 distinct 2-shingles
+    // (Jaccard 0.579 ≥ 0.5). Prefixes are stride-aligned (8 tokens) so
+    // the passage occupies exactly window index 1 in both docs.
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared  = words("sh", 16).toArray
+    val drifted = shared.clone
+    drifted(5) = "x5"; drifted(11) = "x11"
+    val d1 = words("a", 8) ++ shared ++ words("b", 12)   // len 36
+    val d2 = words("c", 8) ++ drifted ++ words("d", 12)  // len 36
+    val d3 = words("e", 36)                              // noise
+    val docs = Seq(
+      (1L, d1.mkString(" ")), (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, n = 8).collect().isEmpty,
+      "exact 8-gram spans should find NOTHING across the drifted passage")
+    val fuzzy = Dedup.fuzzySpans(docs, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fuzzy == Set((1L, 8L, 24L, 1L), (2L, 8L, 24L, 1L)),
+      s"fuzzy spans drifted: $fuzzy")
+    // and on the driver corpus the banded pipeline equals the exact
+    // all-pairs threshold — the same equality the DuckDB oracle pins
+    assert(graft.queries.LlmOps.dupSpansFuzzy(spark, sf001).count() > 0)
+  }
+
   test("simhash banding: high recall of true near-dups at tight hamming") {
     val sh = Dedup.simhashPairs(docs, maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
