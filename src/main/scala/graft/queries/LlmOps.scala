@@ -1947,6 +1947,48 @@ object LlmOps {
        |  CAST(sof - 256 * floor(sof / 256.0) AS BIGINT) AS offset_in_seq
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Write-path gate through the cloud committers: the pack manifest is
+    * WRITTEN to parquet with the write routed through
+    * [[org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol]] (and
+    * the parquet committer bound via
+    * [[org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter]]),
+    * then re-read and compared to the same manifest oracle — the
+    * committers carry a real pipeline artifact, not just a spec row.
+    * The protocol's job-commit counter is asserted around the write, so
+    * a silently-defaulted protocol (conf typo, Spark change) fails the
+    * gate loudly instead of passing through the rename path. Both confs
+    * are restored afterward — the gate leaves the session as found. */
+  def packWriteCommit(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pack_commit_gate").getAbsolutePath
+    val protoKey = "spark.sql.sources.commitProtocolClass"
+    val parqKey = "spark.sql.parquet.output.committer.class"
+    val prevProto = s.conf.getOption(protoKey)
+    val prevParq = s.conf.getOption(parqKey)
+    s.conf.set(protoKey,
+      "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
+    s.conf.set(parqKey,
+      "org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter")
+    try {
+      val before =
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+      packManifestGate(s, dir).write.mode("overwrite").parquet(out)
+      val after =
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+      if (after <= before) throw new IllegalStateException(
+        s"write to $out did not commit through PathOutputCommitProtocol " +
+          s"(commit count $before -> $after) — committer binding is broken")
+    } finally {
+      prevProto match {
+        case Some(v) => s.conf.set(protoKey, v); case None => s.conf.unset(protoKey)
+      }
+      prevParq match {
+        case Some(v) => s.conf.set(parqKey, v); case None => s.conf.unset(parqKey)
+      }
+    }
+    s.read.parquet(out).orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------ BPE tokenizer
 
   /** Merge rounds for the BPE gates. 32 exercises a real merge CHAIN

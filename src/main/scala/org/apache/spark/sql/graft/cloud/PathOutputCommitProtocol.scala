@@ -90,6 +90,13 @@ class PathOutputCommitProtocol(
     val split = taskContext.getTaskAttemptID.getTaskID.getId
     f"${spec.prefix}part-$split%05d-$jobId${spec.suffix}"
   }
+
+  override def commitJob(jobContext: JobContext,
+      taskCommits: Seq[org.apache.spark.internal.io.FileCommitProtocol.TaskCommitMessage])
+      : Unit = {
+    super.commitJob(jobContext, taskCommits)
+    PathOutputCommitProtocol.jobsCommitted.incrementAndGet()
+  }
 }
 
 object PathOutputCommitProtocol {
@@ -98,4 +105,10 @@ object PathOutputCommitProtocol {
     * early instead of discovering it in an O(data) job commit). */
   val RejectFileOutput = "pathoutputcommit.reject.fileoutput"
   val RejectFileOutputDefault = false
+
+  /** Process-wide count of job commits completed through this protocol.
+    * Pure observability: lets the write-path gate
+    * (`t_pack_write_commit`) ASSERT its write really committed here
+    * rather than through a silently-defaulted protocol. */
+  val jobsCommitted = new java.util.concurrent.atomic.AtomicLong(0)
 }
