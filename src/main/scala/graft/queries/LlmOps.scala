@@ -1998,10 +1998,38 @@ object LlmOps {
     * un-materialized at K=6). The operators themselves take any k. */
   private val BpeMergeRounds = 32
 
-  private def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Corpus word-frequency table feeding BPE learning. `sampleMod > 1`
+    * learns from a deterministic hash-sample of DOCUMENTS (md5-derived
+    * [[graft.sketch.Sketch.hash60]] of doc_id mod `sampleMod` == 0 —
+    * the same engine-portable convention every sampling gate uses): at
+    * 100× corpus scale the k sequential pair-count passes are the one
+    * place this suite's cost grows linearly in rounds × corpus, and BPE
+    * merge selection depends on frequency RANKS, which a uniform
+    * document sample approximately preserves. BpeSampleSpec measures
+    * the sf0.1 divergence bound: this corpus's near-uniform word draw
+    * ties pair ranks within sampling noise, so the merge LIST reorders
+    * (19/32 pairs re-discovered), yet the corpus token count under the
+    * sampled tokenizer drifts only 0.06% (≤ 2% asserted) — the
+    * downstream budget/packing/mixing decisions are insensitive to the
+    * sampling. The GATES always learn full-corpus (sampleMod = 1) so
+    * their oracles replay exactly. */
+  private def bpeWordFreq(s: SparkSession, dir: String,
+      sampleMod: Int = 1): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sampled = if (sampleMod <= 1) docs
+      else docs.filter(
+        graft.sketch.Sketch.hash60(col("doc_id").cast("string")) % sampleMod === 0)
+    sampled
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  }
+
+  /** Sample-learned BPE merges — the production path at 100× scale
+    * (see [[bpeWordFreq]]); returns the same (l, r, pairFreq) list
+    * shape as the full-corpus learning the gates pin. */
+  def bpeLearnSampled(s: SparkSession, dir: String, sampleMod: Int,
+      k: Int = BpeMergeRounds): Seq[(String, String, Long)] =
+    graft.text.Bpe.learnMerges(bpeWordFreq(s, dir, sampleMod), k)
 
   /** One merge-learning run per (corpus content, k), shared by the
     * three BPE gates (t_bpe_learn / t_bpe_encode / t_pack_bpe):

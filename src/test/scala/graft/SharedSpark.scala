@@ -18,4 +18,5 @@ object SharedSpark {
   }
   val sf0001 = "/root/testdata/sf0.001"
   val sf001  = "/root/testdata/sf0.01"
+  val sf01   = "/root/testdata/sf0.1"
 }
