@@ -1239,6 +1239,97 @@ object LlmOps {
        |FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
        |WHERE node <> comp ORDER BY vec_id""".stripMargin
 
+  /** Measured SemDeDup quality — the s_ann_recall discipline applied to
+    * the dedup detector: [[graft.similarity.Ann.semDedupPairs]] at cell
+    * geometries lloydIters ∈ {0, 2} intersected with the EXACT cosine
+    * pair set at the same 0.44 threshold. Recall = fraction of true
+    * pairs the cell partition keeps co-located (the SemDeDup tradeoff,
+    * as a number); precision is 1 by construction (within-cell pairs
+    * are exact-verified) and is EMITTED so the hash pins that property
+    * too. The oracle replays both geometries — deterministic seeds for
+    * iters 0, the quantized-exact Lloyd mean chain for iters 2. */
+  def semDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val truth = Ann.cosinePairs(emb, threshold = 0.44)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val found = Seq(0, 2).map { li =>
+      Ann.semDedupPairs(emb, threshold = 0.44, nCells = 16, lloydIters = li)
+        .select(lit(li.toLong).as("lloyd_iters"), col("doc_a"), col("doc_b"))
+    }.reduce(_ unionAll _)
+    val hits = found.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("lloyd_iters")).agg(count(lit(1)).as("n_hit"))
+    val counts = found.groupBy(col("lloyd_iters")).agg(count(lit(1)).as("n_found"))
+    Seq(0L, 2L).toDF("lloyd_iters")
+      .join(counts, Seq("lloyd_iters"), "left")
+      .join(hits, Seq("lloyd_iters"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("lloyd_iters"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"), 6)
+          .as("recall"),
+        when(coalesce(col("n_found"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_found"), 6)).as("prec"))
+      .orderBy(col("lloyd_iters"))
+  }
+
+  val semDedupRecallSql: String = {
+    def asg(name: String, seeds: String) =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, s.cell_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+         |               s.cell_id DESC) AS rn
+         |  FROM embeddings e CROSS JOIN $seeds s) t WHERE rn = 1)""".stripMargin
+    def mean(m: String, a: String, seedsOut: String) =
+      s"""$m AS (SELECT $a.cell, i,
+         |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000000.0, 0)
+         |                  AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000000.0) AS m
+         |  FROM embeddings e JOIN $a USING (vec_id),
+         |    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i)
+         |  GROUP BY $a.cell, i),
+         |$seedsOut AS (SELECT cell AS cell_id, list(m ORDER BY i) AS cvec
+         |              FROM $m GROUP BY cell)""".stripMargin
+    def cellPairs(name: String, a: String) =
+      s"""$name AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM embeddings a
+         |  JOIN $a aa ON aa.vec_id = a.vec_id
+         |  JOIN embeddings b ON a.vec_id < b.vec_id
+         |  JOIN $a ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+         |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44)""".stripMargin
+    s"""WITH truth AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44),
+       |seeds0 AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |           FROM embeddings ORDER BY vec_id LIMIT 16),
+       |${asg("a0", "seeds0")},
+       |${cellPairs("f0", "a0")},
+       |${asg("l1", "seeds0")},
+       |${mean("m1", "l1", "seeds1")},
+       |${asg("l2", "seeds1")},
+       |${mean("m2", "l2", "seeds2")},
+       |${asg("a2", "seeds2")},
+       |${cellPairs("f2", "a2")},
+       |sel AS (
+       |  SELECT CAST(0 AS BIGINT) AS lloyd_iters,
+       |    (SELECT COUNT(*) FROM f0) AS n_found,
+       |    (SELECT COUNT(*) FROM f0 JOIN truth USING (doc_a, doc_b)) AS n_hit
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT),
+       |    (SELECT COUNT(*) FROM f2),
+       |    (SELECT COUNT(*) FROM f2 JOIN truth USING (doc_a, doc_b)))
+       |SELECT lloyd_iters, n_found, n_hit,
+       |  (SELECT COUNT(*) FROM truth) AS n_true,
+       |  ROUND(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM truth), 6) AS recall,
+       |  CASE WHEN n_found = 0 THEN 1.0
+       |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_found, 6) END AS prec
+       |FROM sel ORDER BY lloyd_iters""".stripMargin
+  }
+
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     Ann.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 

@@ -455,6 +455,23 @@ object Ann {
   def semDedup(embeddings: DataFrame, threshold: Double,
       nCells: Int = 16, lloydIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: Int = 1): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+        semDedupPairs(embeddings, threshold, nCells, lloydIters,
+          idCol, vecCol, salt))
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol), col("comp").as("keep_id"))
+
+  /** The within-cell verified near-dup PAIR set [[semDedup]] clusters —
+    * exposed so the measured-quality gate (`s_semdedup_recall`) can
+    * intersect it with the exact cosine pair set: precision is 1 by
+    * construction (every emitted pair is exact-cosine-verified), recall
+    * is whatever fraction of true pairs the cell partition keeps
+    * co-located — the SemDeDup tradeoff, now a measured number per cell
+    * geometry instead of prose. */
+  def semDedupPairs(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 16, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       salt: Int = 1): DataFrame = {
     val assigned = ivfAssign(embeddings, nCells, idCol, vecCol, lloydIters)
     // the assignment pass (corpus-wide broadcast argmax over nCells
@@ -490,9 +507,7 @@ object Ann {
           .filter(sim >= threshold)
           .select(col("doc_a"), col("doc_b"))
       }
-    graft.dedup.Dedup.connectedComponents(pairs)
-      .filter(col("node") =!= col("comp"))
-      .select(col("node").as(idCol), col("comp").as("keep_id"))
+    pairs
   }
 
   /** Approximate top-k with multi-probe: candidates differ from the
