@@ -162,7 +162,8 @@ object Bench {
     // query count, failures, the 5 slowest queries, both pass totals, the
     // gc_ms rollup, and the leak/spill rollups — so the round's perf
     // record survives on its own AND carries its own noise attribution.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,"sf":"$sfDir"}"""
+    println(full)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v, _) => s"""["$k",${math.round(v * 1000) / 1000.0}]""" }
       .mkString("[", ",", "]")
@@ -190,10 +191,17 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[bench] compact record written to ${out.toAbsolutePath}")
+      // ALSO persist the FULL per-query record: the compact line keeps
+      // only the worst-5, which loses per-query history to cross-round
+      // comparison (the round-9 audit had to reconstruct deltas from
+      // worst-5 lists). Committed per round as BENCH_LOCAL_r{N}.json.
+      val outFull = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.write(outFull,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[bench] records written to ${out.toAbsolutePath} + ${outFull.toAbsolutePath}")
     } catch {
       case e: Exception =>
-        System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+        System.err.println(s"[bench] could not write bench records: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -74,7 +74,15 @@ object ExplainAudit {
       // exchange (WindowGroupLimit-pruned — also plan-asserted in
       // LlmOpsSpec); the encode gate is a map pass over the broadcast
       // merge table; span dedup shuffles 16-byte gram hashes only
-      "s_ann_pq", "s_ann_recall_pq", "t_bpe_encode", "d_dup_spans").foreach(audit)
+      "s_ann_pq", "s_ann_recall_pq", "t_bpe_encode", "d_dup_spans",
+      // round 10: fuzzy spans reuse the banding pipeline (band-key
+      // exchange + candidate-only verify, never window all-pairs); the
+      // span capstone fans every stage off one cached trunk scan (also
+      // plan-asserted in LlmOpsSpec); the committed write re-read scans
+      // the written artifact, not the corpus; semdedup recall keeps the
+      // within-cell equi-join shape at both Lloyd geometries
+      "d_dup_spans_fuzzy", "t_pipeline_spans", "t_pack_write_commit",
+      "s_semdedup_recall").foreach(audit)
     spark.stop()
   }
 }
