@@ -647,6 +647,61 @@ object LlmOps {
        |FROM bg LEFT JOIN top USING (bg) JOIN ctx USING (prev)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance score — data selection by distribution
+    * matching (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling", reduced to its unigram-LM core): fit
+    * a target LM on the in-domain slice (lang='en' here) and a raw LM
+    * on the whole corpus, then score every document by the mean
+    * per-token log-likelihood ratio log₂ p̂_tgt(w) − log₂ p̂_raw(w).
+    * High score = looks like the target domain; the resampling weight
+    * of the published pipeline. Raw counts floor OOV to 1 (the
+    * t_unigram_ce convention); target counts are add-one floored
+    * (vocabulary words can be absent from the slice, and log 0 must
+    * not occur).
+    *
+    * Scale shape: BOTH models come out of ONE token-count shuffle
+    * (map-side combined, conditional target sum riding the same
+    * aggregate); totals are an aggregate of that vocabulary-sized
+    * frame, not a second corpus pass; the per-doc pass is explode →
+    * broadcast vocab join → per-doc mean. round(6) absorbs the
+    * engines' summation-order ulps (the t_unigram_ce bound). */
+  def dsirScore(s: SparkSession, dir: String): DataFrame = {
+    val V = 12
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val vocab = counts.orderBy(desc("c_all"), asc("w")).limit(V)
+    val totals = counts.agg(
+      sum(col("c_all")).cast("double").as("tot_all"),
+      sum(col("c_tgt")).cast("double").as("tot_tgt"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"),
+        (log(2.0, (coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast("double") / col("tot_tgt"))
+          - log(2.0, coalesce(col("c_all"), lit(1L)).cast("double") / col("tot_all"))).as("llr"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(col("llr")), 6).as("w_dsir"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split($NormSql, ' ')) AS w
+       |  FROM documents),
+       |c AS (SELECT w, COUNT(*) AS c_all,
+       |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+       |      FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(SUM(c_all) AS DOUBLE) AS tot_all,
+       |               CAST(SUM(c_tgt) AS DOUBLE) AS tot_tgt FROM c),
+       |v AS (SELECT w, c_all, c_tgt FROM c ORDER BY c_all DESC, w LIMIT 12)
+       |SELECT doc_id, lang,
+       |  ROUND(AVG(log2(CAST(COALESCE(v.c_tgt, 0) + 1 AS DOUBLE) / (SELECT tot_tgt FROM tot))
+       |          - log2(CAST(COALESCE(v.c_all, 1) AS DOUBLE) / (SELECT tot_all FROM tot))), 6)
+       |    AS w_dsir
+       |FROM tok LEFT JOIN v USING (w)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   /** Token-window chunking with overlap (context-window packing): each
     * doc → ⌈max(ntok−size, 0)/stride⌉ + 1 chunks of ≤ `size` tokens
     * starting every `stride` — the count formula stops as soon as a
@@ -763,6 +818,77 @@ object LlmOps {
        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM scored WHERE q >= (SELECT cut FROM cut)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Token-budget corpus selection — "take the BEST data until the
+    * token budget is spent": rank docs by (quality desc, doc_id) and
+    * keep the maximal prefix whose cumulative token count stays within
+    * budget (40% of corpus tokens, integer-exact `(Σntok·2)/5`). The
+    * greedy prefix semantics are the standard data-selection shape
+    * (score-and-take-top-tokens, e.g. DSIR/DoReMi-style curation
+    * budgets).
+    *
+    * Scale shape — the naive global running sum is a
+    * SINGLE-PARTITION window over the whole corpus, the one plan that
+    * cannot survive 100 TB. Instead: quantize quality into 1024
+    * histogram buckets ([[graft.sketch.Sketch.histBucket]] — order-
+    * preserving, so bucket boundaries never split equal qualities);
+    * per-bucket token totals are ONE dimension-sized aggregate; the
+    * tokens-above-each-bucket prefix sum is a window over ≤1024 rows;
+    * the per-doc running sum is then per-BUCKET
+    * (`partitionBy(bucket)`), distributed across the cluster, and the
+    * global cumulative is `cum_before(bucket) + within-bucket cum` —
+    * bit-identical to the oracle's single global window because the
+    * bucket order refines the quality order. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // regex-heavy scoring runs once: the bucketed frame (four narrow
+    // columns) feeds both the bucket directory and the per-doc pass —
+    // tracked for eager release like the other operator caches
+    val withB = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm_text(col("text")).as("norm"))
+        .select(col("doc_id"),
+          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+          size(split(col("norm"), " ")).cast("long").as("ntok"))
+        .withColumn("bucket", Sketch.histBucket(col("q"), 1024, 0.0, 1.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // dimension-sized: ≤1024 rows; budget and the above-bucket prefix
+    // sums ride the same frame (single-partition windows are fine HERE —
+    // this is the bucket directory, not the corpus)
+    val perBucket = withB.groupBy(col("bucket")).agg(sum(col("ntok")).as("btok"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // (Σntok·2)/5 in exact integer terms: the product stays far below
+    // 2^52 even at 100 TB, so the double quotient floors exactly
+    val dir1024 = perBucket
+      .withColumn("cum_before", sum(col("btok")).over(wDesc) - col("btok"))
+      .withColumn("budget",
+        floor((sum(col("btok")).over(wAll) * lit(2L)) / lit(5L)).cast("long"))
+      .select(col("bucket"), col("cum_before"), col("budget"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(dir1024), Seq("bucket"))
+      .withColumn("cum", col("cum_before") + sum(col("ntok")).over(wIn))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("q"), col("ntok"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm, $QualitySignalColsSql FROM n),
+       |scored AS (SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+       |  $QualityScoreSql AS q FROM m),
+       |b AS (SELECT (SUM(ntok) * 2) // 5 AS budget FROM scored),
+       |cum AS (SELECT doc_id, q, ntok,
+       |  CAST(SUM(ntok) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum
+       |  FROM scored)
+       |SELECT doc_id, q, ntok, cum FROM cum
+       |WHERE cum <= (SELECT budget FROM b) ORDER BY doc_id""".stripMargin
 
   /** Out-of-vocabulary rate against the corpus's own top-100 token
     * vocabulary — the tokenizer-coverage signal. Two-stage: vocabulary

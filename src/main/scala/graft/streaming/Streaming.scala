@@ -263,6 +263,54 @@ object Streaming {
       .orderBy(col("source"), col("p"))
   }
 
+  /** Streaming CountMin heavy hitters over the corpus 3-shingle stream
+    * (complete mode): the depth×width = 3×1024 integer counters ARE
+    * the streaming state — fixed size at ANY corpus size and ANY
+    * stream length, the frequency face of the bounded-state argument
+    * ([[kmvDistinctStream]] is COUNT(DISTINCT), quantileSketchStream
+    * is percentiles; exact streaming per-shingle counts would hold
+    * every shingle ever seen). Counter updates are integer adds, so
+    * the final-watermark sketch is order-invariant and the stream
+    * result equals the batch sketch bit-for-bit — the estimate stage
+    * (min over hash rows for the top-20 exact shingles, computed
+    * batch-side exactly as the t_cms_heavy gate does) reproduces
+    * t_cms_heavy's output, and the DuckDB oracle is LITERALLY the
+    * batch gate's SQL. */
+  def cmsHeavyStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_cms"): DataFrame = {
+    import graft.sketch.Sketch
+    val (depth, width) = (3, 1024)
+    val sh = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(explode(org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col("text"), 3)).as("s"))
+    val agg = Sketch.cmsSketch(sh, "s", depth, width)
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // candidate set + exact counts come from the static table (the
+    // gate harness, not the stream): identical to the batch gate
+    val shBatch = graft.Tables.documents(s, dir).select(
+      explode(org.apache.spark.sql.graft.DistinctShingles
+        .distinct_shingles(col("text"), 3)).as("s"))
+    val top = shBatch.groupBy(col("s")).agg(count(lit(1)).as("exact"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact").desc, col("s"))))
+      .filter(col("rk") <= 20).drop("rk")
+    Sketch.cmsEstimate(s.table(queryName), top, "s", depth, width)
+      .select(col("s"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overest"))
+      .orderBy(col("exact").desc, col("s"))
+  }
+
   /** Per-fingerprint fold for [[incrementalDedupStream]]: arriving docs
     * classify against the state exactly as the batch
     * [[graft.dedup.Dedup.incrementalExact]] does against its index —

@@ -82,7 +82,12 @@ object ExplainAudit {
       // the written artifact, not the corpus; semdedup recall keeps the
       // within-cell equi-join shape at both Lloyd geometries
       "d_dup_spans_fuzzy", "t_pipeline_spans", "t_pack_write_commit",
-      "s_semdedup_recall").foreach(audit)
+      "s_semdedup_recall",
+      // round 10b: token-budget selection must broadcast its 1024-row
+      // bucket directory and keep the per-doc running sum partitioned
+      // by bucket (also plan-asserted in LlmOpsSpec); DSIR scoring
+      // broadcasts both LM tables off ONE token-count shuffle
+      "t_token_budget", "t_dsir").foreach(audit)
     spark.stop()
   }
 }

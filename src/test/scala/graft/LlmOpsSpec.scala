@@ -1212,4 +1212,77 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
+
+  test("token-budget selection == the naive global greedy prefix, and spends the budget tightly") {
+    val got = queries.LlmOps.tokenBudget(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // naive oracle: ONE global greedy prefix sum (the single-partition
+    // plan the operator exists to avoid) computed driver-side
+    val scored = docs
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+        size(split(col("norm"), " ")).cast("long").as("ntok"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val budget = scored.map(_._3).sum * 2 / 5
+    val greedy = scored.sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0.0, 0L, 0L)) { case ((_, _, _, cum), (id, q, nt)) =>
+        (id, q, nt, cum + nt) }
+      .drop(1)
+      .takeWhile(_._4 <= budget)
+    assert(got.sortBy(_._1).toSeq == greedy.sortBy(_._1).toSeq)
+    // tight: within budget, and the next greedy doc would overflow it
+    val kept = greedy.map(_._3).sum
+    assert(kept <= budget)
+    val next = scored.sortBy { case (id, q, _) => (-q, id) }.drop(greedy.size).headOption
+    next.foreach(n => assert(kept + n._3 > budget,
+      s"greedy prefix stopped early: $kept + ${n._3} <= $budget"))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("token-budget plan: per-doc running sum is bucket-partitioned, directory joins broadcast") {
+    // the corpus-sized window must carry a partition spec (bucket#…);
+    // a global `Window [..] [q DESC, doc_id ASC]` with no partitionBy
+    // over the doc frame is the non-scalable plan this operator avoids
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = queries.LlmOps.tokenBudget(spark, sf001)
+    df.collect() // finalize AQE so the inspected plan is the real one
+    def allWindows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case w: WindowExec => Seq(w)
+        case _ => Seq.empty
+      }
+      val hidden = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      here ++ (p.children ++ hidden).flatMap(allWindows)
+    }
+    val exec = df.queryExecution.executedPlan
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val windows = allWindows(exec)
+    assert(windows.nonEmpty)
+    val perDoc = windows.filter(_.orderSpec.exists(_.child.toString.contains("doc_id")))
+    assert(perDoc.nonEmpty && perDoc.forall(_.partitionSpec.nonEmpty),
+      s"per-doc window lost its bucket partitioning:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket directory should broadcast:\n$plan")
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+  }
+
+  test("DSIR importance: finite everywhere, target-language docs score higher, floors engaged") {
+    val rows = queries.LlmOps.dsirScore(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == docs.count())
+    assert(rows.forall { case (_, _, w) => !w.isNaN && !w.isInfinity })
+    val (en, rest) = rows.partition(_._2 == "en")
+    val mean = (xs: Array[(Long, String, Double)]) => xs.map(_._3).sum / xs.length
+    assert(en.nonEmpty && rest.nonEmpty && mean(en) > mean(rest),
+      s"target slice does not score higher: en=${mean(en)} rest=${mean(rest)}")
+  }
 }

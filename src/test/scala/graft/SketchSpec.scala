@@ -64,6 +64,24 @@ class SketchSpec extends AnyFunSuite {
       s"stream drifted from batch: ${stream.take(3)} vs ${batch.take(3)}")
   }
 
+  test("streaming CMS heavy hitters == batch gate (order-invariant integer counters)") {
+    // the stream's only state is the 3×1024 counter grid; integer adds
+    // commute, so the final sketch — and every estimate derived from
+    // it — must equal the batch gate bit-for-bit
+    val stream = graft.streaming.Streaming
+      .cmsHeavyStream(spark, sf001, "sketch_stcms_spec")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.queries.LlmOps.cmsHeavy(spark, sf001)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream drifted from batch: ${stream.take(3)} vs ${batch.take(3)}")
+    // CountMin guarantee survives streaming: est >= exact on every row
+    assert(stream.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact })
+  }
+
   // ------------------------------------------------------------- KMV
 
   test("KmvAggregator keeps the k smallest distinct values, any order, any split") {
