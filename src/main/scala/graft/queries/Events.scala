@@ -358,6 +358,49 @@ object Events {
       |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events
       |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin
 
+  /** Exact-integer z-score anomaly detection per event type: flag
+    * events more than 3 standard deviations from their type's mean —
+    * with ZERO float arithmetic. `value` has exact 2-decimal
+    * provenance, so cents `v = value·100` are exact BIGINTs; the test
+    * (v−μ)² > 9σ² cross-multiplies to the all-integer form
+    * (n·v − S)² > 9·(n·SS − S²) over the per-type moments
+    * (n, S=Σv, SS=Σv²), evaluated in DECIMAL(38,0) (SS alone overflows
+    * int64 past ~10⁹ rows per type; DuckDB runs the identical chain in
+    * HUGEINT) — cross-engine bit-deterministic where a float z-score
+    * would drift on summation order.
+    *
+    * Scale shape: the moments are ONE map-side-combined aggregate with
+    * one row per event type; the flag pass is a broadcast join + a
+    * map-only integer filter — no second shuffle, no sort until the
+    * dimension-sized output. */
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec2) * lit(100)).cast("long").as("v"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("v")).cast(d38).as("s"),
+      sum(col("v").cast(d38) * col("v").cast(d38)).as("ss"))
+    val dev = ev("v").cast(d38) * col("n") - col("s")
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(9).cast(d38) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), ev("v"))
+      .orderBy(col("event_id"))
+  }
+
+  val anomaliesSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM events),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |         CAST(SUM(v) AS HUGEINT) AS s,
+      |         SUM(CAST(v AS HUGEINT) * v) AS ss
+      |       FROM e GROUP BY 1)
+      |SELECT event_id, event_type, v
+      |FROM e JOIN st USING (event_type)
+      |WHERE (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
+      |ORDER BY event_id""".stripMargin
+
   val sessionsSql: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

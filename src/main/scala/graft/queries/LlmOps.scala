@@ -3031,6 +3031,127 @@ object LlmOps {
        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
        |JOIN firsts f ON f.fp = b.fp""".stripMargin
 
+  /** Per-source quality cap — the anti-monopoly mixing rule: no source
+    * contributes more than its top-K docs by quality (K=10), however
+    * large the source is. The rank is a per-source row_number over
+    * (quality desc, doc_id), filtered at K — exactly the shape Spark's
+    * WindowGroupLimit optimization prunes to a per-partition top-K
+    * heap, so the shuffle carries at most K rows per (source,
+    * partition), never the whole source (plan-asserted in LlmOpsSpec
+    * alongside the batched-retrieval rank). */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"), col("source"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("doc_id"), col("source"), col("q"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sourceCapSql: String =
+    s"""WITH n AS (SELECT doc_id, source, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, source, norm, $QualitySignalColsSql FROM n),
+       |scored AS (SELECT doc_id, source, $QualityScoreSql AS q FROM m),
+       |rk AS (SELECT doc_id, source, q,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT doc_id, source, q, rk FROM rk WHERE rk <= 10
+       |ORDER BY source, rk""".stripMargin
+
+  /** Train/val/test split-leak audit — the integrity check every real
+    * pipeline must run before training: after deterministic hash
+    * splitting, NO text fingerprint may appear in more than one split
+    * (a doc whose near-copy lands in val leaks supervision). The gate
+    * plants the violation: re-crawls (doc_id + 30000 for every 6th
+    * doc) hash-split independently of their originals, so some pairs
+    * straddle splits. Output: one row per leaking fingerprint with the
+    * splits it reaches, plus the doc count.
+    *
+    * Scale shape: fingerprints are computed map-side (16-byte md5 —
+    * text never shuffles), the leak test is one fp-keyed aggregate
+    * with countDistinct(split) partial-aggregated, and the offender
+    * list is corpus-fraction-sized. */
+  def splitLeak(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val crawl = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    graft.sampling.Sampling.deterministicSplit(crawl, "doc_id", 0.05, 0.05)
+      .select(col("doc_id"), col("split"), fingerprint_md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy(col("fp"))
+  }
+
+  val splitLeakSql: String =
+    s"""WITH crawl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 6 = 0),
+       |sp AS (SELECT doc_id, md5($NormSql) AS fp,
+       |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+       |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+       |       ELSE 'train' END AS split
+       |  FROM crawl)
+       |SELECT fp, COUNT(*) AS n_docs, COUNT(DISTINCT split) AS n_splits,
+       |  array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+       |FROM sp GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+       |ORDER BY fp""".stripMargin
+
+  /** Asset-level exact dedup on opaque multimodal payloads: the binary
+    * dedup key is (kind, md5(payload), byte length) — payload bytes
+    * themselves never shuffle, the d_exact discipline applied to media.
+    * The corpus has no natural payload dups, so the gate re-ingests
+    * every 4th document's asset under a new asset_id (the re-uploaded
+    * file shape); keeper = lowest asset_id per group. The md5+length
+    * pair makes an engineered-collision false-merge need BOTH a same-
+    * length md5 collision — the standard content-address compromise at
+    * exabyte object stores. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val assets = Multimodal.assetsFromDocuments(docs).toDF()
+      .unionByName(
+        Multimodal.assetsFromDocuments(docs.filter(col("doc_id") % 4 === 1))
+          .toDF().withColumn("asset_id", col("asset_id") + 50000))
+    val keyed = assets.select(col("asset_id"), col("kind"),
+      md5(col("payload")).as("fp"), length(col("payload")).cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("fp"), col("n_bytes"))
+    keyed
+      .withColumn("keeper", min(col("asset_id")).over(w))
+      .select(col("asset_id"), col("kind"), col("fp"), col("n_bytes"),
+        when(col("asset_id") === col("keeper"), "kept").otherwise("dup").as("status"))
+      .orderBy(col("asset_id"))
+  }
+
+  val mmDedupSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    md5(text) AS fp, CAST(length(text) AS BIGINT) AS n_bytes
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 50000,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END,
+      |    md5(text), CAST(length(text) AS BIGINT)
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |k AS (SELECT kind, fp, n_bytes, MIN(asset_id) AS keeper
+      |      FROM a GROUP BY 1, 2, 3)
+      |SELECT asset_id, kind, fp, n_bytes,
+      |  CASE WHEN asset_id = keeper THEN 'kept' ELSE 'dup' END AS status
+      |FROM a JOIN k USING (kind, fp, n_bytes)
+      |ORDER BY asset_id""".stripMargin
+
   /** Multinomial Naive Bayes language classifier, trained on the ~15/16
     * of docs whose id-md5 doesn't start with '0' and scored on the
     * held-out 1/16 — the learned counterpart to the t_langid heuristic.

@@ -87,7 +87,12 @@ object ExplainAudit {
       // bucket directory and keep the per-doc running sum partitioned
       // by bucket (also plan-asserted in LlmOpsSpec); DSIR scoring
       // broadcasts both LM tables off ONE token-count shuffle
-      "t_token_budget", "t_dsir").foreach(audit)
+      "t_token_budget", "t_dsir",
+      // round 10c: source cap must WindowGroupLimit-prune; the leak
+      // audit shuffles 16-byte fps only; mm dedup shuffles (id, kind,
+      // fp, len) — payload bytes stay in the map stage; anomaly flags
+      // broadcast the per-type moments, no second event shuffle
+      "t_source_cap", "t_split_leak", "mm_dedup", "ev_anomaly").foreach(audit)
     spark.stop()
   }
 }

@@ -1275,6 +1275,59 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
   }
 
+  test("source cap: ≤K per source, ranks contiguous, WindowGroupLimit prunes the rank") {
+    val df = queries.LlmOps.sourceCap(spark, sf001)
+    val rows = df.collect().map(r =>
+      (r.getString(1), r.getLong(3), r.getLong(0), r.getDouble(2)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 10, s"$src exceeds the cap: ${rs.length}")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$src ranks not contiguous: ${rs.map(_._2).sorted.mkString(",")}")
+      // rank order follows (quality desc, doc_id)
+      val ordered = rs.sortBy(_._2).map(t => (-t._4, t._3))
+      assert(ordered.sameElements(ordered.sorted), s"$src rank order broken")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not WindowGroupLimit-pruned:\n${plan.take(1200)}")
+  }
+
+  test("split-leak audit: exactly the planted straddling re-crawls, none without them") {
+    val rows = queries.LlmOps.splitLeak(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // recompute the expectation: a 6th-multiple doc leaks iff its
+    // re-crawl id hashes into a different split
+    val split = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      if (h < "0d") "test" else if (h < "1a") "val" else "train"
+    }
+    val planted = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 6 == 0).filter(id => split(id) != split(id + 30000))
+    assert(rows.length == planted.length,
+      s"${rows.length} leaks vs ${planted.length} planted straddlers")
+    assert(rows.forall { case (_, n, k, s) =>
+      n == 2 && k == 2 && s.split(",").length == 2 })
+  }
+
+  test("mm_dedup: every replica marked dup against its original, keepers unique per group") {
+    val rows = queries.LlmOps.mmDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val groups = rows.groupBy(t => (t._2, t._3, t._4))
+    groups.foreach { case (g, rs) =>
+      assert(rs.count(_._5 == "kept") == 1, s"group $g has != 1 keeper")
+      assert(rs.filter(_._5 == "kept").map(_._1).min == rs.map(_._1).min,
+        s"group $g keeper is not the lowest asset_id")
+    }
+    // the planted re-uploads (asset_id >= 50000) must all be dups of
+    // their originals, and only they are dups in this corpus
+    val (replicas, originals) = rows.partition(_._1 >= 50000)
+    assert(replicas.nonEmpty && replicas.forall(_._5 == "dup"))
+    assert(originals.forall(_._5 == "kept"))
+  }
+
   test("DSIR importance: finite everywhere, target-language docs score higher, floors engaged") {
     val rows = queries.LlmOps.dsirScore(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
