@@ -3031,6 +3031,143 @@ object LlmOps {
        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
        |JOIN firsts f ON f.fp = b.fp""".stripMargin
 
+  /** Z-order bit positions: dim-a bits land at even positions, dim-b at
+    * odd — ONE loop emits both the Spark expression and the DuckDB
+    * fragment, the histBucket discipline (hand-syncing 16 bit terms is
+    * exactly how the two engines would drift). */
+  private def zInterleave(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Test hook: the interleave expression on arbitrary long columns
+    * (LlmOpsSpec pins the Morton-code corners through the SAME code
+    * path the gate compiles). */
+  private[graft] def zTest(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zInterleave(a, b)
+
+  private def zInterleaveSql(a: String, b: String): String =
+    (0 until 8).map { i =>
+      s"(($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order layout manifest — multi-dimensional clustering for data
+    * skipping (the lakehouse OPTIMIZE ZORDER shape): interleave the
+    * bits of two skipping dimensions (quality bucket 0..255, token
+    * count capped at 255) into a 16-bit Morton code, assign docs to
+    * files by the code's top 10 bits (z >> 6), and emit the per-file
+    * min/max manifest a scan would prune against. The interleave
+    * GUARANTEES locality: fixing the top 10 z-bits fixes the top 5
+    * bits of BOTH dims, so every file spans < 8 quality buckets AND
+    * < 8 token buckets (spec-asserted) — a single-dim sort would give
+    * perfect quality ranges but arbitrary token ranges.
+    *
+    * Scale shape: the code is map-only integer bit math; the manifest
+    * is one map-side-combined aggregate with ≤ 1024 rows. At 100 TB
+    * the write path is repartitionByRange(z) → sortWithinPartitions(z)
+    * → write, and THIS manifest is the skipping index. z_sum/id_sum
+    * pin file membership and every z value through the aggregate. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.documents(s, dir)
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+        size(split(col("norm"), " ")).cast("long").as("ntok"))
+      .select(col("doc_id"),
+        Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("qb"),
+        least(col("ntok"), lit(255L)).as("nb"))
+    dims.withColumn("z", zInterleave(col("qb"), col("nb")))
+      .withColumn("fid", shiftright(col("z"), 6))
+      .groupBy(col("fid"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("qb")).as("min_qb"), max(col("qb")).as("max_qb"),
+        min(col("nb")).as("min_nb"), max(col("nb")).as("max_nb"),
+        sum(col("z")).as("z_sum"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("fid"))
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm, $QualitySignalColsSql FROM n),
+       |scored AS (SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+       |  $QualityScoreSql AS q FROM m),
+       |dims AS (SELECT doc_id,
+       |  ${Sketch.histBucketSql("q", 256, 0.0, 1.0)} AS qb,
+       |  LEAST(ntok, 255) AS nb FROM scored),
+       |zc AS (SELECT doc_id, qb, nb,
+       |  ${zInterleaveSql("qb", "nb")} AS z FROM dims)
+       |SELECT z >> 6 AS fid, COUNT(*) AS n_docs,
+       |  MIN(qb) AS min_qb, MAX(qb) AS max_qb,
+       |  MIN(nb) AS min_nb, MAX(nb) AS max_nb,
+       |  CAST(SUM(z) AS BIGINT) AS z_sum, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental NEAR dedup gate ([[graft.dedup.Dedup.incrementalNear]]):
+    * docs with id % 5 == 0 arrive as the new batch against the rest as
+    * the history index. Planted arrivals exercise every status the way
+    * [[dedupIncremental]] does, but with NEAR copies (one appended
+    * token, Jaccard ≈ 0.9): re-crawls of history docs (id+10000, every
+    * 7th → dup_hist) and within-batch near-replays (id+20000, every 9th
+    * batch doc → dup_batch) — plus whatever natural ≥ 0.5 pairs straddle
+    * the split. Oracle recall argument is d_minhash_lsh's: 16 bands ×
+    * 4 rows recalls every ≥ 0.5 pair of this corpus (spec-proven there),
+    * so banding == the oracle's exact Jaccard join. */
+  def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val recrawls = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extrem")).as("text"))
+    val replays = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" zulu")).as("text"))
+    Dedup.incrementalNear(
+      fresh.unionByName(recrawls).unionByName(replays), hist)
+  }
+
+  val dedupIncrementalNearSql: String =
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text || ' extrem' FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' zulu' FROM documents
+       |  WHERE doc_id % 5 = 0 AND doc_id % 9 = 0),
+       |ad AS (SELECT doc_id, text, 'h' AS side FROM hist
+       |       UNION ALL SELECT doc_id, text, 'b' AS side FROM batch),
+       |toks AS (SELECT doc_id, side, string_split($NormSql, ' ') AS t FROM ad),
+       |sh AS (SELECT DISTINCT doc_id, side, t[i]||' '||t[i+1]||' '||t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, side, COUNT(*) AS n FROM sh GROUP BY 1, 2),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.side AS side_b,
+       |            COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.side = 'b'
+       |            AND (b.side = 'h' OR (b.side = 'b' AND b.doc_id < a.doc_id))
+       |          GROUP BY 1, 2, 3),
+       |jac AS (SELECT doc_a, side_b FROM inter
+       |        JOIN cnt ca ON ca.doc_id = doc_a AND ca.side = 'b'
+       |        JOIN cnt cb ON cb.doc_id = doc_b AND cb.side = inter.side_b
+       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+       |m AS (SELECT doc_a,
+       |        SUM(CASE WHEN side_b = 'h' THEN 1 ELSE 0 END) AS n_hist,
+       |        SUM(CASE WHEN side_b = 'b' THEN 1 ELSE 0 END) AS n_prior
+       |      FROM jac GROUP BY 1)
+       |SELECT b.doc_id, CAST(COALESCE(n_hist, 0) AS BIGINT) AS n_hist,
+       |  CAST(COALESCE(n_prior, 0) AS BIGINT) AS n_prior,
+       |  CASE WHEN COALESCE(n_hist, 0) > 0 THEN 'dup_hist'
+       |       WHEN COALESCE(n_prior, 0) > 0 THEN 'dup_batch'
+       |       ELSE 'kept' END AS status
+       |FROM batch b LEFT JOIN m ON m.doc_a = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Per-source quality cap — the anti-monopoly mixing rule: no source
     * contributes more than its top-K docs by quality (K=10), however
     * large the source is. The rank is a per-source row_number over

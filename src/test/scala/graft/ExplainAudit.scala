@@ -92,7 +92,12 @@ object ExplainAudit {
       // audit shuffles 16-byte fps only; mm dedup shuffles (id, kind,
       // fp, len) — payload bytes stay in the map stage; anomaly flags
       // broadcast the per-type moments, no second event shuffle
-      "t_source_cap", "t_split_leak", "mm_dedup", "ev_anomaly").foreach(audit)
+      "t_source_cap", "t_split_leak", "mm_dedup", "ev_anomaly",
+      // round 10d: incremental near dedup probes the banded history
+      // index by band key (no text through any shuffle, verify is
+      // candidate-only); z-order is map-only bit math + one manifest
+      // aggregate
+      "d_incremental_near", "t_zorder").foreach(audit)
     spark.stop()
   }
 }

@@ -1275,6 +1275,66 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
   }
 
+  test("incremental near dedup: planted near-copies classified, kept set disjoint from matches") {
+    val rows = queries.LlmOps.dedupIncrementalNear(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val byId = rows.map(t => t._1 -> t).toMap
+    // every planted re-crawl of a history doc is a history dup
+    val recrawls = rows.filter(t => t._1 >= 10000 && t._1 < 20000)
+    assert(recrawls.nonEmpty && recrawls.forall(_._4 == "dup_hist"))
+    assert(recrawls.forall(_._2 >= 1), "re-crawl with no history match count")
+    // every planted within-batch replay matches its lower-id original
+    // (dup_batch, unless the original itself near-matches history text,
+    // in which case the replay does too → dup_hist precedence)
+    val replays = rows.filter(_._1 >= 20000)
+    assert(replays.nonEmpty && replays.forall(t =>
+      t._4 == "dup_batch" || (t._4 == "dup_hist" && t._2 >= 1)))
+    assert(replays.filter(_._4 == "dup_batch").forall(_._3 >= 1))
+    // the replayed originals (id%5==0 && id%9==0) stay kept unless they
+    // have their own history/batch partner — never classified by their
+    // HIGHER-id replay
+    val originals = rows.filter(t => t._1 < 10000 && t._1 % 9 == 0)
+    originals.foreach { case (id, nh, np, st) =>
+      if (st == "dup_batch")
+        assert(np >= 1, s"original $id dup_batch without a lower-id match")
+    }
+    // statuses are a partition of the batch and consistent with counts
+    rows.foreach { case (id, nh, np, st) =>
+      val want = if (nh > 0) "dup_hist" else if (np > 0) "dup_batch" else "kept"
+      assert(st == want, s"doc $id: status $st vs counts ($nh, $np)")
+    }
+    assert(byId.size == rows.length, "duplicate doc_ids in output")
+  }
+
+  test("z-order interleave: corner values exact, every file spans <8 buckets in BOTH dims") {
+    // Morton-code corners through the same code path the gate uses
+    val corners = spark.range(1)
+      .select(
+        queries.LlmOps.zTest(lit(255L), lit(0L)).as("a"),
+        queries.LlmOps.zTest(lit(0L), lit(255L)).as("b"),
+        queries.LlmOps.zTest(lit(255L), lit(255L)).as("c"),
+        queries.LlmOps.zTest(lit(0L), lit(0L)).as("d"),
+        queries.LlmOps.zTest(lit(5L), lit(3L)).as("e"))
+      .collect().head
+    assert(corners.getLong(0) == 0x5555L)
+    assert(corners.getLong(1) == 0xAAAAL)
+    assert(corners.getLong(2) == 0xFFFFL)
+    assert(corners.getLong(3) == 0L)
+    // qb=5 (101b) at even bits -> 10001b; nb=3 (11b) at odd bits -> 1010b
+    assert(corners.getLong(4) == (0x11L | 0xAL))
+    // the data-skipping guarantee: top-10 z bits fix the top-5 bits of
+    // both dimensions, so no file may span 8+ buckets in either
+    val manifest = queries.LlmOps.zorderLayout(spark, sf001).collect()
+    assert(manifest.nonEmpty)
+    manifest.foreach { r =>
+      val (fid, maxQb, minQb, maxNb, minNb) =
+        (r.getLong(0), r.getLong(3), r.getLong(2), r.getLong(5), r.getLong(4))
+      assert(maxQb - minQb < 8, s"file $fid spans quality buckets [$minQb,$maxQb]")
+      assert(maxNb - minNb < 8, s"file $fid spans token buckets [$minNb,$maxNb]")
+    }
+  }
+
   test("source cap: ≤K per source, ranks contiguous, WindowGroupLimit prunes the rank") {
     val df = queries.LlmOps.sourceCap(spark, sf001)
     val rows = df.collect().map(r =>
