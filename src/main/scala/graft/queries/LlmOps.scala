@@ -3031,6 +3031,89 @@ object LlmOps {
        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
        |JOIN firsts f ON f.fp = b.fp""".stripMargin
 
+  /** Corpus snapshot diff — the ingest-audit operator: compare two
+    * corpus versions by (doc_id, content fingerprint) and emit what a
+    * data-versioned lakehouse commit log would record: `removed` (in A
+    * only), `added` (in B only), `changed` (both, fingerprint drifted).
+    * Unchanged docs are NOT emitted — the diff is change-sized, not
+    * corpus-sized. The gate's snapshot B plants all three: every 11th
+    * doc dropped, every 17th survivor revised (text + ' rev2'), and
+    * re-ingests (id+40000) of every 13th doc added.
+    *
+    * Scale shape: fingerprints are map-side md5 (text never shuffles);
+    * the diff is ONE full-outer join on doc_id; the changed test is a
+    * map-side fp compare. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.select(col("doc_id"), fingerprint_md5(col("text")).as("fp_a"))
+    val b = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      .select(col("doc_id"), fingerprint_md5(col("text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("fp_a"), col("fp_b"),
+        when(col("fp_b").isNull, "removed")
+          .when(col("fp_a").isNull, "added")
+          .when(col("fp_a") =!= col("fp_b"), "changed").as("status"))
+      .filter(col("status").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH a AS (SELECT doc_id, md5($NormSql) AS fp_a FROM documents),
+       |bdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 13 = 0),
+       |b AS (SELECT doc_id, md5($NormSql) AS fp_b FROM bdocs),
+       |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b,
+       |        CASE WHEN fp_b IS NULL THEN 'removed'
+       |             WHEN fp_a IS NULL THEN 'added'
+       |             WHEN fp_a <> fp_b THEN 'changed' END AS status
+       |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, fp_a, fp_b, status FROM d
+       |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin
+
+  /** Compaction plan — the small-files maintenance operator (the
+    * lakehouse OPTIMIZE/compact shape): within each partition directory
+    * (lang), bin docs in id order into target-size output files
+    * (4096 normalized chars) by running byte prefix-sum, and emit the
+    * per-file plan (counts, bytes, id range) a compactor would execute.
+    * Unlike t_pack's GLOBAL bucketed prefix, the running sum here is
+    * per-PARTITION-dir (`partitionBy(lang)`) — the natural distributed
+    * shape, since compaction never crosses partition boundaries. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 4096L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        length(norm_text(col("text"))).cast("long").as("bytes"))
+      .withColumn("sof", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("file_idx", floor(col("sof") / lit(target.toDouble)).cast("long"))
+      .groupBy(col("lang"), col("file_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("file_idx"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH n AS (SELECT doc_id, lang,
+       |  CAST(length($NormSql) AS BIGINT) AS bytes FROM documents),
+       |cum AS (SELECT doc_id, lang, bytes,
+       |  SUM(bytes) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - bytes AS sof FROM n)
+       |SELECT lang, CAST(floor(sof / 4096.0) AS BIGINT) AS file_idx,
+       |  COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS bytes,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Z-order bit positions: dim-a bits land at even positions, dim-b at
     * odd — ONE loop emits both the Spark expression and the DuckDB
     * fragment, the histBucket discipline (hand-syncing 16 bit terms is

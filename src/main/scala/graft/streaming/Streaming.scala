@@ -311,6 +311,48 @@ object Streaming {
       .orderBy(col("exact").desc, col("s"))
   }
 
+  /** Streaming anomaly moments (complete mode): the per-type moment
+    * triple (n, S=Σv, SS=Σv²) IS the streaming state — THREE integer
+    * counters per event type forever, the cheapest member of the
+    * bounded-state family ([[kmvDistinctStream]] 64 longs,
+    * cmsHeavyStream 3×1024, quantileSketchStream ≤256). Integer adds
+    * are order-invariant, so the final moments equal the batch
+    * aggregate bit-for-bit, and the z>3 flag pass — the same
+    * all-integer cross-multiplied test as the batch gate
+    * ([[graft.queries.Events.anomalies]]), run against the final
+    * moments — reuses the batch oracle verbatim. This is the streaming
+    * shape anomaly detection actually deploys: moments accumulate
+    * continuously; flagging is a map-only probe of the current state. */
+  def anomalyStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_anom"): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(12, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = eventsStream(s, dir)
+      .select(col("event_type"),
+        (col("value").cast(dec2) * lit(100)).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("v")).cast(d38).as("s"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("ss"))
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val stats = s.table(queryName)
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec2) * lit(100)).cast("long").as("v"))
+    val dev = ev("v").cast(d38) * col("n") - col("s")
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(9).cast(d38) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), ev("v"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-fingerprint fold for [[incrementalDedupStream]]: arriving docs
     * classify against the state exactly as the batch
     * [[graft.dedup.Dedup.incrementalExact]] does against its index —

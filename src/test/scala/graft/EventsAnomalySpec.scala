@@ -41,6 +41,19 @@ class EventsAnomalySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly flags == batch gate (order-invariant integer moments)") {
+    // the stream's only state is (n, S, SS) per event type — three
+    // integer counters; integer adds commute, so final moments and the
+    // flags derived from them equal the batch gate exactly
+    val stream = graft.streaming.Streaming
+      .anomalyStream(spark, sf001, "anom_stream_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = queries.Events.anomalies(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream drifted from batch: ${stream.take(3)} vs ${batch.take(3)}")
+  }
+
   test("anomaly plan: one moments aggregate, stats side broadcast, no second shuffle") {
     val df = queries.Events.anomalies(spark, sf001)
     df.collect() // finalize AQE

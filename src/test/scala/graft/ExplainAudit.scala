@@ -97,7 +97,11 @@ object ExplainAudit {
       // index by band key (no text through any shuffle, verify is
       // candidate-only); z-order is map-only bit math + one manifest
       // aggregate
-      "d_incremental_near", "t_zorder").foreach(audit)
+      "d_incremental_near", "t_zorder",
+      // round 10e: snapshot diff is one id-keyed full-outer join of
+      // map-side fingerprints; compaction's running sum is partitioned
+      // by the partition dir (never a global window)
+      "t_snapshot_diff", "t_compaction").foreach(audit)
     spark.stop()
   }
 }

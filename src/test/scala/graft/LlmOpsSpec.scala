@@ -1275,6 +1275,50 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
   }
 
+  test("snapshot diff: planted removals/revisions/additions recovered exactly, change-sized output") {
+    val rows = queries.LlmOps.snapshotDiff(spark, sf001).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)), r.getString(3)))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val removed = rows.filter(_._4 == "removed").map(_._1).toSet
+    val added = rows.filter(_._4 == "added").map(_._1).toSet
+    val changed = rows.filter(_._4 == "changed").map(_._1).toSet
+    assert(removed == ids.filter(_ % 11 == 0))
+    assert(added == ids.filter(_ % 13 == 0).map(_ + 40000))
+    assert(changed == ids.filter(id => id % 11 != 0 && id % 17 == 0))
+    // fingerprint sides agree with the status semantics
+    assert(rows.forall {
+      case (_, a, b, "removed") => a.isDefined && b.isEmpty
+      case (_, a, b, "added")   => a.isEmpty && b.isDefined
+      case (_, a, b, "changed") => a.isDefined && b.isDefined && a != b
+      case _ => false
+    })
+  }
+
+  test("compaction plan: contiguous files, ordered id ranges, bytes conserved per partition dir") {
+    val plan = queries.LlmOps.compactionPlan(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val totals = docs
+      .select(col("lang"), length(norm_text(col("text"))).cast("long").as("b"))
+      .groupBy("lang").agg(sum(col("b")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.groupBy(_._1).foreach { case (lang, files) =>
+      val sorted = files.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"$lang file indexes not contiguous")
+      // id ranges strictly ordered and non-overlapping
+      sorted.sliding(2).foreach {
+        case Array(p, q) => assert(p._6 < q._5,
+          s"$lang files ${p._2}/${q._2} overlap: ${p._6} !< ${q._5}")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == totals(lang), s"$lang bytes not conserved")
+      // next-fit discipline: every file but the last STARTS before the
+      // target boundary it fills, so only straddling docs overflow it
+      assert(sorted.init.forall(_._4 > 0) && sorted.forall(_._3 > 0))
+    }
+  }
+
   test("incremental near dedup: planted near-copies classified, kept set disjoint from matches") {
     val rows = queries.LlmOps.dedupIncrementalNear(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
