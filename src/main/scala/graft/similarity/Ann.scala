@@ -702,6 +702,83 @@ object Ann {
     * [[batchTopK]] is measured by the `s_ann_recall_pq` gate. Fully
     * oracled: codebook, codes, LUT partials and the quantized sum are
     * all deterministic, so DuckDB recomputes identical sims. */
+  /** Batched ANN on the COMPOSED production scale path — IVF cell
+    * pruning ∘ PQ/ADC scoring, the FAISS IVFADC index shape (flat
+    * codes; production adds residual encoding, which changes
+    * reconstruction error, not the composition): ONE map pass builds
+    * the complete at-rest index row per vector — coarse cell id + m
+    * subspace codes + norm — exactly what a 100 TB vector index
+    * persists (bytes per vector: 8 id + 1 cell + m codes + 8 norm,
+    * vs 4·dim for raw floats). Retrieval touches only the probed
+    * cells' rows AND reads only codes, never raw vectors: candidates
+    * come from the broadcast (query, cell) probe join, scores from m
+    * exact-BIGINT LUT adds, and the only exchange is the final
+    * per-query rank (WindowGroupLimit-pruned).
+    *
+    * Fully oracled like its parents ([[batchTopKIvf]], [[batchTopKPq]]):
+    * same deterministic seed geometry, same quantized-exact codebook
+    * and LUT partials, so DuckDB replays cell pruning AND compression
+    * end-to-end. */
+  def batchTopKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, probes: Int = 3, m: Int = 4, ksub: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 0, pqIters: Int = 0): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val spreadDf = graft.util.Partitioning.spreadIfNarrow(corpus)
+    val (cells, cents) = collectSeeds(
+      ivfSeeds(corpus, nCells, lloydIters, idCol, vecCol))
+    val (sub, pqc) = pqTrainedCodebook(corpus, m, ksub, pqIters, idCol, vecCol)
+    val enc = spreadDf.select(col(idCol),
+      org.apache.spark.sql.graft.NearestCentroid
+        .nearest_centroid(col(vecCol), cells, cents).as("cell"),
+      array(pqCodeCols(col(vecCol), sub, pqc): _*).as("codes"),
+      l2norm(col(vecCol)).as("cn"))
+    // query side is dimension-sized by the batch contract: collect once,
+    // derive the ADC LUT (quantized partials) and the norm driver-side
+    val qRows = queries.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val lutDf = qIds.indices.map { qi =>
+      val lut = pqc.zipWithIndex.map { case (cbj, j) =>
+        cbj.map(cv => quant9(dotLR(
+          java.util.Arrays.copyOfRange(qVecs(qi), j * sub, (j + 1) * sub),
+          cv))).toSeq
+      }.toSeq
+      (qIds(qi), lut, math.sqrt(ssqLR(qVecs(qi))))
+    }.toDF("query_id", "lut", "qn")
+    val seedsLocal = cells.zip(cents.map(c => if (c == null) null else c.toSeq))
+      .toSeq.toDF("cell_id", "cvec")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cs"), desc("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(seedsLocal))
+      .select(col("query_id"), col("cell_id").as("cell"),
+        round(cosine(col("qvec"), col("cvec")), 9).as("cs"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("cell"))
+      .join(lutDf, Seq("query_id"))
+    val squant = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1),
+        (col("codes").getItem(j) + lit(1L)).cast("int"))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("sim"), col(idCol))
+    enc.join(broadcast(queryCells), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round((squant.cast("double") / lit(1e9))
+          / (col("cn") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def batchTopKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -101,7 +101,11 @@ object ExplainAudit {
       // round 10e: snapshot diff is one id-keyed full-outer join of
       // map-side fingerprints; compaction's running sum is partitioned
       // by the partition dir (never a global window)
-      "t_snapshot_diff", "t_compaction").foreach(audit)
+      "t_snapshot_diff", "t_compaction",
+      // round 10f: IVFADC — index build is one map pass (cell + codes +
+      // norm), retrieval broadcasts the (query, cell, LUT) probe side,
+      // the only exchange is the WindowGroupLimit-pruned rank
+      "s_ann_ivfpq").foreach(audit)
     spark.stop()
   }
 }

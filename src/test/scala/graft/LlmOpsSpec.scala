@@ -1045,6 +1045,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"planted neighbor missed at 1 probe: $got")
   }
 
+  test("batchTopKIvfPq: exhaustive probes == flat PQ; partial-probe sims are ADC-exact") {
+    val qIds = Seq(0L, 100L, 200L)
+    val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
+    val queries = emb.filter(col("vec_id").isin(qIds: _*))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    // probing every cell reduces IVFADC to flat ADC — row-identical to
+    // batchTopKPq (cell pruning affects WHICH rows score, never scores)
+    val exhaustive = Ann.batchTopKIvfPq(corpus, queries, k = 5,
+      nCells = 8, probes = 8).collect().map(key).toSet
+    val flat = Ann.batchTopKPq(corpus, queries, k = 5).collect().map(key).toSet
+    assert(exhaustive == flat)
+    // partial probes: every returned sim must equal the flat ADC sim
+    // for that (query, vec) — pruning may drop pairs, never rescore them
+    val nCorpus = corpus.count().toInt
+    val allAdc = Ann.batchTopKPq(corpus, queries, k = nCorpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val partial = Ann.batchTopKIvfPq(corpus, queries, k = 3,
+      nCells = 8, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(partial.nonEmpty)
+    partial.foreach { case (q, v, sim) =>
+      assert(allAdc((q, v)) == sim, s"($q,$v): IVFADC $sim != flat ${allAdc((q, v))}")
+    }
+  }
+
   test("semDedupByCellSize: derived k >= 64, planted duplicates recalled within cells") {
     val dim = 16
     val rnd = new scala.util.Random(7)
