@@ -1885,6 +1885,126 @@ object LlmOps {
        |FROM hits, t ORDER BY probes""".stripMargin
   }
 
+  /** Measured recall@3 of the COMPOSED IVFADC path vs exact brute
+    * force, at probes 3 and 8 — the quality curve of [[annIvfPq]],
+    * closing the measured-quality discipline over the composition.
+    * probes = 8 is EXHAUSTIVE: the composition provably collapses to
+    * flat PQ (spec-proven), so that row IS s_ann_pq's compression-only
+    * recall, and the probes-3 row isolates what cell pruning costs on
+    * top of it. FULLY oracled: both loss sources are deterministic, so
+    * DuckDB replays pruning + ADC and reproduces the same table. */
+  def annRecallIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*))
+    val queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+    val truth = Ann.batchTopK(corpus, queries, k = 3)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Seq(3, 8).map { p =>
+      Ann.batchTopKIvfPq(corpus, queries, k = 3, nCells = 8, probes = p)
+        .select(lit(p.toLong).as("probes"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val hits = approx.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hit"))
+    Seq(3L, 8L).toDF("probes")
+      .join(hits, Seq("probes"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("probes"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"), 6)
+          .as("recall"))
+      .orderBy(col("probes"))
+  }
+
+  val annRecallIvfPqSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    val ksub = 8; val sub = 16
+    val js = (0 until 4).mkString(", ")
+    def qcCte(name: String, probes: Int) =
+      s"""$name AS (SELECT query_id, cell FROM (
+         |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+         |               s.cell_id DESC) AS pr
+         |  FROM embeddings q CROSS JOIN seeds s
+         |  WHERE q.vec_id IN ($ids)) t WHERE pr <= $probes)""".stripMargin
+    def adcRank(name: String, qcName: String) =
+      s"""$name AS (SELECT query_id, vec_id FROM (
+         |  SELECT sc.query_id, sc.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sc.query_id
+         |      ORDER BY ROUND((CAST(sc.squant AS DOUBLE) / 1e9)
+         |                     / (cvn.cn * qvn.qn), 6) DESC, sc.vec_id) AS rank
+         |  FROM sc
+         |  JOIN asg ON asg.vec_id = sc.vec_id
+         |  JOIN $qcName qc ON qc.cell = asg.cell AND qc.query_id = sc.query_id
+         |  JOIN cvn ON cvn.vec_id = sc.vec_id
+         |  JOIN qvn ON qvn.query_id = sc.query_id) t WHERE rank <= 3)""".stripMargin
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id NOT IN ($ids)
+       |               ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1),
+       |cb AS (
+       |  SELECT j.j, s.code, list_slice(s.e, j.j*$sub+1, (j.j+1)*$sub) AS sub
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+       |               embedding::DOUBLE[] AS e
+       |        FROM embeddings WHERE vec_id NOT IN ($ids)
+       |        ORDER BY vec_id LIMIT $ksub) s
+       |  CROSS JOIN (SELECT unnest([$js]) AS j) j),
+       |cvn AS (SELECT vec_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+       |  FROM embeddings WHERE vec_id NOT IN ($ids)),
+       |qvn AS (SELECT vec_id AS query_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |enc AS (SELECT vec_id, j, code FROM (
+       |  SELECT x.vec_id, x.j, x.code,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+       |      ORDER BY ROUND((list_dot_product(x.sl, x.sl)
+       |          - 2*list_dot_product(x.sl, x.sub))
+       |          + list_dot_product(x.sub, x.sub), 9) ASC, x.code ASC) AS rn
+       |  FROM (SELECT e.vec_id, cb.j, cb.code, cb.sub,
+       |               list_slice(e.ev, cb.j*$sub+1, (cb.j+1)*$sub) AS sl
+       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |              WHERE vec_id NOT IN ($ids)) e
+       |        CROSS JOIN cb) x) t WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.j, cb.code,
+       |    CAST(ROUND(list_dot_product(
+       |      list_slice(q.ev, cb.j*$sub+1, (cb.j+1)*$sub), cb.sub) * 1e9) AS BIGINT) AS pq
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |        WHERE vec_id IN ($ids)) q
+       |  CROSS JOIN cb),
+       |sc AS (SELECT l.query_id, enc.vec_id, SUM(l.pq) AS squant
+       |  FROM enc JOIN lut l ON l.j = enc.j AND l.code = enc.code
+       |  GROUP BY l.query_id, enc.vec_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
+       |               e.vec_id) AS rank
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id IN ($ids) AND e.vec_id NOT IN ($ids)) t WHERE rank <= 3),
+       |${qcCte("qc3", 3)},
+       |${adcRank("r3", "qc3")},
+       |${qcCte("qc8", 8)},
+       |${adcRank("r8", "qc8")},
+       |hits AS (
+       |  SELECT CAST(3 AS BIGINT) AS probes,
+       |    (SELECT COUNT(*) FROM r3 JOIN truth USING (query_id, vec_id)) AS n_hit
+       |  UNION ALL
+       |  SELECT CAST(8 AS BIGINT),
+       |    (SELECT COUNT(*) FROM r8 JOIN truth USING (query_id, vec_id))),
+       |t AS (SELECT COUNT(*) AS n_true FROM truth)
+       |SELECT probes, n_hit, n_true,
+       |  ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+       |FROM hits, t ORDER BY probes""".stripMargin
+  }
+
   /** Measured recall@k of the PQ approximation vs exact brute force —
     * [[annRecall]]'s quality-curve gate for the product-quantization
     * scale path, across codebook training: top-3 by ADC at pqIters ∈

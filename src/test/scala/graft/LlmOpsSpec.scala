@@ -1071,6 +1071,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC recall gate: exhaustive-probe row == flat-PQ recall gate's untrained row") {
+    // the two measured-quality gates must agree where their paths
+    // coincide: probes = nCells makes the composition flat PQ, so its
+    // n_hit equals s_ann_recall_pq's iters-0 n_hit against the same truth
+    val comp = queries.LlmOps.annRecallIvfPq(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val flat = queries.LlmOps.annRecallPq(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(comp(8L) == flat(0L),
+      s"exhaustive IVFADC ${comp(8L)} != flat PQ iters-0 ${flat(0L)}")
+    // pruning can only lose hits
+    assert(comp(3L)._1 <= comp(8L)._1)
+  }
+
   test("semDedupByCellSize: derived k >= 64, planted duplicates recalled within cells") {
     val dim = 16
     val rnd = new scala.util.Random(7)
