@@ -686,21 +686,57 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  val dsirScoreSql: String =
-    s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split($NormSql, ' ')) AS w
+  /** Shared oracle CTEs for the DSIR gates (one definition, the
+    * ShingleCtes discipline): expose `ds(doc_id, lang, w_dsir)`. */
+  private val DsirCtes: String =
+    s"""tok AS (SELECT doc_id, lang, unnest(string_split($NormSql, ' ')) AS w
        |  FROM documents),
        |c AS (SELECT w, COUNT(*) AS c_all,
        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
        |      FROM tok GROUP BY w),
        |tot AS (SELECT CAST(SUM(c_all) AS DOUBLE) AS tot_all,
        |               CAST(SUM(c_tgt) AS DOUBLE) AS tot_tgt FROM c),
-       |v AS (SELECT w, c_all, c_tgt FROM c ORDER BY c_all DESC, w LIMIT 12)
-       |SELECT doc_id, lang,
+       |v AS (SELECT w, c_all, c_tgt FROM c ORDER BY c_all DESC, w LIMIT 12),
+       |ds AS (SELECT doc_id, lang,
        |  ROUND(AVG(log2(CAST(COALESCE(v.c_tgt, 0) + 1 AS DOUBLE) / (SELECT tot_tgt FROM tot))
        |          - log2(CAST(COALESCE(v.c_all, 1) AS DOUBLE) / (SELECT tot_all FROM tot))), 6)
        |    AS w_dsir
        |FROM tok LEFT JOIN v USING (w)
-       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id, lang)""".stripMargin
+
+  val dsirScoreSql: String =
+    s"""WITH $DsirCtes
+       |SELECT doc_id, lang, w_dsir FROM ds ORDER BY doc_id""".stripMargin
+
+  /** DSIR end-to-end: score → IMPORTANCE RESAMPLE — the selection step
+    * of the published pipeline, composed from [[dsirScore]] and the
+    * deterministic per-row sampler
+    * ([[graft.sampling.Sampling.weightedHashSample]]). The keep
+    * probability is a monotone squash of the log-likelihood ratio onto
+    * [0,1] — `(w − 0.3) / 0.7`, clamped, round(6) — chosen linear (one
+    * subtract + one divide, bit-identical across engines) rather than
+    * the paper's exp(w/T), whose transcendental could flip a 1/256
+    * hash-bucket boundary cross-engine. Same map-only/no-RNG contract
+    * as t_quality_sample: the kept set is a pure function of
+    * (doc_id, score), stable under repartitioning. */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val scored = dsirScore(s, dir).withColumn("p_keep",
+      round(least(lit(1.0), greatest(lit(0.0),
+        (col("w_dsir") - lit(0.3)) / lit(0.7))), 6))
+    graft.sampling.Sampling.weightedHashSample(scored, "doc_id", col("p_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirSampleSql: String =
+    s"""WITH $DsirCtes,
+       |p AS (SELECT doc_id, lang, w_dsir,
+       |  ROUND(LEAST(1.0, GREATEST(0.0, (w_dsir - 0.3) / 0.7)), 6) AS p_keep
+       |  FROM ds)
+       |SELECT doc_id, lang, w_dsir, p_keep FROM p
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+       |  printf('%02x', GREATEST(0, LEAST(255,
+       |    CAST(COALESCE(floor(p_keep * 256), 0) AS BIGINT))))
+       |ORDER BY doc_id""".stripMargin
 
   /** Token-window chunking with overlap (context-window packing): each
     * doc → ⌈max(ntok−size, 0)/stride⌉ + 1 chunks of ≤ `size` tokens

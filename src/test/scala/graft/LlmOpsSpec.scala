@@ -1419,6 +1419,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR resampling: kept set is the exact hash-threshold function of the scores") {
+    val scores = queries.LlmOps.dsirScore(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val kept = queries.LlmOps.dsirSample(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    def bucket(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val expect = scores.flatMap { case (id, _, w) =>
+      val p = BigDecimal(math.min(1.0, math.max(0.0, (w - 0.3) / 0.7)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val thr = math.max(0L, math.min(255L, math.floor(p * 256).toLong))
+      if (bucket(id) < f"$thr%02x") Some(id -> p) else None
+    }.toMap
+    assert(kept == expect)
+    // the selection is target-seeking: en docs survive at a higher rate
+    def rate(ids: Array[Long]) = ids.count(kept.contains).toDouble / ids.length
+    val enIds = scores.filter(_._2 == "en").map(_._1)
+    val restIds = scores.filter(_._2 != "en").map(_._1)
+    assert(rate(enIds) > rate(restIds), "target language not preferentially kept")
+  }
+
   test("source cap: ≤K per source, ranks contiguous, WindowGroupLimit prunes the rank") {
     val df = queries.LlmOps.sourceCap(spark, sf001)
     val rows = df.collect().map(r =>
