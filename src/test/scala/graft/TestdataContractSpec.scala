@@ -73,6 +73,16 @@ class TestdataContractSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet
     assert(Set("click", "view").subsetOf(types),
       s"event_type domain drifted: $types")
+    // ev_anomaly / st_anomaly_stream turn value into exact integer
+    // cents via CAST(value AS DECIMAL(12,2))·100 — that is only
+    // lossless while the generator emits 2-decimal money values; a
+    // drift to free doubles would silently round and the all-integer
+    // z-test would stop matching the float reality it models
+    val nonCents = ev.filter(
+      (col("value").cast("decimal(12,2)") * 100).cast("long").cast("double")
+        =!= round(col("value") * 100, 0)).count()
+    assert(nonCents == 0,
+      s"$nonCents events.value rows are not exact 2-decimal money")
   }
 
   test("tpch-ish tables: the columns the relational oracles name, by type") {
