@@ -3428,6 +3428,85 @@ object LlmOps {
        |  CAST(SUM(z) AS BIGINT) AS z_sum, CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Selection-and-layout capstone — the round-10 data-management
+    * operators COMPOSED into one plan: quality floor (q ≥ 0.3, ntok ≥
+    * 10) → token-budget selection ([[tokenBudget]]'s bucket-directory
+    * greedy prefix, budget = 40% of the FILTERED corpus's tokens) →
+    * z-order layout of the selected docs ([[zorderLayout]]), emitting
+    * the per-file skipping manifest a writer would commit. This is the
+    * write side of a curation job: pick the best data under a budget,
+    * then lay it out for pruned reads.
+    *
+    * ONE corpus scan: the filtered scored trunk (doc_id, q, ntok,
+    * bucket) is cached once; the bucket directory, the bucket-
+    * partitioned selection window and the manifest aggregate all fan
+    * out from it (single documents scan plan-asserted in LlmOpsSpec).
+    * The oracle CTE chain replays floor → global greedy window →
+    * Morton manifest end-to-end. */
+  def pipelineBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm_text(col("text")).as("norm"))
+        .select(col("doc_id"),
+          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+          size(split(col("norm"), " ")).cast("long").as("ntok"))
+        .filter(col("q") >= 0.3 && col("ntok") >= 10)
+        .withColumn("bucket", Sketch.histBucket(col("q"), 1024, 0.0, 1.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perBucket = scored.groupBy(col("bucket")).agg(sum(col("ntok")).as("btok"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dir1024 = perBucket
+      .withColumn("cum_before", sum(col("btok")).over(wDesc) - col("btok"))
+      .withColumn("budget",
+        floor((sum(col("btok")).over(wAll) * lit(2L)) / lit(5L)).cast("long"))
+      .select(col("bucket"), col("cum_before"), col("budget"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val selected = scored.join(broadcast(dir1024), Seq("bucket"))
+      .withColumn("cum", col("cum_before") + sum(col("ntok")).over(wIn))
+      .filter(col("cum") <= col("budget"))
+    selected
+      .select(col("doc_id"),
+        Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("qb"),
+        least(col("ntok"), lit(255L)).as("nb"))
+      .withColumn("z", zInterleave(col("qb"), col("nb")))
+      .withColumn("fid", shiftright(col("z"), 6))
+      .groupBy(col("fid"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("qb")).as("min_qb"), max(col("qb")).as("max_qb"),
+        min(col("nb")).as("min_nb"), max(col("nb")).as("max_nb"),
+        sum(col("z")).as("z_sum"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("fid"))
+  }
+
+  val pipelineBudgetSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm, $QualitySignalColsSql FROM n),
+       |scored0 AS (SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+       |  $QualityScoreSql AS q FROM m),
+       |scored AS (SELECT * FROM scored0 WHERE q >= 0.3 AND ntok >= 10),
+       |b AS (SELECT (SUM(ntok) * 2) // 5 AS budget FROM scored),
+       |cum AS (SELECT doc_id, q, ntok,
+       |  SUM(ntok) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM scored),
+       |sel AS (SELECT doc_id, q, ntok FROM cum
+       |        WHERE cum <= (SELECT budget FROM b)),
+       |dims AS (SELECT doc_id,
+       |  ${Sketch.histBucketSql("q", 256, 0.0, 1.0)} AS qb,
+       |  LEAST(ntok, 255) AS nb FROM sel),
+       |zc AS (SELECT doc_id, qb, nb,
+       |  ${zInterleaveSql("qb", "nb")} AS z FROM dims)
+       |SELECT z >> 6 AS fid, COUNT(*) AS n_docs,
+       |  MIN(qb) AS min_qb, MAX(qb) AS max_qb,
+       |  MIN(nb) AS min_nb, MAX(nb) AS max_nb,
+       |  CAST(SUM(z) AS BIGINT) AS z_sum, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental NEAR dedup gate ([[graft.dedup.Dedup.incrementalNear]]):
     * docs with id % 5 == 0 arrive as the new batch against the rest as
     * the history index. Planted arrivals exercise every status the way

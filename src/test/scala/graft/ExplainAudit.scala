@@ -105,7 +105,10 @@ object ExplainAudit {
       // round 10f: IVFADC — index build is one map pass (cell + codes +
       // norm), retrieval broadcasts the (query, cell, LUT) probe side,
       // the only exchange is the WindowGroupLimit-pruned rank
-      "s_ann_ivfpq").foreach(audit)
+      "s_ann_ivfpq",
+      // round 10g: the selection-and-layout capstone fans every stage
+      // off one cached scored trunk (also plan-asserted in LlmOpsSpec)
+      "t_pipeline_budget").foreach(audit)
     spark.stop()
   }
 }

@@ -1136,6 +1136,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(removed == expected)
   }
 
+  test("budget capstone: one corpus scan, budget respected, manifest locality holds, caches released") {
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val df = graft.queries.LlmOps.pipelineBudget(spark, sf001)
+    val manifest = df.collect()
+    // one documents.parquet scan: floor, directory, selection window
+    // and manifest all fan out of the staged cache
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def docScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Seq.empty[FileSourceScanExec]
+      }
+      val hidden = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      here ++ (p.children ++ hidden).flatMap(docScans)
+    }
+    val all = docScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("documents")))
+    val scans = all.foldLeft(Vector.empty[FileSourceScanExec])(
+      (acc, s) => if (acc.exists(_ eq s)) acc else acc :+ s)
+    assert(scans.size == 1,
+      s"expected exactly 1 documents.parquet scan, found ${scans.size}")
+    // the selected set respects the budget: recompute the floor +
+    // greedy prefix naively and compare manifest membership (id_sum)
+    val scored = docs
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .select(col("doc_id"),
+        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+        size(split(col("norm"), " ")).cast("long").as("ntok"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .filter { case (_, q, nt) => q >= 0.3 && nt >= 10 }
+    val budget = scored.map(_._3).sum * 2 / 5
+    val sel = scored.sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, _, nt)) => (id, cum + nt) }
+      .drop(1).takeWhile(_._2 <= budget).map(_._1).toSet
+    assert(manifest.map(_.getLong(7)).sum == sel.sum, "manifest id_sum != greedy selection")
+    assert(manifest.map(_.getLong(1)).sum == sel.size.toLong)
+    // z-order locality carries through the composition
+    manifest.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 8 && r.getLong(5) - r.getLong(4) < 8,
+        s"file ${r.getLong(0)} breaks the <8-bucket locality bound")
+    }
+    assert(graft.util.IntermediateCaches.trackedCount > 0)
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("span-cleaning capstone: one corpus scan, consistent totals, caches released") {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val df = graft.queries.LlmOps.pipelineSpans(spark, sf001)
