@@ -1763,6 +1763,102 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** RESIDUAL-encoded IVFADC ([[graft.similarity.Ann.batchTopKIvfPqRes]])
+    * — the production-exact FAISS composition: PQ codes quantize the
+    * residual x − c(cell), scoring composes the coarse term ⟨q,c⟩ with
+    * the residual LUT partials via the inner-product identity, both
+    * 1e-9-quantized BIGINTs. FULLY oracled: DuckDB replays assignment,
+    * residuals (element-wise via the proven LATERAL-unnest chain),
+    * residual codebook, encode argmin and the composed exact-integer
+    * score end-to-end. */
+  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.batchTopKIvfPqRes(
+      corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
+      k = 3, nCells = 8, probes = 3, m = 4, ksub = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfPqResSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    val ksub = 8; val sub = 16
+    val js = (0 until 4).mkString(", ")
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id NOT IN ($ids)
+       |               ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1),
+       |qc AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds s
+       |  WHERE q.vec_id IN ($ids)) t WHERE pr <= 3),
+       |resid AS (SELECT e.vec_id, list(e.ev[i] - s.cvec[i] ORDER BY i) AS rv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |        WHERE vec_id NOT IN ($ids)) e
+       |  JOIN asg a ON a.vec_id = e.vec_id
+       |  JOIN seeds s ON s.cell_id = a.cell,
+       |  LATERAL (SELECT unnest(generate_series(1, len(e.ev))) AS i)
+       |  GROUP BY e.vec_id),
+       |rcb AS (
+       |  SELECT j.j, r.code, list_slice(r.rv, j.j*$sub+1, (j.j+1)*$sub) AS sub
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, rv
+       |        FROM resid ORDER BY vec_id LIMIT $ksub) r
+       |  CROSS JOIN (SELECT unnest([$js]) AS j) j),
+       |cvn AS (SELECT vec_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+       |  FROM embeddings WHERE vec_id NOT IN ($ids)),
+       |qvn AS (SELECT vec_id AS query_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |enc AS (SELECT vec_id, j, code FROM (
+       |  SELECT x.vec_id, x.j, x.code,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+       |      ORDER BY ROUND((list_dot_product(x.sl, x.sl)
+       |          - 2*list_dot_product(x.sl, x.sub))
+       |          + list_dot_product(x.sub, x.sub), 9) ASC, x.code ASC) AS rn
+       |  FROM (SELECT r.vec_id, rcb.j, rcb.code, rcb.sub,
+       |               list_slice(r.rv, rcb.j*$sub+1, (rcb.j+1)*$sub) AS sl
+       |        FROM resid r CROSS JOIN rcb) x) t WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, rcb.j, rcb.code,
+       |    CAST(ROUND(list_dot_product(
+       |      list_slice(q.ev, rcb.j*$sub+1, (rcb.j+1)*$sub), rcb.sub) * 1e9) AS BIGINT) AS pq
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |        WHERE vec_id IN ($ids)) q
+       |  CROSS JOIN rcb),
+       |ip AS (SELECT q.vec_id AS query_id, s.cell_id AS cell,
+       |    CAST(ROUND(list_dot_product(q.embedding::DOUBLE[], s.cvec::DOUBLE[])
+       |               * 1e9) AS BIGINT) AS ipqc
+       |  FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id IN ($ids)),
+       |cand AS (SELECT qc.query_id, asg.vec_id, asg.cell
+       |         FROM qc JOIN asg ON asg.cell = qc.cell),
+       |sc AS (SELECT l.query_id, enc.vec_id, SUM(l.pq) AS squant
+       |  FROM enc JOIN lut l ON l.j = enc.j AND l.code = enc.code
+       |  JOIN cand ON cand.query_id = l.query_id AND cand.vec_id = enc.vec_id
+       |  GROUP BY l.query_id, enc.vec_id),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    ROUND((CAST(ip.ipqc + sc.squant AS DOUBLE) / 1e9)
+       |          / (cvn.cn * qvn.qn), 6) AS sim
+       |  FROM cand c
+       |  JOIN ip ON ip.query_id = c.query_id AND ip.cell = c.cell
+       |  JOIN sc ON sc.query_id = c.query_id AND sc.vec_id = c.vec_id
+       |  JOIN cvn ON cvn.vec_id = c.vec_id
+       |  JOIN qvn ON qvn.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** [[annBatchIvf]] on the PRODUCTION k-means geometry: two Lloyd
     * iterations refine the seed cells before assignment/probing. Fully
     * oracled — the refinement is the quantized-exact mean (see

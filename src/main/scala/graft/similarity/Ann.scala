@@ -779,6 +779,111 @@ object Ann {
         col("rank").cast("long").as("rank"))
   }
 
+  /** [[batchTopKIvfPq]] with RESIDUAL encoding — the production-exact
+    * FAISS IVFADC: each vector's PQ codes quantize its residual
+    * `x − c(cell)` (what's left after the coarse quantizer), not the
+    * raw vector, so the codebook spends its 8 codes per subspace on
+    * the within-cell detail instead of re-describing cell geometry.
+    * Scoring uses the inner-product identity
+    * `⟨q,x⟩ ≈ ⟨q,c⟩ + ⟨q,r̂⟩`: the per-(query, cell) coarse term and
+    * the m LUT partials are BOTH 1e-9-quantized BIGINTs, so the sum
+    * stays exact-integer and the whole chain — assignment, residuals,
+    * residual codebook, encode, LUT, composed score — replays in
+    * DuckDB bit-for-bit. Index row and retrieval shape are identical
+    * to [[batchTopKIvfPq]] (cell + m codes + norm; probed-cell
+    * broadcast; one rank exchange).
+    *
+    * Honesty note on quality: with the ITERATION-0 codebook (8
+    * residual samples) on the near-random synthetic corpus, residual
+    * encoding does not yet beat flat codes (measured mean |sim−exact|
+    * 0.124 vs 0.108 at sf0.01) — the coarse quantizer explains little
+    * variance there, so residuals ≈ raw vectors with a
+    * differently-seeded codebook. The structural win appears with
+    * trained codebooks on clustered data; what THIS gate certifies is
+    * the production math (the IP identity, exact-integer composition),
+    * with codebook-seed vectors provably reconstructed exactly
+    * (spec). */
+  def batchTopKIvfPqRes(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, probes: Int = 3, m: Int = 4, ksub: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val spreadDf = graft.util.Partitioning.spreadIfNarrow(corpus)
+    val (cells, cents) = collectSeeds(ivfSeeds(corpus, nCells, 0, idCol, vecCol))
+    require(cents.forall(_ != null), "residual path needs the seed-slice geometry")
+    // centroid lookup by cell id (8-way literal chain — dimension-sized)
+    val centroidOf: Column = cells.zip(cents).foldLeft(
+      lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
+      when(col("cell") === id, typedLit(cv.toSeq)).otherwise(acc)
+    }
+    val base = spreadDf
+      .select(col(idCol), col(vecCol),
+        org.apache.spark.sql.graft.NearestCentroid
+          .nearest_centroid(col(vecCol), cells, cents).as("cell"))
+      .withColumn("resid", zip_with(
+        transform(col(vecCol), x => x.cast("double")), centroidOf,
+        (a, b) => a - b))
+    // residual codebook: residuals of the ksub lowest-id corpus vectors
+    // (iteration-0 slice — the [[pqCodebook]] convention on residuals)
+    val rvecs = base.orderBy(col(idCol)).limit(ksub)
+      .select(col("resid")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = rvecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val rcb = Array.tabulate(m, rvecs.length) { (j, c) =>
+      java.util.Arrays.copyOfRange(rvecs(c), j * sub, (j + 1) * sub)
+    }
+    val enc = base.select(col(idCol), col("cell"),
+      array(pqCodeCols(col("resid"), sub, rcb): _*).as("codes"),
+      l2norm(col(vecCol)).as("cn"))
+    // query side: LUT over the residual codebook + per-cell coarse term
+    val qRows = queries.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val lutDf = qIds.indices.map { qi =>
+      val lut = rcb.zipWithIndex.map { case (cbj, j) =>
+        cbj.map(cv => quant9(dotLR(
+          java.util.Arrays.copyOfRange(qVecs(qi), j * sub, (j + 1) * sub),
+          cv))).toSeq
+      }.toSeq
+      (qIds(qi), lut, math.sqrt(ssqLR(qVecs(qi))))
+    }.toDF("query_id", "lut", "qn")
+    val ipDf = (for { qi <- qIds.indices; ci <- cells.indices } yield
+      (qIds(qi), cells(ci), quant9(dotLR(qVecs(qi), cents(ci)))))
+      .toDF("query_id", "cell", "ipqc")
+    val seedsLocal = cells.zip(cents.map(_.toSeq)).toSeq.toDF("cell_id", "cvec")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cs"), desc("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(seedsLocal))
+      .select(col("query_id"), col("cell_id").as("cell"),
+        round(cosine(col("qvec"), col("cvec")), 9).as("cs"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("cell"))
+      .join(lutDf, Seq("query_id"))
+      .join(ipDf, Seq("query_id", "cell"))
+    val squant = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1),
+        (col("codes").getItem(j) + lit(1L)).cast("int"))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("sim"), col(idCol))
+    enc.join(broadcast(queryCells), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(((col("ipqc") + squant).cast("double") / lit(1e9))
+          / (col("cn") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def batchTopKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",

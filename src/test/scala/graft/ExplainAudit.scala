@@ -108,7 +108,10 @@ object ExplainAudit {
       "s_ann_ivfpq",
       // round 10g: the selection-and-layout capstone fans every stage
       // off one cached scored trunk (also plan-asserted in LlmOpsSpec)
-      "t_pipeline_budget").foreach(audit)
+      "t_pipeline_budget",
+      // round 10h: residual IVFADC keeps the parent's shape — one map
+      // pass index build, broadcast probe side, single rank exchange
+      "s_ann_ivfpq_res").foreach(audit)
     spark.stop()
   }
 }

@@ -1071,6 +1071,44 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVFADC: codebook-seed vectors reconstruct exactly, pruning never rescores") {
+    val qIds = Seq(0L, 100L, 200L)
+    val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
+    val queries = emb.filter(col("vec_id").isin(qIds: _*))
+    val n = corpus.count().toInt
+    val exact = Ann.batchTopK(corpus, queries, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val all = Ann.batchTopKIvfPqRes(corpus, queries, k = n,
+      nCells = 8, probes = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // the ksub lowest-id corpus vectors ARE the residual codebook, so
+    // their residuals encode with zero reconstruction error and the
+    // composed ⟨q,c⟩ + ⟨q,r̂⟩ score must equal the exact cosine up to
+    // the two 1e-9 quantizations + round(6)
+    val seedIds = corpus.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).toSet
+    val onSeeds = all.filter { case ((_, v), _) => seedIds.contains(v) }
+    assert(onSeeds.nonEmpty)
+    onSeeds.foreach { case ((q, v), sim) =>
+      assert(math.abs(sim - exact((q, v))) <= 1e-5,
+        s"codebook seed $v not reconstructed exactly for query $q: " +
+          s"$sim vs ${exact((q, v))}")
+    }
+    // non-seed vectors carry real reconstruction error — the gate's
+    // approximation is doing something, not silently exact everywhere
+    val offSeeds = all.filterNot { case ((_, v), _) => seedIds.contains(v) }
+    assert(offSeeds.exists { case (k2, sim) => math.abs(sim - exact(k2)) > 1e-4 })
+    // partial probes prune, never rescore
+    val allMap = all.toMap
+    val partial = Ann.batchTopKIvfPqRes(corpus, queries, k = 3,
+      nCells = 8, probes = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(partial.nonEmpty)
+    partial.foreach { case (k2, sim) =>
+      assert(allMap(k2) == sim, s"$k2 rescored: $sim vs ${allMap(k2)}")
+    }
+  }
+
   test("IVFADC recall gate: exhaustive-probe row == flat-PQ recall gate's untrained row") {
     // the two measured-quality gates must agree where their paths
     // coincide: probes = nCells makes the composition flat PQ, so its
