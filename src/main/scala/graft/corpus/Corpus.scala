@@ -315,4 +315,33 @@ object Corpus {
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id").as(idCol), col("bench_id"), col("jaccard"))
   }
+
+  /** MERGE/apply — the write side of data versioning (the lakehouse
+    * MERGE INTO shape): apply a change set (`op` ∈ insert | update |
+    * delete, with the new payload for insert/update) to a base corpus
+    * and produce the next version. Deletes drop the keyed row, updates
+    * replace its payload, inserts append; an id that is absent from
+    * the change set passes through untouched.
+    *
+    * The round-trip LAW this exists to satisfy (spec-asserted and the
+    * gate's oracle): `mergeApply(base, changesTo(B)) == B` — applying
+    * the diff between two versions reconstructs the target version
+    * exactly.
+    *
+    * Scale shape: ONE left join of the base on the change-set key
+    * (change sets are change-sized — broadcast when small, shuffle on
+    * the key when not) plus a union of the inserts; payloads never
+    * join against each other, only the key does. */
+  def mergeApply(base: DataFrame, changes: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "text"): DataFrame = {
+    val ch = changes.select(col(idCol), col("op"),
+      col(payloadCol).as("_new_payload"))
+    base.join(ch.filter(col("op") =!= "insert"), Seq(idCol), "left")
+      .filter(col("op").isNull || col("op") === "update")
+      .select(col(idCol),
+        when(col("op") === "update", col("_new_payload"))
+          .otherwise(col(payloadCol)).as(payloadCol))
+      .unionByName(ch.filter(col("op") === "insert")
+        .select(col(idCol), col("_new_payload").as(payloadCol)))
+  }
 }

@@ -3415,6 +3415,41 @@ object LlmOps {
        |SELECT doc_id, fp_a, fp_b, status FROM d
        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin
 
+  /** MERGE/apply gate ([[graft.corpus.Corpus.mergeApply]]) — the write
+    * side of [[snapshotDiff]]: the SAME planted edit set, expressed as
+    * a change table (delete every 11th doc, update every 17th
+    * survivor, insert re-ingests of every 13th), applied to version A.
+    * The oracle does NOT replay the merge operationally — it constructs
+    * version B declaratively (the snapshot-diff oracle's bdocs) and
+    * fingerprints it, so the gate certifies the round-trip law:
+    * applying the change set reconstructs the target version
+    * bit-for-bit. */
+  def mergeApplyGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val deletes = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("delete").as("op"), col("text"))
+    val updates = docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 17 === 0)
+      .select(col("doc_id"), lit("update").as("op"),
+        concat(col("text"), lit(" rev2")).as("text"))
+    val inserts = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"), lit("insert").as("op"),
+        col("text"))
+    graft.corpus.Corpus.mergeApply(
+      docs.select(col("doc_id"), col("text")),
+      deletes.unionByName(updates).unionByName(inserts))
+      .select(col("doc_id"), fingerprint_md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mergeApplySql: String =
+    s"""WITH bdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 13 = 0)
+       |SELECT doc_id, md5($NormSql) AS fp FROM bdocs ORDER BY doc_id""".stripMargin
+
   /** Compaction plan — the small-files maintenance operator (the
     * lakehouse OPTIMIZE/compact shape): within each partition directory
     * (lang), bin docs in id order into target-size output files

@@ -1426,6 +1426,34 @@ class LlmOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("mergeApply algebra: per-op semantics, empty-set identity, disjoint composition") {
+    import graft.corpus.Corpus.mergeApply
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val changes = Seq((2L, "delete", "b"), (3L, "update", "C"),
+      (9L, "insert", "z")).toDF("doc_id", "op", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(mergeApply(base, changes)) ==
+      Set((1L, "a"), (3L, "C"), (4L, "d"), (9L, "z")))
+    // empty change set is the identity
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "op", "text")
+    assert(rows(mergeApply(base, empty)) == rows(base))
+    // disjoint change sets compose: sequential == union
+    val c1 = Seq((2L, "delete", "b")).toDF("doc_id", "op", "text")
+    val c2 = Seq((3L, "update", "C"), (9L, "insert", "z"))
+      .toDF("doc_id", "op", "text")
+    assert(rows(mergeApply(mergeApply(base, c1), c2)) ==
+      rows(mergeApply(base, c1.unionByName(c2))))
+    // the gate's round-trip law at corpus scale: applying the planted
+    // change set reconstructs version B's id space exactly
+    val merged = queries.LlmOps.mergeApplyGate(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val wantB = ids.filter(_ % 11 != 0) ++ ids.filter(_ % 13 == 0).map(_ + 40000)
+    assert(merged == wantB)
+  }
+
   test("compaction plan: contiguous files, ordered id ranges, bytes conserved per partition dir") {
     val plan = queries.LlmOps.compactionPlan(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
