@@ -111,7 +111,9 @@ object ExplainAudit {
       "t_pipeline_budget",
       // round 10h: residual IVFADC keeps the parent's shape — one map
       // pass index build, broadcast probe side, single rank exchange
-      "s_ann_ivfpq_res").foreach(audit)
+      "s_ann_ivfpq_res",
+      // round 10i: merge is one key join + union — payloads never join
+      "t_merge_apply").foreach(audit)
     spark.stop()
   }
 }
