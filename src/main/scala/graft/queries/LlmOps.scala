@@ -3524,8 +3524,11 @@ object LlmOps {
     * the write path is repartitionByRange(z) → sortWithinPartitions(z)
     * → write, and THIS manifest is the skipping index. z_sum/id_sum
     * pin file membership and every z value through the aggregate. */
-  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.documents(s, dir)
+  /** Per-doc z-order frame: (doc_id, qb, nb, z, fid) — the rows a
+    * layout writer partitions by `fid`; [[zorderLayout]] aggregates it
+    * into the manifest, [[zorderWriteCommit]] physically writes it. */
+  private def zorderDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"),
         quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
@@ -3533,14 +3536,62 @@ object LlmOps {
       .select(col("doc_id"),
         Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("qb"),
         least(col("ntok"), lit(255L)).as("nb"))
-    dims.withColumn("z", zInterleave(col("qb"), col("nb")))
+      .withColumn("z", zInterleave(col("qb"), col("nb")))
       .withColumn("fid", shiftright(col("z"), 6))
-      .groupBy(col("fid"))
+
+  private def zorderManifest(docs: DataFrame): DataFrame =
+    docs.groupBy(col("fid"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("qb")).as("min_qb"), max(col("qb")).as("max_qb"),
         min(col("nb")).as("min_nb"), max(col("nb")).as("max_nb"),
         sum(col("z")).as("z_sum"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("fid"))
+
+  def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    zorderManifest(zorderDocs(s, dir))
+
+  /** The z-order layout physically EXECUTED: the per-doc frame is
+    * written `partitionBy(fid)` — one directory per layout file, the
+    * real clustered-write shape — THROUGH the cloud committers
+    * (job-commit counter asserted, the t_pack_write_commit
+    * discipline), then re-read and re-aggregated. The gate shares
+    * [[zorderLayoutSql]]: the manifest recomputed FROM THE WRITTEN
+    * ARTIFACT must equal the planned manifest bit-for-bit, which a
+    * dropped row, a mis-partitioned doc, or a silently-defaulted
+    * committer would each break. */
+  def zorderWriteCommit(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_zorder_commit_gate").getAbsolutePath
+    val protoKey = "spark.sql.sources.commitProtocolClass"
+    val parqKey = "spark.sql.parquet.output.committer.class"
+    val prevProto = s.conf.getOption(protoKey)
+    val prevParq = s.conf.getOption(parqKey)
+    s.conf.set(protoKey,
+      "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
+    s.conf.set(parqKey,
+      "org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter")
+    try {
+      val before =
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+      zorderDocs(s, dir).write.mode("overwrite")
+        .partitionBy("fid").parquet(out)
+      val after =
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+      if (after <= before) throw new IllegalStateException(
+        s"write to $out did not commit through PathOutputCommitProtocol " +
+          s"(commit count $before -> $after) — committer binding is broken")
+    } finally {
+      prevProto match {
+        case Some(v) => s.conf.set(protoKey, v); case None => s.conf.unset(protoKey)
+      }
+      prevParq match {
+        case Some(v) => s.conf.set(parqKey, v); case None => s.conf.unset(parqKey)
+      }
+    }
+    // partition-column type inference may narrow fid — restore long
+    zorderManifest(s.read.parquet(out)
+      .select(col("doc_id"), col("qb"), col("nb"), col("z"),
+        col("fid").cast("long").as("fid")))
   }
 
   val zorderLayoutSql: String =

@@ -1560,6 +1560,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rate(enIds) > rate(restIds), "target language not preferentially kept")
   }
 
+  test("z-order write: one directory per layout file, artifact manifest == planned manifest") {
+    def key(r: org.apache.spark.sql.Row) = (0 until 8).map(r.get).toSeq
+    val written = queries.LlmOps.zorderWriteCommit(spark, sf001).collect().map(key)
+    val planned = queries.LlmOps.zorderLayout(spark, sf001).collect().map(key)
+    assert(written.toSeq == planned.toSeq)
+    // the physical layout is one fid= directory per manifest row
+    val outDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_commit_gate")
+    val dirs = outDir.listFiles().filter(_.getName.startsWith("fid="))
+      .map(_.getName.stripPrefix("fid=").toLong).toSet
+    assert(dirs == planned.map(_.head.asInstanceOf[Long]).toSet,
+      s"written directories $dirs != manifest fids")
+  }
+
   test("source cap: ≤K per source, ranks contiguous, WindowGroupLimit prunes the rank") {
     val df = queries.LlmOps.sourceCap(spark, sf001)
     val rows = df.collect().map(r =>
