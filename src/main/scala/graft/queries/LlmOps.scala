@@ -3450,6 +3450,48 @@ object LlmOps {
        |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 13 = 0)
        |SELECT doc_id, md5($NormSql) AS fp FROM bdocs ORDER BY doc_id""".stripMargin
 
+  /** Oracle for the STREAMING CDC apply
+    * ([[graft.streaming.Streaming.cdcApplyStream]]): the batch
+    * transition log — base fingerprints joined once against the
+    * planted change set (delete every 11th, update every 17th
+    * survivor, insert re-ingests of every 13th, plus validation
+    * plants: orphan updates on absent ids (+60000 of every 19th) and
+    * conflict inserts on live ids (every 23rd not already deleted or
+    * updated)). Stream == batch because the change set carries one op
+    * per key and the per-key state transition is a pure function of
+    * (state, op). */
+  val cdcApplySql: String =
+    s"""WITH base AS (SELECT doc_id, md5($NormSql) AS fp FROM documents),
+       |chraw AS (
+       |  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+       |  FROM documents WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 'update', text || ' rev2' FROM documents
+       |  WHERE doc_id % 11 <> 0 AND doc_id % 17 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 40000, 'insert', text FROM documents WHERE doc_id % 13 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 60000, 'update', text || ' rev3' FROM documents
+       |  WHERE doc_id % 19 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 'insert', text FROM documents
+       |  WHERE doc_id % 23 = 0 AND doc_id % 11 <> 0 AND doc_id % 17 <> 0),
+       |ch AS (SELECT doc_id, op,
+       |  CASE WHEN text IS NULL THEN NULL ELSE md5($NormSql) END AS new_fp
+       |  FROM chraw)
+       |SELECT c.doc_id, c.op,
+       |  CASE WHEN c.op <> 'insert' AND b.fp IS NULL THEN NULL
+       |       ELSE b.fp END AS prev_fp,
+       |  CASE WHEN c.op = 'delete' THEN NULL
+       |       WHEN c.op = 'update' AND b.fp IS NULL THEN NULL
+       |       WHEN c.op = 'insert' AND b.fp IS NOT NULL THEN NULL
+       |       ELSE c.new_fp END AS new_fp,
+       |  CASE WHEN c.op = 'insert' AND b.fp IS NOT NULL THEN 'conflict'
+       |       WHEN c.op <> 'insert' AND b.fp IS NULL THEN 'orphan'
+       |       ELSE 'applied' END AS status
+       |FROM ch c LEFT JOIN base b USING (doc_id)
+       |ORDER BY doc_id, op""".stripMargin
+
   /** Compaction plan — the small-files maintenance operator (the
     * lakehouse OPTIMIZE/compact shape): within each partition directory
     * (lang), bin docs in id order into target-size output files

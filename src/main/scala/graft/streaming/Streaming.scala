@@ -22,6 +22,15 @@ case class SessEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
 case class IncDoc(doc_id: Long, fp: String)
 case class IncState(inHist: Boolean, firstId: Long)
 case class IncOut(doc_id: Long, fp: String, status: String)
+
+/** Typed rows for the streaming CDC apply ([[Streaming.cdcApplyStream]]):
+  * per-key state is the CURRENT content fingerprint — one constant-size
+  * record per live key, exactly the at-rest index a continuous MERGE
+  * maintains. */
+case class CdcOp(doc_id: Long, op: String, new_fp: String)
+case class CdcState(fp: String)
+case class CdcOut(doc_id: Long, op: String, prev_fp: String,
+  new_fp: String, status: String)
 case class PendingSession(start: Long, last: Long, n: Long)
 case class SessionState(pending: Seq[PendingSession])
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
@@ -351,6 +360,96 @@ object Streaming {
       .filter(dev * dev > lit(9).cast(d38) * (col("n") * col("ss") - col("s") * col("s")))
       .select(col("event_id"), col("event_type"), ev("v"))
       .orderBy(col("event_id"))
+  }
+
+  /** Per-key fold for [[cdcApplyStream]]: each arriving change op is
+    * validated against the key's current state and applied — delete and
+    * update need the key live (else `orphan`), insert needs it absent
+    * (else `conflict`). Within one micro-batch, multiple ops on a key
+    * fold in (op, new_fp) order — deterministic; the gate's change set
+    * carries at most one op per key, so arrival order cannot matter at
+    * all and stream == batch bit-for-bit. */
+  private[graft] def cdcFold(id: Long, rows: Iterator[CdcOp],
+      state: GroupState[CdcState]): Iterator[CdcOut] = {
+    rows.toSeq.sortBy(r => (r.op, Option(r.new_fp).getOrElse(""))).map { r =>
+      val prev = if (state.exists) state.get.fp else null
+      r.op match {
+        case "delete" =>
+          if (prev != null) { state.remove(); CdcOut(id, r.op, prev, null, "applied") }
+          else CdcOut(id, r.op, null, null, "orphan")
+        case "update" =>
+          if (prev != null) { state.update(CdcState(r.new_fp)); CdcOut(id, r.op, prev, r.new_fp, "applied") }
+          else CdcOut(id, r.op, null, null, "orphan")
+        case "insert" =>
+          if (prev != null) CdcOut(id, r.op, prev, null, "conflict")
+          else { state.update(CdcState(r.new_fp)); CdcOut(id, r.op, null, r.new_fp, "applied") }
+      }
+    }.iterator
+  }
+
+  private[graft] def cdcApplyTransform(s: SparkSession, dir: String,
+      baseDir: String,
+      glob: String = "documents.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val base = graft.Tables.documents(s, baseDir)
+      .select(col("doc_id"), graft.text.fingerprint_md5(col("text")).as("fp"))
+      .as[(Long, String)]
+      .map { case (id, fp) => (id, CdcState(fp)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    // the planted change log — one op per key by construction (the
+    // modulus filters are pairwise disjoint), so ordering is moot
+    val changes = src.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("delete").as("op"), lit(null).cast("string").as("new_fp"))
+      .unionByName(src.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit("update").as("op"),
+          graft.text.fingerprint_md5(concat(col("text"), lit(" rev2"))).as("new_fp")))
+      .unionByName(src.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"), lit("insert").as("op"),
+          graft.text.fingerprint_md5(col("text")).as("new_fp")))
+      .unionByName(src.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"), lit("update").as("op"),
+          graft.text.fingerprint_md5(concat(col("text"), lit(" rev3"))).as("new_fp")))
+      .unionByName(src.filter(col("doc_id") % 23 === 0 &&
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), lit("insert").as("op"),
+          graft.text.fingerprint_md5(col("text")).as("new_fp")))
+      .as[CdcOp]
+    changes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), base)(cdcFold)
+      .toDF()
+  }
+
+  /** Streaming CDC apply — [[graft.corpus.Corpus.mergeApply]] as
+    * CONTINUOUS ingest (the change-data-capture shape): the base
+    * corpus's fingerprint index loads as flatMapGroupsWithState INITIAL
+    * STATE; arriving delete/update/insert ops validate against the live
+    * key and emit the applied-transition log (`applied` / `orphan` op
+    * on a missing key / `conflict` insert on a live key). State = ONE
+    * constant-size record per live key — the merged version itself,
+    * carried forward batch to batch; the output log is what a
+    * downstream auditor replays. The gate's oracle is the BATCH
+    * transition log (one base join), equal bit-for-bit because the
+    * planted set has one op per key. */
+  def cdcApplyStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_cdc"): DataFrame = {
+    val out = cdcApplyTransform(s, dir, baseDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("doc_id"), col("op"))
   }
 
   /** Per-fingerprint fold for [[incrementalDedupStream]]: arriving docs

@@ -208,6 +208,101 @@ class InfraSpec extends AnyFunSuite {
         s"diff=${((multi -- batchAnswer) ++ (batchAnswer -- multi)).take(5)}")
   }
 
+  test("CDC apply stream: transition log == batch, state key-bounded, RocksDB ==, multi-batch ==") {
+    import graft.streaming.Streaming
+    // batch truth: the oracle's one-join transition log, computed as a
+    // DataFrame (base fingerprints LEFT JOIN the planted change set)
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.select(col("doc_id"),
+      graft.text.fingerprint_md5(col("text")).as("fp"))
+    val chraw = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("delete").as("op"), lit(null).cast("string").as("new_fp"))
+      .unionByName(docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit("update").as("op"),
+          graft.text.fingerprint_md5(concat(col("text"), lit(" rev2"))).as("new_fp")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"), lit("insert").as("op"),
+          graft.text.fingerprint_md5(col("text")).as("new_fp")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"), lit("update").as("op"),
+          graft.text.fingerprint_md5(concat(col("text"), lit(" rev3"))).as("new_fp")))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0 &&
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), lit("insert").as("op"),
+          graft.text.fingerprint_md5(col("text")).as("new_fp")))
+    val batchAnswer = chraw.join(base, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("op"),
+        when(col("op") =!= "insert" && col("fp").isNull, lit(null))
+          .otherwise(col("fp")).as("prev_fp"),
+        when(col("op") === "delete", lit(null))
+          .when(col("op") === "update" && col("fp").isNull, lit(null))
+          .when(col("op") === "insert" && col("fp").isNotNull, lit(null))
+          .otherwise(col("new_fp")).as("new_fp"),
+        when(col("op") === "insert" && col("fp").isNotNull, "conflict")
+          .when(col("op") =!= "insert" && col("fp").isNull, "orphan")
+          .otherwise("applied").as("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Set[(Long, String, String, String, String)], Long, Int) = {
+      val out = Streaming.cdcApplyTransform(spark, dir,
+        baseDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSet
+      val maxStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      (rows, maxStateRows, batches)
+    }
+    val (got, stateRows, _) = run(sf0001, "documents.parquet", Map.empty, "infra_cdc")
+    assert(got == batchAnswer,
+      s"stream=${got.size} batch=${batchAnswer.size} " +
+        s"onlyStream=${(got -- batchAnswer).take(3)} onlyBatch=${(batchAnswer -- got).take(3)}")
+    // every validation class actually fired
+    assert(got.exists(_._5 == "applied") && got.exists(_._5 == "orphan") &&
+      got.exists(_._5 == "conflict"))
+    // state bound: one O(1) record per LIVE key — base docs plus
+    // applied inserts, never per change or per op
+    val nLive = docs.count() + got.count(t => t._2 == "insert" && t._5 == "applied")
+    assert(stateRows <= nLive,
+      s"state rows $stateRows exceed live-key bound $nLive")
+    // RocksDB provider equivalence
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (rocks, _, _) = run(sf0001, "documents.parquet", Map.empty,
+        s"infra_cdc_rocks_${System.nanoTime}")
+      assert(rocks == got, s"RocksDB drifted: ${rocks.size} vs ${got.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // multi-batch: ops arrive over 3 id-ordered files, one per trigger;
+    // one op per key makes the log arrival-order-proof, and the merged
+    // state must carry BETWEEN micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_split").toFile
+    val n = docs.count()
+    val parts = 3
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"documents_$i%02d.parquet"), 3000000L + i * 60000L)
+    }
+    val (multi, _, batches) = run(dir.getPath, "documents_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_cdc_multi")
+    assert(batches >= parts, s"expected >= $parts data batches, got $batches")
+    assert(multi == batchAnswer,
+      s"multi-batch drifted: ${multi.size} vs ${batchAnswer.size}")
+  }
+
   test("sessionization state stays key-bounded under a planted hot user (50% of events)") {
     import graft.streaming.{SessEvent, SessionOut, SessionState, Streaming}
     // The realistic skew failure for streaming state: ONE user owns
