@@ -1219,6 +1219,91 @@ object LlmOps {
        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
        |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin
 
+  /** Cross-modality dedup capstone — TEXT near-dup removal and
+    * EMBEDDING semantic-dup removal composed over the same corpus
+    * (doc_id ≡ vec_id where embeddings exist, the partial-coverage
+    * reality of a production corpus): the MinHash-LSH + CC text
+    * detector ([[dedupCorpus]]'s chain) and SemDeDup
+    * ([[graft.similarity.Ann.semDedup]]) each produce a removal list in
+    * their own banded/celled scale shape; removal is their UNION (the
+    * d_dup_union evidence discipline, applied cross-modality), executed
+    * as id-keyed semi/anti joins. Output: the per-language funnel card
+    * — corpus in, removed-by-text, removed-by-semantic (overlap counts
+    * in both), kept count + id sum. The oracle replays BOTH closures
+    * (two recursive CCs in one WITH RECURSIVE) and the union removal. */
+  def pipelineSemantic(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val textLosers = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(d, n = 3, threshold = 0.5))
+      .filter(col("node") =!= col("comp")).select(col("node").as("doc_id"))
+    val semLosers = Ann.semDedup(emb, threshold = 0.44, nCells = 16)
+      .select(col("vec_id").as("doc_id"))
+    def perLang(losers: DataFrame, out: String): DataFrame =
+      d.join(losers, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang")).agg(count(lit(1)).as(out))
+    val losers = textLosers.unionByName(semLosers).distinct()
+    val kept = d.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_sum_kept"))
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_in"))
+      .join(perLang(textLosers, "n_removed_text"), Seq("lang"), "left")
+      .join(perLang(semLosers, "n_removed_sem"), Seq("lang"), "left")
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs_in"),
+        coalesce(col("n_removed_text"), lit(0L)).as("n_removed_text"),
+        coalesce(col("n_removed_sem"), lit(0L)).as("n_removed_sem"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("id_sum_kept"), lit(0L)).as("id_sum_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineSemanticSql: String =
+    s"""WITH RECURSIVE
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes,
+       |tl AS (SELECT node FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
+       |       WHERE node <> comp),
+       |sseeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |           FROM embeddings ORDER BY vec_id LIMIT 16),
+       |sasg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN sseeds s) t WHERE rn = 1),
+       |sp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM embeddings a
+       |  JOIN sasg aa ON aa.vec_id = a.vec_id
+       |  JOIN embeddings b ON a.vec_id < b.vec_id
+       |  JOIN sasg ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+       |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44),
+       |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+       |           UNION ALL SELECT doc_b, doc_a FROM sp),
+       |snodes AS (SELECT DISTINCT src AS node FROM sedges),
+       |sreach AS (SELECT node, node AS r FROM snodes
+       |           UNION
+       |           SELECT e.dst AS node, r.r FROM sreach r JOIN sedges e ON e.src = r.node),
+       |sl AS (SELECT node FROM (SELECT node, MIN(r) AS comp FROM sreach GROUP BY node) g
+       |       WHERE node <> comp),
+       |rt AS (SELECT d.lang, COUNT(*) AS n_removed_text
+       |       FROM documents d JOIN tl ON tl.node = d.doc_id GROUP BY 1),
+       |rs AS (SELECT d.lang, COUNT(*) AS n_removed_sem
+       |       FROM documents d JOIN sl ON sl.node = d.doc_id GROUP BY 1),
+       |un AS (SELECT node FROM tl UNION SELECT node FROM sl),
+       |k AS (SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum_kept
+       |      FROM documents WHERE doc_id NOT IN (SELECT node FROM un) GROUP BY 1),
+       |i AS (SELECT lang, COUNT(*) AS n_docs_in FROM documents GROUP BY 1)
+       |SELECT i.lang, i.n_docs_in,
+       |  CAST(COALESCE(rt.n_removed_text, 0) AS BIGINT) AS n_removed_text,
+       |  CAST(COALESCE(rs.n_removed_sem, 0) AS BIGINT) AS n_removed_sem,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(k.id_sum_kept, 0) AS BIGINT) AS id_sum_kept
+       |FROM i LEFT JOIN rt USING (lang) LEFT JOIN rs USING (lang)
+       |LEFT JOIN k USING (lang)
+       |ORDER BY lang""".stripMargin
+
   /** Quality-aware keeper selection — the production refinement of
     * [[dedupGroups]]'s keep-min-id rule: per duplicate cluster keep the
     * HIGHEST-QUALITY member (ties to the lower id), which is what a

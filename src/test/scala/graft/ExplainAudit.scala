@@ -113,7 +113,10 @@ object ExplainAudit {
       // pass index build, broadcast probe side, single rank exchange
       "s_ann_ivfpq_res",
       // round 10i: merge is one key join + union — payloads never join
-      "t_merge_apply").foreach(audit)
+      "t_merge_apply",
+      // round 10j: cross-modality dedup keeps each detector's banded/
+      // celled shape; removal is id-keyed semi/anti joins
+      "t_pipeline_semantic").foreach(audit)
     spark.stop()
   }
 }

@@ -1174,6 +1174,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(removed == expected)
   }
 
+  test("semantic capstone: both detectors fire, funnel consistent, union removal bounded") {
+    val rows = queries.LlmOps.pipelineSemantic(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(rows.nonEmpty)
+    // corpus fully accounted for
+    assert(rows.map(_._2).sum == docs.count())
+    // both modalities actually removed something corpus-wide
+    assert(rows.map(_._3).sum > 0, "text detector removed nothing")
+    assert(rows.map(_._4).sum > 0, "semantic detector removed nothing")
+    rows.foreach { case (lang, in, rt, rs, kept, _) =>
+      // union removal: at least max(rt, rs) docs gone, at most rt + rs
+      assert(kept <= in - math.max(rt, rs) && kept >= in - rt - rs,
+        s"$lang: kept $kept outside union bounds (in=$in, text=$rt, sem=$rs)")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("budget capstone: one corpus scan, budget respected, manifest locality holds, caches released") {
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val df = graft.queries.LlmOps.pipelineBudget(spark, sf001)
