@@ -1219,6 +1219,41 @@ object LlmOps {
        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
        |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin
 
+  /** Embedding-based decontamination — the SEMANTIC member of the
+    * decontamination family (t_decontam pins exact n-gram overlap,
+    * t_decontam_fuzzy near-duplicate text; this one catches
+    * PARAPHRASED benchmark leakage no lexical detector can see): flag
+    * every corpus vector whose cosine to ANY benchmark vector clears
+    * the threshold, with hit count and best similarity. Benchmark =
+    * every 50th embedding (the held-out-suite stand-in).
+    *
+    * Scale shape: the benchmark side is dimension-sized by contract
+    * (eval suites are thousands of rows, not corpora) and BROADCASTS —
+    * the corpus-side probe is a map-only pass, NO shuffle of the
+    * corpus at any size (the t_decontam discipline, lifted to the
+    * embedding space); the flagged set is contamination-sized. */
+  def decontamEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+    emb.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(Ann.cosine(col("embedding"), col("bvec")), 6).as("sim"))
+      .filter(col("sim") >= 0.44)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("best_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val decontamEmbedSql: String =
+    s"""SELECT e.vec_id, COUNT(*) AS n_hits,
+       |  MAX(ROUND(${cosineSql("e.embedding", "b.embedding")}, 6)) AS best_sim
+       |FROM embeddings e
+       |JOIN embeddings b ON b.vec_id % 50 = 0 AND e.vec_id % 50 <> 0
+       |WHERE ROUND(${cosineSql("e.embedding", "b.embedding")}, 6) >= 0.44
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+
   /** Cross-modality dedup capstone — TEXT near-dup removal and
     * EMBEDDING semantic-dup removal composed over the same corpus
     * (doc_id ≡ vec_id where embeddings exist, the partial-coverage

@@ -116,7 +116,10 @@ object ExplainAudit {
       "t_merge_apply",
       // round 10j: cross-modality dedup keeps each detector's banded/
       // celled shape; removal is id-keyed semi/anti joins
-      "t_pipeline_semantic").foreach(audit)
+      "t_pipeline_semantic",
+      // round 10k: embedding decontam broadcasts the benchmark vectors;
+      // the corpus probe is a map pass, no corpus shuffle
+      "s_decontam_embed").foreach(audit)
     spark.stop()
   }
 }

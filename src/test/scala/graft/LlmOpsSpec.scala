@@ -1174,6 +1174,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(removed == expected)
   }
 
+  test("embedding decontamination: planted paraphrase-leaks flagged, benchmark side broadcast") {
+    import graft.similarity.Ann
+    // plant: exact copies of two benchmark vectors under fresh corpus
+    // ids — the semantic leak no lexical detector can see
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val planted = bench.limit(2)
+      .select((col("vec_id") + 7001L).as("vec_id"), col("embedding"))
+    val spiked = emb.unionByName(planted.withColumn("label", lit(0)))
+    val benchSpiked = spiked.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+    val flagged = spiked.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(benchSpiked))
+      .select(col("vec_id"), round(Ann.cosine(col("embedding"), col("bvec")), 6).as("sim"))
+      .filter(col("sim") >= 0.44)
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("best_sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plantedIds = planted.collect().map(_.getLong(0))
+    plantedIds.foreach { id =>
+      assert(flagged.get(id).contains(1.0), s"planted leak $id not flagged at sim 1.0")
+    }
+    // the gate's own plan: benchmark broadcast, corpus never shuffles
+    // before the (contamination-sized) aggregate
+    val plan = queries.LlmOps.decontamEmbed(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n${plan.take(900)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("semantic capstone: both detectors fire, funnel consistent, union removal bounded") {
     val rows = queries.LlmOps.pipelineSemantic(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
