@@ -1227,6 +1227,12 @@ object LlmOps {
     * the threshold, with hit count and best similarity. Benchmark =
     * every 50th embedding (the held-out-suite stand-in).
     *
+    * The corpus additionally carries PLANTED leaks — re-ingests of
+    * every benchmark vector under fresh ids (+100000), the verbatim
+    * test-set-in-the-crawl case — so the gate has guaranteed
+    * contamination to flag at every scale factor (the synthetic
+    * corpus's natural cosine overlap is SF-dependent).
+    *
     * Scale shape: the benchmark side is dimension-sized by contract
     * (eval suites are thousands of rows, not corpora) and BROADCASTS —
     * the corpus-side probe is a map-only pass, NO shuffle of the
@@ -1237,6 +1243,9 @@ object LlmOps {
     val bench = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
     emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       .crossJoin(broadcast(bench))
       .select(col("vec_id"),
         round(Ann.cosine(col("embedding"), col("bvec")), 6).as("sim"))
@@ -1247,10 +1256,14 @@ object LlmOps {
   }
 
   val decontamEmbedSql: String =
-    s"""SELECT e.vec_id, COUNT(*) AS n_hits,
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+       |SELECT e.vec_id, COUNT(*) AS n_hits,
        |  MAX(ROUND(${cosineSql("e.embedding", "b.embedding")}, 6)) AS best_sim
-       |FROM embeddings e
-       |JOIN embeddings b ON b.vec_id % 50 = 0 AND e.vec_id % 50 <> 0
+       |FROM corpus e
+       |JOIN embeddings b ON b.vec_id % 50 = 0
        |WHERE ROUND(${cosineSql("e.embedding", "b.embedding")}, 6) >= 0.44
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
 
