@@ -64,6 +64,57 @@ class SketchSpec extends AnyFunSuite {
       s"stream drifted from batch: ${stream.take(3)} vs ${batch.take(3)}")
   }
 
+  test("streaming CMS + anomaly moments: measured state rows obey the declared bounds") {
+    // the bounded-state CLAIMS, measured: CMS state ≤ depth×width
+    // occupied counters; anomaly-moment state ≤ one row per event type
+    import org.apache.spark.sql.functions.col
+    val cmsAgg = graft.sketch.Sketch.cmsSketch(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+        .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.graft.DistinctShingles
+            .distinct_shingles(col("text"), 3)).as("s")),
+      "s", 3, 1024)
+    val q1 = cmsAgg.writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_cms_state_probe").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val cmsRows = q1.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    assert(cmsRows <= 3L * 1024L,
+      s"CMS state $cmsRows exceeds the depth×width bound ${3 * 1024}")
+    val types = Tables.events(spark, sf001)
+      .select(col("event_type")).distinct().count()
+    // drive the moments aggregation alone (the flag pass is batch-side)
+    val dec2 = org.apache.spark.sql.types.DecimalType(12, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = graft.streaming.Streaming.eventsStream(spark, sf001)
+      .select(col("event_type"),
+        (col("value").cast(dec2) * org.apache.spark.sql.functions.lit(100))
+          .cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast(d38).as("n"),
+        org.apache.spark.sql.functions.sum(col("v")).cast(d38).as("s"),
+        org.apache.spark.sql.functions.sum(
+          col("v").cast(d38) * col("v").cast(d38)).as("ss"))
+    val q2 = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_anom_state_probe").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val momRows = q2.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    assert(momRows <= types,
+      s"moment state $momRows exceeds one row per event type ($types)")
+  }
+
   test("streaming CMS heavy hitters == batch gate (order-invariant integer counters)") {
     // the stream's only state is the 3×1024 counter grid; integer adds
     // commute, so the final sketch — and every estimate derived from
