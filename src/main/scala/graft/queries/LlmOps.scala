@@ -1120,6 +1120,48 @@ object LlmOps {
        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Measured winnowing-detector quality — the s_ann_recall discipline
+    * applied to the MOSS fingerprint detector: pair recall/precision
+    * of [[dedupWinnowPairs]]'s ≥3-shared-fingerprint rule against the
+    * exact-Jaccard ≥ 0.5 truth set, as ONE hashed row. The spec-level
+    * "≥90 % agreement" claim becomes a committed measured number the
+    * oracle reproduces (winnow's index is ~1/w the shingle index — the
+    * gate pins exactly what that compression costs in pairs). */
+  def winnowRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val truth = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val found = Dedup.winnowPairs(d, k = 3, w = 4, minShared = 3L)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = found.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    found.agg(count(lit(1)).as("n_found"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("n_found"), col("n_hit"), col("n_true"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_found"), 6).as("prec"))
+  }
+
+  val winnowRecallSql: String =
+    s"""WITH $ShingleCtes,
+       |$JacPairsCte,
+       |wh AS (SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+       |        i -> substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS hs
+       |      FROM toks),
+       |wf AS (SELECT doc_id, unnest(list_distinct(
+       |        list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))) AS fp
+       |      FROM wh WHERE len(t) >= 6),
+       |found AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |hit AS (SELECT COUNT(*) AS n_hit FROM found JOIN jac USING (doc_a, doc_b)),
+       |fc AS (SELECT COUNT(*) AS n_found FROM found),
+       |tc AS (SELECT COUNT(*) AS n_true FROM jac)
+       |SELECT n_found, n_hit, n_true,
+       |  ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+       |  ROUND(CAST(n_hit AS DOUBLE) / n_found, 6) AS prec
+       |FROM fc, hit, tc""".stripMargin
+
   /** Top TF-IDF terms per document: tf from the per-doc token counts,
     * idf from the document frequency of each token (vocabulary-sized,
     * broadcast), rank by (rounded score desc, term asc). Determinism
