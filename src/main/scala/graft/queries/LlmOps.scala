@@ -597,6 +597,56 @@ object LlmOps {
        |FROM tok LEFT JOIN v USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head / middle / tail terciles by LM cross-entropy —
+    * LOW perplexity is `head` (stereotypical, keep), HIGH is `tail`
+    * (noisy, drop or downweight), the published quality-split the
+    * CommonCrawl pipelines train on. CE comes from the corpus's own
+    * unigram LM ([[textUnigramCE]]); the cutoffs are the exact P33/P67
+    * (rounded 6dp — cutoff compare on rounded values is cross-engine
+    * deterministic, the qualityCutoff discipline; production swaps in
+    * the histogram sketch exactly as t_pipeline_spans demonstrates).
+    * Output: per-(lang, bucket) counts + id sums.
+    *
+    * Scale shape: the CE pass is the unigram-LM chain (one
+    * vocabulary-sized shuffle + per-doc mean); the cutoffs are one
+    * scalar aggregate broadcast back; the bucket pass is map-only. */
+  def ceBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ce = graft.util.IntermediateCaches.track(
+      textUnigramCE(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cuts = ce.agg(
+      round(expr("percentile(ce, 0.33)"), 6).as("p33"),
+      round(expr("percentile(ce, 0.67)"), 6).as("p67"))
+    ce.join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .crossJoin(broadcast(cuts))
+      .select(col("lang"),
+        when(col("ce") <= col("p33"), "head")
+          .when(col("ce") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val ceBucketsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+       |v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+       |ce AS (SELECT doc_id,
+       |  ROUND(-AVG(log2(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / (SELECT total FROM tot))), 6) AS ce
+       |  FROM tok LEFT JOIN v USING (token) GROUP BY doc_id),
+       |cuts AS (SELECT ROUND(quantile_cont(ce, 0.33), 6) AS p33,
+       |                ROUND(quantile_cont(ce, 0.67), 6) AS p67 FROM ce),
+       |b AS (SELECT d.lang,
+       |  CASE WHEN ce.ce <= (SELECT p33 FROM cuts) THEN 'head'
+       |       WHEN ce.ce <= (SELECT p67 FROM cuts) THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |  FROM ce JOIN documents d USING (doc_id))
+       |SELECT lang, bucket, COUNT(*) AS n_docs
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Bigram-LM cross-entropy — [[textUnigramCE]]'s model upgraded one
     * order: score each document by the mean −log₂ p̂(wᵢ | wᵢ₋₁) under a
     * bigram LM fit on the corpus itself. The table keeps the top-V₂

@@ -1587,6 +1587,38 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CE buckets: corpus conserved, terciles near-balanced, bucket rule matches the cutoffs") {
+    val rows = queries.LlmOps.ceBuckets(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val n = docs.count()
+    assert(rows.map(_._3).sum == n, "corpus not conserved across buckets")
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    byBucket.foreach { case (b, c) =>
+      assert(c >= n / 5 && c <= n / 2,
+        s"bucket $b wildly unbalanced: $c of $n (terciles expected)")
+    }
+    // the rule really is the tercile split: recompute cutoffs + buckets
+    val ce = queries.LlmOps.textUnigramCE(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    def pct(p: Double): Double = {
+      val sorted = ce.values.toArray.sorted
+      val rank = p * (sorted.length - 1)
+      val lo = sorted(rank.toInt)
+      val hi = sorted(math.min(rank.toInt + 1, sorted.length - 1))
+      val frac = rank - rank.toInt
+      BigDecimal(lo + frac * (hi - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (p33, p67) = (pct(0.33), pct(0.67))
+    val expect = ce.values.map(c =>
+      if (c <= p33) "head" else if (c <= p67) "middle" else "tail")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(byBucket == expect, s"$byBucket != recomputed $expect")
+  }
+
   test("DSIR resampling: kept set is the exact hash-threshold function of the scores") {
     val scores = queries.LlmOps.dsirScore(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
