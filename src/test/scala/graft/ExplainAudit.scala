@@ -119,7 +119,10 @@ object ExplainAudit {
       "t_pipeline_semantic",
       // round 10k: embedding decontam broadcasts the benchmark vectors;
       // the corpus probe is a map pass, no corpus shuffle
-      "s_decontam_embed").foreach(audit)
+      "s_decontam_embed",
+      // round 10l: detector-recall gates are candidate-sized joins;
+      // CE buckets are the LM chain + one broadcast cutoff + map pass
+      "d_winnow_recall", "t_ce_buckets").foreach(audit)
     spark.stop()
   }
 }
