@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the collector (G1 is the JDK 17 default, but an explicit pin
+  // makes driver-run vs local bench totals comparable by construction;
+  // the bench JSON records the live heap/GC so drift is visible)
+  "-XX:+UseG1GC",
 )

@@ -162,7 +162,17 @@ object Bench {
     // query count, failures, the 5 slowest queries, both pass totals, the
     // gc_ms rollup, and the leak/spill rollups — so the round's perf
     // record survives on its own AND carries its own noise attribution.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,"sf":"$sfDir"}"""
+    // record the LIVE JVM sizing so driver-run and local-run totals are
+    // comparable by construction (round-10 advice: a bench line without
+    // its heap/collector can't be diffed across environments)
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    val collectors = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getName).mkString("+").replace(' ', '_')
+    }
+    val jvmInfo = s""""heap_max_mb":$heapMb,"gc_collector":"$collectors""""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,$jvmInfo,"sf":"$sfDir"}"""
     println(full)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v, _) => s"""["$k",${math.round(v * 1000) / 1000.0}]""" }
@@ -180,7 +190,7 @@ object Bench {
     // An estimate (task overlap with GC pauses is not exactly uniform),
     // but a PINNED one — α = 1/cpus, recorded in the line itself.
     val valueAtGc0 = total - gcMs.toDouble / 1000.0 / cpus.toDouble
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"pass1_sec":${r3(p1Total)},"pass2_sec":${r3(p2Total)},"gc_ms":$gcMs,"value_at_gc0":${r3(valueAtGc0)},"gc_alpha":"1/$cpus","leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"pass1_sec":${r3(p1Total)},"pass2_sec":${r3(p2Total)},"gc_ms":$gcMs,"value_at_gc0":${r3(valueAtGc0)},"gc_alpha":"1/$cpus",$jvmInfo,"leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
     println(compact)
     // ALSO persist the compact record to a file: stdout reaches the round
     // artifact wrapped in sbt log decoration ("[info] " prefix, trailing

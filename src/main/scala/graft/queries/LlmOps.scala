@@ -19,6 +19,23 @@ object LlmOps {
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Planted-row id spaces for the synthetic-arrival gates (incremental
+    * dedup, snapshot diff, MERGE, CDC). Offsets derive from
+    * `max(doc_id)` so plants are PROVABLY disjoint from natural ids —
+    * and from each other — at ANY scale factor (a fixed "+40000" style
+    * offset aliases natural ids once the corpus outgrows it; round-10
+    * advice caught exactly that at sf1). Class A (re-crawls /
+    * re-ingests) sits in (M, 2M+1], class B (replays / orphan plants)
+    * in (2M+1, 3M+2]; both stay ABOVE every natural id, preserving the
+    * "lower-id original wins `kept`" tie-break. The max itself is a
+    * column-pruned 1-row aggregate (parquet footer statistics at rest —
+    * O(files), not O(rows)). */
+  private[graft] def plantBase(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+
+  /** SQL twin of [[plantBase]] for the DuckDB oracles. */
+  private val PlantBaseSql = "(1 + (SELECT MAX(doc_id) FROM documents))"
+
   /** Shared oracle text for the quality-score signals and formula —
     * ONE definition (the ShingleCtes discipline) so the seven
     * quality-based oracles (quality, corpus filter, weighted sample,
@@ -620,12 +637,15 @@ object LlmOps {
       round(expr("percentile(ce, 0.67)"), 6).as("p67"))
     ce.join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .crossJoin(broadcast(cuts))
-      .select(col("lang"),
+      .select(col("doc_id"), col("lang"),
         when(col("ce") <= col("p33"), "head")
           .when(col("ce") <= col("p67"), "middle")
           .otherwise("tail").as("bucket"))
       .groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"))
+      // id_sum pins per-bucket MEMBERSHIP, not just cardinality — two
+      // docs swapping head/middle with balanced counts would otherwise
+      // hash-pass undetected (round-10 advice)
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"), col("bucket"))
   }
 
@@ -639,12 +659,13 @@ object LlmOps {
        |  FROM tok LEFT JOIN v USING (token) GROUP BY doc_id),
        |cuts AS (SELECT ROUND(quantile_cont(ce, 0.33), 6) AS p33,
        |                ROUND(quantile_cont(ce, 0.67), 6) AS p67 FROM ce),
-       |b AS (SELECT d.lang,
+       |b AS (SELECT ce.doc_id, d.lang,
        |  CASE WHEN ce.ce <= (SELECT p33 FROM cuts) THEN 'head'
        |       WHEN ce.ce <= (SELECT p67 FROM cuts) THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |  FROM ce JOIN documents d USING (doc_id))
-       |SELECT lang, bucket, COUNT(*) AS n_docs
+       |SELECT lang, bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Bigram-LM cross-entropy — [[textUnigramCE]]'s model upgraded one
@@ -1320,8 +1341,9 @@ object LlmOps {
     * every 50th embedding (the held-out-suite stand-in).
     *
     * The corpus additionally carries PLANTED leaks — re-ingests of
-    * every benchmark vector under fresh ids (+100000), the verbatim
-    * test-set-in-the-crawl case — so the gate has guaranteed
+    * every benchmark vector under fresh max(vec_id)-derived ids
+    * (collision-proof at any scale, the [[plantBase]] discipline), the
+    * verbatim test-set-in-the-crawl case — so the gate has guaranteed
     * contamination to flag at every scale factor (the synthetic
     * corpus's natural cosine overlap is SF-dependent).
     *
@@ -1332,12 +1354,13 @@ object LlmOps {
     * embedding space); the flagged set is contamination-sized. */
   def decontamEmbed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    val pb = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val bench = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
     emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id"), col("embedding"))
       .unionByName(emb.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + pb).as("vec_id"), col("embedding")))
       .crossJoin(broadcast(bench))
       .select(col("vec_id"),
         round(Ann.cosine(col("embedding"), col("bvec")), 6).as("sim"))
@@ -1351,7 +1374,8 @@ object LlmOps {
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
        |  UNION ALL
-       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+       |  SELECT vec_id + (1 + (SELECT MAX(vec_id) FROM embeddings)), embedding
+       |  FROM embeddings WHERE vec_id % 50 = 0)
        |SELECT e.vec_id, COUNT(*) AS n_hits,
        |  MAX(ROUND(${cosineSql("e.embedding", "b.embedding")}, 6)) AS best_sim
        |FROM corpus e
@@ -3556,18 +3580,20 @@ object LlmOps {
     * new batch; the rest are history (as a fingerprint-only index).
     * The corpus has no natural exact dups, so the batch additionally
     * carries synthesized arrivals that exercise every status: re-crawls
-    * of history docs (id+10000, every 7th history doc → dup_hist) and
-    * within-batch replays (id+20000, every 9th batch doc → dup_batch,
-    * their lower-id originals staying kept). See Dedup.incrementalExact
-    * for the per-batch scale argument. */
+    * of history docs (id + plantBase, every 7th history doc →
+    * dup_hist) and within-batch replays (id + 2·plantBase, every 9th
+    * batch doc → dup_batch, their lower-id originals staying kept —
+    * plant ids sit above every natural id, see [[plantBase]]). See
+    * Dedup.incrementalExact for the per-batch scale argument. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"))
     val recrawls = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .select((col("doc_id") + pb).as("doc_id"), col("text"))
     val replays = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
-      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      .select((col("doc_id") + 2 * pb).as("doc_id"), col("text"))
     Dedup.incrementalExact(
       fresh.unionByName(recrawls).unionByName(replays),
       docs.filter(col("doc_id") % 5 =!= 0)
@@ -3578,10 +3604,10 @@ object LlmOps {
     s"""WITH batch AS (
        |  SELECT doc_id, md5($NormSql) AS fp FROM documents WHERE doc_id % 5 = 0
        |  UNION ALL
-       |  SELECT doc_id + 10000, md5($NormSql) FROM documents
+       |  SELECT doc_id + $PlantBaseSql, md5($NormSql) FROM documents
        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
        |  UNION ALL
-       |  SELECT doc_id + 20000, md5($NormSql) FROM documents
+       |  SELECT doc_id + 2 * $PlantBaseSql, md5($NormSql) FROM documents
        |  WHERE doc_id % 5 = 0 AND doc_id % 9 = 0),
        |hist AS (SELECT DISTINCT md5($NormSql) AS fp FROM documents WHERE doc_id % 5 <> 0),
        |firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
@@ -3599,20 +3625,22 @@ object LlmOps {
     * Unchanged docs are NOT emitted — the diff is change-sized, not
     * corpus-sized. The gate's snapshot B plants all three: every 11th
     * doc dropped, every 17th survivor revised (text + ' rev2'), and
-    * re-ingests (id+40000) of every 13th doc added.
+    * re-ingests (id + plantBase, collision-proof at any scale) of
+    * every 13th doc added.
     *
     * Scale shape: fingerprints are map-side md5 (text never shuffles);
     * the diff is ONE full-outer join on doc_id; the changed test is a
     * map-side fp compare. */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
     val a = docs.select(col("doc_id"), fingerprint_md5(col("text")).as("fp_a"))
     val b = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+        .select((col("doc_id") + pb).as("doc_id"), col("text")))
       .select(col("doc_id"), fingerprint_md5(col("text")).as("fp_b"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("fp_a"), col("fp_b"),
@@ -3630,7 +3658,7 @@ object LlmOps {
        |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
        |  FROM documents WHERE doc_id % 11 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 13 = 0),
+       |  SELECT doc_id + $PlantBaseSql, text FROM documents WHERE doc_id % 13 = 0),
        |b AS (SELECT doc_id, md5($NormSql) AS fp_b FROM bdocs),
        |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b,
        |        CASE WHEN fp_b IS NULL THEN 'removed'
@@ -3651,13 +3679,14 @@ object LlmOps {
     * bit-for-bit. */
   def mergeApplyGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
     val deletes = docs.filter(col("doc_id") % 11 === 0)
       .select(col("doc_id"), lit("delete").as("op"), col("text"))
     val updates = docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 17 === 0)
       .select(col("doc_id"), lit("update").as("op"),
         concat(col("text"), lit(" rev2")).as("text"))
     val inserts = docs.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 40000).as("doc_id"), lit("insert").as("op"),
+      .select((col("doc_id") + pb).as("doc_id"), lit("insert").as("op"),
         col("text"))
     graft.corpus.Corpus.mergeApply(
       docs.select(col("doc_id"), col("text")),
@@ -3672,19 +3701,21 @@ object LlmOps {
        |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
        |  FROM documents WHERE doc_id % 11 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 13 = 0)
+       |  SELECT doc_id + $PlantBaseSql, text FROM documents WHERE doc_id % 13 = 0)
        |SELECT doc_id, md5($NormSql) AS fp FROM bdocs ORDER BY doc_id""".stripMargin
 
   /** Oracle for the STREAMING CDC apply
     * ([[graft.streaming.Streaming.cdcApplyStream]]): the batch
     * transition log — base fingerprints joined once against the
     * planted change set (delete every 11th, update every 17th
-    * survivor, insert re-ingests of every 13th, plus validation
-    * plants: orphan updates on absent ids (+60000 of every 19th) and
-    * conflict inserts on live ids (every 23rd not already deleted or
-    * updated)). Stream == batch because the change set carries one op
-    * per key and the per-key state transition is a pure function of
-    * (state, op). */
+    * survivor, insert re-ingests of every 13th at id + plantBase, plus
+    * validation plants: orphan updates on absent ids (id + 2·plantBase
+    * of every 19th) and conflict inserts on live ids (every 23rd not
+    * already deleted or updated)). Plant id-spaces are max(doc_id)-
+    * derived so the one-op-per-key invariant holds at ANY scale (fixed
+    * offsets collide once natural ids outgrow them — round-10 advice).
+    * Stream == batch because the change set carries one op per key and
+    * the per-key state transition is a pure function of (state, op). */
   val cdcApplySql: String =
     s"""WITH base AS (SELECT doc_id, md5($NormSql) AS fp FROM documents),
        |chraw AS (
@@ -3694,9 +3725,9 @@ object LlmOps {
        |  SELECT doc_id, 'update', text || ' rev2' FROM documents
        |  WHERE doc_id % 11 <> 0 AND doc_id % 17 = 0
        |  UNION ALL
-       |  SELECT doc_id + 40000, 'insert', text FROM documents WHERE doc_id % 13 = 0
+       |  SELECT doc_id + $PlantBaseSql, 'insert', text FROM documents WHERE doc_id % 13 = 0
        |  UNION ALL
-       |  SELECT doc_id + 60000, 'update', text || ' rev3' FROM documents
+       |  SELECT doc_id + 2 * $PlantBaseSql, 'update', text || ' rev3' FROM documents
        |  WHERE doc_id % 19 = 0
        |  UNION ALL
        |  SELECT doc_id, 'insert', text FROM documents
@@ -3826,35 +3857,33 @@ object LlmOps {
     * ARTIFACT must equal the planned manifest bit-for-bit, which a
     * dropped row, a mis-partitioned doc, or a silently-defaulted
     * committer would each break. */
+  /** Where the last [[zorderWriteCommit]] run landed its artifact —
+    * the spec inspects the physical fid= directory layout there. */
+  private[graft] val lastZorderWriteDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def zorderWriteCommit(s: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_zorder_commit_gate").getAbsolutePath
-    val protoKey = "spark.sql.sources.commitProtocolClass"
-    val parqKey = "spark.sql.parquet.output.committer.class"
-    val prevProto = s.conf.getOption(protoKey)
-    val prevParq = s.conf.getOption(parqKey)
-    s.conf.set(protoKey,
+    // per-run unique dir: two concurrent gate runs in one JVM/tmpdir
+    // must not clobber each other's artifacts (round-10 advice); the
+    // committer binding lives in a CHILD session's SQLConf so the
+    // caller's session is never mutated (no restore window to race)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder_commit_gate").toFile.getAbsolutePath
+    lastZorderWriteDir.set(out)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.commitProtocolClass",
       "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
-    s.conf.set(parqKey,
+    s2.conf.set("spark.sql.parquet.output.committer.class",
       "org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter")
-    try {
-      val before =
-        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
-      zorderDocs(s, dir).write.mode("overwrite")
-        .partitionBy("fid").parquet(out)
-      val after =
-        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
-      if (after <= before) throw new IllegalStateException(
-        s"write to $out did not commit through PathOutputCommitProtocol " +
-          s"(commit count $before -> $after) — committer binding is broken")
-    } finally {
-      prevProto match {
-        case Some(v) => s.conf.set(protoKey, v); case None => s.conf.unset(protoKey)
-      }
-      prevParq match {
-        case Some(v) => s.conf.set(parqKey, v); case None => s.conf.unset(parqKey)
-      }
-    }
+    val before =
+      org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+    zorderDocs(s2, dir).write.mode("overwrite")
+      .partitionBy("fid").parquet(out)
+    val after =
+      org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+    if (after <= before) throw new IllegalStateException(
+      s"write to $out did not commit through PathOutputCommitProtocol " +
+        s"(commit count $before -> $after) — committer binding is broken")
     // partition-column type inference may narrow fid — restore long
     zorderManifest(s.read.parquet(out)
       .select(col("doc_id"), col("qb"), col("nb"), col("z"),
@@ -3960,23 +3989,27 @@ object LlmOps {
     * docs with id % 5 == 0 arrive as the new batch against the rest as
     * the history index. Planted arrivals exercise every status the way
     * [[dedupIncremental]] does, but with NEAR copies (one appended
-    * token, Jaccard ≈ 0.9): re-crawls of history docs (id+10000, every
-    * 7th → dup_hist) and within-batch near-replays (id+20000, every 9th
-    * batch doc → dup_batch) — plus whatever natural ≥ 0.5 pairs straddle
+    * token, Jaccard ≈ 0.9): re-crawls of history docs (id + plantBase,
+    * every 7th → dup_hist) and within-batch near-replays
+    * (id + 2·plantBase, every 9th batch doc → dup_batch; plant ids
+    * never alias natural ids, see [[plantBase]] — an aliased id would
+    * merge two texts' shingle sets in the oracle's DISTINCT) — plus
+    * whatever natural ≥ 0.5 pairs straddle
     * the split. Oracle recall argument is d_minhash_lsh's: 16 bands ×
     * 4 rows recalls every ≥ 0.5 pair of this corpus (spec-proven there),
     * so banding == the oracle's exact Jaccard join. */
   def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
       .select(col("doc_id"), col("text"))
     val fresh = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"))
     val recrawls = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((col("doc_id") + pb).as("doc_id"),
         concat(col("text"), lit(" extrem")).as("text"))
     val replays = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
-      .select((col("doc_id") + 20000).as("doc_id"),
+      .select((col("doc_id") + 2 * pb).as("doc_id"),
         concat(col("text"), lit(" zulu")).as("text"))
     Dedup.incrementalNear(
       fresh.unionByName(recrawls).unionByName(replays), hist)
@@ -3987,10 +4020,10 @@ object LlmOps {
        |batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
        |  UNION ALL
-       |  SELECT doc_id + 10000, text || ' extrem' FROM documents
+       |  SELECT doc_id + $PlantBaseSql, text || ' extrem' FROM documents
        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
        |  UNION ALL
-       |  SELECT doc_id + 20000, text || ' zulu' FROM documents
+       |  SELECT doc_id + 2 * $PlantBaseSql, text || ' zulu' FROM documents
        |  WHERE doc_id % 5 = 0 AND doc_id % 9 = 0),
        |ad AS (SELECT doc_id, text, 'h' AS side FROM hist
        |       UNION ALL SELECT doc_id, text, 'b' AS side FROM batch),
@@ -4055,9 +4088,9 @@ object LlmOps {
     * pipeline must run before training: after deterministic hash
     * splitting, NO text fingerprint may appear in more than one split
     * (a doc whose near-copy lands in val leaks supervision). The gate
-    * plants the violation: re-crawls (doc_id + 30000 for every 6th
-    * doc) hash-split independently of their originals, so some pairs
-    * straddle splits. Output: one row per leaking fingerprint with the
+    * plants the violation: re-crawls (doc_id + plantBase for every 6th
+    * doc, collision-proof at any scale) hash-split independently of
+    * their originals, so some pairs straddle splits. Output: one row per leaking fingerprint with the
     * splits it reaches, plus the doc count.
     *
     * Scale shape: fingerprints are computed map-side (16-byte md5 —
@@ -4066,9 +4099,10 @@ object LlmOps {
     * list is corpus-fraction-sized. */
   def splitLeak(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
     val crawl = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        .select((col("doc_id") + pb).as("doc_id"), col("text")))
     graft.sampling.Sampling.deterministicSplit(crawl, "doc_id", 0.05, 0.05)
       .select(col("doc_id"), col("split"), fingerprint_md5(col("text")).as("fp"))
       .groupBy(col("fp"))
@@ -4083,7 +4117,7 @@ object LlmOps {
     s"""WITH crawl AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 6 = 0),
+       |  SELECT doc_id + $PlantBaseSql, text FROM documents WHERE doc_id % 6 = 0),
        |sp AS (SELECT doc_id, md5($NormSql) AS fp,
        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
@@ -4105,10 +4139,11 @@ object LlmOps {
     * exabyte object stores. */
   def mmDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
     val assets = Multimodal.assetsFromDocuments(docs).toDF()
       .unionByName(
         Multimodal.assetsFromDocuments(docs.filter(col("doc_id") % 4 === 1))
-          .toDF().withColumn("asset_id", col("asset_id") + 50000))
+          .toDF().withColumn("asset_id", col("asset_id") + pb))
     val keyed = assets.select(col("asset_id"), col("kind"),
       md5(col("payload")).as("fp"), length(col("payload")).cast("long").as("n_bytes"))
     val w = org.apache.spark.sql.expressions.Window
@@ -4121,17 +4156,20 @@ object LlmOps {
   }
 
   val mmDedupSql: String =
-    """WITH a AS (
+    // octet_length(encode(..)) — BYTE count, matching Spark's length()
+    // on the binary payload; length(text) counts CHARACTERS and only
+    // coincides on an all-ASCII corpus (round-10 advice)
+    s"""WITH a AS (
       |  SELECT doc_id AS asset_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    md5(text) AS fp, CAST(length(text) AS BIGINT) AS n_bytes
+      |    md5(text) AS fp, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 50000,
+      |  SELECT doc_id + $PlantBaseSql,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END,
-      |    md5(text), CAST(length(text) AS BIGINT)
+      |    md5(text), CAST(octet_length(encode(text)) AS BIGINT)
       |  FROM documents WHERE doc_id % 4 = 1),
       |k AS (SELECT kind, fp, n_bytes, MIN(asset_id) AS keeper
       |      FROM a GROUP BY 1, 2, 3)

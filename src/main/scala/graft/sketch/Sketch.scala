@@ -84,8 +84,23 @@ object Sketch {
     * [[histBucket]]'s `(v - lo) * scale` operation order exactly —
     * previously the oracle wrote `* buckets / (hi-lo)` by hand, which
     * only coincided for the unit range. */
-  private def histScale(buckets: Int, lo: Double, hi: Double): Double =
-    buckets.toDouble / (hi - lo)
+  private def histScale(buckets: Int, lo: Double, hi: Double): Double = {
+    // Cross-engine exactness contract (round-9/10 advice): the scale is
+    // a single embedded constant, but `(v - lo) * scale` only provably
+    // matches across engines when the arithmetic introduces NO rounding
+    // of its own — lo == 0 (the subtraction is the identity) and both
+    // `buckets` and the range powers of two (the division is an exact
+    // exponent shift). Every shipped gate satisfies this; a future
+    // non-conforming gate must fail loudly HERE, not hash-diverge
+    // silently in the driver's compare.
+    val range = hi - lo
+    def pow2(x: Double): Boolean =
+      x > 0 && !x.isInfinite && x == math.scalb(1.0, math.getExponent(x))
+    require(lo == 0.0 && pow2(range) && Integer.bitCount(buckets) == 1,
+      s"histogram sketch needs lo=0, power-of-two range and buckets for " +
+        s"exact cross-engine bucketing; got lo=$lo hi=$hi buckets=$buckets")
+    buckets.toDouble / range
+  }
 
   /** DuckDB fragment computing [[histBucket]] for `valueExpr` — same
     * constants, same operation order, generated not hand-kept-in-sync. */

@@ -392,7 +392,13 @@ object Streaming {
       glob: String = "documents.parquet",
       extraOptions: Map[String, String] = Map.empty): DataFrame = {
     import s.implicits._
-    val base = graft.Tables.documents(s, baseDir)
+    val baseTable = graft.Tables.documents(s, baseDir)
+    // plant offset from max(doc_id) — see LlmOps.plantBase: insert
+    // plants live in (M, 2M+1], orphan plants in (2M+1, 3M+2], so the
+    // one-op-per-key invariant holds at ANY scale factor (fixed
+    // +40000/+60000 offsets collide once natural ids outgrow them)
+    val pb = graft.queries.LlmOps.plantBase(baseTable)
+    val base = baseTable
       .select(col("doc_id"), graft.text.fingerprint_md5(col("text")).as("fp"))
       .as[(Long, String)]
       .map { case (id, fp) => (id, CdcState(fp)) }
@@ -404,17 +410,19 @@ object Streaming {
         case (r, (k, v)) => r.option(k, v) }
       .parquet(dir)
     // the planted change log — one op per key by construction (the
-    // modulus filters are pairwise disjoint), so ordering is moot
+    // natural-id modulus filters are pairwise exclusive; plant id
+    // ranges are disjoint from naturals and each other), so ordering
+    // is moot
     val changes = src.filter(col("doc_id") % 11 === 0)
         .select(col("doc_id"), lit("delete").as("op"), lit(null).cast("string").as("new_fp"))
       .unionByName(src.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 17 === 0)
         .select(col("doc_id"), lit("update").as("op"),
           graft.text.fingerprint_md5(concat(col("text"), lit(" rev2"))).as("new_fp")))
       .unionByName(src.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 40000).as("doc_id"), lit("insert").as("op"),
+        .select((col("doc_id") + pb).as("doc_id"), lit("insert").as("op"),
           graft.text.fingerprint_md5(col("text")).as("new_fp")))
       .unionByName(src.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 60000).as("doc_id"), lit("update").as("op"),
+        .select((col("doc_id") + 2 * pb).as("doc_id"), lit("update").as("op"),
           graft.text.fingerprint_md5(concat(col("text"), lit(" rev3"))).as("new_fp")))
       .unionByName(src.filter(col("doc_id") % 23 === 0 &&
           col("doc_id") % 11 =!= 0 && col("doc_id") % 17 =!= 0)
@@ -511,12 +519,15 @@ object Streaming {
           .option("pathGlobFilter", glob)) {
         case (r, (k, v)) => r.option(k, v) }
       .parquet(dir)
+    // plant offsets mirror the batch gate (LlmOps.dedupIncremental):
+    // max(doc_id)-derived, collision-proof at any scale
+    val pb = graft.queries.LlmOps.plantBase(graft.Tables.documents(s, histDir))
     val batch = src.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"))
       .unionByName(src.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + pb).as("doc_id"), col("text")))
       .unionByName(src.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 2 * pb).as("doc_id"), col("text")))
       .select(col("doc_id"), graft.text.fingerprint_md5(col("text")).as("fp"))
       .as[IncDoc]
     batch.groupByKey(_.fp)

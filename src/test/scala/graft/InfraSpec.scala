@@ -213,6 +213,7 @@ class InfraSpec extends AnyFunSuite {
     // batch truth: the oracle's one-join transition log, computed as a
     // DataFrame (base fingerprints LEFT JOIN the planted change set)
     val docs = Tables.documents(spark, sf0001)
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val base = docs.select(col("doc_id"),
       graft.text.fingerprint_md5(col("text")).as("fp"))
     val chraw = docs.filter(col("doc_id") % 11 === 0)
@@ -221,10 +222,10 @@ class InfraSpec extends AnyFunSuite {
         .select(col("doc_id"), lit("update").as("op"),
           graft.text.fingerprint_md5(concat(col("text"), lit(" rev2"))).as("new_fp")))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 40000).as("doc_id"), lit("insert").as("op"),
+        .select((col("doc_id") + pb).as("doc_id"), lit("insert").as("op"),
           graft.text.fingerprint_md5(col("text")).as("new_fp")))
       .unionByName(docs.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 60000).as("doc_id"), lit("update").as("op"),
+        .select((col("doc_id") + 2 * pb).as("doc_id"), lit("update").as("op"),
           graft.text.fingerprint_md5(concat(col("text"), lit(" rev3"))).as("new_fp")))
       .unionByName(docs.filter(col("doc_id") % 23 === 0 &&
           col("doc_id") % 11 =!= 0 && col("doc_id") % 17 =!= 0)
@@ -301,6 +302,51 @@ class InfraSpec extends AnyFunSuite {
     assert(batches >= parts, s"expected >= $parts data batches, got $batches")
     assert(multi == batchAnswer,
       s"multi-batch drifted: ${multi.size} vs ${batchAnswer.size}")
+  }
+
+  test("plant id-spaces stay disjoint on a corpus whose ids cross the old fixed offsets") {
+    // Round-10 advice: fixed +40000/+60000 plant offsets alias natural
+    // ids once the corpus outgrows them (sf1 reaches 49999). The
+    // max(doc_id)-derived scheme must keep every planted key unique on
+    // a corpus with ids PAST all the old boundaries — so this corpus
+    // plants ids up to ~68k, exactly the range where the old scheme
+    // provably collided (e.g. natural 40299 vs insert-plant 299+40000).
+    import graft.streaming.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigid").toFile
+    val docs = (0 until 400).map { i =>
+      val id = i.toLong * 171L // 0 .. 68229: crosses 20000/30000/40000/50000/60000
+      (id, s"unique token$i payload$i for document number $i", "en",
+        "synth", 40L)
+    }
+    writeOneParquet(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      new java.io.File(dir, "documents.parquet"), 5000000L)
+    // CDC: the one-op-per-key invariant IS the correctness precondition
+    val out = Streaming.cdcApplyTransform(spark, dir.getPath, baseDir = dir.getPath)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("infra_bigid_cdc").start()
+    try q.processAllAvailable() finally q.stop()
+    val cdc = spark.table("infra_bigid_cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    assert(cdc.nonEmpty)
+    val dupKeys = cdc.groupBy(_._1).filter(_._2.length > 1)
+    assert(dupKeys.isEmpty,
+      s"colliding change-log keys: ${dupKeys.keys.take(5).toSeq.sorted}")
+    // plants landed where designed: inserts above max id, orphans above 2*pb
+    val pb = docs.map(_._1).max + 1
+    assert(cdc.filter(_._2 == "insert").exists(_._1 >= pb))
+    assert(cdc.filter(t => t._2 == "update" && t._3 == "orphan")
+      .forall(_._1 >= 2 * pb))
+    // incremental exact + near: output ids unique (an aliased plant
+    // would merge two texts under one id)
+    Seq(graft.queries.LlmOps.dedupIncremental(spark, dir.getPath),
+        graft.queries.LlmOps.dedupIncrementalNear(spark, dir.getPath))
+      .foreach { df =>
+        val ids = df.collect().map(_.getLong(0))
+        assert(ids.length == ids.distinct.length,
+          s"duplicate output doc_ids: ${ids.diff(ids.distinct).take(5).toSeq}")
+      }
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
   }
 
   test("sessionization state stays key-bounded under a planted hot user (50% of events)") {

@@ -88,6 +88,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(graft.queries.LlmOps.dupSpansFuzzy(spark, sf001).count() > 0)
   }
 
+  test("fuzzySpans: no windows-per-document cap (65536+ windows complete, round-10 packed ids raised)") {
+    // One 524 320-token document → 65 539 stride-8 windows, past the
+    // 65 536 bound where round-10's packed doc_id·65536+wi ids
+    // raise_error'd. The (doc_id, wi) struct keys have no bound; all
+    // tokens are distinct so no pair survives and the run must simply
+    // COMPLETE (plus a planted cross-doc match to prove the struct
+    // path still detects).
+    val nTok = 65538 * 8 + 16
+    val giant = (0 until nTok).map(i => s"g$i").mkString(" ")
+    val copy16 = (0 until 16).map(i => s"g$i").mkString(" ") // window 0 of giant
+    val docs = Seq((1L, giant), (2L, s"$copy16"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.fuzzySpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    // the planted copy matches giant's window 0 — both docs span
+    assert(spans.exists(_._1 == 1L) && spans.exists(_._1 == 2L),
+      s"cross-doc match lost by the struct keys: ${spans.toSeq}")
+    assert(spans.count(_._1 == 1L) == 1 &&
+      spans.filter(_._1 == 1L).forall(t => t._2 == 0L && t._3 == 16L),
+      s"giant doc should match ONLY its first window: ${spans.toSeq}")
+  }
+
   test("simhash banding: high recall of true near-dups at tight hamming") {
     val sh = Dedup.simhashPairs(docs, maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1459,11 +1482,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val rows = queries.LlmOps.snapshotDiff(spark, sf001).collect()
       .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)), r.getString(3)))
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val pb = ids.max + 1
     val removed = rows.filter(_._4 == "removed").map(_._1).toSet
     val added = rows.filter(_._4 == "added").map(_._1).toSet
     val changed = rows.filter(_._4 == "changed").map(_._1).toSet
     assert(removed == ids.filter(_ % 11 == 0))
-    assert(added == ids.filter(_ % 13 == 0).map(_ + 40000))
+    assert(added == ids.filter(_ % 13 == 0).map(_ + pb))
     assert(changed == ids.filter(id => id % 11 != 0 && id % 17 == 0))
     // fingerprint sides agree with the status semantics
     assert(rows.forall {
@@ -1498,7 +1522,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val merged = queries.LlmOps.mergeApplyGate(spark, sf001).collect()
       .map(_.getLong(0)).toSet
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val wantB = ids.filter(_ % 11 != 0) ++ ids.filter(_ % 13 == 0).map(_ + 40000)
+    val pb = ids.max + 1
+    val wantB = ids.filter(_ % 11 != 0) ++ ids.filter(_ % 13 == 0).map(_ + pb)
     assert(merged == wantB)
   }
 
@@ -1532,21 +1557,22 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val byId = rows.map(t => t._1 -> t).toMap
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     // every planted re-crawl of a history doc is a history dup
-    val recrawls = rows.filter(t => t._1 >= 10000 && t._1 < 20000)
+    val recrawls = rows.filter(t => t._1 >= pb && t._1 < 2 * pb)
     assert(recrawls.nonEmpty && recrawls.forall(_._4 == "dup_hist"))
     assert(recrawls.forall(_._2 >= 1), "re-crawl with no history match count")
     // every planted within-batch replay matches its lower-id original
     // (dup_batch, unless the original itself near-matches history text,
     // in which case the replay does too → dup_hist precedence)
-    val replays = rows.filter(_._1 >= 20000)
+    val replays = rows.filter(_._1 >= 2 * pb)
     assert(replays.nonEmpty && replays.forall(t =>
       t._4 == "dup_batch" || (t._4 == "dup_hist" && t._2 >= 1)))
     assert(replays.filter(_._4 == "dup_batch").forall(_._3 >= 1))
     // the replayed originals (id%5==0 && id%9==0) stay kept unless they
     // have their own history/batch partner — never classified by their
     // HIGHER-id replay
-    val originals = rows.filter(t => t._1 < 10000 && t._1 % 9 == 0)
+    val originals = rows.filter(t => t._1 < pb && t._1 % 9 == 0)
     originals.foreach { case (id, nh, np, st) =>
       if (st == "dup_batch")
         assert(np >= 1, s"original $id dup_batch without a lower-id match")
@@ -1646,7 +1672,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val planned = queries.LlmOps.zorderLayout(spark, sf001).collect().map(key)
     assert(written.toSeq == planned.toSeq)
     // the physical layout is one fid= directory per manifest row
-    val outDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_commit_gate")
+    val outDir = new java.io.File(queries.LlmOps.lastZorderWriteDir.get())
     val dirs = outDir.listFiles().filter(_.getName.startsWith("fid="))
       .map(_.getName.stripPrefix("fid=").toLong).toSet
     assert(dirs == planned.map(_.head.asInstanceOf[Long]).toSet,
@@ -1682,8 +1708,10 @@ class LlmOpsSpec extends AnyFunSuite {
         .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
       if (h < "0d") "test" else if (h < "1a") "val" else "train"
     }
-    val planted = docs.select(col("doc_id")).collect().map(_.getLong(0))
-      .filter(_ % 6 == 0).filter(id => split(id) != split(id + 30000))
+    val allIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val pb = allIds.max + 1
+    val planted = allIds
+      .filter(_ % 6 == 0).filter(id => split(id) != split(id + pb))
     assert(rows.length == planted.length,
       s"${rows.length} leaks vs ${planted.length} planted straddlers")
     assert(rows.forall { case (_, n, k, s) =>
@@ -1699,9 +1727,10 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(rs.filter(_._5 == "kept").map(_._1).min == rs.map(_._1).min,
         s"group $g keeper is not the lowest asset_id")
     }
-    // the planted re-uploads (asset_id >= 50000) must all be dups of
-    // their originals, and only they are dups in this corpus
-    val (replicas, originals) = rows.partition(_._1 >= 50000)
+    // the planted re-uploads (asset_id >= plantBase) must all be dups
+    // of their originals, and only they are dups in this corpus
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val (replicas, originals) = rows.partition(_._1 >= pb)
     assert(replicas.nonEmpty && replicas.forall(_._5 == "dup"))
     assert(originals.forall(_._5 == "kept"))
   }
