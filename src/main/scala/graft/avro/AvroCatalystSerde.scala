@@ -120,20 +120,44 @@ object AvroCatalystSerde {
           out
         }
       case (st: StructType, RECORD) =>
-        val fieldWriters = st.fields.map { sf =>
-          val af = avro.getField(sf.name)
-          require(af != null, s"field ${sf.name} missing in Avro record ${avro.getFullName}")
-          (sf, af, nullWrap(makeWriter(sf.dataType, af.schema()), sf.nullable, af.schema()))
+        // NAME-resolVED, target-driven (the write-side evolution the
+        // reference's positional MyAvroSerializer could not do — its own
+        // ignore'd limitation at ConfluentAvroCatalystTest.scala:79-91):
+        // every data field must exist in the target record; a target
+        // field absent from the data fills with its Avro DEFAULT (or
+        // null for a null-union), resolved ONCE at closure-build time.
+        // When target == converted data schema (the non-evolution path)
+        // fields match 1:1 and this degenerates to the plain writer.
+        st.fields.foreach { sf =>
+          require(avro.getField(sf.name) != null,
+            s"field ${sf.name} missing in Avro record ${avro.getFullName}")
         }
-        val getters = st.fields.map(sf => elementGetter(sf.dataType))
+        val byName = st.fields.zipWithIndex.map { case (sf, i) => sf.name -> (sf, i) }.toMap
+        val fieldFills: Array[(Int, SpecializedGetters) => Any] =
+          avro.getFields.asScala.map { af =>
+            byName.get(af.name()) match {
+              case Some((sf, si)) =>
+                val w = nullWrap(makeWriter(sf.dataType, af.schema()), sf.nullable, af.schema())
+                val g = elementGetter(sf.dataType)
+                (pos: Int, row: SpecializedGetters) =>
+                  if (row.isNullAt(si)) w(null) else w(g(row, si))
+              case None =>
+                val dv: Any =
+                  if (af.hasDefaultValue) GenericData.get().getDefaultValue(af)
+                  else if (hasNullBranch(af.schema()) || af.schema().getType == NULL) null
+                  else throw new IllegalArgumentException(
+                    s"target field ${af.name()} of ${avro.getFullName} is absent " +
+                      "from the data and has no default")
+                (_: Int, _: SpecializedGetters) => dv
+            }
+          }.toArray
+        val positions = avro.getFields.asScala.map(_.pos()).toArray
         v => {
           val row = v.asInstanceOf[SpecializedGetters]
           val rec = new GenericData.Record(avro)
           var i = 0
-          while (i < fieldWriters.length) {
-            val (sf, af, w) = fieldWriters(i)
-            val value = if (row.isNullAt(i)) w(null) else w(getters(i)(row, i))
-            rec.put(af.pos(), value)
+          while (i < fieldFills.length) {
+            rec.put(positions(i), fieldFills(i)(positions(i), row))
             i += 1
           }
           rec

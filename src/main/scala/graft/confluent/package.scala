@@ -25,14 +25,21 @@ package object confluent {
       new ConfluentAvroRegistry(client)))
 
   /** Encode a struct column as Confluent-framed Avro, registering (or
-    * compatibility-checked updating) the subject schema. */
+    * compatibility-checked updating) the subject schema.
+    * `evolveToLatest`: when the subject already carries a different
+    * (evolved) schema, serialize under THAT schema field-name-resolved
+    * instead of registering the data's schema — target fields absent
+    * from the data fill with their Avro defaults (write-side
+    * evolution). Off by default = the reference's exact behavior. */
   def to_confluent_avro(data: Column, topic: String, subjectType: SubjectType,
       client: SchemaRegistryClient, updateAllowed: Boolean = false,
-      mutualReadCheck: Boolean = false, eagerCheck: Boolean = false): Column = {
+      mutualReadCheck: Boolean = false, eagerCheck: Boolean = false,
+      evolveToLatest: Boolean = false): Column = {
     val expr = CatalystToConfluentAvro(
       ColumnBridge.expression(data),
       subjectName(topic, subjectType),
-      new ConfluentAvroRegistry(client), updateAllowed, mutualReadCheck)
+      new ConfluentAvroRegistry(client), updateAllowed, mutualReadCheck,
+      evolveToLatest)
     if (eagerCheck && expr.child.resolved) expr.test()
     ColumnBridge.column(expr)
   }

@@ -1170,6 +1170,66 @@ object LlmOps {
 
   val dedupMinhashLshSql: String = JaccardOracle
 
+  /** Skew-stress near-dup gate: every 3rd document's text is replaced
+    * with shared boilerplate (+ a tiny per-doc drift suffix, J ≈ 0.69
+    * within the class — near-dups exact dedup CANNOT remove), so ~30%
+    * of the corpus collapses into ONE hot LSH band bucket — the
+    * boilerplate/cookie-banner skew every web corpus has. The pair
+    * stage runs SALTED at salt=8 (triangle partitioning,
+    * [[graft.util.Skew.saltedSelfJoinPairs]]): the hot bucket's
+    * O(hot²) pair work spreads over 36 shuffle cells instead of one
+    * straggler task (ScaleSpec measures the spread; this gate oracles
+    * the composed answer). Output is per-doc (partner count + partner
+    * id sum + best similarity) — corpus-sized, not pair-sized, so the
+    * gate row count stays linear at any SF. */
+  def dedupSkew(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(SkewBoilerplate + " page "), (col("doc_id") % 5).cast("string")))
+        .otherwise(col("text")).as("text"))
+    // 32 bands × 2 rows: the hot class's cross-suffix pairs sit at
+    // J = 10/12 ≈ 0.83, where 2-row bands make a miss a (1−J²)³² ≈
+    // 3e−17 event (16×4 would miss ~3e−5/pair — real odds across the
+    // class's quadratic pair count). Banded recall == exact threshold,
+    // so the exact-Jaccard oracle replays bit-for-bit.
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5,
+      bands = 32, salt = 8)
+    val und = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("p"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("p"), col("jaccard")))
+    und.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        sum(col("p")).as("partner_id_sum"),
+        round(max(col("jaccard")), 6).as("best_j"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pre-normalized (lowercase, single-spaced) so NormSql is the
+    * identity on it — both engines fingerprint the same string. */
+  private val SkewBoilerplate =
+    "cookie policy accept all cookies to continue reading this site content"
+
+  val dedupSkewSql: String =
+    s"""WITH pd AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN '$SkewBoilerplate page ' || CAST(doc_id % 5 AS VARCHAR)
+       |       ELSE text END AS text
+       |  FROM documents),
+       |toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM pd),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |$JacPairsCte,
+       |und AS (SELECT doc_a AS doc_id, doc_b AS p, jaccard FROM jac
+       |        UNION ALL SELECT doc_b, doc_a, jaccard FROM jac)
+       |SELECT doc_id, COUNT(*) AS n_partners,
+       |  CAST(SUM(p) AS BIGINT) AS partner_id_sum,
+       |  ROUND(MAX(jaccard), 6) AS best_j
+       |FROM und GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Winnowing-fingerprint near-dup pairs (MOSS detector) — docs
     * sharing ≥3 selected fingerprints; on this corpus that recovers
     * exactly the planted near-dup pairs the Jaccard detector finds,
@@ -1537,7 +1597,15 @@ object LlmOps {
     * pairs ARE near-angle (p → 1), where [[Ann.cosineLshPairs]] is the
     * drop-in (recall spec at LlmOpsSpec). */
   def dedupEvidenceUnion(s: SparkSession, dir: String): DataFrame = {
-    val jac = Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+    // persistIndex stays OFF: measured at sf0.1 (round 11, twice),
+    // caching the shingle trunk is time-neutral-to-worse (2.7→3.0 s
+    // warm) — recomputing the codegen'd one-pass shingle sets beats a
+    // MEMORY_AND_DISK materialization, matching minhashLshPairs's own
+    // documented measurement. The round-10 audit's 111-exchange count
+    // double-counts the printed lineage; the executed-tree count in
+    // ExplainAudit is the honest number.
+    val jac = Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3,
+      threshold = 0.5)
     val cos = Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.44)
     jac.join(cos, jac("doc_a") === cos("va") && jac("doc_b") === cos("vb"), "full_outer")
       .select(

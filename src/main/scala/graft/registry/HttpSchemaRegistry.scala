@@ -15,9 +15,14 @@ import org.json4s.jackson.JsonMethods
   * dependency and compiles offline).
   *
   * Endpoints used:
-  *  - `POST /subjects/{subject}/versions` body `{"schema": "..."}` → `{"id": n}`
+  *  - `POST /subjects/{subject}/versions` body `{"schema": "...",
+  *    "references": [{"name","subject","version"}...]}` → `{"id": n}`
   *  - `GET /schemas/ids/{id}` → `{"schema": "..."}`
+  *  - `GET /subjects/{subject}/versions` → `[1, 2, ...]`
   *  - `GET /subjects/{subject}/versions/latest` → `{"id": n, "schema": "..."}`
+  *  - `GET /subjects/{subject}/versions/{v}` → `{"id": n, "schema": "..."}`
+  *  - `GET /subjects/{subject}/versions/{v}/referencedby` → `[id, ...]`
+  *  - `DELETE /subjects/{subject}` → `[1, 2, ...]` (soft delete)
   *  - `GET /subjects` → `["a-value", ...]`
   *
   * Instances are Serializable (registry URL + timeout only); the
@@ -52,10 +57,20 @@ class HttpSchemaRegistry(baseUrl: String,
     }
   }
 
-  override def register(subject: String, schemaJson: String): Int = {
+  override def register(subject: String, schemaJson: String): Int =
+    register(subject, schemaJson, Seq.empty)
+
+  override def register(subject: String, schemaJson: String,
+      references: Seq[SchemaReference]): Int = {
     val path = s"/subjects/${enc(subject)}/versions"
-    val body = JsonMethods.compact(JsonMethods.render(
-      JObject("schema" -> JString(schemaJson))))
+    val fields: List[(String, JValue)] =
+      List("schema" -> JString(schemaJson)) ++
+        (if (references.isEmpty) Nil
+         else List("references" -> JArray(references.map(r => JObject(
+           "name" -> JString(r.name),
+           "subject" -> JString(r.subject),
+           "version" -> JInt(r.version))).toList)))
+    val body = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val r = send(HttpRequest.newBuilder(URI.create(root + path))
       .timeout(timeout)
       .header("Content-Type", ContentType).header("Accept", ContentType)
@@ -94,6 +109,45 @@ class HttpSchemaRegistry(baseUrl: String,
       case Some(other) => throw new SchemaRegistryHttpException(200,
         "/subjects", s"malformed subjects response: $other")
     }
+
+  private def intArray(path: String): Seq[Int] =
+    getJson(path) match {
+      case Some(JArray(xs)) => xs.collect { case JInt(v) => v.toInt }
+      case None => Seq.empty
+      case Some(other) => throw new SchemaRegistryHttpException(200,
+        path, s"malformed int-array response: $other")
+    }
+
+  override def versions(subject: String): Seq[Int] =
+    intArray(s"/subjects/${enc(subject)}/versions")
+
+  override def getByVersion(subject: String, version: Int): Option[(Int, String)] =
+    getJson(s"/subjects/${enc(subject)}/versions/$version").map { j =>
+      (j \ "id", j \ "schema") match {
+        case (JInt(id), JString(s)) => (id.toInt, s)
+        case _ => throw new SchemaRegistryHttpException(200,
+          s"/subjects/$subject/versions/$version",
+          s"malformed version response: ${JsonMethods.compact(JsonMethods.render(j))}")
+      }
+    }
+
+  override def deleteSubject(subject: String): Seq[Int] = {
+    val path = s"/subjects/${enc(subject)}"
+    val r = send(HttpRequest.newBuilder(URI.create(root + path))
+      .timeout(timeout).header("Accept", ContentType).DELETE().build())
+    r.statusCode() match {
+      case 200 => JsonMethods.parse(r.body()) match {
+        case JArray(xs) => xs.collect { case JInt(v) => v.toInt }
+        case other => throw new SchemaRegistryHttpException(200, path,
+          s"malformed delete response: $other")
+      }
+      case 404 => Seq.empty
+      case c => throw new SchemaRegistryHttpException(c, path, r.body())
+    }
+  }
+
+  override def referencedBy(subject: String, version: Int): Seq[Int] =
+    intArray(s"/subjects/${enc(subject)}/versions/$version/referencedby")
 }
 
 class SchemaRegistryHttpException(val status: Int, path: String, body: String)

@@ -27,10 +27,31 @@ trait SchemaRegistryClient extends Serializable {
   /** Register a new version (or return the existing id for an identical
     * schema). Returns the schema id. */
   def register(subject: String, schemaJson: String): Int
+  /** Register with schema REFERENCES — named pointers at other
+    * subjects' versions, the Confluent mechanism for composing schemas
+    * without inlining (`references` array on POST …/versions). */
+  def register(subject: String, schemaJson: String,
+      references: Seq[SchemaReference]): Int
   def getById(id: Int): Option[String]
   def getLatest(subject: String): Option[(Int, String)]
+  /** Version numbers (1-based, registration order) live under a subject. */
+  def versions(subject: String): Seq[Int]
+  /** One specific version: (schema id, schema document). */
+  def getByVersion(subject: String, version: Int): Option[(Int, String)]
+  /** Confluent soft delete (`DELETE /subjects/{s}`): the subject and its
+    * version list disappear; already-issued SCHEMA IDS keep resolving
+    * (written Kafka messages must stay readable). Returns the deleted
+    * version numbers, empty for an unknown subject. */
+  def deleteSubject(subject: String): Seq[Int]
+  /** Schema ids whose references point at (subject, version) —
+    * `GET /subjects/{s}/versions/{v}/referencedby`. */
+  def referencedBy(subject: String, version: Int): Seq[Int]
   def subjects: Set[String]
 }
+
+/** A Confluent schema reference: `name` is how the referencing schema
+  * mentions the type, resolved to `subject`'s `version`. */
+case class SchemaReference(name: String, subject: String, version: Int)
 
 /** JVM-wide in-memory registry. State lives in the companion keyed by a
   * registry name, so expression instances serialized into tasks reconnect
@@ -41,7 +62,11 @@ class InMemorySchemaRegistry(name: String = "default") extends SchemaRegistryCli
   private def store = InMemorySchemaRegistry.stores
     .computeIfAbsent(name, _ => new InMemorySchemaRegistry.Store)
 
-  override def register(subject: String, schemaJson: String): Int = {
+  override def register(subject: String, schemaJson: String): Int =
+    register(subject, schemaJson, Seq.empty)
+
+  override def register(subject: String, schemaJson: String,
+      references: Seq[SchemaReference]): Int = {
     val s = store
     s.synchronized {
       // schema-language-agnostic store: dedupe on the exact document
@@ -53,6 +78,7 @@ class InMemorySchemaRegistry(name: String = "default") extends SchemaRegistryCli
         case None =>
           val id = s.nextId.getAndIncrement()
           s.byId.put(id, canonical)
+          if (references.nonEmpty) s.refsById.put(id, references)
           versions.add(id)
           id
       }
@@ -69,13 +95,54 @@ class InMemorySchemaRegistry(name: String = "default") extends SchemaRegistryCli
     }
   }
 
+  override def versions(subject: String): Seq[Int] = {
+    val s = store
+    s.synchronized {
+      Option(s.bySubject.get(subject))
+        .map(v => (1 to v.size).toSeq).getOrElse(Seq.empty)
+    }
+  }
+
+  override def getByVersion(subject: String, version: Int): Option[(Int, String)] = {
+    val s = store
+    s.synchronized {
+      Option(s.bySubject.get(subject))
+        .filter(v => version >= 1 && version <= v.size)
+        .map(v => (v.get(version - 1), s.byId.get(v.get(version - 1))))
+    }
+  }
+
+  override def deleteSubject(subject: String): Seq[Int] = {
+    val s = store
+    s.synchronized {
+      // soft delete: the version list goes, issued ids keep resolving
+      Option(s.bySubject.remove(subject))
+        .map(v => (1 to v.size).toSeq).getOrElse(Seq.empty)
+    }
+  }
+
+  override def referencedBy(subject: String, version: Int): Seq[Int] = {
+    val s = store
+    s.synchronized {
+      s.refsById.asScala.collect {
+        case (id, refs) if refs.exists(r =>
+          r.subject == subject && r.version == version) => id.toInt
+      }.toSeq.sorted
+    }
+  }
+
   override def subjects: Set[String] = store.bySubject.keySet.asScala.toSet
+
+  /** References carried by a registered schema id (test/introspection). */
+  def referencesOf(id: Int): Seq[SchemaReference] =
+    Option(store.refsById.get(id)).getOrElse(Seq.empty)
 }
 
 object InMemorySchemaRegistry {
   private class Store {
     val byId = new ConcurrentHashMap[Int, String]()
     val bySubject = new ConcurrentHashMap[String, java.util.ArrayList[Int]]()
+    val refsById = new ConcurrentHashMap[Int, Seq[SchemaReference]]()
     val nextId = new AtomicInteger(1)
   }
   private val stores = new ConcurrentHashMap[String, Store]()

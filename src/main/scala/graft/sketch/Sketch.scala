@@ -111,9 +111,11 @@ object Sketch {
   /** DuckDB fragment for the bucket-midpoint quantile estimate — the
     * SQL twin of [[histQuantiles]]' `est_q` expression (same `lo +
     * (bucket + 0.5) * width` order, same 6-decimal rounding). */
-  def histMidpointSql(bucketExpr: String, buckets: Int, lo: Double, hi: Double): String =
+  def histMidpointSql(bucketExpr: String, buckets: Int, lo: Double, hi: Double): String = {
+    histScale(buckets, lo, hi) // same exactness contract, same loud failure
     s"ROUND($lo + (CAST($bucketExpr AS DOUBLE) + 0.5) * " +
       s"${(hi - lo) / buckets}, 6)"
+  }
 
   /** Histogram QUANTILE sketch: per group, the per-bucket counts of a
     * bounded uniform histogram — at most `buckets` rows per group

@@ -60,7 +60,15 @@ object Classify {
       .select(col("cls"),
         round(log(col("nc").cast("double") / col("n").cast("double")) * Grid)
           .cast("long").as("priorq"))
-    (seen.unionByName(unseen), priors)
+    // the MODEL is the cached trunk (vocab×classes rows — small):
+    // nbScore filters it twice (seen/unseen split) and each branch
+    // would otherwise replay the tot/vocab aggregates over the token
+    // counts — the round-10 plan audit counted those duplicated
+    // exchanges as nb_classify's main plan bloat
+    val model = graft.util.IntermediateCaches.track(
+      seen.unionByName(unseen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (model, priors)
   }
 
   /** Score test docs against an [[nbTrain]] model: one row per doc with

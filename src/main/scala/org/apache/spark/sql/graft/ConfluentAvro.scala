@@ -109,7 +109,8 @@ case class CatalystToConfluentAvro(
     subject: String,
     registry: ConfluentAvroRegistry,
     updateAllowed: Boolean,
-    mutualReadCheck: Boolean) extends UnaryExpression {
+    mutualReadCheck: Boolean,
+    evolveToLatest: Boolean = false) extends UnaryExpression {
 
   /** Registration is triggered the first time the analyzer asks for this
     * expression's type with a resolved child — i.e. at analysis time on
@@ -122,10 +123,29 @@ case class CatalystToConfluentAvro(
     BinaryType
   }
 
-  @transient private lazy val target: (Int, Schema) =
-    registry.setOrUpdateSchema(subject,
-      AvroSchemaConverter.toAvroType(child.dataType, nullable = false, recordName = "topLevelRecord"),
+  /** Serialization target. Default: register the DATA's schema
+    * (compat-checked) and write natively under it — the reference's
+    * behavior. With `evolveToLatest` and a subject that already has a
+    * DIFFERENT schema: write under the subject's LATEST schema instead,
+    * field-name-resolved (missing target fields fill with their Avro
+    * defaults; extra data fields are a loud error from the serde) — the
+    * write-side evolution the reference's positional serializer
+    * couldn't express (its ignore'd test at
+    * ConfluentAvroCatalystTest.scala:79-91). No new version is
+    * registered on that path: the point is emitting records an evolved
+    * subject's readers consume natively. */
+  @transient private lazy val target: (Int, Schema) = {
+    val dataSchema = AvroSchemaConverter.toAvroType(
+      child.dataType, nullable = false, recordName = "topLevelRecord")
+    if (evolveToLatest) {
+      registry.latest(subject) match {
+        case Some((id, latest)) if latest != dataSchema => (id, latest)
+        case _ => registry.setOrUpdateSchema(subject, dataSchema,
+          updateAllowed, mutualReadCheck)
+      }
+    } else registry.setOrUpdateSchema(subject, dataSchema,
       updateAllowed, mutualReadCheck)
+  }
 
   @transient private lazy val toAvro =
     AvroCatalystSerde.catalystToAvro(child.dataType, target._2)

@@ -87,6 +87,49 @@ abstract class ConfluentSerdeBehaviors extends AnyFunSuite with BeforeAndAfterEa
     assert(decoded.collect().toSet == Set(Row(1L, "a", null), Row(2L, "b", null)))
   }
 
+  test("schema evolution on write: v1 rows serialized under the evolved v2 subject schema") {
+    // The reference's own ignore'd limitation (its positional serializer
+    // can't do this, ConfluentAvroCatalystTest.scala:79-91): the subject
+    // has already evolved to v2 when a v1-shaped writer shows up.
+    val reg = new ConfluentAvroRegistry(client)
+    import org.apache.spark.sql.types._
+    val v2 = graft.avro.AvroSchemaConverter.toAvroType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("extra", StringType, nullable = true))), nullable = false)
+    val (v2id, _) = reg.setOrUpdateSchema("wevo-value", v2)
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    // flag OFF = reference behavior: the v1 data schema would need to
+    // REGISTER as a new version, refused without updateAllowed
+    intercept[IncompatibleSchemaException] {
+      v1.select(to_confluent_avro(struct($"id", $"name"), "wevo",
+        SubjectType.value, client).as("b")).collect()
+    }
+    // flag ON: serialize name-resolved under v2 — no new version, the
+    // wire id is v2's, and the missing `extra` field fills with its
+    // default (null)
+    val bytes = v1.select(to_confluent_avro(struct($"id", $"name"), "wevo",
+      SubjectType.value, client, evolveToLatest = true).as("b"))
+      .collect().map(_.getAs[Array[Byte]]("b"))
+    bytes.foreach { b =>
+      val buf = java.nio.ByteBuffer.wrap(b)
+      assert(buf.get() == 0x0.toByte && buf.getInt() == v2id)
+    }
+    assert(client.versions("wevo-value") == Seq(1), "evolution write must not register")
+    val decoded = bytes.toSeq.toDF("b")
+      .select(from_confluent_avro($"b", "wevo", SubjectType.value, client).as("r"))
+      .select("r.*")
+    assert(decoded.columns.toSeq == Seq("id", "name", "extra"))
+    assert(decoded.collect().toSet == Set(Row(1L, "a", null), Row(2L, "b", null)))
+    // extra DATA fields stay a loud error — evolution never drops data
+    val wide = Seq((1L, "a", 7L)).toDF("id", "name", "unexpected")
+    val err = intercept[Exception] {
+      wide.select(to_confluent_avro(struct($"id", $"name", $"unexpected"),
+        "wevo", SubjectType.value, client, evolveToLatest = true).as("b")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("incompatible update rejected; identical re-register is a no-op") {
     val reg = new ConfluentAvroRegistry(client)
     import org.apache.spark.sql.types._
@@ -211,6 +254,36 @@ class HttpConfluentSerdeSpec extends ConfluentSerdeBehaviors
     intercept[graft.registry.SchemaRegistryHttpException] {
       new HttpSchemaRegistry(server.url + "/badroot").register("x-value", schema)
     }
+  }
+
+  test("http client: versions, by-version, references, and soft subject deletion") {
+    val c = client
+    def rec(name: String, extra: String = "") =
+      s"""{"type":"record","name":"$name","fields":[{"name":"x","type":"long"}$extra]}"""
+    // two versions under one subject → versions/by-version surface them
+    val id1 = c.register("life-value", rec("r"))
+    val id2 = c.register("life-value",
+      rec("r", ""","""  + """{"name":"y","type":["null","long"],"default":null}"""))
+    assert(id1 != id2)
+    assert(c.versions("life-value") == Seq(1, 2))
+    assert(c.getByVersion("life-value", 1).contains((id1, rec("r"))))
+    assert(c.getByVersion("life-value", 2).map(_._1).contains(id2))
+    assert(c.getByVersion("life-value", 3).isEmpty)
+    assert(c.versions("life-unknown-value").isEmpty)
+    // a referencing schema: registered with a reference at version 1
+    val refId = c.register("uses-life-value", rec("u"),
+      Seq(graft.registry.SchemaReference("r", "life-value", 1)))
+    assert(c.referencedBy("life-value", 1) == Seq(refId))
+    assert(c.referencedBy("life-value", 2).isEmpty)
+    // soft delete: subject + versions gone, issued ids still resolve
+    // (written Kafka messages must stay readable), re-delete is empty
+    assert(c.deleteSubject("life-value") == Seq(1, 2))
+    assert(!c.subjects.contains("life-value"))
+    assert(c.versions("life-value").isEmpty)
+    assert(c.getLatest("life-value").isEmpty)
+    assert(c.getById(id1).contains(rec("r")))
+    assert(c.getById(id2).isDefined)
+    assert(c.deleteSubject("life-value").isEmpty)
   }
 
   test("racing setOrUpdateSchema writers: no lost registration, last-writer-wins, advisory compat") {
@@ -346,13 +419,27 @@ class HttpConfluentSerdeSpec extends ConfluentSerdeBehaviors
       // and converges to the sequential verdict instead of surfacing a
       // raw HTTP error
       http.register("enf-stale-value", sLong.toString)
-      val staleOnce = new graft.registry.SchemaRegistryClient {
+      // delegate-all wrapper so the stale-read overrides below stay
+      // focused on the one method they perturb
+      class Delegating(u: graft.registry.SchemaRegistryClient)
+          extends graft.registry.SchemaRegistryClient {
+        override def register(s: String, j: String): Int = u.register(s, j)
+        override def register(s: String, j: String,
+            r: Seq[graft.registry.SchemaReference]): Int = u.register(s, j, r)
+        override def getById(id: Int): Option[String] = u.getById(id)
+        override def getLatest(s: String): Option[(Int, String)] = u.getLatest(s)
+        override def versions(s: String): Seq[Int] = u.versions(s)
+        override def getByVersion(s: String, v: Int): Option[(Int, String)] =
+          u.getByVersion(s, v)
+        override def deleteSubject(s: String): Seq[Int] = u.deleteSubject(s)
+        override def referencedBy(s: String, v: Int): Seq[Int] =
+          u.referencedBy(s, v)
+        override def subjects: Set[String] = u.subjects
+      }
+      val staleOnce = new Delegating(http) {
         private val reads = new java.util.concurrent.atomic.AtomicInteger
-        override def register(s: String, j: String): Int = http.register(s, j)
-        override def getById(id: Int): Option[String] = http.getById(id)
         override def getLatest(s: String): Option[(Int, String)] =
           if (reads.getAndIncrement() == 0) None else http.getLatest(s)
-        override def subjects: Set[String] = http.subjects
       }
       val staleReg = new ConfluentAvroRegistry(staleOnce)
       val ex = intercept[IncompatibleSchemaException] {
@@ -361,13 +448,10 @@ class HttpConfluentSerdeSpec extends ConfluentSerdeBehaviors
       assert(ex.getMessage.contains("incompatible"))
       // same stale start, compatible schema: the server's gate passes it
       // straight through — staleness costs nothing when the write is legal
-      val staleOnce2 = new graft.registry.SchemaRegistryClient {
+      val staleOnce2 = new Delegating(http) {
         private val reads = new java.util.concurrent.atomic.AtomicInteger
-        override def register(s: String, j: String): Int = http.register(s, j)
-        override def getById(id: Int): Option[String] = http.getById(id)
         override def getLatest(s: String): Option[(Int, String)] =
           if (reads.getAndIncrement() == 0) None else http.getLatest(s)
-        override def subjects: Set[String] = http.subjects
       }
       val (idP, _) = new ConfluentAvroRegistry(staleOnce2)
         .setOrUpdateSchema("enf-stale-value", sPlus, updateAllowed = true)

@@ -19,10 +19,34 @@ object ExplainAudit {
       val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
       val nSortMerge = "SortMergeJoin".r.findAllIn(plan).size
       val nExchange = "Exchange ".r.findAllIn(plan).size
+      // EXECUTED shuffle count: walk the executed-plan tree (through
+      // finalized AQE stages), NOT the printed string — a cached
+      // branch's InMemoryTableScan re-PRINTS its build lineage per
+      // consumer, double-counting exchanges that run exactly once at
+      // cache build (the round-10→11 nb_classify audit artifact)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val seenCaches = scala.collection.mutable.Set.empty[Int]
+      def countShuffles(p: SparkPlan): Int = {
+        val hidden: Seq[SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            // the build runs ONCE per cache however many scans read it
+            if (seenCaches.add(System.identityHashCode(c.relation.cacheBuilder)))
+              Seq(c.relation.cachedPlan)
+            else Seq.empty
+          case _ => Seq.empty
+        }
+        (if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+          (p.children ++ hidden).map(countShuffles).sum
+      }
+      val nExec = countShuffles(df.queryExecution.executedPlan)
       val codegen = "codegen id : \\d+".r.findAllIn(plan).toSet.size
       val topk = plan.contains("TakeOrderedAndProject")
       println(f"$name%-20s pushdown=$pushed%-5s bhj=$nBroadcast smj=$nSortMerge " +
-        f"exchanges=$nExchange codegen=$codegen topk=$topk")
+        f"exchanges=$nExchange exec_shuffles=$nExec codegen=$codegen topk=$topk")
       if (readSchema.nonEmpty) println(s"    ${readSchema.take(140)}")
     }
     Seq("q1_agg", "q2_filter_project", "q3_join", "q5_multi_join", "q7_topk",

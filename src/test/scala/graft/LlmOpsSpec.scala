@@ -111,6 +111,29 @@ class LlmOpsSpec extends AnyFunSuite {
       s"giant doc should match ONLY its first window: ${spans.toSeq}")
   }
 
+  test("d_dedup_skew: hot boilerplate class fully recovered through the salted pair path") {
+    val rows = queries.LlmOps.dedupSkew(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val hot = ids.filter(_ % 3 == 0).toSet
+    val byId = rows.map(t => t._1 -> t).toMap
+    // every hot doc pairs with EVERY other hot doc (within-class J is
+    // 1.0 same-suffix / ~0.69 cross-suffix, both over the 0.5 bar) —
+    // the straggler-shaped bucket the salt exists for
+    hot.foreach { id =>
+      val t = byId.getOrElse(id, fail(s"hot doc $id missing from output"))
+      assert(t._2 == hot.size - 1,
+        s"hot doc $id has ${t._2} partners, want ${hot.size - 1}")
+      assert(t._3 == hot.sum - id, s"hot doc $id partner-id sum off")
+      assert(t._4 == 1.0, s"hot doc $id best_j ${t._4} != 1.0")
+    }
+    // hot docs never match natural docs (their text was replaced)
+    rows.filter(t => !hot.contains(t._1)).foreach { case (id, _, pidSum, _) =>
+      assert(!hot.contains(id) && pidSum >= 0)
+    }
+  }
+
   test("simhash banding: high recall of true near-dups at tight hamming") {
     val sh = Dedup.simhashPairs(docs, maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

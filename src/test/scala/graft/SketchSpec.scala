@@ -14,6 +14,25 @@ class SketchSpec extends AnyFunSuite {
 
   // ---------------------------------------------- histogram quantiles
 
+  test("histogram bucketing rejects configurations that cannot be cross-engine exact") {
+    // The exactness contract: lo must be 0 and range/buckets powers of
+    // two so the embedded scale constant involves no rounding of its
+    // own — a non-conforming future gate must fail HERE, loudly, not
+    // hash-diverge in the driver's compare (round-9/10 advice).
+    intercept[IllegalArgumentException] {
+      Sketch.histBucket(col("v"), 100, 0.0, 1.0) // buckets not 2^k
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.histBucketSql("v", 256, 0.5, 1.5) // lo != 0
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.histMidpointSql("b", 256, 0.0, 3.0) // range not 2^k
+    }
+    // conforming non-unit ranges stay allowed
+    Sketch.histBucket(col("v"), 256, 0.0, 2.0)
+    Sketch.histBucketSql("v", 1024, 0.0, 0.5)
+  }
+
   test("histogram quantile sketch: half-bucket error bound, monotone, known distribution") {
     import graft.sketch.Sketch
     // known distribution: values i/1000 for i in 0..999, one group —

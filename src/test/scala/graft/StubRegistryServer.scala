@@ -56,8 +56,9 @@ class StubRegistryServer(regName: String, enforceCompat: Boolean = false) {
     * have. Identical documents still dedupe to their existing id
     * without a check (re-registering the current schema is always
     * legal, matching Confluent). */
-  private def checkedRegister(subject: String, schema: String): Either[String, Int] =
-    if (!enforceCompat) Right(reg.register(subject, schema))
+  private def checkedRegister(subject: String, schema: String,
+      refs: Seq[graft.registry.SchemaReference] = Nil): Either[String, Int] =
+    if (!enforceCompat) Right(reg.register(subject, schema, refs))
     else appendLock.synchronized {
       reg.getLatest(subject) match {
         case Some((_, existing)) if existing != schema =>
@@ -67,8 +68,8 @@ class StubRegistryServer(regName: String, enforceCompat: Boolean = false) {
               new org.apache.avro.Schema.Parser().parse(existing), mutualRead = false)
             catch { case e: Exception => Seq(s"unparseable schema: ${e.getMessage}") }
           if (problems.nonEmpty) Left(problems.mkString("; "))
-          else Right(reg.register(subject, schema))
-        case _ => Right(reg.register(subject, schema))
+          else Right(reg.register(subject, schema, refs))
+        case _ => Right(reg.register(subject, schema, refs))
       }
     }
 
@@ -84,9 +85,19 @@ class StubRegistryServer(regName: String, enforceCompat: Boolean = false) {
           JArray(reg.subjects.toList.sorted.map(JString(_))))))
       case ("POST", List("subjects", subject, "versions")) =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        JsonMethods.parse(body) \ "schema" match {
+        val parsed = JsonMethods.parse(body)
+        val refs = parsed \ "references" match {
+          case JArray(xs) => xs.collect { case o: JObject =>
+            (o \ "name", o \ "subject", o \ "version") match {
+              case (JString(n), JString(s), JInt(v)) =>
+                graft.registry.SchemaReference(n, s, v.toInt)
+            }
+          }
+          case _ => Nil
+        }
+        parsed \ "schema" match {
           case JString(schema) =>
-            checkedRegister(subject, schema) match {
+            checkedRegister(subject, schema, refs) match {
               case Right(id) => respond(ex, 200, s"""{"id":$id}""")
               case Left(problems) => respond(ex, 409,
                 s"""{"error_code":409,"message":${jstr("incompatible schema: " + problems)}}""")
@@ -97,8 +108,32 @@ class StubRegistryServer(regName: String, enforceCompat: Boolean = false) {
         reg.getLatest(subject) match {
           case Some((id, schema)) =>
             respond(ex, 200,
-              s"""{"subject":${jstr(subject)},"version":1,"id":$id,"schema":${jstr(schema)}}""")
+              s"""{"subject":${jstr(subject)},"version":${reg.versions(subject).size},"id":$id,"schema":${jstr(schema)}}""")
           case None => notFound(ex, 40401, "subject")
+        }
+      case ("GET", List("subjects", subject, "versions")) =>
+        reg.versions(subject) match {
+          case Seq() => notFound(ex, 40401, "subject")
+          case vs => respond(ex, 200, vs.mkString("[", ",", "]"))
+        }
+      case ("GET", List("subjects", subject, "versions", v)) =>
+        v.toIntOption.flatMap(reg.getByVersion(subject, _)) match {
+          case Some((id, schema)) => respond(ex, 200,
+            s"""{"subject":${jstr(subject)},"version":$v,"id":$id,"schema":${jstr(schema)}}""")
+          case None => notFound(ex, 40402, "version")
+        }
+      case ("GET", List("subjects", subject, "versions", v, "referencedby")) =>
+        // Confluent returns [] (200) for a live version with no referrers
+        // and 404 for an unknown subject/version
+        v.toIntOption.filter(ver => reg.getByVersion(subject, ver).isDefined) match {
+          case Some(ver) => respond(ex, 200,
+            reg.referencedBy(subject, ver).mkString("[", ",", "]"))
+          case None => notFound(ex, 40402, "version")
+        }
+      case ("DELETE", List("subjects", subject)) =>
+        reg.deleteSubject(subject) match {
+          case Seq() => notFound(ex, 40401, "subject")
+          case vs => respond(ex, 200, vs.mkString("[", ",", "]"))
         }
       case ("GET", List("schemas", "ids", id)) =>
         id.toIntOption.flatMap(reg.getById) match {
