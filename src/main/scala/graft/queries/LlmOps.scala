@@ -1170,21 +1170,31 @@ object LlmOps {
 
   val dedupMinhashLshSql: String = JaccardOracle
 
-  /** Skew-stress near-dup gate: every 3rd document's text is replaced
-    * with shared boilerplate (+ a tiny per-doc drift suffix, J ≈ 0.69
-    * within the class — near-dups exact dedup CANNOT remove), so ~30%
-    * of the corpus collapses into ONE hot LSH band bucket — the
-    * boilerplate/cookie-banner skew every web corpus has. The pair
-    * stage runs SALTED at salt=8 (triangle partitioning,
+  /** Skew-stress near-dup gate: every 3rd document below id 1500 has
+    * its text replaced with shared boilerplate (+ a tiny per-doc drift
+    * suffix, J ≈ 0.83 within the class — near-dups exact dedup CANNOT
+    * remove), collapsing a ~500-doc class into ONE hot LSH band
+    * bucket — the boilerplate/cookie-banner skew every web corpus has.
+    * At the driver's gate SF that class is ~30% of the corpus; the
+    * id cap keeps the class FIXED-COUNT at larger SFs, because a
+    * corpus-fraction hot class makes the candidate PAIR set quadratic
+    * in corpus size (measured: the uncapped %3 class OOM'd a 24 GB
+    * heap at sf1 with 139M within-class pairs) — and bucket skew is a
+    * property of the BUCKET's row count vs the partition count, which
+    * a 500-row single bucket already exhibits at any corpus size. A
+    * real pipeline bounds this the same way: exact-dedup collapses
+    * verbatim boilerplate first, and `maxShingleDf` caps what near-dup
+    * banding will enumerate (see ngramJaccardPairs).
+    *
+    * The pair stage runs SALTED at salt=8 (triangle partitioning,
     * [[graft.util.Skew.saltedSelfJoinPairs]]): the hot bucket's
     * O(hot²) pair work spreads over 36 shuffle cells instead of one
     * straggler task (ScaleSpec measures the spread; this gate oracles
     * the composed answer). Output is per-doc (partner count + partner
-    * id sum + best similarity) — corpus-sized, not pair-sized, so the
-    * gate row count stays linear at any SF. */
+    * id sum + best similarity) — corpus-sized, not pair-sized. */
   def dedupSkew(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 3 === 0,
+      when(col("doc_id") % 3 === 0 && col("doc_id") < 1500,
         concat(lit(SkewBoilerplate + " page "), (col("doc_id") % 5).cast("string")))
         .otherwise(col("text")).as("text"))
     // 32 bands × 2 rows: the hot class's cross-suffix pairs sit at
@@ -1212,7 +1222,7 @@ object LlmOps {
 
   val dedupSkewSql: String =
     s"""WITH pd AS (SELECT doc_id,
-       |  CASE WHEN doc_id % 3 = 0
+       |  CASE WHEN doc_id % 3 = 0 AND doc_id < 1500
        |       THEN '$SkewBoilerplate page ' || CAST(doc_id % 5 AS VARCHAR)
        |       ELSE text END AS text
        |  FROM documents),

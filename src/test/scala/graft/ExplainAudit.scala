@@ -146,7 +146,11 @@ object ExplainAudit {
       "s_decontam_embed",
       // round 10l: detector-recall gates are candidate-sized joins;
       // CE buckets are the LM chain + one broadcast cutoff + map pass
-      "d_winnow_recall", "t_ce_buckets").foreach(audit)
+      "d_winnow_recall", "t_ce_buckets",
+      // round 11: the skew gate's hot bucket must spread over the
+      // triangle cells (salted banding self-join), verify candidates
+      // only; output is the corpus-sized per-doc aggregate
+      "d_dedup_skew").foreach(audit)
     spark.stop()
   }
 }

@@ -116,7 +116,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     graft.util.IntermediateCaches.releaseAll(blocking = true)
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
-    val hot = ids.filter(_ % 3 == 0).toSet
+    val hot = ids.filter(id => id % 3 == 0 && id < 1500).toSet
     val byId = rows.map(t => t._1 -> t).toMap
     // every hot doc pairs with EVERY other hot doc (within-class J is
     // 1.0 same-suffix / ~0.69 cross-suffix, both over the 0.5 bar) —
