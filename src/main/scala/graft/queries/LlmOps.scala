@@ -3696,6 +3696,157 @@ object LlmOps {
        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
        |JOIN firsts f ON f.fp = b.fp""".stripMargin
 
+  /** Gopher-style quality rule report (Rae et al. 2021, Appendix A):
+    * the published rule-based document filters, per doc, as EXACT
+    * INTEGER tests so both engines agree bit-for-bit:
+    *  - `r_wordcount`: 50 ≤ words ≤ 100 000
+    *  - `r_meanlen`:   3 ≤ mean word length ≤ 10, tested as
+    *                   3·n ≤ Σ|w| ≤ 10·n (no division)
+    *  - `r_alpha`:     ≥ 80% of words contain an alphabetic char,
+    *                   tested as 5·alpha ≥ 4·n
+    *  - `r_stops`:     ≥ 2 distinct words from Gopher's stop list
+    *                   {the, be, to, of, and, that, have, with}
+    * `keep` is the conjunction — the report a curation run reviews
+    * before committing thresholds. Σ|w| derives from the normalized
+    * text identity Σ|w| = len(norm) − (n−1) (single-spaced), shared
+    * with the oracle so the two sides cannot drift.
+    *
+    * Scale shape: map-only over the corpus (one projection, no
+    * shuffle before the final sort) — the cheapest possible filter
+    * pass, exactly how it deploys at 100 TB. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = Tables.documents(s, dir)
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val chars = (length(norm_text(col("text"))) - (n - 1)).cast("long")
+    val alpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val nstop = size(array_intersect(array_distinct(t),
+      array(stops.map(lit): _*))).cast("long")
+    docs.select(col("doc_id"), n.as("n_words"), chars.as("n_chars_w"),
+        alpha.as("n_alpha"), nstop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_w"),
+        col("n_alpha"), col("n_stop"),
+        (col("n_words") >= 50 && col("n_words") <= 100000L).as("r_wordcount"),
+        (lit(3) * col("n_words") <= col("n_chars_w") &&
+          col("n_chars_w") <= lit(10) * col("n_words")).as("r_meanlen"),
+        (lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stops"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_alpha") && col("r_stops"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(length(norm) - (len(toks) - 1) AS BIGINT) AS n_chars_w,
+       |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |  CAST(len(list_filter(list_distinct(toks),
+       |    w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_words, n_chars_w, n_alpha, n_stop,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+       |  (3 * n_words <= n_chars_w AND n_chars_w <= 10 * n_words) AS r_meanlen,
+       |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+       |  (n_stop >= 2) AS r_stops,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |   AND (3 * n_words <= n_chars_w AND n_chars_w <= 10 * n_words)
+       |   AND (5 * n_alpha >= 4 * n_words)
+       |   AND (n_stop >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Bloom-filter incremental dedup — the O(1)-STATE answer to
+    * [[dedupIncremental]]'s fingerprint index: at 100 TB of ingest the
+    * exact index is O(distinct fingerprints) (tens of billions of
+    * 16-byte rows); a Bloom filter holds the same membership signal in
+    * m = 8n BITS with a measured, constant false-positive rate and NO
+    * false negatives — the classic crawl-frontier / seen-set trade
+    * (Bloom 1970; Broder & Mitzenmacher's survey). k = 4, m = 8n ⇒
+    * fill ≈ 1−e^(−k·n/m) ≈ 0.39, FPR ≈ fill⁴ ≈ 2.3% at EVERY corpus
+    * size — the gate emits per-doc (bloom_hit, exact_hit, verdict
+    * tp/fp/tn) so the oracle pins the exact bit arithmetic AND the
+    * spec asserts the no-false-negative law + the FPR envelope.
+    *
+    * Scale shape: the bit table is ≤ min(k·n, m) rows (bounded);
+    * probing is a broadcast join while the filter broadcasts and a
+    * position-keyed shuffle join (sharded Bloom) past that. The batch
+    * composition is [[dedupIncremental]]'s (fresh + planted re-crawls
+    * at collision-proof ids). */
+  /** k hash rows for every Bloom gate; m = [[bloomM]](n). */
+  private[graft] val BloomK = 4
+
+  /** Capacity sizing: 8 bits per expected member — the number a
+    * production deployment takes from capacity planning, which keeps
+    * fill ≈ 0.39 and FPR ≈ 2.3% CONSTANT at every corpus size. */
+  private[graft] def bloomM(n: Long): Long = 8L * math.max(n, 1L)
+
+  /** History fingerprints (the member set) for the Bloom gates. */
+  private[graft] def bloomHist(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .select(fingerprint_md5(col("text")).as("v")).distinct()
+
+  /** The probe batch: fresh docs + planted re-crawls at collision-proof
+    * ids ([[dedupIncremental]]'s composition). */
+  private[graft] def bloomBatch(docs: DataFrame, pb: Long): DataFrame =
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), fingerprint_md5(col("text")).as("v"))
+      .unionByName(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + pb).as("doc_id"), fingerprint_md5(col("text")).as("v")))
+
+  /** Classification against a set-bit table — shared by the batch gate
+    * and the streaming twin (which feeds STREAMED bits). */
+  private[graft] def bloomVerdict(batch: DataFrame, hist: DataFrame,
+      bits: DataFrame, k: Int, m: Long): DataFrame = {
+    val hits = Sketch.bloomProbe(batch, "doc_id", "v", bits, k, m)
+    batch.join(hits, Seq("doc_id"))
+      .join(hist.select(col("v"), lit(true).as("_e")), Seq("v"), "left")
+      .select(col("doc_id"), col("v").as("fp"), col("bloom_hit"),
+        coalesce(col("_e"), lit(false)).as("exact_hit"),
+        when(col("bloom_hit") && coalesce(col("_e"), lit(false)), "tp")
+          .when(col("bloom_hit"), "fp")
+          .otherwise("tn").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
+    val hist = graft.util.IntermediateCaches.track(bloomHist(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // capacity sizing: one column-pruned distinct count
+    val m = bloomM(hist.count())
+    val bits = Sketch.bloomBits(hist, "v", BloomK, m)
+    bloomVerdict(bloomBatch(docs, pb), hist, bits, BloomK, m)
+  }
+
+  private def bloomPosSql(seedExpr: String, vExpr: String): String =
+    s"CAST('0x' || substr(md5(CAST($seedExpr AS VARCHAR) || '|' || $vExpr), 1, 15) AS BIGINT)"
+
+  val dedupBloomSql: String =
+    s"""WITH hist AS (SELECT DISTINCT md5($NormSql) AS v FROM documents WHERE doc_id % 5 <> 0),
+       |mm AS (SELECT 8 * GREATEST(COUNT(*), 1) AS m FROM hist),
+       |sd AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |bits AS (SELECT DISTINCT ${bloomPosSql("i", "v")} % (SELECT m FROM mm) AS b
+       |         FROM hist CROSS JOIN sd),
+       |batch AS (
+       |  SELECT doc_id, md5($NormSql) AS v FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $PlantBaseSql, md5($NormSql) FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0),
+       |probe AS (SELECT doc_id, ${bloomPosSql("i", "v")} % (SELECT m FROM mm) AS b
+       |          FROM batch CROSS JOIN sd),
+       |hit AS (SELECT doc_id,
+       |          BOOL_AND(b IN (SELECT b FROM bits)) AS bloom_hit
+       |        FROM probe GROUP BY 1)
+       |SELECT b.doc_id, b.v AS fp, h.bloom_hit,
+       |  (b.v IN (SELECT v FROM hist)) AS exact_hit,
+       |  CASE WHEN h.bloom_hit AND b.v IN (SELECT v FROM hist) THEN 'tp'
+       |       WHEN h.bloom_hit THEN 'fp' ELSE 'tn' END AS verdict
+       |FROM batch b JOIN hit h USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   /** Corpus snapshot diff — the ingest-audit operator: compare two
     * corpus versions by (doc_id, content fingerprint) and emit what a
     * data-versioned lakehouse commit log would record: `removed` (in A

@@ -67,6 +67,39 @@ object Sketch {
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Bloom bit position of `value` under hash row `seed`:
+    * hash60(seed || '|' || v) mod m — [[cmsBucket]] widened to a Long
+    * modulus (a production Bloom over 10⁹ members needs m ≈ 8·10⁹
+    * positions, past Int). Non-negative, engine-portable. */
+  def bloomPos(c: Column, seed: Int, m: Long): Column =
+    hash60(concat(lit(seed.toString), lit("|"), c)) % m
+
+  /** The SET-BIT table of a Bloom filter over `values`: one row per
+    * distinct set position — at most min(k·|values|, m) rows, the
+    * bounded at-rest form of the filter. At broadcastable sizes the
+    * membership probe is a map-side broadcast join; past that the
+    * probe degrades gracefully to a position-keyed shuffle join (a
+    * sharded Bloom — each shuffle partition holds a slice of the bit
+    * space), which is exactly how a 10⁹-member filter deploys. */
+  def bloomBits(values: DataFrame, valueCol: String, k: Int, m: Long): DataFrame =
+    values.select(explode(array((0 until k).map(i =>
+        bloomPos(col(valueCol), i, m)): _*)).as("b"))
+      .distinct()
+
+  /** Membership probe: for each probe row, true iff ALL k positions of
+    * `valueCol` are present in `bits`. No false negatives by
+    * construction; false-positive rate ≈ fill^k (fill = set-bit
+    * fraction). Output: (idCol, bloom_hit). */
+  def bloomProbe(probe: DataFrame, idCol: String, valueCol: String,
+      bits: DataFrame, k: Int, m: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    probe.select(col(idCol), posexplode(array((0 until k).map(i =>
+        bloomPos(col(valueCol), i, m)): _*)).as(Seq("_i", "b")))
+      .join(broadcast(bits.withColumn("_set", lit(1))), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg((count(col("_set")) === k).as("bloom_hit"))
+  }
+
   /** Bucket index of `value` in a `buckets`-wide uniform histogram over
     * [lo, hi], clamped to the edge buckets (values at/past `hi` land in
     * the last bucket). Deterministic float math in a FIXED operation

@@ -320,6 +320,50 @@ object Streaming {
       .orderBy(col("exact").desc, col("s"))
   }
 
+  /** Streaming Bloom seen-set (complete mode): history fingerprints
+    * stream in and the SET-BIT TABLE is the streaming state — at most
+    * min(k·n, m) rows with m fixed by capacity planning, the
+    * MEMBERSHIP face of the bounded-state family (CMS is frequency,
+    * KMV is distinct-count; [[incrementalDedupStream]]'s exact index
+    * is O(distinct keys), this is O(m) FOREVER — the 100 TB ingest
+    * trade, with a measured constant FPR and no false negatives).
+    * Bit sets are idempotent integer state, so the final table is
+    * arrival-order-invariant and the stream == the batch filter
+    * bit-for-bit; the gate then classifies the SAME probe batch the
+    * d_bloom gate uses against the STREAMED bits, so the DuckDB oracle
+    * is LITERALLY the batch gate's SQL. */
+  def bloomDedupStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_bloom"): DataFrame = {
+    import graft.sketch.Sketch
+    import graft.queries.LlmOps
+    val docsStatic = graft.Tables.documents(s, dir)
+    val pb = LlmOps.plantBase(docsStatic)
+    // capacity sizing from the static table — the planning number a
+    // deployment fixes BEFORE the stream starts
+    val m = LlmOps.bloomM(LlmOps.bloomHist(docsStatic).count())
+    val histStream = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(graft.text.fingerprint_md5(col("text")).as("v"))
+    val bitsAgg = histStream
+      .select(explode(array((0 until LlmOps.BloomK).map(i =>
+        Sketch.bloomPos(col("v"), i, m)): _*)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_values"))
+    withReplayPartitions(s, 4) {
+      val q = bitsAgg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val bits = s.table(queryName).select(col("b"))
+    LlmOps.bloomVerdict(LlmOps.bloomBatch(docsStatic, pb),
+      LlmOps.bloomHist(docsStatic), bits, LlmOps.BloomK, m)
+  }
+
   /** Streaming anomaly moments (complete mode): the per-type moment
     * triple (n, S=Σv, SS=Σv²) IS the streaming state — THREE integer
     * counters per event type forever, the cheapest member of the

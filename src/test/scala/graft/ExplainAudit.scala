@@ -150,7 +150,11 @@ object ExplainAudit {
       // round 11: the skew gate's hot bucket must spread over the
       // triangle cells (salted banding self-join), verify candidates
       // only; output is the corpus-sized per-doc aggregate
-      "d_dedup_skew").foreach(audit)
+      "d_dedup_skew",
+      // round 11b: the Bloom probe must broadcast the bit table (the
+      // corpus never shuffles before the per-doc k-position count);
+      // gopher rules are a map-only projection before the final sort
+      "d_bloom", "t_gopher_rules").foreach(audit)
     spark.stop()
   }
 }

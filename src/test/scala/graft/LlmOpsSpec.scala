@@ -111,6 +111,49 @@ class LlmOpsSpec extends AnyFunSuite {
       s"giant doc should match ONLY its first window: ${spans.toSeq}")
   }
 
+  test("gopher rules: integer tests match recomputed rules, map-only plan, planted edge cases") {
+    import spark.implicits._
+    // planted docs hitting each rule boundary exactly
+    val fifty = (1 to 50).map(i => s"the of word$i").mkString(" ") // 150 words, mean len ~3.6
+    val synth = Seq(
+      (1L, ("the be " + (1 to 60).map(i => s"word$i").mkString(" "))), // pass all
+      (2L, "the of and that"),                         // < 50 words
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),     // mean len 1 < 3, no 2 stops
+      (4L, (1 to 60).map(i => "w" * 11).mkString(" ")), // mean len 11 > 10
+      (5L, ("the be " + (1 to 60).map(i => "12345").mkString(" "))), // alpha frac low
+      (6L, fifty))
+      .toDF("doc_id", "text")
+    val rows = synth.select(col("doc_id"), col("text")).collect() // force
+    val out = {
+      val docs = synth
+      // reuse the gate logic by writing synth to a temp documents dir
+      val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toFile
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.parquet(new java.io.File(dir, "documents.parquet").getPath)
+      queries.LlmOps.gopherRules(spark, dir.getPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))).toSeq
+    }
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._7, "doc 1 should pass all rules")
+    assert(!byId(2L)._3 && !byId(2L)._7, "doc 2 fails word count")
+    assert(!byId(3L)._4, "doc 3 fails mean length (too short)")
+    assert(!byId(4L)._4, "doc 4 fails mean length (too long)")
+    assert(!byId(5L)._5, "doc 5 fails alpha fraction")
+    assert(byId(6L)._7, "doc 6 (boundary 150 words) passes")
+    // corpus gate: keep == conjunction, counts self-consistent
+    val gate = queries.LlmOps.gopherRules(spark, sf001)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"gopher rules should be map-only before the sort:\n${plan.take(600)}")
+    gate.collect().foreach { r =>
+      assert(r.getBoolean(9) == (r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8)))
+      assert(r.getLong(2) >= r.getLong(1) , "chars < words impossible") // each word >= 1 char
+    }
+  }
+
   test("d_dedup_skew: hot boilerplate class fully recovered through the salted pair path") {
     val rows = queries.LlmOps.dedupSkew(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -217,6 +217,51 @@ class SketchSpec extends AnyFunSuite {
     assert(sketch.count() <= 3L * 64)
   }
 
+  test("bloom dedup: no false negatives, planted re-crawls all tp, FPR inside the sizing envelope") {
+    val rows = graft.queries.LlmOps.dedupBloom(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getString(4)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(rows.nonEmpty)
+    // the Bloom law: a member is NEVER missed
+    rows.foreach { case (id, _, bloom, exact, v) =>
+      assert(!(exact && !bloom), s"false negative on doc $id")
+      val want = if (bloom && exact) "tp" else if (bloom) "fp" else "tn"
+      assert(v == want, s"doc $id verdict $v != $want")
+    }
+    // every planted re-crawl (id >= plantBase) is a true member
+    val docs = Tables.documents(spark, sf001)
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val planted = rows.filter(_._1 >= pb)
+    assert(planted.nonEmpty && planted.forall(_._5 == "tp"))
+    // measured FPR over the non-members: sizing gives fill ~0.39,
+    // FPR ~ fill^4 ~ 2.3%; assert a generous envelope (binomial noise
+    // over ~100 non-members at sf0.001-0.01 scale)
+    val nonMembers = rows.filter(!_._4)
+    val fpr = nonMembers.count(_._3).toDouble / nonMembers.length
+    assert(fpr <= 0.15, s"FPR $fpr way outside the m=8n sizing envelope")
+  }
+
+  test("streaming bloom seen-set == batch bloom gate, state bounded by min(k*n, m)") {
+    val name = s"sketch_bloom_${System.nanoTime}"
+    val stream = graft.streaming.Streaming.bloomDedupStream(spark, sf001, name)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getString(4))).toSeq
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val batch = graft.queries.LlmOps.dedupBloom(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getString(4))).toSeq
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
+    // the streamed bit table (the state's at-rest form) obeys the bound
+    val docs = Tables.documents(spark, sf001)
+    val n = graft.queries.LlmOps.bloomHist(docs).count()
+    val m = graft.queries.LlmOps.bloomM(n)
+    val bitRows = spark.table(name).count()
+    assert(bitRows <= math.min(graft.queries.LlmOps.BloomK * n, m),
+      s"bit table $bitRows exceeds min(k*n, m)")
+  }
+
   test("streaming KMV sketch == batch sketch (bounded state in the stream)") {
     // the sketch is a pure function of the SET of hashes, so micro-batch
     // arrival order cannot perturb it: stream output must equal the
