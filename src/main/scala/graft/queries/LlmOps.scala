@@ -3527,6 +3527,40 @@ object LlmOps {
        |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(ag.h_k AS DOUBLE), 4) END AS est
        |FROM ex JOIN ag USING (source) ORDER BY source""".stripMargin
 
+  /** HyperLogLog distinct-user gate (Flajolet et al. 2007) — the
+    * production cardinality sketch next to [[kmvDistinct]]'s KMV: 256
+    * max-rank registers per event type, FIXED state at any stream
+    * length, insert-idempotent and order-invariant (so the identical
+    * construction streams under complete mode if ever needed). The
+    * gate emits registers' harmonic sum as an EXACT BIGINT, the
+    * zero-register count, the estimate (single division / linear-
+    * counting branch, 4dp), AND the exact COUNT(DISTINCT) — so the
+    * oracle pins the register math bit-for-bit and records the
+    * measured error; the spec asserts the published ±1.04/√m envelope.
+    *
+    * Scale shape: ONE shuffle on (type, register) with map-side
+    * partial max — 256·|types| rows whatever the event volume; the
+    * estimate stage is register-table-sized. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+    Sketch.hllEstimate(ev, Seq("event_type"), "v")
+      .join(ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("v")).as("n_exact")), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_zero_regs"),
+        col("harmonic_s"), col("est"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH ${Sketch.hllEstimateSql("event_type",
+          "CAST(user_id AS VARCHAR)", "events")},
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT ex.event_type, ex.n_exact, est.n_zero_regs, est.harmonic_s, est.est
+       |FROM ex JOIN est ON est.g = ex.event_type
+       |ORDER BY ex.event_type""".stripMargin
+
   /** Histogram quantile sketch gate: per-source P25/P50/P75 of the
     * quality score from a 256-bucket bounded histogram
     * ([[graft.sketch.Sketch.histSketch]]/[[graft.sketch.Sketch.histQuantiles]]),

@@ -67,6 +67,104 @@ object Sketch {
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  // ------------------------------------------------------- HyperLogLog
+
+  /** HLL register count (2^8) and the cap on observable rank. */
+  val HllM = 256
+  val HllRankCap = 50
+
+  /** α_m · m² · 2^50 for m = 256 — the whole numerator of the raw HLL
+    * estimate precomputed as ONE double literal (the histScale
+    * discipline: a single constant embedded in both engines keeps the
+    * estimate one IEEE division of an exact-integer denominator). */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, 50)
+
+  /** HLL register index of a value: first 2 md5 hex chars (8 bits). */
+  def hllRegister(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 2), 16, 10).cast("int")
+
+  /** HLL rank of a value: leading-zero count of the NEXT 60 hash bits
+    * plus one, capped at [[HllRankCap]] — computed by HEX-STRING
+    * arithmetic (count leading '0' chars = 4 zero bits each, then a
+    * 16-way lookup on the first non-zero char), which both engines
+    * reproduce exactly; no floating log2, no bit-length builtin. */
+  def hllRank(c: Column): Column = {
+    val tail = substring(md5(c.cast("binary")), 3, 15)
+    val lz = length(regexp_extract(tail, "^0*", 0))
+    val first = substring(regexp_replace(tail, "^0*", ""), 1, 1)
+    val extra = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    least(lz * 4 + extra + 1, lit(HllRankCap))
+  }
+
+  /** Per-group HLL estimate over `valueCol` (Flajolet–Fuss–Gandouet–
+    * Meunier 2007): registers are max-rank per (group, register) —
+    * INSERT-IDEMPOTENT integer state, m rows per group at ANY input
+    * size — and the estimate is deterministic cross-engine because the
+    * harmonic sum is the exact BIGINT Σ 2^(50−Mⱼ) (register updates
+    * are max → order-invariant; missing registers count as rank 0).
+    * Small-range (raw ≤ 2.5m with empty registers) switches to linear
+    * counting m·ln(m/V) — one ln of an exactly-represented ratio,
+    * rounded 4dp (the repo's quantized-double convention).
+    * Output: (groupCols..., n_zero_regs, harmonic_s, est). */
+  def hllEstimate(values: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val regs = values
+      .groupBy(g :+ hllRegister(col(valueCol)).as("_r"): _*)
+      .agg(max(hllRank(col(valueCol))).as("_rank"))
+    val allRegs = values.select(g: _*).distinct()
+      .select(g :+ explode(sequence(lit(0), lit(HllM - 1))).as("_r"): _*)
+    val filled = allRegs.join(regs, groupCols :+ "_r", "left")
+      .select(g :+ coalesce(col("_rank"), lit(0)).as("_rank"): _*)
+    filled
+      .groupBy(g: _*)
+      .agg(
+        sum(when(col("_rank") === 0, 1L).otherwise(0L)).as("n_zero_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRankCap - _rank)"))
+          .as("harmonic_s"))
+      .withColumn("_raw", lit(HllNumerator) / col("harmonic_s").cast("double"))
+      .withColumn("est", round(
+        when(col("_raw") <= 2.5 * HllM && col("n_zero_regs") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero_regs").cast("double")))
+          .otherwise(col("_raw")), 4))
+      .drop("_raw")
+  }
+
+  /** DuckDB twin of the [[hllRegister]]/[[hllRank]]/[[hllEstimate]]
+    * chain for a value expression `v` grouped by `groupExpr` over
+    * `fromClause` — generated, not hand-kept-in-sync. */
+  def hllEstimateSql(groupExpr: String, v: String, fromClause: String): String = {
+    val cap = HllRankCap
+    s"""hx AS (SELECT $groupExpr AS g, md5($v) AS h FROM $fromClause),
+       |rr AS (SELECT g,
+       |  CAST('0x' || substr(h, 1, 2) AS BIGINT) AS r,
+       |  LEAST(4 * length(regexp_extract(substr(h, 3, 15), '^0*'))
+       |    + (CASE substr(regexp_replace(substr(h, 3, 15), '^0*', ''), 1, 1)
+       |       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+       |       ELSE 0 END) + 1, $cap) AS rank
+       |  FROM hx),
+       |mx AS (SELECT g, r, MAX(rank) AS mr FROM rr GROUP BY 1, 2),
+       |fill AS (SELECT grid.g, grid.r, COALESCE(mx.mr, 0) AS mr
+       |         FROM (SELECT g, unnest(generate_series(0, ${HllM - 1})) AS r
+       |               FROM (SELECT DISTINCT g FROM rr)) grid
+       |         LEFT JOIN mx ON mx.g = grid.g AND mx.r = grid.r),
+       |hll AS (SELECT g,
+       |  CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs,
+       |  CAST(SUM(1::BIGINT << ($cap - mr)) AS BIGINT) AS harmonic_s
+       |  FROM fill GROUP BY 1),
+       |est AS (SELECT g, n_zero_regs, harmonic_s,
+       |  ROUND(CASE WHEN $HllNumerator / CAST(harmonic_s AS DOUBLE) <= ${2.5 * HllM}
+       |              AND n_zero_regs > 0
+       |         THEN ${HllM.toDouble} * LN(${HllM.toDouble} / CAST(n_zero_regs AS DOUBLE))
+       |         ELSE $HllNumerator / CAST(harmonic_s AS DOUBLE) END, 4) AS est
+       |  FROM hll)""".stripMargin
+  }
+
   /** Bloom bit position of `value` under hash row `seed`:
     * hash60(seed || '|' || v) mod m — [[cmsBucket]] widened to a Long
     * modulus (a production Bloom over 10⁹ members needs m ≈ 8·10⁹

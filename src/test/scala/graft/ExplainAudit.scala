@@ -154,7 +154,10 @@ object ExplainAudit {
       // round 11b: the Bloom probe must broadcast the bit table (the
       // corpus never shuffles before the per-doc k-position count);
       // gopher rules are a map-only projection before the final sort
-      "d_bloom", "t_gopher_rules").foreach(audit)
+      "d_bloom", "t_gopher_rules",
+      // HLL: one (type, register) shuffle with partial max; the
+      // estimate stage runs on the 256-per-type register table
+      "t_hll_distinct").foreach(audit)
     spark.stop()
   }
 }

@@ -217,6 +217,44 @@ class SketchSpec extends AnyFunSuite {
     assert(sketch.count() <= 3L * 64)
   }
 
+  test("HLL: estimate within the published envelope, partition-layout-invariant, known cardinalities") {
+    import spark.implicits._
+    // known cardinalities across the small-range (linear counting) and
+    // raw-estimate regimes; duplicates must not move the estimate
+    // (insert-idempotent max registers)
+    val data = Seq(10, 200, 5000).flatMap { n =>
+      (0 until n).map(i => (s"g$n", s"v$i")) ++
+        (0 until n / 2).map(i => (s"g$n", s"v$i")) // duplicates
+    }.toDF("g", "v")
+    val out = Sketch.hllEstimate(data, Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def est(g: String) = out(g)._3
+    // sigma = 1.04/sqrt(256) = 6.5%; assert 3.5 sigma ~ 23%
+    Seq(10, 200, 5000).foreach { n =>
+      val e = est(s"g$n")
+      assert(math.abs(e - n) <= math.max(3.0, 0.23 * n),
+        s"HLL for n=$n estimated $e")
+    }
+    // partition-layout invariance: max per register is order-free
+    val shuffled = Sketch.hllEstimate(data.repartition(13), Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(shuffled == out)
+    // register table is bounded: harmonic_s of an EMPTY register set
+    // would be 256 * 2^50; every group's S is below that and positive
+    out.values.foreach { case (z, s, _) =>
+      assert(s > 0 && s <= 256L * (1L << 50) && z >= 0 && z <= 256)
+    }
+    // the gate itself at corpus scale: measured error recorded per type
+    val gate = graft.queries.LlmOps.hllDistinct(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    assert(gate.nonEmpty)
+    gate.foreach { case (t, exact, e) =>
+      assert(math.abs(e - exact) <= math.max(3.0, 0.23 * exact),
+        s"type $t: est $e vs exact $exact outside envelope")
+    }
+  }
+
   test("bloom dedup: no false negatives, planted re-crawls all tp, FPR inside the sizing envelope") {
     val rows = graft.queries.LlmOps.dedupBloom(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),

@@ -50,6 +50,17 @@ class TestdataContractSpec extends AnyFunSuite {
     val langs = docs.select(col("lang")).distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")),
       s"lang label set drifted: $langs")
+    // ids are non-negative — the max(id)-derived plant offsets
+    // (LlmOps.plantBase) rely on it to stay above every natural id
+    assert(docs.agg(min(col("doc_id"))).head.getLong(0) >= 0L)
+    // byte-length == char-length where both appear in one gate: the
+    // mm_dedup oracle now uses octet_length (byte-exact vs Spark's
+    // binary length) so this is belt-and-braces, but a multibyte
+    // testdata change should still announce itself here, not as a
+    // downstream hash drift (round-10 advice)
+    assert(docs.filter(length(col("text")) =!=
+      length(col("text").cast("binary"))).count() == 0,
+      "documents.text is no longer single-byte-per-char")
   }
 
   test("events: normalized schema is stable whatever the physical ts layout") {
