@@ -320,6 +320,66 @@ object Streaming {
       .orderBy(col("exact").desc, col("s"))
   }
 
+  /** Streaming HyperLogLog (complete mode): the per-(type, register)
+    * MAX-RANK table is the streaming state — 256 integers per event
+    * type forever, the cardinality face of the bounded-state family.
+    * Register max is idempotent and order-invariant, so the final
+    * table equals the batch registers bit-for-bit and the estimate
+    * stage (exact-BIGINT harmonic sum + one division, computed
+    * batch-side from the completed table exactly as the t_hll_distinct
+    * gate does) reproduces the batch gate — the DuckDB oracle is
+    * LITERALLY the batch gate's SQL. */
+  def hllDistinctStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_hll"): DataFrame = {
+    import graft.sketch.Sketch
+    val ev = eventsStreamFrom(s, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+    val regs = ev
+      .groupBy(col("event_type"), Sketch.hllRegister(col("v")).as("_r"))
+      .agg(max(Sketch.hllRank(col("v"))).as("_rank"))
+    withReplayPartitions(s, 4) {
+      val q = regs.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // estimate from the STREAMED register table (fill missing registers
+    // with rank 0, exact-integer harmonic sum — the batch gate's math)
+    val streamed = s.table(queryName)
+    // renamed key columns: the register grid derives from the same
+    // memory table it joins back to, so shared attribute ids would
+    // make the self-join ambiguous
+    val allRegs = streamed.select(col("event_type").as("_et")).distinct()
+      .select(col("_et"), explode(sequence(lit(0), lit(Sketch.HllM - 1))).as("_gr"))
+    val filled = allRegs.join(streamed,
+        allRegs("_et") === streamed("event_type") &&
+          allRegs("_gr") === streamed("_r"), "left")
+      .select(col("_et").as("event_type"),
+        coalesce(col("_rank"), lit(0)).as("_rank"))
+    val est = filled.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("_rank") === 0, 1L).otherwise(0L)).as("n_zero_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Sketch.HllRankCap} - _rank)"))
+          .as("harmonic_s"))
+      .withColumn("_raw",
+        lit(Sketch.HllNumerator) / col("harmonic_s").cast("double"))
+      .withColumn("est", round(
+        when(col("_raw") <= 2.5 * Sketch.HllM && col("n_zero_regs") > 0,
+          lit(Sketch.HllM.toDouble) *
+            log(lit(Sketch.HllM.toDouble) / col("n_zero_regs").cast("double")))
+          .otherwise(col("_raw")), 4))
+      .drop("_raw")
+    val exact = graft.Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id").cast("string")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_zero_regs"),
+        col("harmonic_s"), col("est"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming Bloom seen-set (complete mode): history fingerprints
     * stream in and the SET-BIT TABLE is the streaming state — at most
     * min(k·n, m) rows with m fixed by capacity planning, the

@@ -255,6 +255,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL == batch HLL gate, register state bounded by m per type") {
+    val name = s"sketch_hll_${System.nanoTime}"
+    val stream = graft.streaming.Streaming.hllDistinctStream(spark, sf001, name)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val batch = graft.queries.LlmOps.hllDistinct(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
+    // the streamed register table obeys the m-per-type bound
+    val nTypes = stream.size
+    assert(spark.table(name).count() <= nTypes.toLong * Sketch.HllM)
+  }
+
   test("bloom dedup: no false negatives, planted re-crawls all tp, FPR inside the sizing envelope") {
     val rows = graft.queries.LlmOps.dedupBloom(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
