@@ -3730,6 +3730,64 @@ object LlmOps {
        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
        |JOIN firsts f ON f.fp = b.fp""".stripMargin
 
+  /** Gopher repetition filters, n-gram tier (Rae et al. 2021 §A1.1):
+    * per document and n ∈ {2, 3}, the CHARACTER mass locked up in
+    * repeated word n-grams —
+    *  - `top_chars`: max over n-grams of occurrences·len(gram) (the
+    *    "top n-gram character fraction" numerator; the max-mass form
+    *    is tie-free where "most frequent gram's mass" is not),
+    *  - `dup_chars`: Σ occurrences·len over grams occurring ≥ 2×
+    *    (overlapping occurrences double-count, as in the published
+    *    reference implementations),
+    *  - `tot_chars`: Σ over ALL occurrences — the denominator.
+    * Fractions are single IEEE divisions of these exact ints, 6dp.
+    * Documents with < n tokens emit no row for that n (both engines).
+    *
+    * Scale shape: one (doc, n, gram) shuffle with map-side combine
+    * (corpus-token-sized keys, gram text ≤ 3 words), then a per-doc
+    * aggregate — the same two-level shape as every token statistic. */
+  def repNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def gramsOf(n: Int) = docs.filter(size(col("t")) >= n)
+      .select(col("doc_id"), lit(n).as("n"),
+        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("g"))
+    gramsOf(2).unionByName(gramsOf(3))
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"),
+        (col("c") * length(col("g"))).as("mass"), col("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("mass")).as("top_chars"),
+        sum(when(col("c") >= 2, col("mass")).otherwise(0L)).as("dup_chars"),
+        sum(col("mass")).as("tot_chars"))
+      .select(col("doc_id"), col("n"), col("top_chars"), col("dup_chars"),
+        col("tot_chars"),
+        round(col("top_chars").cast("double") / col("tot_chars"), 6).as("top_frac"),
+        round(col("dup_chars").cast("double") / col("tot_chars"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  val repNgramSql: String =
+    s"""WITH tt AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS g
+       |  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  UNION ALL
+       |  SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+       |c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+       |a AS (SELECT doc_id, n,
+       |  CAST(MAX(c * length(g)) AS BIGINT) AS top_chars,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars,
+       |  CAST(SUM(c * length(g)) AS BIGINT) AS tot_chars
+       |  FROM c GROUP BY 1, 2)
+       |SELECT doc_id, n, top_chars, dup_chars, tot_chars,
+       |  ROUND(CAST(top_chars AS DOUBLE) / tot_chars, 6) AS top_frac,
+       |  ROUND(CAST(dup_chars AS DOUBLE) / tot_chars, 6) AS dup_frac
+       |FROM a ORDER BY doc_id, n""".stripMargin
+
   /** Gopher-style quality rule report (Rae et al. 2021, Appendix A):
     * the published rule-based document filters, per doc, as EXACT
     * INTEGER tests so both engines agree bit-for-bit:

@@ -111,6 +111,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"giant doc should match ONLY its first window: ${spans.toSeq}")
   }
 
+  test("rep ngram: hand-computed masses on planted repetition, no row below n tokens") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "a b a b a b"),      // 2-grams: "a b"x3,"b a"x2; 3-grams: "a b a"x2,"b a b"x2
+      (2L, "u v w x"),          // all distinct -> dup 0
+      (3L, "solo"))             // 1 token -> no rows
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toFile
+    synth.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(new java.io.File(dir, "documents.parquet").getPath)
+    val rows = queries.LlmOps.repNgram(spark, dir.getPath).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((1L, 2)) == ((9L, 15L, 15L)))   // "a b"*3*3 / all dup / 5 grams *3
+    assert(rows((1L, 3)) == ((10L, 20L, 20L)))  // "a b a"*2*5 / all dup / 4 grams *5
+    assert(rows((2L, 2))._2 == 0L && rows((2L, 3))._2 == 0L)
+    assert(!rows.contains((3L, 2)) && !rows.contains((3L, 3)))
+    // fraction columns are single divisions of the integer columns
+    queries.LlmOps.repNgram(spark, dir.getPath).collect().foreach { r =>
+      assert(r.getDouble(5) ==
+        BigDecimal(r.getLong(2).toDouble / r.getLong(4))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("gopher rules: integer tests match recomputed rules, map-only plan, planted edge cases") {
     import spark.implicits._
     // planted docs hitting each rule boundary exactly
