@@ -157,7 +157,9 @@ object ExplainAudit {
       "d_bloom", "t_gopher_rules",
       // HLL: one (type, register) shuffle with partial max; the
       // estimate stage runs on the 256-per-type register table
-      "t_hll_distinct").foreach(audit)
+      "t_hll_distinct",
+      // rep masses: one (doc, n, gram) shuffle with map-side combine
+      "t_rep_ngram").foreach(audit)
     spark.stop()
   }
 }
