@@ -255,6 +255,37 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch merge laws: Bloom = bit union, HLL = register max — shard-and-combine equals whole") {
+    import spark.implicits._
+    // the property that lets both sketches shard across a cluster (or
+    // across DAYS of ingest): build per-shard, combine cheaply, get
+    // exactly the whole-corpus sketch
+    val a = (0 until 300).map(i => s"av$i").toDF("v")
+    val b = (0 until 300).map(i => s"bv$i").toDF("v")
+    val whole = a.unionByName(b)
+    val (k, m) = (4, 8L * 600)
+    // Bloom: bits(A ∪ B) == bits(A) ∪ bits(B)
+    val merged = Sketch.bloomBits(a, "v", k, m)
+      .unionByName(Sketch.bloomBits(b, "v", k, m)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val direct = Sketch.bloomBits(whole, "v", k, m)
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == direct)
+    // HLL: max-merging per-shard registers == whole-corpus registers,
+    // hence identical estimate
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(Sketch.hllRegister(col("v")).as("r"))
+      .agg(max(Sketch.hllRank(col("v"))).as("rank"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val (ra, rb) = (regs(a), regs(b))
+    val mergedRegs = (ra.keySet ++ rb.keySet).map(r =>
+      r -> math.max(ra.getOrElse(r, 0), rb.getOrElse(r, 0))).toMap
+    assert(mergedRegs == regs(whole))
+    val estWhole = Sketch.hllEstimate(whole.withColumn("g", lit("x")),
+      Seq("g"), "v").collect().head.getDouble(3)
+    assert(math.abs(estWhole - 600) <= 0.23 * 600)
+  }
+
   test("streaming HLL == batch HLL gate, register state bounded by m per type") {
     val name = s"sketch_hll_${System.nanoTime}"
     val stream = graft.streaming.Streaming.hllDistinctStream(spark, sf001, name)
