@@ -239,6 +239,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] with the benchmark gram set held as a BLOOM
+    * FILTER instead of an exact broadcast set — the shape for
+    * benchmark suites too large to ship as verbatim grams (or kept
+    * private: a Bloom leaks no gram text). m = 8·|grams|, k hash rows:
+    * constant ~2.3% gram-level false-positive rate, NO false negatives
+    * (n_bloom ≥ n_exact per doc by construction — spec-asserted), so
+    * the filter is a SAFE prefilter: everything truly contaminated is
+    * flagged, and the (cheap, bounded) false positives are what a
+    * second exact pass would winnow. Output per corpus doc with ≥ 1
+    * flagged gram: (idCol, n_grams, n_bloom, n_exact, has_fp). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.sketch.Sketch
+    val gramsExpr = org.apache.spark.sql.graft.DistinctShingles
+      .distinct_shingles(col(textCol), n)
+    val benchGrams = benchmark.select(explode(gramsExpr).as("g")).distinct()
+    val m = 8L * math.max(benchGrams.count(), 1L)
+    val bits = Sketch.bloomBits(benchGrams, "g", k, m)
+    val pos = corpus.select(col(idCol), explode(gramsExpr).as("g"))
+      .select(col(idCol), col("g"),
+        posexplode(array((0 until k).map(i =>
+          Sketch.bloomPos(col("g"), i, m)): _*)).as(Seq("_i", "b")))
+    val gramHit = pos
+      .join(broadcast(bits.withColumn("_set", lit(1))), Seq("b"), "left")
+      .groupBy(col(idCol), col("g"))
+      .agg((count(col("_set")) === k).as("hit"))
+    gramHit
+      .join(broadcast(benchGrams.withColumn("_e", lit(true))), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom"),
+        sum(when(coalesce(col("_e"), lit(false)), 1L).otherwise(0L)).as("n_exact"))
+      .filter(col("n_bloom") > 0)
+      .select(col(idCol), col("n_grams"), col("n_bloom"), col("n_exact"),
+        (col("n_bloom") > col("n_exact")).as("has_fp"))
+  }
+
   /** [[decontaminate]] from PRECOMPUTED corpus-side gram hashes — the
     * cache-narrowing path (LlmOps.pipelineE2e stage 3): `corpusGrams`
     * carries (idCol, gramsCol: array<long> =

@@ -2738,6 +2738,41 @@ object LlmOps {
        |SELECT doc_id, COUNT(*) AS n_shared
        |FROM g JOIN bg USING (g) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
 
+  /** Bloom decontamination gate
+    * ([[graft.corpus.Corpus.decontaminateBloom]]): [[decontam]]'s
+    * benchmark gram set compressed to a Bloom filter — the
+    * too-big-to-broadcast / private-benchmark deployment. Same eval
+    * slice and 4-grams as the exact gate; the oracle replays the
+    * md5-position arithmetic, so the gate pins gram-level bloom hits,
+    * exact hits, and the has_fp flag per doc — no false negatives
+    * (n_bloom ≥ n_exact, spec-asserted). */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.corpus.Corpus.decontaminateBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontamBloomSql: String =
+    s"""WITH $DecontamCtes,
+       |mm AS (SELECT 8 * GREATEST(COUNT(*), 1) AS m FROM bg),
+       |sd AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |bits AS (SELECT DISTINCT ${bloomPosSql("i", "g")} % (SELECT m FROM mm) AS b
+       |         FROM bg CROSS JOIN sd),
+       |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 20 <> 0),
+       |ph AS (SELECT doc_id, g,
+       |         BOOL_AND(${bloomPosSql("i", "g")} % (SELECT m FROM mm)
+       |           IN (SELECT b FROM bits)) AS hit
+       |       FROM cg CROSS JOIN sd GROUP BY 1, 2),
+       |ag AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+       |         CAST(SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+       |       FROM ph GROUP BY 1)
+       |SELECT doc_id, n_grams, n_bloom, n_exact,
+       |  (n_bloom > n_exact) AS has_fp
+       |FROM ag WHERE n_bloom > 0 ORDER BY doc_id""".stripMargin
+
   /** FUZZY decontamination gate: corpus docs within 0.5 whole-text
     * 3-gram Jaccard of any eval-slice doc, via bipartite MinHash-LSH
     * banding + exact verify ([[graft.corpus.Corpus.decontaminateFuzzy]]

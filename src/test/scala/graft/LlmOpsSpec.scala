@@ -111,6 +111,26 @@ class LlmOpsSpec extends AnyFunSuite {
       s"giant doc should match ONLY its first window: ${spans.toSeq}")
   }
 
+  test("bloom decontam: superset of exact flags (no false negatives), fp accounting consistent") {
+    val bloom = queries.LlmOps.decontamBloom(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val exact = queries.LlmOps.decontam(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom.nonEmpty)
+    bloom.foreach { case (id, ng, nb, ne, hasFp) =>
+      assert(nb >= ne, s"doc $id: bloom $nb < exact $ne — a false negative")
+      assert(nb <= ng && ne <= ng)
+      assert(hasFp == (nb > ne))
+      // the exact column agrees with the exact decontamination gate
+      assert(ne == exact.getOrElse(id, 0L), s"doc $id exact-hit drift")
+    }
+    // every exactly-contaminated doc is Bloom-flagged (safe prefilter)
+    val flagged = bloom.map(_._1).toSet
+    exact.keys.foreach(id => assert(flagged.contains(id),
+      s"contaminated doc $id missed by the Bloom prefilter"))
+  }
+
   test("rep ngram: hand-computed masses on planted repetition, no row below n tokens") {
     import spark.implicits._
     val synth = Seq(
