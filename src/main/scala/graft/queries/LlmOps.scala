@@ -4543,6 +4543,27 @@ object LlmOps {
   def nbClassify(s: SparkSession, dir: String): DataFrame =
     Classify.nbClassifyHoldout(s, Tables.documents(s, dir), "lang")
 
+  /** Confusion matrix over the [[nbClassify]] holdout — the evaluation
+    * report a classifier-routing pipeline commits alongside the model:
+    * per (actual, pred) cell, the doc count AND the id sum (membership
+    * pinned, the ceBuckets discipline). Diagonal mass / total =
+    * accuracy; off-diagonal cells name the confusable language pairs.
+    * Cells are exact integers over the quantized-exact argmax, so the
+    * oracle replays bit-for-bit. */
+  def nbConfusion(s: SparkSession, dir: String): DataFrame =
+    nbClassify(s, dir)
+      .groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("actual"), col("pred"))
+
+  // lazy: textually precedes nbClassifySql, whose body it embeds
+  lazy val nbConfusionSql: String =
+    s"""SELECT actual, pred, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM (
+       |${"  " + nbClassifySql.linesIterator.mkString("\n  ")}
+       |) base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val nbClassifySql: String =
     s"""WITH n AS (SELECT doc_id, lang, $NormSql AS norm FROM documents),
        |tr AS (SELECT * FROM n WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),

@@ -111,6 +111,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"giant doc should match ONLY its first window: ${spans.toSeq}")
   }
 
+  test("nb confusion: cells partition the holdout, diagonal dominates, id sums consistent") {
+    val cells = queries.LlmOps.nbConfusion(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    val perDoc = queries.LlmOps.nbClassify(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    // cells == the per-doc gate re-aggregated (count AND id mass)
+    val want = perDoc.groupBy(t => (t._2, t._3)).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._1).sum)).toMap
+    assert(cells.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap == want)
+    assert(cells.map(_._3).sum == perDoc.length)
+    // the classifier is better than chance on its own corpus: diagonal
+    // mass strictly dominates any single off-diagonal cell
+    val diag = cells.filter(t => t._1 == t._2).map(_._3).sum
+    val offMax = (cells.filter(t => t._1 != t._2).map(_._3) :+ 0L).max
+    assert(diag > offMax, s"diagonal $diag not dominant (off max $offMax)")
+  }
+
   test("bloom decontam: superset of exact flags (no false negatives), fp accounting consistent") {
     val bloom = queries.LlmOps.decontamBloom(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

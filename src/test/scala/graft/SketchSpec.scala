@@ -284,6 +284,16 @@ class SketchSpec extends AnyFunSuite {
     val estWhole = Sketch.hllEstimate(whole.withColumn("g", lit("x")),
       Seq("g"), "v").collect().head.getDouble(3)
     assert(math.abs(estWhole - 600) <= 0.23 * 600)
+    // CMS merges by counter ADDITION (and the histogram quantile
+    // sketch is the same integer-counter shape): per-shard sketches
+    // summed cell-wise == the whole-corpus sketch
+    def cms(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsSketch(df, "v", depth = 3, width = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ca, cb) = (cms(a), cms(b))
+    val mergedCms = (ca.keySet ++ cb.keySet).map(kk =>
+      kk -> (ca.getOrElse(kk, 0L) + cb.getOrElse(kk, 0L))).toMap
+    assert(mergedCms == cms(whole))
   }
 
   test("streaming HLL == batch HLL gate, register state bounded by m per type") {
