@@ -255,18 +255,28 @@ object Corpus {
     val gramsExpr = org.apache.spark.sql.graft.DistinctShingles
       .distinct_shingles(col(textCol), n)
     val benchGrams = benchmark.select(explode(gramsExpr).as("g")).distinct()
-    val m = 8L * math.max(benchGrams.count(), 1L)
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val m = 8L * nGrams
     val bits = Sketch.bloomBits(benchGrams, "g", k, m)
     val pos = corpus.select(col(idCol), explode(gramsExpr).as("g"))
       .select(col(idCol), col("g"),
         posexplode(array((0 until k).map(i =>
           Sketch.bloomPos(col("g"), i, m)): _*)).as(Seq("_i", "b")))
+    // Broadcast hints gated on the measured benchmark size (round-11
+    // advice): past Sketch.BloomBroadcastMaxBits the probe degrades to
+    // the documented position-keyed shuffle join instead of OOMing the
+    // driver on a forced broadcast build.
     val gramHit = pos
-      .join(broadcast(bits.withColumn("_set", lit(1))), Seq("b"), "left")
+      .join(Sketch.bloomHint(bits.withColumn("_set", lit(1)),
+          math.min(k.toLong * nGrams, m)), Seq("b"), "left")
       .groupBy(col(idCol), col("g"))
       .agg((count(col("_set")) === k).as("hit"))
+    val benchSide =
+      if (nGrams <= Sketch.BloomBroadcastMaxBits)
+        broadcast(benchGrams.withColumn("_e", lit(true)))
+      else benchGrams.withColumn("_e", lit(true))
     gramHit
-      .join(broadcast(benchGrams.withColumn("_e", lit(true))), Seq("g"), "left")
+      .join(benchSide, Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom"),

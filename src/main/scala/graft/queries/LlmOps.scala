@@ -30,11 +30,25 @@ object LlmOps {
     * "lower-id original wins `kept`" tie-break. The max itself is a
     * column-pruned 1-row aggregate (parquet footer statistics at rest —
     * O(files), not O(rows)). */
-  private[graft] def plantBase(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+  private[graft] def plantBase(docs: DataFrame): Long = {
+    // max(doc_id) is NULL on an empty corpus — fail loudly with a
+    // diagnosable message instead of a bare NPE from getLong (round-11
+    // advice), and keep the SQL twin consistent via its COALESCE guard.
+    val row = docs.agg(max(col("doc_id"))).head
+    require(!row.isNullAt(0),
+      "plantBase: documents table is empty (max(doc_id) is NULL) — " +
+        "planted-id offsets need a non-empty corpus")
+    row.getLong(0) + 1L
+  }
 
-  /** SQL twin of [[plantBase]] for the DuckDB oracles. */
-  private val PlantBaseSql = "(1 + (SELECT MAX(doc_id) FROM documents))"
+  /** SQL twin of [[plantBase]] for the DuckDB oracles. The guarded CASE
+    * mirrors the Scala side's loud require: an empty corpus raises
+    * "empty documents" in DuckDB (error() in the never-taken-when-valid
+    * branch, BIGINT-typed so the non-empty path is byte-identical to
+    * the old bare MAX) instead of silently planting NULL ids. */
+  private val PlantBaseSql =
+    "(1 + (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error('empty documents') AS BIGINT) " +
+      "ELSE MAX(doc_id) END FROM documents))"
 
   /** Shared oracle text for the quality-score signals and formula —
     * ONE definition (the ShingleCtes discipline) so the seven
@@ -4213,19 +4227,38 @@ object LlmOps {
     * ARTIFACT must equal the planned manifest bit-for-bit, which a
     * dropped row, a mis-partitioned doc, or a silently-defaulted
     * committer would each break. */
-  /** Where the last [[zorderWriteCommit]] run landed its artifact —
-    * the spec inspects the physical fid= directory layout there. */
-  private[graft] val lastZorderWriteDir =
-    new java.util.concurrent.atomic.AtomicReference[String]()
+  /** Gate-run temp dirs, recursively deleted at JVM exit (round-11
+    * advice: per-run dirs must not accumulate across runs). */
+  private val tempDirsToDelete =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val tempDirCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirsToDelete.forEach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        catch { case _: java.io.IOException => () }
+      }))
+  }
 
-  def zorderWriteCommit(s: SparkSession, dir: String): DataFrame = {
+  /** A fresh per-run temp directory registered for deletion on exit. */
+  private[graft] def freshTempDir(prefix: String): String = {
+    tempDirCleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirsToDelete.add(p)
+    p.toFile.getAbsolutePath
+  }
+
+  def zorderWriteCommit(s: SparkSession, dir: String): DataFrame =
     // per-run unique dir: two concurrent gate runs in one JVM/tmpdir
-    // must not clobber each other's artifacts (round-10 advice); the
-    // committer binding lives in a CHILD session's SQLConf so the
+    // must not clobber each other's artifacts (round-10 advice); no
+    // global last-dir slot — callers that need the artifact path pass
+    // their own `out` (round-11 advice: the AtomicReference raced under
+    // exactly the two-concurrent-runs scenario per-run dirs exist for)
+    zorderWriteCommitTo(s, dir, freshTempDir("graft_zorder_commit_gate"))
+
+  private[graft] def zorderWriteCommitTo(
+      s: SparkSession, dir: String, out: String): DataFrame = {
+    // the committer binding lives in a CHILD session's SQLConf so the
     // caller's session is never mutated (no restore window to race)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_zorder_commit_gate").toFile.getAbsolutePath
-    lastZorderWriteDir.set(out)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.sources.commitProtocolClass",
       "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")

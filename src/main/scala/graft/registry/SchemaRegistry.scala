@@ -70,10 +70,18 @@ class InMemorySchemaRegistry(name: String = "default") extends SchemaRegistryCli
     val s = store
     s.synchronized {
       // schema-language-agnostic store: dedupe on the exact document
-      // (Avro canonicalization happens in ConfluentAvroRegistry)
+      // PLUS its reference list (Avro canonicalization happens in
+      // ConfluentAvroRegistry). Confluent treats references as part of
+      // schema identity, so the same document re-registered with
+      // different references gets a NEW id — previously the refs were
+      // silently dropped on the existing-id path and referencedBy
+      // under-reported (round-11 advice).
       val canonical = schemaJson
       val versions = s.bySubject.computeIfAbsent(subject, _ => new java.util.ArrayList[Int])
-      versions.asScala.find(id => s.byId.get(id) == canonical) match {
+      def refsOf(id: Int): Seq[SchemaReference] =
+        Option(s.refsById.get(id)).getOrElse(Seq.empty)
+      versions.asScala.find(id =>
+          s.byId.get(id) == canonical && refsOf(id) == references) match {
         case Some(id) => id
         case None =>
           val id = s.nextId.getAndIncrement()

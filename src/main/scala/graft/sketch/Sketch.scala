@@ -184,16 +184,41 @@ object Sketch {
         bloomPos(col(valueCol), i, m)): _*)).as("b"))
       .distinct()
 
+  /** Largest set-bit table (rows, one long each) we will force into a
+    * driver-built broadcast relation: 32M positions ≈ a few hundred MiB
+    * hashed relation — safely inside a 24g driver, far past the point
+    * where a shuffle join would win anyway. Past this the probe joins
+    * WITHOUT a hint, so the planner (AQE included) picks a
+    * position-keyed shuffle join — the sharded-Bloom deployment shape
+    * for 10⁹-member filters, where each shuffle partition holds a
+    * slice of the bit space. */
+  private[graft] val BloomBroadcastMaxBits: Long = 32L << 20
+
+  /** Hint `bits` into a broadcast only when its row bound fits
+    * [[BloomBroadcastMaxBits]]; otherwise return it unhinted so the
+    * planner chooses. `expectedBits` is an UPPER BOUND on set rows
+    * (min(k·members, m) when the member count is known, else m). */
+  private[graft] def bloomHint(bits: DataFrame, expectedBits: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (expectedBits <= BloomBroadcastMaxBits) broadcast(bits) else bits
+  }
+
   /** Membership probe: for each probe row, true iff ALL k positions of
     * `valueCol` are present in `bits`. No false negatives by
     * construction; false-positive rate ≈ fill^k (fill = set-bit
-    * fraction). Output: (idCol, bloom_hit). */
+    * fraction). Output: (idCol, bloom_hit).
+    *
+    * `expectedMembers` (when ≥ 0) bounds the set rows at
+    * min(k·members, m) to decide the broadcast hint; unknown (−1)
+    * falls back to the loose bound m. Either way the hint is GATED on
+    * [[BloomBroadcastMaxBits]] — a 10⁹-member filter probes through a
+    * position-keyed shuffle join, never a driver-side broadcast. */
   def bloomProbe(probe: DataFrame, idCol: String, valueCol: String,
-      bits: DataFrame, k: Int, m: Long): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+      bits: DataFrame, k: Int, m: Long, expectedMembers: Long = -1L): DataFrame = {
+    val bound = if (expectedMembers >= 0L) math.min(k.toLong * expectedMembers, m) else m
     probe.select(col(idCol), posexplode(array((0 until k).map(i =>
         bloomPos(col(valueCol), i, m)): _*)).as(Seq("_i", "b")))
-      .join(broadcast(bits.withColumn("_set", lit(1))), Seq("b"), "left")
+      .join(bloomHint(bits.withColumn("_set", lit(1)), bound), Seq("b"), "left")
       .groupBy(col(idCol))
       .agg((count(col("_set")) === k).as("bloom_hit"))
   }

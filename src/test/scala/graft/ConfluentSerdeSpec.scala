@@ -223,6 +223,27 @@ abstract class ConfluentSerdeBehaviors extends AnyFunSuite with BeforeAndAfterEa
       from_confluent_json($"j", "jt", SubjectType.value, client).as("r")).select("r.*")
     assert(back.collect().toSet == df.collect().toSet)
   }
+
+  test("references are part of schema identity: same doc, different refs → new id") {
+    val c = client
+    def rec(name: String) =
+      s"""{"type":"record","name":"$name","fields":[{"name":"x","type":"long"}]}"""
+    val baseId = c.register("refid-base-value", rec("b"))
+    // Confluent includes the reference list in schema identity: the
+    // SAME document registered bare, then with a reference, then with
+    // the same reference again, yields two distinct ids with the second
+    // deduping (round-11 advice: refs were dropped on the existing-id
+    // path, so referencedBy under-reported)
+    val bare = c.register("refid-user-value", rec("u"))
+    val ref = graft.registry.SchemaReference("b", "refid-base-value", 1)
+    val withRef = c.register("refid-user-value", rec("u"), Seq(ref))
+    assert(bare != withRef, "refs must distinguish otherwise-identical schemas")
+    assert(c.register("refid-user-value", rec("u"), Seq(ref)) == withRef)
+    assert(c.register("refid-user-value", rec("u")) == bare)
+    assert(c.referencedBy("refid-base-value", 1) == Seq(withRef))
+    assert(c.versions("refid-user-value") == Seq(1, 2))
+    assert(baseId != bare)
+  }
 }
 
 class ConfluentSerdeSpec extends ConfluentSerdeBehaviors {

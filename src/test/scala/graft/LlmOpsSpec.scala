@@ -1797,13 +1797,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rate(enIds) > rate(restIds), "target language not preferentially kept")
   }
 
+  test("plantBase fails loudly on an empty corpus instead of a bare NPE") {
+    val empty = spark.range(0).select(col("id").as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      queries.LlmOps.plantBase(empty)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("z-order write: one directory per layout file, artifact manifest == planned manifest") {
     def key(r: org.apache.spark.sql.Row) = (0 until 8).map(r.get).toSeq
-    val written = queries.LlmOps.zorderWriteCommit(spark, sf001).collect().map(key)
+    // explicit out dir: no shared global slot, so a concurrent gate run
+    // cannot swap the directory under this spec (round-11 advice)
+    val out = queries.LlmOps.freshTempDir("graft_zorder_spec")
+    val written =
+      queries.LlmOps.zorderWriteCommitTo(spark, sf001, out).collect().map(key)
     val planned = queries.LlmOps.zorderLayout(spark, sf001).collect().map(key)
     assert(written.toSeq == planned.toSeq)
     // the physical layout is one fid= directory per manifest row
-    val outDir = new java.io.File(queries.LlmOps.lastZorderWriteDir.get())
+    val outDir = new java.io.File(out)
     val dirs = outDir.listFiles().filter(_.getName.startsWith("fid="))
       .map(_.getName.stripPrefix("fid=").toLong).toSet
     assert(dirs == planned.map(_.head.asInstanceOf[Long]).toSet,

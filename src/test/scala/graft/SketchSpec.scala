@@ -255,6 +255,29 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom broadcast hint is gated on bit-table size: big filters go unhinted") {
+    import spark.implicits._
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val bits = Seq(1L, 2L, 3L).toDF("b")
+    assert(hasHint(Sketch.bloomHint(bits, 1000L)),
+      "small bit table must keep the broadcast hint")
+    assert(!hasHint(Sketch.bloomHint(bits, Sketch.BloomBroadcastMaxBits + 1)),
+      "past-threshold bit table must NOT be forced into a driver broadcast " +
+        "(round-11 advice: the probe degrades to a position-keyed shuffle join)")
+    // and the probe wires the member bound through: a claimed 10⁹-member
+    // filter probes without a hint even when m alone would also gate it
+    val probe = Seq((1L, "x")).toDF("doc_id", "v")
+    val big = Sketch.bloomProbe(probe, "doc_id", "v", bits, 4, 8L * 2000000000L,
+      expectedMembers = 2000000000L)
+    assert(!hasHint(big))
+    val small = Sketch.bloomProbe(probe, "doc_id", "v", bits, 4, 8L * 100L,
+      expectedMembers = 100L)
+    assert(hasHint(small))
+  }
+
   test("sketch merge laws: Bloom = bit union, HLL = register max — shard-and-combine equals whole") {
     import spark.implicits._
     // the property that lets both sketches shard across a cluster (or
