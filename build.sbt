@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default matches the committed-bench convention (24g G1): BENCH_r*
+  // and BENCH_LOCAL_r* are only comparable when both record
+  // heap_max_mb 24576 (round-11 advice: an 89g driver run diverged 13%
+  // from the 24g local runs). Override via SPARK_DRIVER_MEM for
+  // experiments; the bench JSON records the live heap either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // pin the collector (G1 is the JDK 17 default, but an explicit pin
   // makes driver-run vs local bench totals comparable by construction;
   // the bench JSON records the live heap/GC so drift is visible)

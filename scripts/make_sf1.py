@@ -4,14 +4,29 @@
 10 structure-preserving replicas of every sf0.1 table:
 
 - documents: replica k interleaves a replica-tag token after every 2nd
-  token ("t1 t2 rK t3 t4 rK ..."; replica 0 is the raw corpus). Within a
-  replica the original near-dup structure survives bit-for-bit (planted
-  pairs get the same tags at the same cadence), while ANY cross-replica
-  3-shingle contains differing tags -> cross-replica Jaccard is 0. Net:
-  near-dup pairs, spans, and LSH candidates scale exactly linearly -
-  the right load for slope measurement, with no artificial 10-way
-  exact-dup cliques (a naive copy would turn every doc into a 10-clique
-  and every pair gate quadratic).
+  token ("t1 t2 rKgNN t3 t4 rKgMM ..."; replica 0 is the raw corpus).
+  The tag is CONTENT-ANCHORED: its suffix is a hash of the two
+  preceding tokens modulo 64 (round-12 fix). Within a replica the
+  original near-dup structure survives (near-identical token runs get
+  identical tags wherever their local context matches — alignment is
+  by content, not by global position, so length-changing edits only
+  perturb tags next to the edit, exactly like shingles themselves),
+  while ANY cross-replica 3-shingle contains differing tags ->
+  cross-replica Jaccard is 0. Net: near-dup pairs, spans, and LSH
+  candidates scale linearly - the right load for slope measurement,
+  with no artificial 10-way exact-dup cliques.
+
+  Why not one constant tag per replica (the r11 scheme): a single token
+  carrying 1/3 of every doc's token mass (a) votes a common heavy
+  direction into every SimHash in the replica, homogenizing signatures
+  and exploding banding candidates (d_simhash read 29.7x), and (b)
+  collapses every tag-containing 3-gram to an effective 2-gram (the tag
+  contributes no entropy), inflating within-replica gram collisions for
+  the winnow/jaccard truth sides (d_winnow_recall read 12.2x). With 64
+  content-anchored variants each tag is ~0.5% mass (no common SimHash
+  direction) and a tag-bearing gram keeps >= 3 tokens of content
+  entropy (the tag hash covers the two tokens BEFORE the gram's first
+  token, widening context instead of narrowing it).
 - embeddings: replica k applies one replica-specific coordinate
   permutation to every vector. Norms and all WITHIN-replica cosines are
   invariant; cross-replica cosines collapse to noise (checked below to
@@ -53,12 +68,19 @@ def write(name, table):
 for t in ["region", "nation"]:
     write(t, read(t))
 
-# documents: tag-interleaved replicas
+# documents: tag-interleaved replicas (content-anchored cycling tags —
+# see module docstring; FNV-1a so the anchor is deterministic and cheap)
+def fnv64(s):
+    h = 0xcbf29ce484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 docs = read("documents").to_pydict()
 M = max(docs["doc_id"]) + 1
 out = {k: [] for k in docs}
 for k in range(REPLICAS):
-    tag = f"rep{k}tag"
     for i in range(len(docs["doc_id"])):
         if k == 0:
             text = docs["text"][i]
@@ -68,7 +90,8 @@ for k in range(REPLICAS):
             for j, t in enumerate(toks):
                 woven.append(t)
                 if j % 2 == 1:
-                    woven.append(tag)
+                    anchor = fnv64(toks[j - 1] + "\x1f" + t) % 64
+                    woven.append(f"r{k}g{anchor}")
             text = " ".join(woven)
         out["doc_id"].append(docs["doc_id"][i] + k * M)
         out["text"].append(text)

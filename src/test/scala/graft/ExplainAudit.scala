@@ -159,7 +159,10 @@ object ExplainAudit {
       // estimate stage runs on the 256-per-type register table
       "t_hll_distinct",
       // rep masses: one (doc, n, gram) shuffle with map-side combine
-      "t_rep_ngram").foreach(audit)
+      "t_rep_ngram")
+      // optional 2nd arg: comma-separated audit subset (perf iteration)
+      .filter(n => args.lift(1).forall(_.split(",").contains(n)))
+      .foreach(audit)
     spark.stop()
   }
 }
