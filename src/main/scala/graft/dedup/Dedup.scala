@@ -715,11 +715,21 @@ object Dedup {
     * candidate pairs at corpus scale), the 16-bit keys cut expected
     * candidates by (2^16/2^8)² / (28/8) ≈ 18 700×. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingPairs(spread(docs).select(col(idCol).as("doc"),
+      simhash64(norm_text(col(textCol))).as("sh")), maxHamming)
+
+  /** The Manku banding + Hamming verify over PRECOMPUTED 64-bit
+    * fingerprints (`fps`: (doc, sh)) — extracted from [[simhashPairs]]
+    * so any 64-bit perceptual fingerprint (SimHash, image dHash/aHash)
+    * shares the same exact-recall detector. Output:
+    * (doc_a, doc_b, hamming) for every pair within `maxHamming` —
+    * EXACT by the pigeonhole guarantee (recall 1 at the banding stage,
+    * precision restored by the bit_count verify), so a brute-force
+    * Hamming join is a valid oracle for the banded plan. */
+  def hammingPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "maxHamming must be in [0,7] (wider radii need >64-bit fingerprints)")
-    val sh = spread(docs).select(col(idCol).as("doc"),
-      simhash64(norm_text(col(textCol))).as("sh"))
     def block(i: Int, w: Int): Column =
       shiftright(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1))
     val tableKeys: Seq[Column] =
@@ -728,7 +738,7 @@ object Dedup {
         (0 until 8).combinations(2).toSeq.map(ij =>
           shiftleft(block(ij(0), 8), 8) + block(ij(1), 8))
       else (0 until 8).map(block(_, 8))
-    val banded = sh.select(col("doc"), col("sh"),
+    val banded = fps.select(col("doc"), col("sh"),
       posexplode(array(tableKeys: _*)).as(Seq("band", "chunk")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&

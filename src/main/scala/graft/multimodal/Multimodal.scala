@@ -72,6 +72,58 @@ object Multimodal {
 
   case class ImageInfo(width: Int, height: Int, format: String)
 
+  /** Real perceptual image fingerprint — the classic 64-bit dHash
+    * (difference hash): decode the raster (full decode here, unlike the
+    * header-only [[decodeImageInfo]] — perceptual hashing needs
+    * pixels), block-average the luminance into a 9×8 grid, emit one bit
+    * per horizontal neighbor pair (bit r·8+c = 1 iff cell(r,c+1) >
+    * cell(r,c)). Deterministic by construction: integer luminance
+    * (ITU-R 601 weights ×1024), integer block sums, no
+    * Graphics2D/rescale-op involvement (whose interpolation is
+    * platform-tunable). Near-identical images (re-encodes, small
+    * overlays, resizes) land within a small Hamming distance; pair via
+    * [[graft.dedup.Dedup.hammingPairs]]. None for undecodable
+    * payloads. */
+  def dhash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val (gw, gh) = (9, 8)
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      val sums = Array.ofDim[Long](gh, gw)
+      val counts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gw / w, gw - 1)
+          val rgb = bi.getRGB(x, y)
+          val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          sums(gy)(gx) += lum
+          counts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var fp = 0L
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw - 1) {
+          val a = if (counts(r)(c) == 0) 0L else sums(r)(c) / counts(r)(c)
+          val b = if (counts(r)(c + 1) == 0) 0L else sums(r)(c + 1) / counts(r)(c + 1)
+          if (b > a) fp |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      fp
+    }
+  }
+
   /** Parsed audio envelope: container header fields only. */
   case class AudioInfo(sampleRateHz: Int, channels: Int, sampleBits: Int,
       nFrames: Long, format: String)

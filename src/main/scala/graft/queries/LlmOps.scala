@@ -4588,6 +4588,92 @@ object LlmOps {
       |FROM a JOIN k USING (kind, fp, n_bytes)
       |ORDER BY asset_id""".stripMargin
 
+  /** Perceptual near-dup detection for IMAGE assets — 64-bit dHash
+    * fingerprints paired through the exact-recall Manku banding
+    * ([[graft.dedup.Dedup.hammingPairs]], the d_minhash_lsh discipline
+    * lifted to Hamming space). The REAL pixel path is
+    * [[graft.multimodal.Multimodal.dhash64]] (decode raster →
+    * 9×8 luminance grid → neighbor-comparison bits; spec-exercised on
+    * synthesized PNGs incl. a perturbed near-dup). This GATE runs the
+    * identical banding+verify machinery over a deterministic SURROGATE
+    * raster, because the synthetic testdata payloads are text bytes,
+    * not media (the [[Multimodal.decodeStub]] convention): cell j of a
+    * 65-cell strip is [[Sketch.hash60]] of the asset's token at
+    * position j mod ntok — dense for every doc length, stable under a
+    * single-token edit (≤ 2 cells move for ntok ≥ 37, flipping ≤ 4 of
+    * the 64 neighbor-comparison bits), and exactly replayable in DuckDB
+    * via the md5 hash convention.
+    *
+    * Plants: every 6th image asset with ≥ 37 tokens re-ingested under a
+    * [[plantBase]] id with token 4 replaced — the re-encoded/slightly-
+    * edited re-upload. Recovery is GUARANTEED: ≤ 4 flipped bits ≤ the
+    * Hamming radius 6, and the banding has recall 1 at radius ≤ 6 by
+    * pigeonhole, which is also why the oracle can replay the banded
+    * plan with a brute-force Hamming join. Output: all image-asset
+    * pairs within Hamming 6 — the evidence feed a cross-modality
+    * [[dedupEvidenceUnion]] would union with the text and embedding
+    * detectors (same (a, b, score) shape).
+    *
+    * Scale shape: fingerprinting is one map pass (65 md5s per asset);
+    * the only corpus-scale exchange is the 28-table band-key self-join
+    * (16-bit keys → ~(N/65536)² per table, the Manku geometry); verify
+    * is candidate-only bit_count. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
+    val images = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("asset_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 1)
+    val planted = images
+      .filter(col("asset_id") % 6 === 0 && size(col("tk")) >= 37)
+      .select((col("asset_id") + pb).as("asset_id"),
+        concat(slice(col("tk"), 1, 3), array(lit("zz")),
+          slice(col("tk"), lit(5), size(col("tk")) - 4)).as("tk"))
+    val cells = images.unionByName(planted)
+      .withColumn("cells", transform(sequence(lit(0), lit(64)),
+        j => Sketch.hash60(element_at(col("tk"), pmod(j, size(col("tk"))) + 1))))
+    // LSB-first packing with bit 63 as Long.MinValue: partial sums of
+    // distinct non-negative powers stay under 2^63, the sign term lands
+    // last — no ANSI overflow at any step
+    val powers = (0 until 63).map(1L << _) :+ Long.MinValue
+    val fp = (0 until 64).map { j =>
+      when(element_at(col("cells"), j + 2) > element_at(col("cells"), j + 1),
+        lit(powers(j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Dedup.hammingPairs(cells.select(col("asset_id").as("doc"), fp.as("sh")),
+        maxHamming = 6)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"), col("hamming"))
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
+  private def phashBitsSql(src: String): String =
+    s"""cells AS (
+       |  SELECT asset_id, list_transform(range(0, 65),
+       |    j -> CAST('0x' || substr(md5(tk[(j % len(tk)) + 1]), 1, 15) AS BIGINT)) AS c
+       |  FROM $src),
+       |bits AS (
+       |  SELECT asset_id, list_transform(range(0, 64),
+       |    j -> CASE WHEN c[j + 2] > c[j + 1] THEN 1 ELSE 0 END) AS b
+       |  FROM cells)""".stripMargin
+
+  val mmPhashSql: String =
+    s"""WITH img0 AS (
+       |  SELECT doc_id AS asset_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |img AS (
+       |  SELECT asset_id, tk FROM img0 WHERE len(tk) >= 1
+       |  UNION ALL
+       |  SELECT asset_id + $PlantBaseSql,
+       |    tk[1:3] || ['zz'] || tk[5:]
+       |  FROM img0 WHERE asset_id % 6 = 0 AND len(tk) >= 37),
+       |${phashBitsSql("img")}
+       |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |  CAST(len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) AS INTEGER)
+       |    AS hamming
+       |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+       |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
+       |ORDER BY asset_a, asset_b""".stripMargin
+
   /** Multinomial Naive Bayes language classifier, trained on the ~15/16
     * of docs whose id-md5 doesn't start with '0' and scored on the
     * held-out 1/16 — the learned counterpart to the t_langid heuristic.

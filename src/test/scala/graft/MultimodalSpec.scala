@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, max, size, split}
 
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaAsset
@@ -27,6 +28,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(javax.imageio.ImageIO.write(img, format, out),
       s"JDK has no $format writer")
     out.toByteArray
+  }
+
+  test("dhash64: near-identical real images land close, different images far, resize-invariant") {
+    // structured content (smooth gradient + a block) so the 9×8 grid
+    // carries signal; pure noise would make dHash bits coin flips
+    def structured(w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = (255 * x / w) << 16 | (255 * y / h) << 8 |
+          (if (x > w / 2 && y > h / 2) 200 else 40)
+        img.setRGB(x, y, base)
+      }
+      if (tweak) // a small overlay: a re-encode/watermark-sized change
+        for (x <- 0 until math.min(6, w); y <- 0 until math.min(6, h))
+          img.setRGB(x, y, 0xffffff)
+      val out = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val base = Multimodal.dhash64(structured(96, 64, tweak = false)).get
+    val tweaked = Multimodal.dhash64(structured(96, 64, tweak = true)).get
+    val resized = Multimodal.dhash64(structured(192, 128, tweak = false)).get
+    val other = Multimodal.dhash64(imageBytes(96, 64, "png")).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, tweaked) <= 6, s"tweak moved ${ham(base, tweaked)} bits")
+    assert(ham(base, resized) <= 6, s"resize moved ${ham(base, resized)} bits")
+    assert(ham(base, other) > 12, s"unrelated image only ${ham(base, other)} bits away")
+    assert(Multimodal.dhash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mm_phash gate: every planted re-encode recovered, pair set matches brute force") {
+    val sf001 = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf001)
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val pairs = graft.queries.LlmOps.mmPhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // recovery: every planted (orig, orig+pb) pair present within radius
+    val plantedOrigs = docs
+      .filter(col("doc_id") % 6 === 0 &&
+        size(split(col("text"), " ")) >= 37)
+      .collect().map(_.getLong(0))
+    assert(plantedOrigs.nonEmpty, "fixture lost its plantable images")
+    plantedOrigs.foreach { id =>
+      val h = pairs.get((id, id + pb))
+      assert(h.exists(_ <= 6), s"planted re-encode of $id not recovered ($h)")
+    }
+    // the perturbation must be visible SOMEWHERE (a single plant can
+    // land at hamming 0 when its changed cell keeps both neighbor
+    // orderings — each comparison is a hash-order coin flip)
+    assert(plantedOrigs.exists(id => pairs.get((id, id + pb)).exists(_ >= 1)),
+      "every plant reads as an exact dup — the perturbation stopped perturbing")
+    // the banded detector is exact at radius 6 (pigeonhole): pair count
+    // equals the number of planted recoveries plus natural collisions,
+    // and every reported hamming is within the radius
+    pairs.values.foreach(h => assert(h >= 0 && h <= 6))
   }
 
   test("decodeImageInfo reads true dimensions and format from real PNG/JPEG/BMP bytes") {
