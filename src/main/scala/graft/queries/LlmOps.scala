@@ -2125,6 +2125,100 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental IVF-PQ index maintenance
+    * ([[graft.similarity.Ann.batchTopKIvfPqIncremental]]) — the
+    * retrieval twin of d_incremental: vectors with vec_id % 5 == 2 are
+    * the ARRIVING batch, everything else (minus the query set) is the
+    * persisted history index. Coarse seeds and PQ codebooks derive
+    * from history alone; the batch is assigned + encoded against them
+    * WITHOUT retraining; queries probe the merged index. Fully
+    * oracled: assignment, codes, LUT partials and the exact-BIGINT ADC
+    * sum replay in DuckDB with the history-only codebook subqueries —
+    * the only textual difference from the full-retrain oracle is the
+    * `% 5 <> 2` filter on the seed/codebook CTEs, which is precisely
+    * the no-retraining-on-arrival claim. A spec additionally pins
+    * history index rows byte-identical before/after the merge. */
+  def annIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val rest = emb.filter(!col("vec_id").isin(BatchQueryIds: _*))
+    Ann.batchTopKIvfPqIncremental(
+      history = rest.filter(col("vec_id") % 5 =!= 2),
+      batch = rest.filter(col("vec_id") % 5 === 2),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
+      k = 3, nCells = 8, probes = 3, m = 4, ksub = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIncrementalSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    val ksub = 8; val sub = 16 // dim 64 = 4 × 16
+    val js = (0 until 4).mkString(", ")
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings
+       |               WHERE vec_id NOT IN ($ids) AND vec_id % 5 <> 2
+       |               ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1),
+       |qc AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds s
+       |  WHERE q.vec_id IN ($ids)) t WHERE pr <= 3),
+       |cb AS (
+       |  SELECT j.j, s.code, list_slice(s.e, j.j*$sub+1, (j.j+1)*$sub) AS sub
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+       |               embedding::DOUBLE[] AS e
+       |        FROM embeddings
+       |        WHERE vec_id NOT IN ($ids) AND vec_id % 5 <> 2
+       |        ORDER BY vec_id LIMIT $ksub) s
+       |  CROSS JOIN (SELECT unnest([$js]) AS j) j),
+       |cvn AS (SELECT vec_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+       |  FROM embeddings WHERE vec_id NOT IN ($ids)),
+       |qvn AS (SELECT vec_id AS query_id,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |enc AS (SELECT vec_id, j, code FROM (
+       |  SELECT x.vec_id, x.j, x.code,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+       |      ORDER BY ROUND((list_dot_product(x.sl, x.sl)
+       |          - 2*list_dot_product(x.sl, x.sub))
+       |          + list_dot_product(x.sub, x.sub), 9) ASC, x.code ASC) AS rn
+       |  FROM (SELECT e.vec_id, cb.j, cb.code, cb.sub,
+       |               list_slice(e.ev, cb.j*$sub+1, (cb.j+1)*$sub) AS sl
+       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |              WHERE vec_id NOT IN ($ids)) e
+       |        CROSS JOIN cb) x) t WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.j, cb.code,
+       |    CAST(ROUND(list_dot_product(
+       |      list_slice(q.ev, cb.j*$sub+1, (cb.j+1)*$sub), cb.sub) * 1e9) AS BIGINT) AS pq
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+       |        WHERE vec_id IN ($ids)) q
+       |  CROSS JOIN cb),
+       |cand AS (SELECT qc.query_id, asg.vec_id
+       |         FROM qc JOIN asg ON asg.cell = qc.cell),
+       |sc AS (SELECT l.query_id, enc.vec_id, SUM(l.pq) AS squant
+       |  FROM enc JOIN lut l ON l.j = enc.j AND l.code = enc.code
+       |  JOIN cand ON cand.query_id = l.query_id AND cand.vec_id = enc.vec_id
+       |  GROUP BY l.query_id, enc.vec_id),
+       |scored AS (SELECT sc.query_id, sc.vec_id,
+       |    ROUND((CAST(sc.squant AS DOUBLE) / 1e9) / (cvn.cn * qvn.qn), 6) AS sim
+       |  FROM sc JOIN cvn ON cvn.vec_id = sc.vec_id
+       |  JOIN qvn ON qvn.query_id = sc.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** RESIDUAL-encoded IVFADC ([[graft.similarity.Ann.batchTopKIvfPqRes]])
     * — the production-exact FAISS composition: PQ codes quantize the
     * residual x − c(cell), scoring composes the coarse term ⟨q,c⟩ with

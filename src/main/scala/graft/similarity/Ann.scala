@@ -157,7 +157,7 @@ object Ann {
     * [[org.apache.spark.sql.graft.NearestCentroid]] argmax closes over.
     * Floats widen to double exactly, so parity with the HOF cosine is
     * bit-level. */
-  private def collectSeeds(seeds: DataFrame): (Array[Long], Array[Array[Double]]) = {
+  private[graft] def collectSeeds(seeds: DataFrame): (Array[Long], Array[Array[Double]]) = {
     val rows = seeds.select(col("cell_id"), col("cvec")).collect()
     val cells = rows.map(_.getLong(0))
     // a centroid containing a null element becomes a null MATRIX ROW:
@@ -723,16 +723,61 @@ object Ann {
       nCells: Int = 8, probes: Int = 3, m: Int = 4, ksub: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 0, pqIters: Int = 0): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val spreadDf = graft.util.Partitioning.spreadIfNarrow(corpus)
     val (cells, cents) = collectSeeds(
       ivfSeeds(corpus, nCells, lloydIters, idCol, vecCol))
     val (sub, pqc) = pqTrainedCodebook(corpus, m, ksub, pqIters, idCol, vecCol)
-    val enc = spreadDf.select(col(idCol),
+    adcTopKOnIndex(ivfPqEncode(corpus, cells, cents, sub, pqc, idCol, vecCol),
+      queries, k, probes, m, cells, cents, sub, pqc, idCol, vecCol)
+  }
+
+  /** The at-rest IVFADC index row for each vector — coarse cell id + m
+    * subspace codes + norm — against FIXED codebooks. Factored out so
+    * [[batchTopKIvfPqIncremental]] can encode a NEW batch against the
+    * existing codebooks without touching (or re-deriving) history
+    * rows. */
+  private[graft] def ivfPqEncode(vectors: DataFrame, cells: Array[Long],
+      cents: Array[Array[Double]], sub: Int,
+      pqc: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String): DataFrame =
+    graft.util.Partitioning.spreadIfNarrow(vectors).select(col(idCol),
       org.apache.spark.sql.graft.NearestCentroid
         .nearest_centroid(col(vecCol), cells, cents).as("cell"),
       array(pqCodeCols(col(vecCol), sub, pqc): _*).as("codes"),
       l2norm(col(vecCol)).as("cn"))
+
+  /** Incremental index maintenance — the production shape for a GROWING
+    * corpus: the persisted index rows (`history`) stay untouched, the
+    * arriving `batch` is assigned + PQ-encoded against the EXISTING
+    * codebooks (coarse seeds and sub-quantizers derive from history
+    * alone — no retraining on arrival), and queries probe the MERGED
+    * index. History codes are byte-identical before and after the
+    * merge by construction (same codebooks, same rows — spec-asserted),
+    * so an object-store index only ever appends. Retrieval quality for
+    * batch vectors is bounded by how well history codebooks cover them
+    * — the standard staleness trade a real system monitors via recall
+    * probes; periodic retraining is [[batchTopKIvfPq]] over the merged
+    * corpus. */
+  def batchTopKIvfPqIncremental(history: DataFrame, batch: DataFrame,
+      queries: DataFrame, k: Int, nCells: Int = 8, probes: Int = 3,
+      m: Int = 4, ksub: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cells, cents) = collectSeeds(ivfSeeds(history, nCells, 0, idCol, vecCol))
+    val (sub, pqc) = pqTrainedCodebook(history, m, ksub, 0, idCol, vecCol)
+    val enc = ivfPqEncode(history, cells, cents, sub, pqc, idCol, vecCol)
+      .unionByName(ivfPqEncode(batch, cells, cents, sub, pqc, idCol, vecCol))
+    adcTopKOnIndex(enc, queries, k, probes, m, cells, cents, sub, pqc,
+      idCol, vecCol)
+  }
+
+  /** ADC retrieval over prebuilt index rows (`enc`: id, cell, codes,
+    * norm): broadcast (query, probed-cell, LUT) side, m exact-BIGINT
+    * LUT adds per candidate, one WindowGroupLimit-pruned rank
+    * exchange. */
+  private def adcTopKOnIndex(enc: DataFrame, queries: DataFrame, k: Int,
+      probes: Int, m: Int, cells: Array[Long], cents: Array[Array[Double]],
+      sub: Int, pqc: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String): DataFrame = {
+    import enc.sparkSession.implicits._
     // query side is dimension-sized by the batch contract: collect once,
     // derive the ADC LUT (quantized partials) and the norm driver-side
     val qRows = queries.select(col(idCol), col(vecCol))

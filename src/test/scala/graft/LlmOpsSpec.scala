@@ -1225,6 +1225,49 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental IVF-PQ: history codes byte-identical across the merge, batch retrievable, no-retrain visible") {
+    val qIds = Seq(0L, 100L, 200L)
+    val rest = emb.filter(!col("vec_id").isin(qIds: _*))
+    val history = rest.filter(col("vec_id") % 5 =!= 2)
+    val batch = rest.filter(col("vec_id") % 5 === 2)
+    val queries = emb.filter(col("vec_id").isin(qIds: _*))
+    // 1. appending a batch must not rewrite one byte of the persisted
+    // index: history rows encoded alone == history rows inside the
+    // merged build (same codebooks — derived from history either way)
+    val (cells, cents) = graft.similarity.Ann.collectSeeds(
+      graft.similarity.Ann.ivfSeeds(history, 8, 0, "vec_id", "embedding"))
+    val (sub, pqc) = graft.similarity.Ann.pqTrainedCodebook(
+      history, 4, 8, 0, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.similarity.Ann.ivfPqEncode(df, cells, cents, sub, pqc,
+          "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2).toList,
+          r.getDouble(3))).sortBy(_._1).toList
+    val histAlone = rows(history)
+    val merged = rows(history.unionByName(batch))
+    assert(merged.filter(r => histAlone.exists(_._1 == r._1)) == histAlone,
+      "history index rows changed across the merge")
+    assert(merged.size == histAlone.size + batch.count(),
+      "merged index lost or duplicated rows")
+    // 2. batch vectors are retrievable through the merged index
+    val got = graft.similarity.Ann.batchTopKIvfPqIncremental(
+      history, batch, queries, k = 5, nCells = 8, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.exists(r => r._2 % 5 == 2), "no batch vector ever retrieved")
+    // 3. the no-retrain property is visible: scores equal the full-
+    // retrain path ONLY when the codebooks coincide — here they differ
+    // (history excludes %5==2 ids below the seed cutoff), so at least
+    // one (query, vec) pair must score differently
+    val retrained = graft.similarity.Ann.batchTopKIvfPq(
+      rest, queries, k = 5, nCells = 8, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(inc != retrained,
+      "incremental path is indistinguishable from a full retrain — " +
+        "the codebook freeze is not doing anything on this fixture")
+  }
+
   test("residual IVFADC: codebook-seed vectors reconstruct exactly, pruning never rescores") {
     val qIds = Seq(0L, 100L, 200L)
     val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
