@@ -719,6 +719,37 @@ object Dedup {
     hammingPairs(spread(docs).select(col(idCol).as("doc"),
       simhash64(norm_text(col(textCol))).as("sh")), maxHamming)
 
+  /** [[simhashPairs]] on the engine-portable 60-bit md5-vote signature
+    * ([[org.apache.spark.sql.graft.PortableSimHash60]]): same
+    * detector geometry (paired-block Manku tables, bit_count verify,
+    * recall 1 within the radius by pigeonhole — 10 six-bit blocks, a
+    * pair within Hamming 8 leaves ≥ 2 blocks untouched, so ≥ 1 of the
+    * C(10,2) = 45 paired keys matches), but every stage — token hash,
+    * ±1 votes, sign bits, block keys, Hamming — replays in DuckDB,
+    * which is what lets the d_simhash gate be hash-verified instead of
+    * rows-only. */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 8,
+      "maxHamming must be in [0,8] for the 10-block 60-bit geometry")
+    val fps = spread(docs).select(col(idCol).as("doc"),
+      org.apache.spark.sql.graft.PortableSimHash60
+        .portable_simhash60(norm_text(col(textCol))).as("sh"))
+    def block(i: Int): Column =
+      shiftright(col("sh"), i * 6).bitwiseAND(lit(63L))
+    val tableKeys: Seq[Column] = (0 until 10).combinations(2).toSeq.map(ij =>
+      shiftleft(block(ij(0)), 6) + block(ij(1)))
+    val banded = fps.select(col("doc"), col("sh"),
+      posexplode(array(tableKeys: _*)).as(Seq("band", "chunk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The Manku banding + Hamming verify over PRECOMPUTED 64-bit
     * fingerprints (`fps`: (doc, sh)) — extracted from [[simhashPairs]]
     * so any 64-bit perceptual fingerprint (SimHash, image dHash/aHash)

@@ -1675,12 +1675,43 @@ object LlmOps {
        |FROM jac FULL OUTER JOIN cos ON jac.doc_a = cos.va AND jac.doc_b = cos.vb
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash banding (custom codegen expression) — no SQL oracle (FNV
-    * simhash isn't expressible in DuckDB); correctness covered by spec
-    * against the exact-Jaccard pair set. */
+  /** SimHash near-dup pairs — since round 12 on the engine-PORTABLE
+    * 60-bit md5-vote signature ([[Dedup.simhashPairsPortable]] /
+    * PortableSimHash60), which made this gate FULLY ORACLED: DuckDB
+    * recomputes token hashes (the hash60 convention), the ±1 votes,
+    * the sign bits and the brute-force Hamming join, valid against the
+    * banded plan because the paired-block geometry has recall 1 within
+    * the radius (pigeonhole). The 64-bit FNV [[Dedup.simhashPairs]]
+    * stays available (codegen'd, marginally cheaper per token) with
+    * its banding==exact spec; this gate runs the variant a cross-engine
+    * deployment would. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+    Dedup.simhashPairsPortable(Tables.documents(s, dir), maxHamming = 6)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupSimhashSql: String = {
+    val votes = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n       |    ")
+    val sig = (0 until 60).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+       |  FROM n, unnest(string_split(norm, ' ')) AS t(tok)
+       |  WHERE t.tok <> ''),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs, exact threshold variant (oracled;
     * [[Ann.cosineLshPairs]] is the banded scale path, spec-verified). */

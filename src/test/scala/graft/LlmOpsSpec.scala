@@ -285,6 +285,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
   }
 
+  test("portable simhash60: JVM hash matches hash60 Column, banding exact, recall holds") {
+    import org.apache.spark.sql.graft.PortableSimHash60
+    // per-token hash parity: the JVM fast path == the Column/oracle form
+    val toks = Seq("alpha", "δocument", "", "x1")
+    val viaCol = toks.toDF("t")
+      .select(graft.sketch.Sketch.hash60(col("t"))).collect().map(_.getLong(0))
+    toks.zip(viaCol).foreach { case (t, expect) =>
+      assert(PortableSimHash60.hash60(t) == expect, s"hash60('$t') diverged")
+    }
+    // guaranteed recall: paired-block banding == exact hamming join
+    val sh = docs.select(col("doc_id").as("doc"),
+      PortableSimHash60.portable_simhash60(
+        graft.text.norm_text(col("text"))).as("sh"))
+    val a = sh.select(col("doc").as("da"), col("sh").as("ha"))
+    val b = sh.select(col("doc").as("db"), col("sh").as("hb"))
+    val exact = a.crossJoin(b).filter(col("da") < col("db"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairsPortable(docs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
+    // locality: the true near-dup pairs are still recalled at radius 6
+    val recall = truePairs.count(banded.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"portable simhash recall $recall")
+  }
+
   test("winnowing fingerprints: shared runs overlap, short docs empty") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
