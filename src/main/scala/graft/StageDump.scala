@@ -32,8 +32,12 @@ object StageDump {
       System.err.println(s"[stagedump] wrote $name")
     }
 
+    // --sql-only refreshes stage_oracle_sql.json without re-running the
+    // (expensive) stage materialization — for oracle-SQL-only edits
+    val sqlOnly = args.contains("--sql-only")
+
     // ---- t_pipeline_e2e ------------------------------------------------
-    {
+    if (!sqlOnly) {
       val st = queries.LlmOps.pipelineE2eStages(spark, sfDir)
       write("e2e_s1_filt",
         st.filt.select(col("doc_id"), col("lang"), col("n_chars"), col("ntok")))
@@ -53,7 +57,7 @@ object StageDump {
     }
 
     // ---- t_pipeline_spans ----------------------------------------------
-    {
+    if (!sqlOnly) {
       val st = queries.LlmOps.pipelineSpansStages(spark, sfDir)
       write("spans_s1_filt", st.filt)
       write("spans_s2_spans", st.spans)
@@ -64,7 +68,7 @@ object StageDump {
     }
 
     // ---- t_pipeline_semantic -------------------------------------------
-    {
+    if (!sqlOnly) {
       val st = queries.LlmOps.pipelineSemanticStages(spark, sfDir)
       write("sem_s1_textpairs",
         st.textPairs.select(col("doc_a"), col("doc_b"),

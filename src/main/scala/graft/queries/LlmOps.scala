@@ -3744,11 +3744,13 @@ object LlmOps {
          |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
          |               s.cell_id DESC) AS rn
          |  FROM embeddings e CROSS JOIN sseeds s) t WHERE rn = 1),
-         |sp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-         |  FROM embeddings a
-         |  JOIN sasg aa ON aa.vec_id = a.vec_id
-         |  JOIN embeddings b ON a.vec_id < b.vec_id
-         |  JOIN sasg ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+         |cand AS (SELECT aa.vec_id AS va, ab.vec_id AS vb
+         |  FROM sasg aa JOIN sasg ab
+         |    ON ab.cell = aa.cell AND aa.vec_id < ab.vec_id),
+         |sp AS (SELECT cand.va AS doc_a, cand.vb AS doc_b
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.va
+         |  JOIN embeddings b ON b.vec_id = cand.vb
          |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44),
          |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
          |           UNION ALL SELECT doc_b, doc_a FROM sp),
