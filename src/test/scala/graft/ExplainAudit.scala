@@ -159,7 +159,12 @@ object ExplainAudit {
       // estimate stage runs on the 256-per-type register table
       "t_hll_distinct",
       // rep masses: one (doc, n, gram) shuffle with map-side combine
-      "t_rep_ngram")
+      "t_rep_ngram",
+      // round 12: perceptual hashing is one map pass (65 md5s/asset)
+      // before the 28-table band-key self-join; incremental IVF-PQ
+      // keeps the parent's shape (map-pass encode per side, broadcast
+      // probe side, single WindowGroupLimit-pruned rank exchange)
+      "mm_phash", "s_ann_incremental")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)
