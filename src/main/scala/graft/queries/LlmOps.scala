@@ -1362,6 +1362,79 @@ object LlmOps {
        |SELECT doc_id, w AS term, score, rn FROM r WHERE rn <= 3
        |ORDER BY doc_id, rn""".stripMargin
 
+  /** BM25 keyword retrieval (Robertson & Zaragoza 2009; k1=1.2,
+    * b=0.75) — the LEXICAL twin of the s_ann_* retrieval family: hybrid
+    * search at 100 TB runs exactly this beside the vector path. Top-10
+    * docs for a fixed query-term set.
+    *
+    * Scale shape: the token explode is filtered to the query terms
+    * BEFORE the (doc, term) count, so the shuffled frame is
+    * query-hits-sized, never corpus-tokens-sized; df and N are
+    * term-count-sized broadcasts; per-doc length joins the hits by
+    * doc_id; the top-10 is TakeOrdered (no global sort
+    * materialization).
+    *
+    * Cross-engine determinism: the t_nb_classify discipline — each
+    * per-term contribution is ONE double expression with identical
+    * operation order on both engines (idf's ln included, same
+    * convention t_tfidf relies on), quantized to a micro-unit BIGINT;
+    * the per-doc score is then an EXACT integer sum (no float
+    * summation-order ambiguity), and the reported double is one IEEE
+    * division at the end. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Bm25Terms
+    val d = Tables.documents(s, dir)
+    val nDocs = d.select(count(lit(1)).as("n_total"))
+    val dl = d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val avgdl = dl.select((sum(col("dl")).cast("double") /
+      count(lit(1))).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df_), "w")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+      .join(dl, "doc_id")
+      .withColumn("contrib_q",
+        round(log(lit(1.0) + (col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+          * lit(1000000.0)).cast("long"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("contrib_q")).as("score_q"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .withColumn("score", col("score_q") / lit(1000000.0))
+      .orderBy(desc("score_q"), col("doc_id"))
+      .limit(10)
+  }
+
+  private val Bm25Terms = Seq("spark", "join", "customer", "window")
+
+  val bm25Sql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS dl FROM n),
+       |stats AS (SELECT COUNT(*) AS n_total,
+       |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM n)
+       |       WHERE w IN ($inList) GROUP BY 1, 2),
+       |dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |c AS (SELECT tf.doc_id,
+       |        CAST(ROUND(ln(1.0 + (n_total - df + 0.5) / (df + 0.5))
+       |          * (tf * 2.2)
+       |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |          * 1000000.0) AS BIGINT) AS contrib_q
+       |      FROM tf JOIN dfx ON tf.w = dfx.w
+       |      CROSS JOIN stats JOIN dl ON dl.doc_id = tf.doc_id)
+       |SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+       |  COUNT(*) AS n_terms,
+       |  CAST(SUM(contrib_q) AS BIGINT) / 1000000.0 AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Duplicate GROUPS from pairwise near-dup evidence: connected
     * components over the near-dup pair graph, summarized per component
     * (keeper = min doc id). The detector is the SCALE path —
@@ -1415,6 +1488,54 @@ object LlmOps {
        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
        |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin
+
+  /** SOFT dedup: keep EVERY document but weight it by its duplicate
+    * multiplicity — weight = 1/|cluster| over the near-dup connected
+    * components — so an epoch over the weighted corpus sees each
+    * duplicated content unit once in expectation while preserving
+    * diversity that hard removal (d_dedup_corpus) destroys. This is
+    * the standard alternative when training pipelines downsample
+    * rather than drop duplicates. Weights are micro-unit BIGINTs
+    * (round(1e6/n) — exact cross-engine; the double is one IEEE
+    * division at the end), so downstream samplers (t_quality_sample's
+    * hash discipline) can consume them deterministically.
+    *
+    * Scale shape: the component map is pair-evidence-sized (never
+    * corpus²); the corpus join is one id-keyed left join; output is
+    * corpus-sized, text never shuffles. */
+  def dedupSoftWeight(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(d, n = 3, threshold = 0.5))
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_dup"))
+    val m = cc.join(sizes, "comp")
+      .select(col("node").as("doc_id"), col("comp"), col("n_dup"))
+    d.select(col("doc_id"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        coalesce(col("n_dup"), lit(1L)).as("n_dup"))
+      .withColumn("weight_ppm",
+        round(lit(1000000.0) / col("n_dup")).cast("long"))
+      .withColumn("weight", col("weight_ppm") / lit(1000000.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSoftWeightSql: String =
+    s"""WITH RECURSIVE
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes,
+       |comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+       |sz AS (SELECT comp, COUNT(*) AS n_dup FROM comp GROUP BY comp),
+       |m AS (SELECT c.node, c.comp, s.n_dup FROM comp c JOIN sz s USING (comp))
+       |SELECT d.doc_id,
+       |  COALESCE(m.comp, d.doc_id) AS comp,
+       |  COALESCE(m.n_dup, CAST(1 AS BIGINT)) AS n_dup,
+       |  CAST(ROUND(1000000.0 / COALESCE(m.n_dup, CAST(1 AS BIGINT))) AS BIGINT) AS weight_ppm,
+       |  CAST(ROUND(1000000.0 / COALESCE(m.n_dup, CAST(1 AS BIGINT))) AS BIGINT) / 1000000.0 AS weight
+       |FROM documents d LEFT JOIN m ON m.node = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Embedding-based decontamination — the SEMANTIC member of the
     * decontamination family (t_decontam pins exact n-gram overlap,
@@ -1735,8 +1856,14 @@ object LlmOps {
        |WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44
        |ORDER BY va, vb""".stripMargin
 
-  /** LSH-banded embedding similar-pair mining — no oracle (bucket recall
-    * is probabilistic); recall vs the exact pair set asserted in spec.
+  /** LSH-banded embedding similar-pair mining — FULLY ORACLED since
+    * round 12: the gate runs the ENGINE-PORTABLE plane family
+    * ([[graft.similarity.Ann.cosineLshPairsPortable]]: Rademacher signs
+    * from md5("p:i"), projections as exact integer sums of
+    * floor-quantized components), so DuckDB recomputes every bucket
+    * key, the candidate join AND the exact-cosine verify — banding is
+    * certified, not just spec'd. (The splitmix64 codegen family keeps
+    * its recall spec as the non-oracled production alternative.)
     *
     * Parameterization is driven by the TARGET ANGLE, bounded below by
     * bucket occupancy: sign-agreement probability is p = 1 − θ/π, and a
@@ -1753,9 +1880,47 @@ object LlmOps {
     * 6% of all-pairs. True near-dup mining (cos ≥ 0.95, p ≥ 0.9) uses
     * the operator defaults (16 planes × 8 tables, recall ≈ 1). */
   def dedupEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
-    Ann.cosineLshPairs(Tables.embeddings(s, dir), threshold = 0.44,
+    Ann.cosineLshPairsPortable(Tables.embeddings(s, dir), threshold = 0.44,
       planesPerTable = 8, tables = 16)
       .orderBy(col("va"), col("vb"))
+
+  /** One CTE block per use: the portable plane matrix (`md5("p:i")`
+    * high bit → ±1), floor-quantized components, integer projections,
+    * and packed per-table bucket keys — the exact SQL twin of
+    * [[org.apache.spark.sql.graft.PortableCosineLshKeys]]. */
+  private def portableLshKeysSql(nPlanes: Int, dim: Int, b: Int): String =
+    s"""planes AS (
+       |  SELECT p.p AS p, i.i AS i,
+       |    CASE WHEN substr(md5(p.p || ':' || i.i), 1, 1) BETWEEN '0' AND '7'
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM range($nPlanes) p(p), range($dim) i(i)),
+       |qv AS (
+       |  SELECT vec_id, i, CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+       |  FROM (SELECT vec_id,
+       |          unnest(generate_series(0, len(embedding) - 1)) AS i,
+       |          unnest(embedding) AS v
+       |        FROM embeddings)),
+       |proj AS (
+       |  SELECT q.vec_id, pl.p, SUM(pl.sgn * q.q) AS s
+       |  FROM qv q JOIN planes pl ON pl.i = q.i GROUP BY q.vec_id, pl.p),
+       |keys AS (
+       |  SELECT vec_id, CAST(p // $b AS BIGINT) AS tbl,
+       |    SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST($b - 1 - (p % $b) AS INTEGER)
+       |        ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, p // $b)""".stripMargin
+
+  val dedupEmbedCosineLshSql: String =
+    s"""WITH ${portableLshKeysSql(nPlanes = 128, dim = 64, b = 8)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM keys a JOIN keys b
+       |    ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+       |SELECT c.va, c.vb,
+       |  ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM cand c JOIN embeddings a ON a.vec_id = c.va
+       |            JOIN embeddings b ON b.vec_id = c.vb
+       |WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44
+       |ORDER BY va, vb""".stripMargin
 
   // ------------------------------------------------- similarity search
 
@@ -2752,10 +2917,23 @@ object LlmOps {
        |FROM hits, t ORDER BY iters""".stripMargin
   }
 
-  /** LSH-bucketed ANN — no oracle (bucket recall is probabilistic);
-    * recall vs brute force asserted in spec. */
+  /** LSH-bucketed ANN — FULLY ORACLED since round 12 via the portable
+    * plane family (see [[dedupEmbedCosineLsh]]): DuckDB recomputes the
+    * 4-bit signatures, the ≤1-bit multi-probe Hamming test and the
+    * exact-cosine re-rank, so the probabilistic *parameterization* is
+    * certified deterministically given the data. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
-    Ann.lshTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10, planes = 4)
+    Ann.lshTopKPortable(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
+      planes = 4)
+
+  val annLshSql: String =
+    s"""WITH ${portableLshKeysSql(nPlanes = 4, dim = 64, b = 4)}
+       |SELECT e.vec_id, ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
+       |FROM keys s JOIN embeddings e ON e.vec_id = s.vec_id
+       |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |CROSS JOIN (SELECT bkey AS qsg FROM keys WHERE vec_id = 0) qs
+       |WHERE e.vec_id <> 0 AND bit_count(xor(s.bkey, qs.qsg)) <= 1
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
 
   /** IVF-bucketed ANN — FULLY oracled despite probing a corpus subset,
     * by the same determinism argument as [[annBatchIvf]]: seeds are the

@@ -111,12 +111,34 @@ object Ann {
     * pre-verify distinct exchange). */
   def cosineLshPairs(embeddings: DataFrame, threshold: Double,
       planesPerTable: Int = 16, tables: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineLshPairsWith(
+      org.apache.spark.sql.graft.CosineLshKeys
+        .cosine_lsh_keys(_, planesPerTable, tables),
+      embeddings, threshold, idCol, vecCol)
+
+  /** [[cosineLshPairs]] on the ENGINE-PORTABLE plane family
+    * ([[org.apache.spark.sql.graft.PortableCosineLshKeys]]: md5-derived
+    * Rademacher signs, floor-quantized integer projections) — every
+    * bucket key is exactly recomputable in ANSI SQL, so a gate on this
+    * path is fully DuckDB-oracle-able (banding AND verify), not just
+    * spec-verified. Same recall law; boundary shift from quantization is
+    * ≤ dim·2^-20 per projection (geometry only — candidates are still
+    * verified with the exact cosine). */
+  def cosineLshPairsPortable(embeddings: DataFrame, threshold: Double,
+      planesPerTable: Int = 16, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineLshPairsWith(
+      org.apache.spark.sql.graft.PortableCosineLshKeys
+        .portable_cosine_lsh_keys(_, planesPerTable, tables),
+      embeddings, threshold, idCol, vecCol)
+
+  private def cosineLshPairsWith(keysOf: Column => Column,
+      embeddings: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val spread = graft.util.Partitioning.spreadIfNarrow(embeddings)
     val banded = spread.select(col(idCol).as("doc"),
-      posexplode(org.apache.spark.sql.graft.CosineLshKeys
-        .cosine_lsh_keys(col(vecCol), planesPerTable, tables))
-        .as(Seq("band", "bkey")))
+      posexplode(keysOf(col(vecCol))).as(Seq("band", "bkey")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") < col("y.doc"))
@@ -140,6 +162,13 @@ object Ann {
   def lshSignature(vec: Column, planes: Int): Column =
     org.apache.spark.sql.graft.CosineLshKeys
       .cosine_lsh_keys(vec, planes, 1).getItem(0)
+
+  /** [[lshSignature]] on the engine-portable plane family (see
+    * [[cosineLshPairsPortable]]) — the signature bits are exactly
+    * recomputable in ANSI SQL. */
+  def lshSignaturePortable(vec: Column, planes: Int): Column =
+    org.apache.spark.sql.graft.PortableCosineLshKeys
+      .portable_cosine_lsh_keys(vec, planes, 1).getItem(0)
 
   /** IVF (inverted-file) ANN: vectors are assigned to the nearest of
     * `nCells` coarse cells; a query searches only the `probes` cells
@@ -517,9 +546,24 @@ object Ann {
     * corpora it approaches the candidate fraction; for clustered
     * real-world embeddings it is far higher. */
   def lshTopK(embeddings: DataFrame, queryVecId: Long, k: Int, planes: Int,
-      probe: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      probe: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshTopKWith(lshSignature(_, planes), embeddings, queryVecId, k, probe,
+      idCol, vecCol)
+
+  /** [[lshTopK]] on the engine-portable plane family — signature,
+    * multi-probe Hamming test and re-rank all exactly recomputable in
+    * ANSI SQL, making the gate fully oracle-able. */
+  def lshTopKPortable(embeddings: DataFrame, queryVecId: Long, k: Int,
+      planes: Int, probe: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    lshTopKWith(lshSignaturePortable(_, planes), embeddings, queryVecId, k,
+      probe, idCol, vecCol)
+
+  private def lshTopKWith(sigOf: Column => Column, embeddings: DataFrame,
+      queryVecId: Long, k: Int, probe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val signed = embeddings.select(col(idCol), col(vecCol),
-      lshSignature(col(vecCol), planes).as("sig"))
+      sigOf(col(vecCol)).as("sig"))
     val q = signed.filter(col(idCol) === queryVecId)
       .select(col(vecCol).as("qvec"), col("sig").as("qsig"))
     signed.filter(col(idCol) =!= queryVecId)

@@ -164,7 +164,12 @@ object ExplainAudit {
       // before the 28-table band-key self-join; incremental IVF-PQ
       // keeps the parent's shape (map-pass encode per side, broadcast
       // probe side, single WindowGroupLimit-pruned rank exchange)
-      "mm_phash", "s_ann_incremental")
+      "mm_phash", "s_ann_incremental",
+      // round 12b: BM25 filters to query terms BEFORE the (doc, term)
+      // count (hits-sized shuffle, broadcast df/N/avgdl, TakeOrdered
+      // top-10); soft-dedup's component map is pair-evidence-sized and
+      // the corpus join is one id-keyed left join (text never shuffles)
+      "s_bm25", "d_soft_weight")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)

@@ -25,6 +25,64 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(truePairs.size == 25)
   }
 
+  test("BM25 gate equals a driver-side recomputation, exact integer scores") {
+    val out = graft.queries.LlmOps.bm25(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val terms = Set("spark", "join", "customer", "window")
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dl = rows.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val n = rows.length.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = rows.flatMap { case (id, t) =>
+      toks(t).filter(terms.contains).map(w => (id, w)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val scores = tf.toSeq.map { case ((id, w), f) =>
+      val idf = math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5))
+      id -> math.round(idf * (f * 2.2)
+        / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) * 1000000.0)
+    }.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sum }
+    val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(out.toSeq == want, s"got=${out.toSeq} want=$want")
+  }
+
+  test("soft-dedup weights: exact micro-units over the near-dup components") {
+    val out = graft.queries.LlmOps.dedupSoftWeight(spark, sf001).collect()
+    assert(out.length == docs.count())
+    // driver-side union-find over the exact-Jaccard truth (the detector
+    // equals it by the minhash-LSH spec above)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    truePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val members = (truePairs.map(_._1) ++ truePairs.map(_._2))
+      .groupBy(find).map { case (_, xs) => xs.map(find) }
+    val compOf = (truePairs.flatMap(p => Seq(p._1, p._2)))
+      .map(x => x -> find(x)).toMap
+    val sizeOf = compOf.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    out.foreach { r =>
+      val (id, comp, nd, ppm, w) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      if (compOf.contains(id)) {
+        assert(comp == compOf(id) && nd == sizeOf(comp))
+      } else {
+        assert(comp == id && nd == 1L)
+      }
+      assert(ppm == math.round(1000000.0 / nd))
+      assert(w == ppm / 1000000.0)
+    }
+    assert(members.nonEmpty) // the fixture really has dup clusters
+  }
+
   test("duplicateSpans: planted shared windows yield exact merged spans") {
     // vocab chosen so NOTHING collides except the plants: doc 1 and
     // doc 2 share tokens [5, 15) of doc 1 (10 tokens → 8-grams at
@@ -359,6 +417,58 @@ class LlmOpsSpec extends AnyFunSuite {
     Ann.cosineLshPairs(df, 0.9, 16, 8).collect().foreach { r =>
       assert(exactSims((r.getLong(0), r.getLong(1))) == r.getDouble(2))
     }
+  }
+
+  test("PORTABLE embedding-cosine LSH pairs recall planted near-dups") {
+    // same construction as the codegen-family spec: the portable
+    // (md5-sign, floor-quantized) plane family must keep the recall
+    // law — total recall of genuine near-dups at 16 planes x 8 tables —
+    // and exact-verified precision by construction
+    val rng = new scala.util.Random(11)
+    val dim = 32
+    def vec() = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+      (100L + i, v)
+    }
+    import spark.implicits._
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairs(df, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10)
+    val lsh = Ann.cosineLshPairsPortable(df, 0.9, planesPerTable = 16, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"portable lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("PORTABLE lsh keys: codegen and interpreted paths agree") {
+    // the oracle replays the static compute(); this pins the Spark-side
+    // expression (both eval paths) to the same convention
+    import spark.implicits._
+    val df = (0L until 32L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6) / 7.0f)))
+      .toDF("vec_id", "embedding")
+    val expr = org.apache.spark.sql.graft.PortableCosineLshKeys
+      .portable_cosine_lsh_keys(org.apache.spark.sql.functions.col("embedding"), 8, 4)
+    val viaPlan = df.select(expr.as("k")).collect().map(_.getSeq[Long](0).toVector)
+    val direct = df.collect().map { r =>
+      val v = r.getSeq[Float](1)
+      org.apache.spark.sql.graft.PortableCosineLshKeys.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+        isFloat = true, 8, 4)
+        .toLongArray().toVector
+    }
+    assert(viaPlan.toVector == direct.toVector)
+  }
+
+  test("PORTABLE ann LSH recall vs brute force") {
+    val brute = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val lsh = Ann.lshTopKPortable(emb, 0L, 10, planes = 4, probe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"portable lsh recall $recall")
   }
 
   test("ann LSH recall vs brute force") {
