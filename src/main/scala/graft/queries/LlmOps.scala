@@ -5232,6 +5232,122 @@ object LlmOps {
        |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
        |ORDER BY asset_a, asset_b""".stripMargin
 
+  /** Perceptual near-dup detection for AUDIO assets — the temporal twin
+    * of [[mmPhash]]: 64-bit ENERGY-CONTOUR fingerprints (bit j = window
+    * j+1's energy > window j's, 65 equal time windows) paired through
+    * the same exact-recall Manku banding
+    * ([[graft.dedup.Dedup.hammingPairs]], Hamming radius 6). The REAL
+    * PCM path is [[graft.multimodal.Multimodal.audioEnergyFp]] (full
+    * JDK decode → per-window Σ s² in exact Long arithmetic →
+    * neighbor-comparison bits; spec-exercised on synthesized WAVs incl.
+    * a volume-scaled exact dup and a noise-perturbed near dup). This
+    * GATE runs the identical contour+banding machinery over a
+    * deterministic SURROGATE amplitude strip, because the synthetic
+    * testdata payloads are text bytes, not media (the
+    * [[Multimodal.decodeStub]] convention): sample i of an asset is
+    * amp(i) = gain · ([[Sketch.hash60]](token i) mod 32768), window w
+    * covers the contiguous sample range [⌊w·n/65⌋, ⌊(w+1)·n/65⌋), and
+    * window energy is Σ amp² — all exact integer arithmetic replayable
+    * in DuckDB (amp ≤ 65534, so amp² ≤ 2³², and a window sums < 2⁴⁶
+    * even at book-length n). Assets shorter than 65 samples are
+    * excluded, mirroring the real path's None for clips shorter than
+    * the window count.
+    *
+    * Plants exercise BOTH documented invariances of the real
+    * fingerprint:
+    *  - VOLUME plant (class A, +plantBase): every asset_id ≡ 1 (mod 10)
+    *    re-ingested at gain 2 — the re-encoded-louder upload. Every
+    *    window energy scales by exactly 4, so the > contour is
+    *    bit-identical and the pair surfaces at Hamming 0. GUARANTEED.
+    *  - EDIT plant (class B, +2·plantBase): every asset_id ≡ 7 (mod 10)
+    *    with token 4 replaced — localized noise. One sample moves, so
+    *    exactly one window's energy changes, flipping at most the 2
+    *    contour bits that compare it — well inside radius 6, where the
+    *    banding has recall 1 by pigeonhole. GUARANTEED.
+    *
+    * Output: all audio-asset pairs within Hamming 6 — (a, b, score)
+    * evidence in the same shape [[dedupEvidenceUnion]] unions across
+    * modalities. Scale shape: fingerprinting is one map pass (n md5s +
+    * 65 slice-sums per asset); the only corpus-scale exchange is the
+    * 28-table band-key self-join, exactly [[mmPhash]]'s geometry. */
+  def mmAudioFp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
+    val base = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("asset_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 65)
+    val volume = base.filter(col("asset_id") % 10 === 1)
+      .select((col("asset_id") + pb).as("asset_id"), col("tk"),
+        lit(2L).as("gain"))
+    val edited = base.filter(col("asset_id") % 10 === 7)
+      .select((col("asset_id") + 2 * pb).as("asset_id"),
+        concat(slice(col("tk"), 1, 3), array(lit("zz")),
+          slice(col("tk"), lit(5), size(col("tk")) - 4)).as("tk"),
+        lit(1L).as("gain"))
+    val all = base.withColumn("gain", lit(1L))
+      .unionByName(volume).unionByName(edited)
+      .withColumn("e2", transform(col("tk"), t => {
+        val amp = pmod(Sketch.hash60(t), lit(32768L)) * col("gain")
+        amp * amp
+      }))
+    val n = size(col("tk"))
+    // window w = samples [⌊w·n/65⌋, ⌊(w+1)·n/65⌋): contiguous slices, so
+    // the 65 energies cost one O(n) pass, not 65 O(n) filters; w·n ≤
+    // 65·n < 2³¹ and the division is exact in double (< 2⁵³)
+    val energies = transform(sequence(lit(0), lit(64)), w => {
+      val start = floor(w * n / lit(65)).cast("int")
+      val end = floor((w + 1) * n / lit(65)).cast("int")
+      aggregate(slice(col("e2"), start + 1, end - start), lit(0L),
+        (acc, x) => acc + x)
+    })
+    // LSB-first packing, bit 63 as Long.MinValue — the mmPhash
+    // no-ANSI-overflow discipline
+    val powers = (0 until 63).map(1L << _) :+ Long.MinValue
+    val withEn = all.withColumn("en", energies)
+    val fp = (0 until 64).map { j =>
+      when(element_at(col("en"), j + 2) > element_at(col("en"), j + 1),
+        lit(powers(j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Dedup.hammingPairs(withEn.select(col("asset_id").as("doc"), fp.as("sh")),
+        maxHamming = 6)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
+  val mmAudioFpSql: String =
+    s"""WITH aud0 AS (
+       |  SELECT doc_id AS asset_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |aud AS (
+       |  SELECT asset_id, tk, 1 AS gain FROM aud0 WHERE len(tk) >= 65
+       |  UNION ALL
+       |  SELECT asset_id + $PlantBaseSql, tk, 2
+       |  FROM aud0 WHERE len(tk) >= 65 AND asset_id % 10 = 1
+       |  UNION ALL
+       |  SELECT asset_id + 2 * $PlantBaseSql, tk[1:3] || ['zz'] || tk[5:], 1
+       |  FROM aud0 WHERE len(tk) >= 65 AND asset_id % 10 = 7),
+       |e AS (
+       |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
+       |      ((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768) * gain)
+       |    * ((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768) * gain)) AS e2
+       |  FROM aud),
+       |en AS (
+       |  SELECT asset_id, list_transform(range(0, 65), w ->
+       |    coalesce(CAST(list_sum(e2[((w * n) // 65) + 1 : ((w + 1) * n) // 65])
+       |             AS BIGINT), 0)) AS en
+       |  FROM e),
+       |bits AS (
+       |  SELECT asset_id, list_transform(range(0, 64), j ->
+       |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
+       |  FROM en)
+       |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |  CAST(len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) AS INTEGER)
+       |    AS hamming
+       |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+       |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
+       |ORDER BY asset_a, asset_b""".stripMargin
+
   /** Multinomial Naive Bayes language classifier, trained on the ~15/16
     * of docs whose id-md5 doesn't start with '0' and scored on the
     * held-out 1/16 — the learned counterpart to the t_langid heuristic.

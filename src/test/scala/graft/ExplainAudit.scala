@@ -169,7 +169,11 @@ object ExplainAudit {
       // count (hits-sized shuffle, broadcast df/N/avgdl, TakeOrdered
       // top-10); soft-dedup's component map is pair-evidence-sized and
       // the corpus join is one id-keyed left join (text never shuffles)
-      "s_bm25", "d_soft_weight")
+      "s_bm25", "d_soft_weight",
+      // round 12c: the audio energy-contour fp is one map pass (n md5s
+      // + 65 contiguous slice-sums per asset) before the same 28-table
+      // band-key self-join mm_phash uses
+      "mm_audio_fp")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)

@@ -286,4 +286,114 @@ class MultimodalSpec extends AnyFunSuite {
     val meta = Multimodal.extractMeta(a).collect().head
     assert(meta == Multimodal.decodeStub(a.head()))
   }
+
+  /** Real WAV bytes from explicit 16-bit samples — controlled content
+    * for the fingerprint invariance tests (unlike [[wavBytes]]'s
+    * arbitrary byte fill). */
+  private def wavFromSamples(samples: Array[Short],
+      rateHz: Int = 16000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rateHz.toFloat, 16, 1, true, false) // signed little-endian mono
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioEnergyFp: volume-scale exact-invariant, local noise near, unrelated far") {
+    // structured signal: window-scale amplitude staircase + fine
+    // texture, so the 65-window energy contour carries real signal
+    def sig(i: Int): Short =
+      (((i / 100) % 60 - 30) * 300 + (i % 11) * 13).toShort
+    val n = 6500 // 100 samples per window
+    val base = Array.tabulate(n)(sig)
+    val louder = base.map(s => (s * 2).toShort) // |base| ≤ 9130, no clip
+    val noisy = base.clone()
+    for (i <- 900 until 960) // one window's worth of localized noise
+      noisy(i) = (noisy(i) + 700).toShort
+    val other = Array.tabulate(n)(i =>
+      (((i * 2654435761L >>> 16) % 8000) - 4000).toShort)
+    val fpBase = Multimodal.audioEnergyFp(wavFromSamples(base)).get
+    val fpLoud = Multimodal.audioEnergyFp(wavFromSamples(louder)).get
+    val fpNoisy = Multimodal.audioEnergyFp(wavFromSamples(noisy)).get
+    val fpOther = Multimodal.audioEnergyFp(wavFromSamples(other)).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // uniform gain scales every window energy by exactly 4 — the
+    // contour is bit-identical, not merely close
+    assert(fpLoud == fpBase, s"volume scale moved ${ham(fpBase, fpLoud)} bits")
+    assert(ham(fpBase, fpNoisy) <= 4,
+      s"localized noise moved ${ham(fpBase, fpNoisy)} bits")
+    assert(ham(fpBase, fpOther) > 12,
+      s"unrelated clip only ${ham(fpBase, fpOther)} bits away")
+    // deterministic across re-encodes of the same samples
+    assert(Multimodal.audioEnergyFp(wavFromSamples(base)).contains(fpBase))
+  }
+
+  test("audioEnergyFp: decodable-envelope edges — short clips, junk, 8-bit, stereo") {
+    // clips shorter than the window count have no stable contour
+    assert(Multimodal.audioEnergyFp(
+      wavFromSamples(Array.tabulate(64)(i => (i * 50).toShort))).isEmpty)
+    assert(Multimodal.audioEnergyFp(
+      wavFromSamples(Array.tabulate(65)(i => (i * 50).toShort))).isDefined)
+    assert(Multimodal.audioEnergyFp("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioEnergyFp(Array.empty[Byte]).isEmpty)
+    // 8-bit unsigned mono WAV decodes through the bps==1 branch
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val pcm8 = Array.tabulate(800)(i => ((i * 7) % 256).toByte)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, 800L)
+    val out8 = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    assert(Multimodal.audioEnergyFp(out8.toByteArray).isDefined)
+    // stereo folds channels into the window energy (interleaved frames)
+    val fmtSt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val pcmSt = Array.tabulate(4000 * 4)(i => ((i * 37) % 251).toByte)
+    val aisSt = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmSt), fmtSt, 4000L)
+    val outSt = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(aisSt,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, outSt)
+    assert(Multimodal.audioEnergyFp(outSt.toByteArray).isDefined)
+  }
+
+  test("mm_audio_fp gate: volume plants at hamming 0, edit plants within radius") {
+    val sf001 = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf001)
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val pairs = graft.queries.LlmOps.mmAudioFp(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val audible = docs.filter(col("doc_id") % 3 === 1 &&
+        size(split(col("text"), " ")) >= 65)
+      .collect().map(_.getLong(0))
+    val volOrigs = audible.filter(_ % 10 == 1)
+    val editOrigs = audible.filter(_ % 10 == 7)
+    assert(volOrigs.nonEmpty && editOrigs.nonEmpty,
+      "fixture lost its plantable audio")
+    // gain 2 scales every window energy by exactly 4: the re-encoded
+    // louder upload is an EXACT fp dup
+    volOrigs.foreach { id =>
+      assert(pairs.get((id, id + pb)).contains(0),
+        s"volume plant of $id not an exact fp dup (${pairs.get((id, id + pb))})")
+    }
+    // one moved sample changes one window's energy: ≤ 2 contour bits
+    editOrigs.foreach { id =>
+      val h = pairs.get((id, id + 2 * pb))
+      assert(h.exists(_ <= 2), s"edit plant of $id not recovered ($h)")
+    }
+    // the edit must be visible somewhere (not every plant may flip a
+    // bit — both neighbor orderings can survive one window's move)
+    assert(editOrigs.exists(id => pairs.get((id, id + 2 * pb)).exists(_ >= 1)),
+      "every edit plant reads as an exact dup — the perturbation stopped perturbing")
+    pairs.values.foreach(h => assert(h >= 0 && h <= 6))
+  }
 }
