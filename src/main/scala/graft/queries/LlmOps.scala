@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -5146,6 +5146,47 @@ object LlmOps {
       |FROM a JOIN k USING (kind, fp, n_bytes)
       |ORDER BY asset_id""".stripMargin
 
+  /** LSB-first 64-bit neighbor-comparison contour over a 65-element
+    * array column: bit j = arr[j+2] > arr[j+1] (1-based element_at).
+    * Bit 63 is added as Long.MinValue LAST — partial sums of distinct
+    * non-negative powers stay under 2⁶³, so no ANSI overflow at any
+    * step. Shared by [[mmPhash]], [[mmAudioFp]] and [[mmDupUnion]]. */
+  private def contour64(arr: Column): Column = {
+    val powers = (0 until 63).map(1L << _) :+ Long.MinValue
+    (0 until 64).map { j =>
+      when(element_at(arr, j + 2) > element_at(arr, j + 1), lit(powers(j)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** The [[mmPhash]] surrogate raster: 65 token-hash cells (cell j =
+    * hash60 of the token at position j mod ntok). */
+  private def phashCells(tk: Column): Column =
+    transform(sequence(lit(0), lit(64)),
+      j => Sketch.hash60(element_at(tk, pmod(j, size(tk)) + 1)))
+
+  /** The [[mmAudioFp]] surrogate samples: per-token squared amplitude
+    * amp² where amp = gain · (hash60(token) mod 32768). Materialize the
+    * result as its own column BEFORE [[audioEnergies]] — inlining it
+    * would re-hash every token once per window. */
+  private def audioAmpSq(tk: Column, gain: Column): Column =
+    transform(tk, t => {
+      val amp = pmod(Sketch.hash60(t), lit(32768L)) * gain
+      amp * amp
+    })
+
+  /** 65 window energies over an amp² strip: window w sums the
+    * contiguous sample range [⌊w·n/65⌋, ⌊(w+1)·n/65⌋) — so the 65
+    * energies cost one O(n) pass, not 65 O(n) filters; w·n ≤ 65·n < 2³¹
+    * and the division is exact in double (< 2⁵³). */
+  private def audioEnergies(e2: Column, n: Column): Column =
+    transform(sequence(lit(0), lit(64)), w => {
+      val start = floor(w * n / lit(65)).cast("int")
+      val end = floor((w + 1) * n / lit(65)).cast("int")
+      aggregate(slice(e2, start + 1, end - start), lit(0L),
+        (acc, x) => acc + x)
+    })
+
   /** Perceptual near-dup detection for IMAGE assets — 64-bit dHash
     * fingerprints paired through the exact-recall Manku banding
     * ([[graft.dedup.Dedup.hammingPairs]], the d_minhash_lsh discipline
@@ -5188,17 +5229,9 @@ object LlmOps {
         concat(slice(col("tk"), 1, 3), array(lit("zz")),
           slice(col("tk"), lit(5), size(col("tk")) - 4)).as("tk"))
     val cells = images.unionByName(planted)
-      .withColumn("cells", transform(sequence(lit(0), lit(64)),
-        j => Sketch.hash60(element_at(col("tk"), pmod(j, size(col("tk"))) + 1))))
-    // LSB-first packing with bit 63 as Long.MinValue: partial sums of
-    // distinct non-negative powers stay under 2^63, the sign term lands
-    // last — no ANSI overflow at any step
-    val powers = (0 until 63).map(1L << _) :+ Long.MinValue
-    val fp = (0 until 64).map { j =>
-      when(element_at(col("cells"), j + 2) > element_at(col("cells"), j + 1),
-        lit(powers(j))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    Dedup.hammingPairs(cells.select(col("asset_id").as("doc"), fp.as("sh")),
+      .withColumn("cells", phashCells(col("tk")))
+    Dedup.hammingPairs(
+        cells.select(col("asset_id").as("doc"), contour64(col("cells")).as("sh")),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"), col("hamming"))
       .orderBy(col("asset_a"), col("asset_b"))
@@ -5286,29 +5319,11 @@ object LlmOps {
         lit(1L).as("gain"))
     val all = base.withColumn("gain", lit(1L))
       .unionByName(volume).unionByName(edited)
-      .withColumn("e2", transform(col("tk"), t => {
-        val amp = pmod(Sketch.hash60(t), lit(32768L)) * col("gain")
-        amp * amp
-      }))
-    val n = size(col("tk"))
-    // window w = samples [⌊w·n/65⌋, ⌊(w+1)·n/65⌋): contiguous slices, so
-    // the 65 energies cost one O(n) pass, not 65 O(n) filters; w·n ≤
-    // 65·n < 2³¹ and the division is exact in double (< 2⁵³)
-    val energies = transform(sequence(lit(0), lit(64)), w => {
-      val start = floor(w * n / lit(65)).cast("int")
-      val end = floor((w + 1) * n / lit(65)).cast("int")
-      aggregate(slice(col("e2"), start + 1, end - start), lit(0L),
-        (acc, x) => acc + x)
-    })
-    // LSB-first packing, bit 63 as Long.MinValue — the mmPhash
-    // no-ANSI-overflow discipline
-    val powers = (0 until 63).map(1L << _) :+ Long.MinValue
-    val withEn = all.withColumn("en", energies)
-    val fp = (0 until 64).map { j =>
-      when(element_at(col("en"), j + 2) > element_at(col("en"), j + 1),
-        lit(powers(j))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    Dedup.hammingPairs(withEn.select(col("asset_id").as("doc"), fp.as("sh")),
+      .withColumn("e2", audioAmpSq(col("tk"), col("gain")))
+    val withEn = all.withColumn("en",
+      audioEnergies(col("e2"), size(col("tk"))))
+    Dedup.hammingPairs(
+        withEn.select(col("asset_id").as("doc"), contour64(col("en")).as("sh")),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
@@ -5347,6 +5362,203 @@ object LlmOps {
        |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
        |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
        |ORDER BY asset_a, asset_b""".stripMargin
+
+  /** The MULTIMODAL dedup capstone — one consistently-planted asset
+    * universe run through all three asset-level detectors, evidence
+    * unioned, connected components over the union, one summary row per
+    * duplicate group. The asset counterpart of [[dedupEvidenceUnion]] ∘
+    * [[dedupGroups]]: a production media store runs exactly this chain
+    * (content-address exact dedup catching bit-identical re-uploads,
+    * perceptual detectors catching re-encodes/edits, one clustering
+    * over whichever evidence fired).
+    *
+    * Detectors (all reading ONE cached fingerprint trunk — text is
+    * scanned once and never shuffles; only ids, 16-byte md5s and 8-byte
+    * contours move):
+    *  - EXACT: content-address groups on (kind, md5, octet length) —
+    *    [[mmDedup]]'s key — emitted as star edges (group-min keeper →
+    *    member), so the edge count per k-group is k−1, not k², and the
+    *    components are identical to the clique formulation.
+    *  - IMAGE contour: [[mmPhash]]'s surrogate raster → [[contour64]] →
+    *    Hamming ≤ 6 banding (recall 1 by pigeonhole).
+    *  - AUDIO contour: [[mmAudioFp]]'s surrogate energies (gain 1) →
+    *    same banding.
+    * Video assets participate through exact evidence only — the honest
+    * statement of what this library's perceptual detectors reach.
+    *
+    * Plants (one scheme for the whole universe, so the three detectors
+    * see the SAME planted truth — unlike unioning the per-gate queries,
+    * whose independent +plantBase offsets would alias unrelated planted
+    * assets onto one id):
+    *  - class A (+plantBase): byte-identical re-uploads of every
+    *    asset_id ≡ 1 (mod 4), all modalities — caught by EXACT, and by
+    *    the perceptual detectors too at Hamming 0 (counted in both, the
+    *    agreeing-evidence shape).
+    *  - class B (+2·plantBase): token-4 edits — images ≡ 0 (mod 6) with
+    *    ≥ 37 tokens (≤ 4 contour bits), audio ≡ 7 (mod 10) with ≥ 65
+    *    tokens (≤ 2 bits) — caught ONLY by their perceptual detector
+    *    (the md5 differs), which is the evidence-union's reason to
+    *    exist.
+    *
+    * Output: per duplicate group — keeper (min asset id = component
+    * label), member count, id checksum, and the distinct pair count per
+    * evidence type (the audit trail a removal job commits). The oracle
+    * replays every stage: surrogate fingerprints by the md5 hash
+    * convention, pairing by brute-force Hamming join (equal to the
+    * banded plan at radius ≤ 6), clustering by recursive-CTE closure.
+    *
+    * Scale shape: one corpus scan into the cached narrow trunk; the
+    * exact detector is one (kind, fp, len)-keyed window; each
+    * perceptual detector is the 28-table band-key self-join; clustering
+    * iterates over the pair-evidence-sized edge set only. */
+  def mmDupUnion(s: SparkSession, dir: String): DataFrame = {
+    val pb = plantBase(Tables.documents(s, dir))
+    val a0 = graft.util.Partitioning.spreadIfNarrow(Tables.documents(s, dir))
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text"), split(col("text"), " ").as("tk"))
+    val exactPlants = a0.filter(col("asset_id") % 4 === 1)
+      .select((col("asset_id") + pb).as("asset_id"), col("kind"),
+        col("text"), col("tk"))
+    def edit(kindName: String, modBase: Int, rem: Int, minTok: Int) = {
+      val etk = concat(slice(col("tk"), 1, 3), array(lit("zz")),
+        slice(col("tk"), lit(5), size(col("tk")) - 4))
+      a0.filter(col("kind") === kindName &&
+          col("asset_id") % modBase === rem && size(col("tk")) >= minTok)
+        .select((col("asset_id") + 2 * pb).as("asset_id"), col("kind"),
+          concat_ws(" ", etk).as("text"), etk.as("tk"))
+    }
+    val assets = a0
+      .unionByName(exactPlants)
+      .unionByName(edit("image", 6, 0, 37))
+      .unionByName(edit("audio", 10, 7, 65))
+    // the narrow fingerprint trunk: arrays materialize as their own
+    // columns first (CollapseProject keeps multiply-referenced non-cheap
+    // expressions un-inlined, so cells/e2/en each evaluate once)
+    val trunk = graft.util.IntermediateCaches.track(assets
+      .withColumn("cells", when(col("kind") === "image" &&
+        size(col("tk")) >= 1, phashCells(col("tk"))))
+      .withColumn("e2", when(col("kind") === "audio" &&
+        size(col("tk")) >= 65, audioAmpSq(col("tk"), lit(1L))))
+      .withColumn("en", when(col("e2").isNotNull,
+        audioEnergies(col("e2"), size(col("tk")))))
+      .select(col("asset_id"), col("kind"),
+        md5(col("text")).as("efp"),
+        octet_length(col("text")).cast("long").as("nb"),
+        when(col("cells").isNotNull, contour64(col("cells"))).as("pfp"),
+        when(col("en").isNotNull, contour64(col("en"))).as("afp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("efp"), col("nb"))
+    val exactEdges = trunk
+      .withColumn("keeper", min(col("asset_id")).over(w))
+      .filter(col("asset_id") =!= col("keeper"))
+      .select(col("keeper").as("doc_a"), col("asset_id").as("doc_b"),
+        lit("exact").as("etype"))
+    def contourPairs(fpCol: String, etype: String) =
+      Dedup.hammingPairs(trunk.filter(col(fpCol).isNotNull)
+          .select(col("asset_id").as("doc"), col(fpCol).as("sh")),
+          maxHamming = 6)
+        .select(col("doc_a"), col("doc_b"), lit(etype).as("etype"))
+    val ev = graft.util.IntermediateCaches.track(exactEdges
+      .unionByName(contourPairs("pfp", "phash"))
+      .unionByName(contourPairs("afp", "audiofp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cc = Dedup.connectedComponents(
+      ev.select(col("doc_a"), col("doc_b")).distinct())
+    val sizes = cc.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("node")).as("id_sum"))
+    val evc = ev.join(cc.withColumnRenamed("node", "doc_a"), "doc_a")
+      .groupBy(col("comp"))
+      .agg(sum(when(col("etype") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("etype") === "phash", 1L).otherwise(0L)).as("n_phash"),
+        sum(when(col("etype") === "audiofp", 1L).otherwise(0L)).as("n_audiofp"))
+    sizes.join(evc, "comp")
+      .select(col("comp").as("keeper_id"), col("n_assets"), col("id_sum"),
+        col("n_exact"), col("n_phash"), col("n_audiofp"))
+      .orderBy(col("keeper_id"))
+  }
+
+  val mmDupUnionSql: String =
+    s"""WITH RECURSIVE a0 AS (
+       |  SELECT doc_id AS asset_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    text, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |assets AS (
+       |  SELECT asset_id, kind, text, tk FROM a0
+       |  UNION ALL
+       |  SELECT asset_id + $PlantBaseSql, kind, text, tk
+       |  FROM a0 WHERE asset_id % 4 = 1
+       |  UNION ALL
+       |  SELECT asset_id + 2 * $PlantBaseSql, kind,
+       |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
+       |    tk[1:3] || ['zz'] || tk[5:]
+       |  FROM a0 WHERE kind = 'image' AND asset_id % 6 = 0 AND len(tk) >= 37
+       |  UNION ALL
+       |  SELECT asset_id + 2 * $PlantBaseSql, kind,
+       |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
+       |    tk[1:3] || ['zz'] || tk[5:]
+       |  FROM a0 WHERE kind = 'audio' AND asset_id % 10 = 7 AND len(tk) >= 65),
+       |exact AS (
+       |  SELECT asset_id, MIN(asset_id) OVER (PARTITION BY kind, md5(text),
+       |    octet_length(encode(text))) AS keeper
+       |  FROM assets),
+       |eedges AS (
+       |  SELECT keeper AS doc_a, asset_id AS doc_b, 'exact' AS etype
+       |  FROM exact WHERE asset_id <> keeper),
+       |icells AS (
+       |  SELECT asset_id, list_transform(range(0, 65),
+       |    j -> CAST('0x' || substr(md5(tk[(j % len(tk)) + 1]), 1, 15) AS BIGINT)) AS c
+       |  FROM assets WHERE kind = 'image' AND len(tk) >= 1),
+       |ibits AS (
+       |  SELECT asset_id, list_transform(range(0, 64),
+       |    j -> CASE WHEN c[j + 2] > c[j + 1] THEN 1 ELSE 0 END) AS b
+       |  FROM icells),
+       |ipairs AS (
+       |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'phash' AS etype
+       |  FROM ibits x JOIN ibits y ON x.asset_id < y.asset_id
+       |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
+       |ae AS (
+       |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
+       |      (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768)
+       |    * (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768)) AS e2
+       |  FROM assets WHERE kind = 'audio' AND len(tk) >= 65),
+       |aen AS (
+       |  SELECT asset_id, list_transform(range(0, 65), w ->
+       |    coalesce(CAST(list_sum(e2[((w * n) // 65) + 1 : ((w + 1) * n) // 65])
+       |             AS BIGINT), 0)) AS en
+       |  FROM ae),
+       |abits AS (
+       |  SELECT asset_id, list_transform(range(0, 64),
+       |    j -> CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
+       |  FROM aen),
+       |apairs AS (
+       |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'audiofp' AS etype
+       |  FROM abits x JOIN abits y ON x.asset_id < y.asset_id
+       |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
+       |ev AS (SELECT * FROM eedges UNION ALL SELECT * FROM ipairs
+       |       UNION ALL SELECT * FROM apairs),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ev),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |          UNION
+       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+       |sizes AS (SELECT comp, COUNT(*) AS n_assets, CAST(SUM(node) AS BIGINT) AS id_sum
+       |          FROM comp GROUP BY comp),
+       |evc AS (SELECT c.comp,
+       |          CAST(SUM(CASE WHEN etype = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |          CAST(SUM(CASE WHEN etype = 'phash' THEN 1 ELSE 0 END) AS BIGINT) AS n_phash,
+       |          CAST(SUM(CASE WHEN etype = 'audiofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_audiofp
+       |        FROM ev JOIN comp c ON c.node = ev.doc_a GROUP BY 1)
+       |SELECT sizes.comp AS keeper_id, n_assets, id_sum, n_exact, n_phash, n_audiofp
+       |FROM sizes JOIN evc USING (comp) ORDER BY keeper_id""".stripMargin
 
   /** Multinomial Naive Bayes language classifier, trained on the ~15/16
     * of docs whose id-md5 doesn't start with '0' and scored on the

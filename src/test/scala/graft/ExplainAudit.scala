@@ -172,8 +172,10 @@ object ExplainAudit {
       "s_bm25", "d_soft_weight",
       // round 12c: the audio energy-contour fp is one map pass (n md5s
       // + 65 contiguous slice-sums per asset) before the same 28-table
-      // band-key self-join mm_phash uses
-      "mm_audio_fp")
+      // band-key self-join mm_phash uses; the multimodal capstone reads
+      // ONE cached narrow fingerprint trunk (text scanned once, never
+      // shuffled), then exact window + two band joins + pair-sized CC
+      "mm_audio_fp", "mm_dup_union")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)

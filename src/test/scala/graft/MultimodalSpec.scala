@@ -396,4 +396,38 @@ class MultimodalSpec extends AnyFunSuite {
       "every edit plant reads as an exact dup — the perturbation stopped perturbing")
     pairs.values.foreach(h => assert(h >= 0 && h <= 6))
   }
+
+  test("mm_dup_union capstone: groups anchored by naturals, per-detector evidence accounted") {
+    val sf001 = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf001)
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val rows = graft.queries.LlmOps.mmDupUnion(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // every component has >= 2 members and enough edges to be connected
+    rows.foreach { r =>
+      val (n, ne, np, na) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n >= 2, s"singleton component $r")
+      assert(ne + np + na >= n - 1, s"under-connected component $r")
+    }
+    // every plant pairs with its original (exact at hamming 0, edits
+    // within the banding radius), so every group is anchored by a
+    // NATURAL asset — no keeper may come from the planted id spaces
+    rows.foreach(r => assert(r.getLong(0) < pb, s"plant-keeper component $r"))
+    // per-detector floors: each class-A plant yields >= 1 exact edge;
+    // each contour-covered plant (image >= 1 tok / audio >= 65 tok)
+    // yields >= 1 pair for its perceptual detector
+    val d = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("ntok")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nExactPlants = d.keys.count(_ % 4 == 1)
+    val nPhashFloor = d.count { case (id, nt) =>
+      id % 3 == 0 && ((id % 4 == 1 && nt >= 1) || (id % 6 == 0 && nt >= 37)) }
+    val nAudioFloor = d.count { case (id, nt) =>
+      id % 3 == 1 && nt >= 65 && (id % 4 == 1 || id % 10 == 7) }
+    assert(nExactPlants > 0 && nPhashFloor > 0 && nAudioFloor > 0,
+      "fixture lost its plantable assets")
+    assert(rows.map(_.getLong(3)).sum >= nExactPlants)
+    assert(rows.map(_.getLong(4)).sum >= nPhashFloor)
+    assert(rows.map(_.getLong(5)).sum >= nAudioFloor)
+  }
 }
