@@ -23,6 +23,21 @@ case class IncDoc(doc_id: Long, fp: String)
 case class IncState(inHist: Boolean, firstId: Long)
 case class IncOut(doc_id: Long, fp: String, status: String)
 
+/** Typed rows for the streaming incremental NEAR dedup
+  * ([[Streaming.incrementalNearStream]]): state is keyed by LSH band
+  * key and holds that band's slice of the at-rest index — (doc id,
+  * distinct shingle hashes, history/batch side) per indexed doc that
+  * hashed into the band. Verification runs INSIDE the state function
+  * (the shingle hashes are right there), so a band group emits only
+  * VERIFIED matches plus one `self` marker per arriving doc; state
+  * grows by one entry per (new doc × its 16 bands) — the same ×bands
+  * replication the at-rest banded index itself carries. */
+case class NearBandKey(band: Int, bkey: Int)
+case class NearRow(band: Int, bkey: Int, doc_id: Long, sh: Seq[Long])
+case class NearEntry(doc: Long, sh: Seq[Long], side: String)
+case class NearState(entries: Seq[NearEntry])
+case class NearHit(doc_id: Long, other: Long, side: String)
+
 /** Typed rows for the streaming CDC apply ([[Streaming.cdcApplyStream]]):
   * per-key state is the CURRENT content fingerprint — one constant-size
   * record per live key, exactly the at-rest index a continuous MERGE
@@ -652,6 +667,147 @@ object Streaming {
       try q.processAllAvailable() finally q.stop()
     }
     s.table(queryName).orderBy(col("doc_id"))
+  }
+
+  /** Per-band fold for the streaming NEAR dedup: arriving docs (sorted
+    * by id — the within-trigger "prior" order, matching the batch
+    * gate's `doc_b < doc_a`) are verified against every indexed entry
+    * in this band by exact Jaccard over the carried distinct shingle
+    * hashes, then appended to the band's index slice with side "b" so
+    * later arrivals — same trigger or later triggers — see them as
+    * prior batch. Emits one `self` marker per (doc, band) plus one hit
+    * row per verified match; cross-band duplicate hits are collapsed by
+    * the gate's post-stream DISTINCT, exactly like the batch
+    * candidate-`distinct()`. */
+  private[graft] def nearFold(key: NearBandKey, rows: Iterator[NearRow],
+      state: GroupState[NearState]): Iterator[NearHit] = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[NearEntry]
+    state.getOption.foreach(s => entries ++= s.entries)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearHit]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      out += NearHit(r.doc_id, -1L, "self")
+      val sa = r.sh.toSet
+      entries.foreach { e =>
+        var inter = 0
+        e.sh.foreach(x => if (sa.contains(x)) inter += 1)
+        if (inter.toDouble / (sa.size + e.sh.size - inter) >= 0.5)
+          out += NearHit(r.doc_id, e.doc, e.side)
+      }
+      entries += NearEntry(r.doc_id, r.sh, "b")
+    }
+    state.update(NearState(entries.toSeq))
+    out.iterator
+  }
+
+  /** The incremental NEAR-dedup streaming TRANSFORM — the continuous
+    * twin of [[graft.dedup.Dedup.incrementalNear]] and the NEAR twin of
+    * [[incrementalDedupTransform]]: the banded history index (16 bands
+    * over the 64-hash MinHash signature, the batch geometry) is loaded
+    * as flatMapGroupsWithState INITIAL STATE keyed by (band, band-key),
+    * each state record carrying that band's slice of the index —
+    * (doc, distinct shingle hashes, side). Arriving docs explode to
+    * their 16 band rows, land in the matching state groups, and are
+    * Jaccard-verified in-state against history AND previously-arrived
+    * batch docs, appending verified hits immediately.
+    *
+    * State bound: Σ_bands (docs hashing there) = bands × indexed docs —
+    * the SAME ×16 replication the at-rest banded index carries; each
+    * entry is the doc's shingle-hash set (what the batch verify side
+    * shuffles per candidate anyway, stored once per band instead of
+    * re-shuffled per candidate pair). The RocksDB provider keeps it
+    * off-heap (InfraSpec certifies provider equivalence).
+    *
+    * Same batch composition, plants and oracle as `d_incremental_near`:
+    * single-trigger replay == the batch operator bit-for-bit. Across
+    * MULTIPLE triggers the contract is continuous-ingest semantics:
+    * history attribution and the undirected verified pair set still
+    * equal the batch answer (detection is arrival-order-free), but
+    * "prior batch" attribution follows ARRIVAL order — a planted
+    * recrawl arrives in its source doc's trigger, so a batch-batch
+    * pair's direction can flip vs the id-ordered batch oracle. InfraSpec
+    * certifies exactly these invariants, plus band state carry-over
+    * between micro-batches and RocksDB provider equivalence. */
+  private[graft] def incrementalNearTransform(s: SparkSession, dir: String,
+      histDir: String,
+      glob: String = "documents.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.{DistinctShingleHashes, MinHashSignature}
+    val bands = 16
+    val rows = 4 // 64 hashes / 16 bands — the d_incremental_near geometry
+    def bandRows(df: DataFrame): DataFrame = df.select(
+        col("doc_id"),
+        MinHashSignature.minhash_signature(col("text"), 3, 64).as("sig"),
+        DistinctShingleHashes.distinct_shingle_hashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bkey")))
+      .select(col("band"), col("bkey"), col("doc_id"), col("sh"))
+    val init = bandRows(graft.Tables.documents(s, histDir)
+        .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")))
+      .as[NearRow]
+      .groupByKey(r => NearBandKey(r.band, r.bkey))
+      .mapGroups((k, it) =>
+        k -> NearState(it.map(r => NearEntry(r.doc_id, r.sh, "h")).toSeq))
+      .groupByKey(_._1).mapValues(_._2)
+    val pb = graft.queries.LlmOps.plantBase(graft.Tables.documents(s, histDir))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val batch = src.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(src.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + pb).as("doc_id"),
+          concat(col("text"), lit(" extrem")).as("text")))
+      .unionByName(src.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2 * pb).as("doc_id"),
+          concat(col("text"), lit(" zulu")).as("text")))
+    bandRows(batch).as[NearRow]
+      .groupByKey(r => NearBandKey(r.band, r.bkey))
+      .flatMapGroupsWithState[NearState, NearHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(nearFold)
+      .toDF()
+  }
+
+  /** Streaming incremental NEAR dedup gate — replays
+    * [[incrementalNearTransform]] into a memory sink, then reduces the
+    * per-band hit stream exactly as the batch operator reduces its
+    * candidate matches: DISTINCT (doc, other, side) across bands (a
+    * pair that collides in several bands is one match), per-doc
+    * history/prior counts, kept/dup_batch/dup_hist status. Reuses
+    * `d_incremental_near`'s oracle verbatim — stream == batch
+    * bit-for-bit. */
+  def incrementalNearStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_near"): DataFrame = {
+    val out = incrementalNearTransform(s, dir, histDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val t = s.table(queryName)
+    // rename the aggregate side's key: both branches read the same
+    // memory table, so a Seq("doc_id") join sees conflicting refs
+    val m = t.filter(col("side") =!= "self")
+      .select(col("doc_id").as("m_doc"), col("other"), col("side")).distinct()
+      .groupBy(col("m_doc"))
+      .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("m_hist"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("m_prior"))
+    t.filter(col("side") === "self").select(col("doc_id")).distinct()
+      .join(m, col("doc_id") === col("m_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("m_prior"), lit(0L)).as("n_prior"),
+        when(coalesce(col("m_hist"), lit(0L)) > 0, "dup_hist")
+          .when(coalesce(col("m_prior"), lit(0L)) > 0, "dup_batch")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
   }
 
   def exactDedupStream(s: SparkSession, dir: String,

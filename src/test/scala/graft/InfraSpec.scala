@@ -208,6 +208,117 @@ class InfraSpec extends AnyFunSuite {
         s"diff=${((multi -- batchAnswer) ++ (batchAnswer -- multi)).take(5)}")
   }
 
+  test("incremental NEAR dedup stream: == batch, band-key state bound, RocksDB ==, multi-batch ==") {
+    import graft.streaming.Streaming
+    // batch truth: the d_incremental_near operator on the same composition
+    val batchAnswer = graft.queries.LlmOps.dedupIncrementalNear(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def reduceHits(name: String): Set[(Long, Long, Long, String)] = {
+      val t = spark.table(name).collect()
+      val pairs = t.filter(_.getString(2) != "self")
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val docs = t.filter(_.getString(2) == "self").map(_.getLong(0)).toSet
+      docs.map { d =>
+        val nh = pairs.count(p => p._1 == d && p._3 == "h").toLong
+        val np = pairs.count(p => p._1 == d && p._3 == "b").toLong
+        (d, nh, np,
+          if (nh > 0) "dup_hist" else if (np > 0) "dup_batch" else "kept")
+      }
+    }
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Set[(Long, Long, Long, String)], Long, Int) = {
+      val out = Streaming.incrementalNearTransform(spark, dir,
+        histDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val maxStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      (reduceHits(name), maxStateRows, batches)
+    }
+    val (got, stateRows, _) = run(sf0001, "documents.parquet", Map.empty, "infra_near")
+    assert(got == batchAnswer,
+      s"stream=${got.size} batch=${batchAnswer.size} " +
+        s"onlyStream=${(got -- batchAnswer).take(3)} onlyBatch=${(batchAnswer -- got).take(3)}")
+    assert(got.exists(_._4 == "dup_hist") && got.exists(_._4 == "kept") &&
+      got.exists(_._4 == "dup_batch"))
+    // state bound: one record per OCCUPIED (band, band-key) — at most
+    // bands × indexed docs, the at-rest banded index's own size
+    val docs = Tables.documents(spark, sf0001)
+    val nIndexed = docs.filter(col("doc_id") % 5 =!= 0).count() + // history
+      docs.filter(col("doc_id") % 5 === 0).count() +              // fresh
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0).count() +
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0).count()
+    assert(stateRows > 0 && stateRows <= 16 * nIndexed,
+      s"state rows $stateRows exceed the 16-band index bound ${16 * nIndexed}")
+    // RocksDB provider equivalence (the off-heap backend the shingle-
+    // bearing band index actually needs at corpus scale)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (rocks, _, _) = run(sf0001, "documents.parquet", Map.empty,
+        s"infra_near_rocks_${System.nanoTime}")
+      assert(rocks == got, s"RocksDB drifted: ${rocks.size} vs ${got.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // multi-batch continuous-ingest replay: id-ordered 3-file split, one
+    // file per trigger — within-batch "prior" stays the lower doc_id
+    // under ordered ingestion, so the stream still equals the batch
+    // oracle while the band index state carries over BETWEEN triggers
+    val dir = java.nio.file.Files.createTempDirectory("graft_near_split").toFile
+    val n = docs.count()
+    val parts = 3
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"documents_$i%02d.parquet"), 3000000L + i * 60000L)
+    }
+    val (multi, _, batches) = run(dir.getPath, "documents_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_near_multi")
+    assert(batches >= parts, s"expected >= $parts data batches, got $batches")
+    // Across triggers the invariants weaken EXACTLY where continuous
+    // ingest semantics differ from a batch: "prior batch" is
+    // arrival-order, and planted ids (recrawls at +pb) arrive in their
+    // SOURCE doc's trigger — so a batch-batch pair's prior-direction
+    // can flip vs the id-ordered batch oracle. What must hold:
+    //  - the doc universe is identical,
+    //  - history attribution is identical (state-resident before any
+    //    trigger, direction-free),
+    //  - the VERIFIED batch-batch pair set is identical UNDIRECTED
+    //    (detection never depends on arrival order, only attribution).
+    def pairsOf(name: String): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val t = spark.table(name).collect()
+        .filter(_.getString(2) != "self")
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      (t.filter(_._3 == "h").map(p => (p._1, p._2)),
+        t.filter(_._3 == "b").map(p =>
+          (math.min(p._1, p._2), math.max(p._1, p._2))))
+    }
+    val (singleH, singleB) = pairsOf("infra_near")
+    val (multiH, multiB) = pairsOf("infra_near_multi")
+    assert(multi.map(_._1) == batchAnswer.map(_._1), "doc universe drifted")
+    assert(multiH == singleH,
+      s"history attribution drifted: ${((multiH -- singleH) ++ (singleH -- multiH)).take(5)}")
+    assert(multiB == singleB,
+      s"undirected batch-pair set drifted: ${((multiB -- singleB) ++ (singleB -- multiB)).take(5)}")
+    // and the collapsed answer must still agree wherever no direction
+    // flip occurred — i.e. everywhere except docs in a flipped pair
+    val flipped = (multi -- batchAnswer).map(_._1)
+    assert((batchAnswer -- multi).map(_._1) == flipped)
+    flipped.foreach { d =>
+      assert(multiB.exists(p => p._1 == d || p._2 == d),
+        s"doc $d drifted without being in any batch-batch pair")
+    }
+  }
+
   test("CDC apply stream: transition log == batch, state key-bounded, RocksDB ==, multi-batch ==") {
     import graft.streaming.Streaming
     // batch truth: the oracle's one-join transition log, computed as a
