@@ -4874,6 +4874,118 @@ object LlmOps {
        |  CAST(SUM(z) AS BIGINT) AS z_sum, CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Token-level Bloom FILE-SKIPPING index over the z-order layout —
+    * the content-skipping companion to [[zorderLayout]]'s min/max
+    * manifest (the ClickHouse `tokenbf`-style secondary index, Parquet
+    * column Blooms generalized to full text): per layout file, a Bloom
+    * filter over the file's DISTINCT normalized tokens; a term lookup
+    * consults every file's filter and reads only the files whose k
+    * positions are all set. Min/max skipping answers range predicates
+    * on the clustered dims; this answers "which files can contain word
+    * w" — the needle query a trigram/keyword search runs before
+    * scanning.
+    *
+    * Probe workload: a deterministic hash sample of roughly a third of
+    * the corpus vocabulary ([[Sketch.hash60]] mod 3 — the synthetic
+    * corpus carries a ~31-token vocabulary, so a needle-rate sample
+    * would be empty; a real corpus would sample at ~0.1%), plus one
+    * mutated twin per sampled term (`term ~zz`-suffixed) so the absent
+    * path is exercised; each probe's status (present/absent) is
+    * COMPUTED from the posting table, never assumed. Output per term:
+    * true file count, scanned file count (Bloom-passed), status. No
+    * false negatives by construction — scanned ⊇ true always; the gap
+    * is the false-positive cost, bounded by the m = 8·maxFileVocab /
+    * k = 4 sizing (~2.3% of files per absent probe).
+    *
+    * Scale shape: ONE corpus scan map-projects (fid, token); a single
+    * distinct shuffle builds the posting trunk, cached once and fanned
+    * to sizing, bits, vocabulary and truth counts. The probe join is
+    * position-keyed against the (fid, position) set-bit table — the
+    * sharded-Bloom join, candidates bounded by probes × k × files with
+    * that bit set — never a probes × files cross join. */
+  def bloomSkip(s: SparkSession, dir: String): DataFrame = {
+    // fid derivation == zorderDocs (kept inline because the posting
+    // trunk needs norm alongside, which zorderDocs projects away)
+    val ft = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm_text(col("text")).as("norm"))
+        .select(col("norm"),
+          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+          size(split(col("norm"), " ")).cast("long").as("ntok"))
+        .select(col("norm"),
+          Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("qb"),
+          least(col("ntok"), lit(255L)).as("nb"))
+        .select(shiftright(zInterleave(col("qb"), col("nb")), 6).as("fid"),
+          explode(split(col("norm"), " ")).as("t"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-file filters share one modulus, sized to the LARGEST file's
+    // vocabulary (8 bits/entry, k=4 → FPR ≤ ~2.3% for every file), so
+    // probe positions are computed once, not once per file
+    val m = 8L * math.max(ft.groupBy(col("fid")).count()
+      .agg(max(col("count"))).head.getLong(0), 1L)
+    val bits = ft.select(col("fid"), explode(array((0 until BloomK).map(i =>
+        Sketch.bloomPos(col("t"), i, m)): _*)).as("b"))
+      .distinct()
+    val sample = ft.select(col("t")).distinct()
+      .filter(Sketch.hash60(col("t")) % 3 === 0)
+    val probes = sample.select(col("t").as("term"))
+      .unionByName(sample.select(concat(col("t"), lit("~zz")).as("term")))
+    val kpos = probes.select(col("term"), explode(array((0 until BloomK).map(i =>
+        Sketch.bloomPos(col("term"), i, m)): _*)).as("b"))
+    val scanned = kpos.join(bits, "b")
+      .groupBy(col("term"), col("fid")).agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === BloomK)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_files_scanned"))
+    val truth = ft.groupBy(col("t")).agg(count(lit(1)).as("n_files_true"))
+      .withColumnRenamed("t", "tt")
+    probes
+      .join(truth, col("term") === col("tt"), "left")
+      .join(scanned, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_files_true"), lit(0L)).as("n_files_true"),
+        coalesce(col("n_files_scanned"), lit(0L)).as("n_files_scanned"),
+        when(coalesce(col("n_files_true"), lit(0L)) > 0, "present")
+          .otherwise("absent").as("status"))
+      .orderBy(col("term"))
+  }
+
+  val bloomSkipSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |m AS (SELECT doc_id, norm, $QualitySignalColsSql FROM n),
+       |scored AS (SELECT norm, CAST(ntok AS BIGINT) AS ntok,
+       |  $QualityScoreSql AS q FROM m),
+       |dims AS (SELECT norm,
+       |  ${Sketch.histBucketSql("q", 256, 0.0, 1.0)} AS qb,
+       |  LEAST(ntok, 255) AS nb FROM scored),
+       |zc AS (SELECT norm, ${zInterleaveSql("qb", "nb")} >> 6 AS fid FROM dims),
+       |ft AS (SELECT DISTINCT fid, t FROM
+       |  (SELECT fid, unnest(string_split(norm, ' ')) AS t FROM zc)),
+       |mm AS (SELECT 8 * GREATEST(MAX(c), 1) AS m FROM
+       |  (SELECT COUNT(*) AS c FROM ft GROUP BY fid)),
+       |sd AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |bits AS (SELECT DISTINCT fid,
+       |  ${bloomPosSql("i", "t")} % (SELECT m FROM mm) AS b
+       |  FROM ft CROSS JOIN sd),
+       |samp AS (SELECT DISTINCT t FROM ft
+       |  WHERE CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 3 = 0),
+       |probes AS (SELECT t AS term FROM samp
+       |  UNION ALL SELECT t || '~zz' FROM samp),
+       |kp AS (SELECT term, ${bloomPosSql("i", "term")} % (SELECT m FROM mm) AS b
+       |  FROM probes CROSS JOIN sd),
+       |sc AS (SELECT term, fid FROM kp JOIN bits USING (b)
+       |  GROUP BY term, fid HAVING COUNT(*) = 4),
+       |scn AS (SELECT term, COUNT(*) AS n_files_scanned FROM sc GROUP BY 1),
+       |tf AS (SELECT t, COUNT(*) AS n_files_true FROM ft GROUP BY 1)
+       |SELECT p.term,
+       |  CAST(COALESCE(tf.n_files_true, 0) AS BIGINT) AS n_files_true,
+       |  CAST(COALESCE(scn.n_files_scanned, 0) AS BIGINT) AS n_files_scanned,
+       |  CASE WHEN COALESCE(tf.n_files_true, 0) > 0
+       |       THEN 'present' ELSE 'absent' END AS status
+       |FROM probes p LEFT JOIN tf ON tf.t = p.term
+       |LEFT JOIN scn ON scn.term = p.term
+       |ORDER BY p.term""".stripMargin
+
   /** Selection-and-layout capstone — the round-10 data-management
     * operators COMPOSED into one plan: quality floor (q ≥ 0.3, ntok ≥
     * 10) → token-budget selection ([[tokenBudget]]'s bucket-directory

@@ -175,7 +175,11 @@ object ExplainAudit {
       // band-key self-join mm_phash uses; the multimodal capstone reads
       // ONE cached narrow fingerprint trunk (text scanned once, never
       // shuffled), then exact window + two band joins + pair-sized CC
-      "mm_audio_fp", "mm_dup_union")
+      "mm_audio_fp", "mm_dup_union",
+      // round 12d: the token-bloom skipping index is one corpus scan
+      // into the cached (fid, token) posting trunk; the probe join is
+      // position-keyed (sharded-Bloom), never probes x files
+      "t_bloom_skip")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)

@@ -2068,4 +2068,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(en.nonEmpty && rest.nonEmpty && mean(en) > mean(rest),
       s"target slice does not score higher: en=${mean(en)} rest=${mean(rest)}")
   }
+
+  test("bloom skip index: no false negatives, absent probes skip, statuses computed") {
+    val rows = queries.LlmOps.bloomSkip(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val (present, absent) = rows.partition(_._4 == "present")
+    assert(present.nonEmpty && absent.nonEmpty)
+    // the skipping CONTRACT: a file containing the term always scans
+    rows.foreach { case (t, nTrue, nScan, _) =>
+      assert(nScan >= nTrue, s"false negative for '$t': true=$nTrue scanned=$nScan")
+    }
+    assert(present.forall(_._2 > 0) && absent.forall(_._2 == 0))
+    // the index must actually SKIP: across the absent probes, scanned
+    // files (all false positives) stay under the k=4/8-bits-per-entry
+    // envelope — well below "scan everything"
+    val nFiles = queries.LlmOps.zorderLayout(spark, sf001).count()
+    val fpScans = absent.map(_._3).sum.toDouble
+    assert(fpScans <= 0.25 * absent.length * nFiles,
+      s"absent probes scanned $fpScans of ${absent.length} x $nFiles file consults " +
+        "— the filter is not skipping")
+  }
 }
