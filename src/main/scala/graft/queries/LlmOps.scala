@@ -5258,6 +5258,18 @@ object LlmOps {
       |FROM a JOIN k USING (kind, fp, n_bytes)
       |ORDER BY asset_id""".stripMargin
 
+  /** LET-binding for expensive array expressions: evaluates `input`
+    * ONCE and binds it as a higher-order-function lambda variable for
+    * `f` — `transform(array(x), v => f(v))[1]`. Column-level reuse via
+    * withColumn is NOT safe for this: CollapseProject merges adjacent
+    * projections and INLINES the array into every reference (contour64
+    * reads its array 128 times; the audio chain nests two layers →
+    * 65·128 re-evaluations of the per-token md5 strip — measured 14.5s
+    * for an 80-doc gate before this). Lambda variables are bound
+    * values, so the optimizer cannot duplicate the computation. */
+  private def letCol(input: Column)(f: Column => Column): Column =
+    element_at(transform(array(input), f), 1)
+
   /** LSB-first 64-bit neighbor-comparison contour over a 65-element
     * array column: bit j = arr[j+2] > arr[j+1] (1-based element_at).
     * Bit 63 is added as Long.MinValue LAST — partial sums of distinct
@@ -5278,9 +5290,10 @@ object LlmOps {
       j => Sketch.hash60(element_at(tk, pmod(j, size(tk)) + 1)))
 
   /** The [[mmAudioFp]] surrogate samples: per-token squared amplitude
-    * amp² where amp = gain · (hash60(token) mod 32768). Materialize the
-    * result as its own column BEFORE [[audioEnergies]] — inlining it
-    * would re-hash every token once per window. */
+    * amp² where amp = gain · (hash60(token) mod 32768). Bind the result
+    * through [[letCol]] BEFORE [[audioEnergies]] — a plain column
+    * reference collapses back into every window lambda and re-hashes
+    * the whole strip once per window. */
   private def audioAmpSq(tk: Column, gain: Column): Column =
     transform(tk, t => {
       val amp = pmod(Sketch.hash60(t), lit(32768L)) * gain
@@ -5340,10 +5353,9 @@ object LlmOps {
       .select((col("asset_id") + pb).as("asset_id"),
         concat(slice(col("tk"), 1, 3), array(lit("zz")),
           slice(col("tk"), lit(5), size(col("tk")) - 4)).as("tk"))
-    val cells = images.unionByName(planted)
-      .withColumn("cells", phashCells(col("tk")))
     Dedup.hammingPairs(
-        cells.select(col("asset_id").as("doc"), contour64(col("cells")).as("sh")),
+        images.unionByName(planted).select(col("asset_id").as("doc"),
+          letCol(phashCells(col("tk")))(contour64).as("sh")),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"), col("hamming"))
       .orderBy(col("asset_a"), col("asset_b"))
@@ -5431,11 +5443,10 @@ object LlmOps {
         lit(1L).as("gain"))
     val all = base.withColumn("gain", lit(1L))
       .unionByName(volume).unionByName(edited)
-      .withColumn("e2", audioAmpSq(col("tk"), col("gain")))
-    val withEn = all.withColumn("en",
-      audioEnergies(col("e2"), size(col("tk"))))
+    val fp = letCol(audioAmpSq(col("tk"), col("gain"))) { e2 =>
+      letCol(audioEnergies(e2, size(col("tk"))))(contour64) }
     Dedup.hammingPairs(
-        withEn.select(col("asset_id").as("doc"), contour64(col("en")).as("sh")),
+        all.select(col("asset_id").as("doc"), fp.as("sh")),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
@@ -5546,21 +5557,19 @@ object LlmOps {
       .unionByName(exactPlants)
       .unionByName(edit("image", 6, 0, 37))
       .unionByName(edit("audio", 10, 7, 65))
-    // the narrow fingerprint trunk: arrays materialize as their own
-    // columns first (CollapseProject keeps multiply-referenced non-cheap
-    // expressions un-inlined, so cells/e2/en each evaluate once)
+    // the narrow fingerprint trunk: each contour chain is let-bound
+    // through letCol so the cells/e2/en arrays evaluate exactly once
+    // per row (CollapseProject inlines plain column references into
+    // every one of contour64's 128 reads)
     val trunk = graft.util.IntermediateCaches.track(assets
-      .withColumn("cells", when(col("kind") === "image" &&
-        size(col("tk")) >= 1, phashCells(col("tk"))))
-      .withColumn("e2", when(col("kind") === "audio" &&
-        size(col("tk")) >= 65, audioAmpSq(col("tk"), lit(1L))))
-      .withColumn("en", when(col("e2").isNotNull,
-        audioEnergies(col("e2"), size(col("tk")))))
       .select(col("asset_id"), col("kind"),
         md5(col("text")).as("efp"),
         octet_length(col("text")).cast("long").as("nb"),
-        when(col("cells").isNotNull, contour64(col("cells"))).as("pfp"),
-        when(col("en").isNotNull, contour64(col("en"))).as("afp"))
+        when(col("kind") === "image" && size(col("tk")) >= 1,
+          letCol(phashCells(col("tk")))(contour64)).as("pfp"),
+        when(col("kind") === "audio" && size(col("tk")) >= 65,
+          letCol(audioAmpSq(col("tk"), lit(1L))) { e2 =>
+            letCol(audioEnergies(e2, size(col("tk"))))(contour64) }).as("afp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("efp"), col("nb"))
