@@ -1381,7 +1381,16 @@ object LlmOps {
     * the per-doc score is then an EXACT integer sum (no float
     * summation-order ambiguity), and the reported double is one IEEE
     * division at the end. */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
+      .withColumn("score", col("score_q") / lit(1000000.0))
+      .orderBy(desc("score_q"), col("doc_id"))
+      .limit(10)
+
+  /** The per-doc BM25 micro-unit score frame behind [[bm25]] — also the
+    * lexical leg of [[hybridRrf]]. Columns (doc_id, score_q, n_terms);
+    * query-hits-sized, never corpus-tokens-sized. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val terms = Bm25Terms
     val d = Tables.documents(s, dir)
     val nDocs = d.select(count(lit(1)).as("n_total"))
@@ -1404,16 +1413,15 @@ object LlmOps {
     contrib.groupBy(col("doc_id"))
       .agg(sum(col("contrib_q")).as("score_q"),
         count(lit(1)).cast("long").as("n_terms"))
-      .withColumn("score", col("score_q") / lit(1000000.0))
-      .orderBy(desc("score_q"), col("doc_id"))
-      .limit(10)
   }
 
   private val Bm25Terms = Seq("spark", "join", "customer", "window")
 
-  val bm25Sql: String = {
+  /** [[bm25Sql]]'s CTE chain up to the per-doc score frame `bm` —
+    * shared with [[hybridRrfSql]]. */
+  private val Bm25CteSql: String = {
     val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+    s"""n AS (SELECT doc_id, $NormSql AS norm FROM documents),
        |dl AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS dl FROM n),
        |stats AS (SELECT COUNT(*) AS n_total,
        |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
@@ -1427,13 +1435,16 @@ object LlmOps {
        |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
        |          * 1000000.0) AS BIGINT) AS contrib_q
        |      FROM tf JOIN dfx ON tf.w = dfx.w
-       |      CROSS JOIN stats JOIN dl ON dl.doc_id = tf.doc_id)
-       |SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q,
-       |  COUNT(*) AS n_terms,
-       |  CAST(SUM(contrib_q) AS BIGINT) / 1000000.0 AS score
-       |FROM c GROUP BY doc_id
-       |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
+       |      CROSS JOIN stats JOIN dl ON dl.doc_id = tf.doc_id),
+       |bm AS (SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+       |         COUNT(*) AS n_terms
+       |       FROM c GROUP BY doc_id)""".stripMargin
   }
+
+  val bm25Sql: String =
+    s"""WITH $Bm25CteSql
+       |SELECT doc_id, score_q, n_terms, score_q / 1000000.0 AS score
+       |FROM bm ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
 
   /** Duplicate GROUPS from pairwise near-dup evidence: connected
     * components over the near-dup pair graph, summarized per component
@@ -5737,4 +5748,257 @@ object LlmOps {
        |SELECT b.doc_id, te.lang AS actual, b.lang AS pred, b.scoreq,
        |  ROUND(CAST(b.scoreq AS DOUBLE) / 1e9, 6) AS score
        |FROM best b JOIN te ON te.doc_id = b.doc_id WHERE b.rk = 1""".stripMargin
+
+  // ------------------------------------------------------- round 12b:
+  // hybrid retrieval fusion, provenance propagation, sketch set algebra,
+  // truncated-dimension retrieval quality
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher 2009; k0 = 60): the BM25 lexical ranking
+    * ([[bm25Scores]], terms [[Bm25Terms]]) fused with the dense cosine
+    * ranking against query vector 0 — production search at 100 TB runs
+    * exactly this two-leg shape, because lexical and dense retrieval
+    * miss DIFFERENT relevant documents. Each leg contributes
+    * round(1e6/(k0+rank)) micro-units to candidates in its own top-50;
+    * the fused score is an exact BIGINT sum, so ordering is
+    * deterministic cross-engine (the double is one IEEE division at
+    * the end).
+    *
+    * Scale shape: each leg ends in a TakeOrdered top-50, so the fusion
+    * full-outer join and the rank windows run over ≤50-row frames (the
+    * same bounded-directory regime as t_token_budget's bucket table) —
+    * the heavy work stays inside the legs, each of which has its own
+    * banded/term-filtered scale path. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val kCand = 50
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_q"), col("doc_id"))
+    val lex = bm25Scores(s, dir)
+      .orderBy(desc("score_q"), col("doc_id")).limit(kCand)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val wDen = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("sim"), col("vec_id"))
+    val den = Ann.bruteForceTopK(Tables.embeddings(s, dir),
+        queryVecId = 0L, k = kCand)
+      .withColumn("den_rank", row_number().over(wDen).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("den_rank"))
+    def leg(r: Column): Column =
+      coalesce(round(lit(1000000.0) / (lit(60) + r)).cast("long"), lit(0L))
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_q", leg(col("lex_rank")) + leg(col("den_rank")))
+      .withColumn("rrf", col("rrf_q") / lit(1000000.0))
+      .orderBy(desc("rrf_q"), col("doc_id"))
+      .limit(10)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $Bm25CteSql,
+       |lexr AS (SELECT doc_id, rn AS lex_rank FROM (
+       |           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+       |           FROM bm) WHERE rn <= 50),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |den0 AS (SELECT vec_id, ROUND(${cosineSql("embedding", "qe")}, 6) AS sim
+       |         FROM embeddings, q WHERE vec_id <> 0),
+       |denr AS (SELECT vec_id AS doc_id, rn AS den_rank FROM (
+       |           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |           FROM den0) WHERE rn <= 50),
+       |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.den_rank,
+       |        COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+       |        + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
+       |      FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, lex_rank, den_rank, rrf_q, rrf_q / 1000000.0 AS rrf
+       |FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Provenance propagation through near-dup clustering: when dedup
+    * keeps ONE representative per duplicate cluster, the kept document
+    * must carry the UNION of its cluster's provenance (sources,
+    * licenses, languages) — dropping a duplicate must not drop its
+    * attribution obligations. Per cluster: member count, distinct
+    * source count with min/max source, distinct-language count, total
+    * chars absorbed. Detector = the banded MinHash-LSH scale path;
+    * clustering = connected components (same trunk as d_dup_groups,
+    * whose oracle is the independent recursive-CTE closure).
+    *
+    * Scale shape: the component map is pair-evidence-sized; the corpus
+    * join is one id-keyed equi-join carrying only (source, lang,
+    * n_chars) — document text never shuffles; the aggregate is
+    * cluster-keyed with map-side partials. */
+  def dedupProvenance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(d, n = 3, threshold = 0.5))
+    cc.join(d.select(col("doc_id").as("node"), col("source"), col("lang"),
+        col("n_chars")), Seq("node"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("source")).as("src_first"),
+        max(col("source")).as("src_last"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("comp").as("keeper_id"), col("n_docs"), col("n_sources"),
+        col("src_first"), col("src_last"), col("n_langs"), col("chars_total"))
+      .orderBy(col("keeper_id"))
+  }
+
+  val dedupProvenanceSql: String =
+    s"""WITH RECURSIVE
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes,
+       |comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+       |SELECT comp AS keeper_id, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT d.source) AS n_sources,
+       |  MIN(d.source) AS src_first, MAX(d.source) AS src_last,
+       |  COUNT(DISTINCT d.lang) AS n_langs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+       |FROM comp JOIN documents d ON d.doc_id = comp.node
+       |GROUP BY comp ORDER BY keeper_id""".stripMargin
+
+  /** KMV sketch SET ALGEBRA over two corpus halves (doc_id parity):
+    * union cardinality from the merged k-min sketch and intersection /
+    * Jaccard from sketch-member overlap (Beyer et al. 2007) — the
+    * bounded-state answer to "how much vocabulary do two crawls
+    * share?" that at 100 TB replaces a corpus² distinct-intersection
+    * join with merging two k-long arrays. The gate emits the exact
+    * counts beside every estimate, so the oracle hash pins the
+    * estimator math AND records the measured error.
+    *
+    * Determinism discipline: sketches are sorted arrays of exact
+    * [[Sketch.hash60]] BIGINTs (k-bounded UDAF state, map-side
+    * partial merge); every estimate is one exact-double multiply and
+    * one IEEE division from an exact BIGINT (round(4) fixes the
+    * decimal form); the Jaccard numerator is an integer array
+    * intersection. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sh = Tables.documents(s, dir).select(
+        pmod(col("doc_id"), lit(2L)).as("half"),
+        explode(org.apache.spark.sql.graft.DistinctShingles
+          .distinct_shingles(col("text"), 3)).as("sh"))
+      .select(col("half"), Sketch.hash60(col("sh")).as("h"))
+    val perHalf = sh.groupBy(col("half"))
+      .agg(Sketch.kmv_sketch(col("h"), k).as("kmv"),
+        countDistinct(col("h")).as("n_exact"))
+    val a = perHalf.filter(col("half") === 0)
+      .select(col("kmv").as("kmv_a"), col("n_exact").as("exact_a"))
+    val b = perHalf.filter(col("half") === 1)
+      .select(col("kmv").as("kmv_b"), col("n_exact").as("exact_b"))
+    val u = sh.agg(countDistinct(col("h")).as("exact_u"))
+    val i = sh.groupBy(col("h"))
+      .agg(countDistinct(col("half")).as("nh"))
+      .filter(col("nh") === 2)
+      .agg(count(lit(1)).as("exact_i"))
+    a.crossJoin(b).crossJoin(u).crossJoin(i)
+      .withColumn("kmv_u", slice(array_sort(array_distinct(
+        concat(col("kmv_a"), col("kmv_b")))), 1, k))
+      .withColumn("inter_kmv", size(array_intersect(
+        array_intersect(col("kmv_u"), col("kmv_a")), col("kmv_b")))
+        .cast("long"))
+      .withColumn("jacc", round(col("inter_kmv") / lit(k.toDouble), 4))
+      .select(lit(k.toLong).as("k"),
+        col("exact_a"), col("exact_b"), col("exact_u"), col("exact_i"),
+        get(col("kmv_a"), lit(k - 1)).as("h_k_a"),
+        get(col("kmv_b"), lit(k - 1)).as("h_k_b"),
+        get(col("kmv_u"), lit(k - 1)).as("h_k_u"),
+        Sketch.kmvEstimate(col("kmv_a"), k).as("est_a"),
+        Sketch.kmvEstimate(col("kmv_b"), k).as("est_b"),
+        Sketch.kmvEstimate(col("kmv_u"), k).as("est_u"),
+        col("inter_kmv"), col("jacc"),
+        round(col("jacc") * Sketch.kmvEstimate(col("kmv_u"), k), 4)
+          .as("est_i"))
+  }
+
+  val kmvSetOpsSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id % 2 AS half, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |hd AS (SELECT DISTINCT half, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shs),
+       |rk AS (SELECT half, h, ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rn FROM hd),
+       |ka AS (SELECT COUNT(*) AS n_a, MAX(CASE WHEN rn = 256 THEN h END) AS h_k_a
+       |       FROM rk WHERE half = 0 AND rn <= 256),
+       |kb AS (SELECT COUNT(*) AS n_b, MAX(CASE WHEN rn = 256 THEN h END) AS h_k_b
+       |       FROM rk WHERE half = 1 AND rn <= 256),
+       |uh AS (SELECT DISTINCT h FROM rk WHERE rn <= 256),
+       |ur AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM uh),
+       |ku AS (SELECT COUNT(*) AS n_u, MAX(CASE WHEN rn = 256 THEN h END) AS h_k_u
+       |       FROM ur WHERE rn <= 256),
+       |ic AS (SELECT COUNT(*) AS inter_kmv FROM ur
+       |       WHERE rn <= 256
+       |         AND h IN (SELECT h FROM rk WHERE half = 0 AND rn <= 256)
+       |         AND h IN (SELECT h FROM rk WHERE half = 1 AND rn <= 256)),
+       |ea AS (SELECT COUNT(*) AS exact_a FROM hd WHERE half = 0),
+       |eb AS (SELECT COUNT(*) AS exact_b FROM hd WHERE half = 1),
+       |eu AS (SELECT COUNT(DISTINCT h) AS exact_u FROM hd),
+       |ei AS (SELECT COUNT(*) AS exact_i FROM
+       |        (SELECT h FROM hd GROUP BY h HAVING COUNT(DISTINCT half) = 2))
+       |SELECT CAST(256 AS BIGINT) AS k, exact_a, exact_b, exact_u, exact_i,
+       |  h_k_a, h_k_b, h_k_u,
+       |  CASE WHEN n_a < 256 THEN CAST(n_a AS DOUBLE)
+       |       ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_a AS DOUBLE), 4) END AS est_a,
+       |  CASE WHEN n_b < 256 THEN CAST(n_b AS DOUBLE)
+       |       ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_b AS DOUBLE), 4) END AS est_b,
+       |  CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+       |       ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_u AS DOUBLE), 4) END AS est_u,
+       |  inter_kmv, ROUND(inter_kmv / 256.0, 4) AS jacc,
+       |  ROUND(ROUND(inter_kmv / 256.0, 4) *
+       |    (CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+       |          ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_u AS DOUBLE), 4) END), 4) AS est_i
+       |FROM ka, kb, ku, ic, ea, eb, eu, ei""".stripMargin
+
+  /** Truncated-dimension retrieval recall (the Matryoshka-representation
+    * deployment question, Kusupati et al. 2022): how much exact top-10
+    * overlap survives scoring on only the FIRST 16 of 64 dimensions?
+    * Cheap-first retrieval at scale scores a prefix of the embedding
+    * (4x less arithmetic and shuffle width) and re-ranks survivors at
+    * full width — this gate MEASURES what that first pass keeps, per
+    * query, against the full-dimension exact answer (same fixed query
+    * set and (sim, id) tie-break as s_ann_batch).
+    *
+    * Scale shape: two [[Ann.batchTopK]] passes (broadcast query set,
+    * one corpus map pass each, WindowGroupLimit-pruned per-query rank);
+    * the overlap join runs over two (queries x k)-row hit lists. */
+  def annMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val dims = 16
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+    val full = Ann.batchTopK(emb, qs, k)
+    val tEmb = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val trunc = Ann.batchTopK(tEmb,
+      qs.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")), k)
+    val ov = full.join(trunc, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall", col("n_overlap") / lit(10.0))
+      .orderBy(col("query_id"))
+  }
+
+  val annMrlRecallSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |           WHERE vec_id IN ($ids)),
+       |f AS (SELECT query_id, vec_id FROM (
+       |        SELECT q.query_id, e.vec_id,
+       |          ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |            ORDER BY ROUND(${cosineSql("e.embedding", "qe")}, 6) DESC, e.vec_id) AS rn
+       |        FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+       |      WHERE rn <= 10),
+       |t AS (SELECT query_id, vec_id FROM (
+       |        SELECT q.query_id, e.vec_id,
+       |          ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |            ORDER BY ROUND(${cosineSql("(e.embedding[1:16])", "(qe[1:16])")}, 6) DESC, e.vec_id) AS rn
+       |        FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+       |      WHERE rn <= 10),
+       |ov AS (SELECT f.query_id, COUNT(*) AS n_overlap
+       |       FROM f JOIN t USING (query_id, vec_id) GROUP BY 1)
+       |SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  COALESCE(ov.n_overlap, 0) / 10.0 AS recall
+       |FROM q LEFT JOIN ov USING (query_id) ORDER BY q.query_id""".stripMargin
+  }
 }

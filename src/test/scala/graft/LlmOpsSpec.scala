@@ -2089,4 +2089,122 @@ class LlmOpsSpec extends AnyFunSuite {
       s"absent probes scanned $fpScans of ${absent.length} x $nFiles file consults " +
         "— the filter is not skipping")
   }
+
+  // ------------------------------------------------------- round 12b
+
+  test("RRF fusion: exact micro-unit leg sums over the two verified rankings") {
+    val out = graft.queries.LlmOps.hybridRrf(spark, sf001).collect()
+    assert(out.length == 10)
+    // the dense leg re-ranked driver-side from the brute-force top-50
+    val den = Ann.bruteForceTopK(Tables.embeddings(spark, sf001), 0L, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sim) => (-sim, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    def leg(rank: Option[Long]): Long =
+      rank.map(r => math.round(1000000.0 / (60 + r))).getOrElse(0L)
+    var prev = Long.MaxValue
+    var prevId = -1L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val denR = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val rrfQ = r.getLong(3)
+      assert(denR == den.get(id), s"doc $id dense rank")
+      assert(lex.forall(x => x >= 1 && x <= 50))
+      assert(rrfQ == leg(lex) + leg(denR), s"doc $id fused score")
+      assert(r.getDouble(4) == rrfQ / 1000000.0)
+      assert(rrfQ < prev || (rrfQ == prev && id > prevId), "fused order")
+      prev = rrfQ; prevId = id
+    }
+    // both legs actually contribute to the fused top-10
+    assert(out.exists(r => !r.isNullAt(1)) && out.exists(r => !r.isNullAt(2)))
+  }
+
+  test("provenance propagation: cluster source/lang unions match the exact truth") {
+    val out = graft.queries.LlmOps.dedupProvenance(spark, sf001).collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    truePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val meta = docs.select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    val byComp = truePairs.flatMap(p => Seq(p._1, p._2))
+      .map(x => find(x) -> x).groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    assert(out.map(_.getLong(0)).toSet == byComp.keySet)
+    out.foreach { r =>
+      val ms = byComp(r.getLong(0)).toSeq
+      val srcs = ms.map(meta(_)._1)
+      assert(r.getLong(1) == ms.size.toLong)
+      assert(r.getLong(2) == srcs.distinct.size.toLong)
+      assert(r.getString(3) == srcs.min && r.getString(4) == srcs.max)
+      assert(r.getLong(5) == ms.map(meta(_)._2).distinct.size.toLong)
+      assert(r.getLong(6) == ms.map(meta(_)._3).sum)
+    }
+  }
+
+  test("KMV set algebra: sketches, estimates and overlap recomputed exactly") {
+    val k = 256
+    def h60(v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def round4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def norm(t: String): Seq[String] =
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val halves = docs.select("doc_id", "text").collect().flatMap { r =>
+      val t = norm(r.getString(1))
+      t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+        .map(s => (r.getLong(0) % 2, h60(s)))
+    }.distinct
+    val hA = halves.filter(_._1 == 0L).map(_._2).distinct.sorted
+    val hB = halves.filter(_._1 == 1L).map(_._2).distinct.sorted
+    val kA = hA.take(k); val kB = hB.take(k)
+    val kU = (kA ++ kB).distinct.sorted.take(k)
+    def est(mins: Seq[Long]): Double =
+      if (mins.size < k) mins.size.toDouble
+      else round4((k - 1).toDouble * math.pow(2, 60) / mins.last.toDouble)
+    val interK = kU.count(h => kA.contains(h) && kB.contains(h)).toLong
+    val jacc = round4(interK / k.toDouble)
+    val r = graft.queries.LlmOps.kmvSetOps(spark, sf001).collect().head
+    assert(r.getLong(0) == k.toLong)
+    assert(r.getLong(1) == hA.size.toLong && r.getLong(2) == hB.size.toLong)
+    assert(r.getLong(3) == (hA ++ hB).distinct.size.toLong)
+    assert(r.getLong(4) == hA.toSet.intersect(hB.toSet).size.toLong)
+    assert(r.getLong(5) == kA.last && r.getLong(6) == kB.last && r.getLong(7) == kU.last)
+    assert(r.getDouble(8) == est(kA) && r.getDouble(9) == est(kB) && r.getDouble(10) == est(kU))
+    assert(r.getLong(11) == interK && r.getDouble(12) == jacc)
+    assert(r.getDouble(13) == round4(jacc * est(kU)))
+    // the sketch estimates are actually in the right ballpark (20% here)
+    assert(math.abs(r.getDouble(10) - r.getLong(3)) < 0.2 * r.getLong(3))
+  }
+
+  test("MRL recall: overlap equals the join of the two batchTopK hit lists") {
+    val out = graft.queries.LlmOps.annMrlRecall(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val qIds = Seq(0L, 100L, 200L, 300L, 400L)
+    val qs = emb.filter(col("vec_id").isin(qIds: _*))
+    val full = Ann.batchTopK(emb, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tEmb = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val tQs = qs.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc = Ann.batchTopK(tEmb, tQs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = qIds.map(q => (q,
+      full.filter(_._1 == q).intersect(trunc.filter(_._1 == q)).size.toLong))
+    assert(out.map(t => (t._1, t._2)).toSeq == want)
+    out.foreach { case (_, n, rec) =>
+      assert(n >= 0L && n <= 10L && rec == n / 10.0)
+    }
+    // truncation keeps SOME but not all of the exact answer here —
+    // the gate measures a real gap, not a degenerate 0 or 1
+    assert(out.map(_._2).sum > 0 && out.map(_._2).sum < 50)
+  }
 }
