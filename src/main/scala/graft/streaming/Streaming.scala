@@ -24,18 +24,31 @@ case class IncState(inHist: Boolean, firstId: Long)
 case class IncOut(doc_id: Long, fp: String, status: String)
 
 /** Typed rows for the streaming incremental NEAR dedup
-  * ([[Streaming.incrementalNearStream]]): state is keyed by LSH band
-  * key and holds that band's slice of the at-rest index — (doc id,
-  * distinct shingle hashes, history/batch side) per indexed doc that
-  * hashed into the band. Verification runs INSIDE the state function
-  * (the shingle hashes are right there), so a band group emits only
-  * VERIFIED matches plus one `self` marker per arriving doc; state
-  * grows by one entry per (new doc × its 16 bands) — the same ×bands
-  * replication the at-rest banded index itself carries. */
+  * ([[Streaming.incrementalNearStream]]). Three keyed stages share
+  * these types; the invariant that matters at corpus scale is that NO
+  * persistent state record carries a shingle-hash array more than once
+  * per document:
+  *  - band stage — state keyed by LSH band key, holding ONLY the doc
+  *    ids (plus history/batch side) that hashed into the band. Emits
+  *    CANDIDATE pairs; never sees shingle hashes. ×16 replication of
+  *    an 12-byte id entry, not of the shingle footprint.
+  *  - attach stage — keyed by the PROBING doc; stateless co-group (a
+  *    probe's `reg` row always arrives in the same trigger as every
+  *    candidate it generates), gluing the probe's shingle set onto its
+  *    deduplicated candidates. `state.update` is never called.
+  *  - verify stage — keyed by the PROBED doc; the single compact
+  *    doc → shingle-set store (history as initial state, arrivals via
+  *    their `reg` rows). Exact Jaccard runs here; emits verified hits.
+  * `sh` on [[NearCand]] is transient shuffle payload (what the batch
+  * operator's verify join shuffles per candidate anyway) — it never
+  * lands in the band state. */
 case class NearBandKey(band: Int, bkey: Int)
-case class NearRow(band: Int, bkey: Int, doc_id: Long, sh: Seq[Long])
-case class NearEntry(doc: Long, sh: Seq[Long], side: String)
-case class NearState(entries: Seq[NearEntry])
+case class NearBandRow(band: Int, bkey: Int, doc_id: Long)
+case class NearIdEntry(doc: Long, side: String)
+case class NearBandState(entries: Seq[NearIdEntry])
+case class NearCand(other: Long, kind: String, probe: Long, side: String,
+  sh: Seq[Long])
+case class NearDocState(sh: Seq[Long])
 case class NearHit(doc_id: Long, other: Long, side: String)
 
 /** Typed rows for the streaming CDC apply ([[Streaming.cdcApplyStream]]):
@@ -671,51 +684,103 @@ object Streaming {
 
   /** Per-band fold for the streaming NEAR dedup: arriving docs (sorted
     * by id — the within-trigger "prior" order, matching the batch
-    * gate's `doc_b < doc_a`) are verified against every indexed entry
-    * in this band by exact Jaccard over the carried distinct shingle
-    * hashes, then appended to the band's index slice with side "b" so
-    * later arrivals — same trigger or later triggers — see them as
-    * prior batch. Emits one `self` marker per (doc, band) plus one hit
-    * row per verified match; cross-band duplicate hits are collapsed by
-    * the gate's post-stream DISTINCT, exactly like the batch
-    * candidate-`distinct()`. */
-  private[graft] def nearFold(key: NearBandKey, rows: Iterator[NearRow],
-      state: GroupState[NearState]): Iterator[NearHit] = {
-    val entries = scala.collection.mutable.ArrayBuffer.empty[NearEntry]
+    * gate's `doc_b < doc_a`) generate one CANDIDATE row per indexed
+    * entry sharing this band, then append their own id to the band's
+    * index slice with side "b" so later arrivals — same trigger or
+    * later triggers — see them as prior batch. No shingle hashes are
+    * seen, emitted, or stored here: verification happens downstream in
+    * [[nearVerifyFold]] against the single doc-keyed shingle store. */
+  private[graft] def nearBandFold(key: NearBandKey, rows: Iterator[NearBandRow],
+      state: GroupState[NearBandState]): Iterator[NearCand] = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[NearIdEntry]
     state.getOption.foreach(s => entries ++= s.entries)
-    val out = scala.collection.mutable.ArrayBuffer.empty[NearHit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearCand]
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      out += NearHit(r.doc_id, -1L, "self")
-      val sa = r.sh.toSet
-      entries.foreach { e =>
-        var inter = 0
-        e.sh.foreach(x => if (sa.contains(x)) inter += 1)
-        if (inter.toDouble / (sa.size + e.sh.size - inter) >= 0.5)
-          out += NearHit(r.doc_id, e.doc, e.side)
-      }
-      entries += NearEntry(r.doc_id, r.sh, "b")
+      entries.foreach(e =>
+        out += NearCand(e.doc, "cand", r.doc_id, e.side, Seq.empty))
+      entries += NearIdEntry(r.doc_id, "b")
     }
-    state.update(NearState(entries.toSeq))
+    state.update(NearBandState(entries.toSeq))
+    out.iterator
+  }
+
+  /** Attach fold — a STATELESS per-trigger co-group keyed by the
+    * probing doc. A candidate exists only in the trigger its probe
+    * arrived in, and the probe's `reg` row (carrying its shingle set)
+    * is generated from the same source rows in the same trigger, so
+    * the group always contains the reg alongside every candidate it
+    * produced: glue the shingle set on, collapse cross-band duplicate
+    * candidates (the streaming twin of the batch `distinct()` BEFORE
+    * the verify join), and pass the reg through for the verify store.
+    * `state` is never updated — numRowsTotal stays 0 forever. */
+  private[graft] def nearAttachFold(key: Long, rows: Iterator[NearCand],
+      state: GroupState[NearDocState]): Iterator[NearCand] = {
+    val rs = rows.toSeq
+    val reg = rs.find(_.kind == "reg")
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearCand]
+    reg.foreach { r =>
+      out += r
+      rs.iterator.filter(_.kind == "cand").map(c => (c.other, c.side))
+        .toSeq.distinct.foreach { case (other, side) =>
+          out += NearCand(other, "probe", key, side, r.sh) }
+    }
+    out.iterator
+  }
+
+  /** Verify fold — keyed by the PROBED doc, backed by the one compact
+    * doc → distinct-shingle-hash store (history docs as initial state,
+    * arrivals registered by their `reg` row before any probe against
+    * them is answered). Exact Jaccard over the stored set and the
+    * probe-carried set, threshold 0.5 — identical arithmetic to the
+    * batch `d_incremental_near` verify join. */
+  private[graft] def nearVerifyFold(key: Long, rows: Iterator[NearCand],
+      state: GroupState[NearDocState]): Iterator[NearHit] = {
+    val rs = rows.toSeq
+    rs.find(_.kind == "reg").foreach(r => state.update(NearDocState(r.sh)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearHit]
+    state.getOption.foreach { st =>
+      val sb = st.sh.toSet
+      rs.foreach { c =>
+        if (c.kind == "probe") {
+          val sa = c.sh.toSet
+          var inter = 0
+          sa.foreach(x => if (sb.contains(x)) inter += 1)
+          if (inter.toDouble / (sa.size + sb.size - inter) >= 0.5)
+            out += NearHit(c.probe, key, c.side)
+        }
+      }
+    }
     out.iterator
   }
 
   /** The incremental NEAR-dedup streaming TRANSFORM — the continuous
     * twin of [[graft.dedup.Dedup.incrementalNear]] and the NEAR twin of
-    * [[incrementalDedupTransform]]: the banded history index (16 bands
-    * over the 64-hash MinHash signature, the batch geometry) is loaded
-    * as flatMapGroupsWithState INITIAL STATE keyed by (band, band-key),
-    * each state record carrying that band's slice of the index —
-    * (doc, distinct shingle hashes, side). Arriving docs explode to
-    * their 16 band rows, land in the matching state groups, and are
-    * Jaccard-verified in-state against history AND previously-arrived
-    * batch docs, appending verified hits immediately.
+    * [[incrementalDedupTransform]]. Three chained append-mode
+    * flatMapGroupsWithState stages (Spark allows multiple stateful
+    * operators when every one of them is in Append mode):
     *
-    * State bound: Σ_bands (docs hashing there) = bands × indexed docs —
-    * the SAME ×16 replication the at-rest banded index carries; each
-    * entry is the doc's shingle-hash set (what the batch verify side
-    * shuffles per candidate anyway, stored once per band instead of
-    * re-shuffled per candidate pair). The RocksDB provider keeps it
-    * off-heap (InfraSpec certifies provider equivalence).
+    *  1. BAND stage, keyed by (band, band-key) over the 16-band × 4-row
+    *     split of the 64-hash MinHash signature (the batch geometry),
+    *     history ids loaded as INITIAL STATE. Arriving docs explode to
+    *     16 id-only band rows, emit a candidate per co-bucketed indexed
+    *     doc, and append their id. State per entry: (doc id, side) —
+    *     NOT the shingle set.
+    *  2. ATTACH stage, keyed by the probing doc: stateless same-trigger
+    *     co-group that deduplicates cross-band candidates (the batch
+    *     `distinct()`) and glues the probe's shingle set on.
+    *  3. VERIFY stage, keyed by the probed doc: THE one persistent
+    *     doc → distinct-shingle-hash store (history as initial state,
+    *     arrivals via `reg` rows), exact Jaccard ≥ 0.5 in-state.
+    *
+    * State bound: band store = bands × indexed docs × O(12 bytes);
+    * shingle store = Σ|shingle set| exactly ONCE per doc. The previous
+    * design replicated every doc's full shingle set into all 16 band
+    * states (×16 the corpus shingle footprint, held under NoTimeout
+    * forever) — at 100 TB that replication, not the id index, dominates
+    * the state store. Shingle sets now cross the wire once per doc
+    * (its `reg` row) plus once per deduplicated candidate (what the
+    * batch verify join shuffles anyway). The RocksDB provider keeps
+    * both stores off-heap (InfraSpec certifies provider equivalence).
     *
     * Same batch composition, plants and oracle as `d_incremental_near`:
     * single-trigger replay == the batch operator bit-for-bit. Across
@@ -726,7 +791,8 @@ object Streaming {
     * recrawl arrives in its source doc's trigger, so a batch-batch
     * pair's direction can flip vs the id-ordered batch oracle. InfraSpec
     * certifies exactly these invariants, plus band state carry-over
-    * between micro-batches and RocksDB provider equivalence. */
+    * between micro-batches, the no-shingles-in-band-state and
+    * stateless-attach bounds, and RocksDB provider equivalence. */
   private[graft] def incrementalNearTransform(s: SparkSession, dir: String,
       histDir: String,
       glob: String = "documents.parquet",
@@ -737,20 +803,27 @@ object Streaming {
     val rows = 4 // 64 hashes / 16 bands — the d_incremental_near geometry
     def bandRows(df: DataFrame): DataFrame = df.select(
         col("doc_id"),
-        MinHashSignature.minhash_signature(col("text"), 3, 64).as("sig"),
-        DistinctShingleHashes.distinct_shingle_hashes(col("text"), 3).as("sh"))
-      .select(col("doc_id"), col("sh"), posexplode(
+        MinHashSignature.minhash_signature(col("text"), 3, 64).as("sig"))
+      .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
         .as(Seq("band", "bkey")))
-      .select(col("band"), col("bkey"), col("doc_id"), col("sh"))
-    val init = bandRows(graft.Tables.documents(s, histDir)
-        .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")))
-      .as[NearRow]
+      .select(col("band"), col("bkey"), col("doc_id"))
+    def regRows(df: DataFrame): DataFrame = df.select(
+        col("doc_id").as("other"), lit("reg").as("kind"),
+        col("doc_id").as("probe"), lit("").as("side"),
+        DistinctShingleHashes.distinct_shingle_hashes(col("text"), 3).as("sh"))
+    val hist = graft.Tables.documents(s, histDir)
+      .filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+    val initBand = bandRows(hist).as[NearBandRow]
       .groupByKey(r => NearBandKey(r.band, r.bkey))
       .mapGroups((k, it) =>
-        k -> NearState(it.map(r => NearEntry(r.doc_id, r.sh, "h")).toSeq))
+        k -> NearBandState(it.map(r => NearIdEntry(r.doc_id, "h")).toSeq))
       .groupByKey(_._1).mapValues(_._2)
+    val initDoc = hist.select(col("doc_id"),
+        DistinctShingleHashes.distinct_shingle_hashes(col("text"), 3).as("sh"))
+      .as[(Long, Seq[Long])]
+      .groupByKey(_._1).mapValues(t => NearDocState(t._2))
     val pb = graft.queries.LlmOps.plantBase(graft.Tables.documents(s, histDir))
     val src = extraOptions.foldLeft(
         s.readStream.schema(docsSchema)
@@ -765,11 +838,21 @@ object Streaming {
       .unionByName(src.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0)
         .select((col("doc_id") + 2 * pb).as("doc_id"),
           concat(col("text"), lit(" zulu")).as("text")))
-    bandRows(batch).as[NearRow]
+    val cands = bandRows(batch).as[NearBandRow]
       .groupByKey(r => NearBandKey(r.band, r.bkey))
-      .flatMapGroupsWithState[NearState, NearHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(nearFold)
-      .toDF()
+      .flatMapGroupsWithState[NearBandState, NearCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initBand)(
+        nearBandFold)
+    val attached = regRows(batch).as[NearCand].union(cands)
+      .groupByKey(_.probe)
+      .flatMapGroupsWithState[NearDocState, NearCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(nearAttachFold)
+    val verified = attached.groupByKey(_.other)
+      .flatMapGroupsWithState[NearDocState, NearHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initDoc)(
+        nearVerifyFold)
+    verified.toDF().unionByName(batch.select(col("doc_id"),
+      lit(-1L).as("other"), lit("self").as("side")))
   }
 
   /** Streaming incremental NEAR dedup gate — replays

@@ -227,7 +227,7 @@ class InfraSpec extends AnyFunSuite {
       }
     }
     def run(dir: String, glob: String, opts: Map[String, String],
-        name: String): (Set[(Long, Long, Long, String)], Long, Int) = {
+        name: String): (Set[(Long, Long, Long, String)], Long, Int, Seq[Long]) = {
       val out = Streaming.incrementalNearTransform(spark, dir,
         histDir = sf0001, glob = glob, extraOptions = opts)
       val q = out.writeStream.outputMode("append")
@@ -235,17 +235,25 @@ class InfraSpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
       val maxStateRows = q.recentProgress
         .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      // final per-operator state row counts (last progress entry wins)
+      val finalRows = q.recentProgress.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq.empty)
       val batches = q.recentProgress.count(_.numInputRows > 0)
-      (reduceHits(name), maxStateRows, batches)
+      (reduceHits(name), maxStateRows, batches, finalRows)
     }
-    val (got, stateRows, _) = run(sf0001, "documents.parquet", Map.empty, "infra_near")
+    val (got, stateRows, _, finalOpRows) =
+      run(sf0001, "documents.parquet", Map.empty, "infra_near")
     assert(got == batchAnswer,
       s"stream=${got.size} batch=${batchAnswer.size} " +
         s"onlyStream=${(got -- batchAnswer).take(3)} onlyBatch=${(batchAnswer -- got).take(3)}")
     assert(got.exists(_._4 == "dup_hist") && got.exists(_._4 == "kept") &&
       got.exists(_._4 == "dup_batch"))
-    // state bound: one record per OCCUPIED (band, band-key) — at most
-    // bands × indexed docs, the at-rest banded index's own size
+    // state bounds, one per stage:
+    //  - band store: one record per OCCUPIED (band, band-key) — at most
+    //    bands × indexed docs, and each entry is (doc id, side) ONLY
+    //  - attach store: stateless co-group — exactly 0 rows forever
+    //  - verify store: the single doc → shingle-set map — exactly one
+    //    row per indexed doc (history ∪ arrivals), never ×16
     val docs = Tables.documents(spark, sf0001)
     val nIndexed = docs.filter(col("doc_id") % 5 =!= 0).count() + // history
       docs.filter(col("doc_id") % 5 === 0).count() +              // fresh
@@ -253,6 +261,19 @@ class InfraSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 9 === 0).count()
     assert(stateRows > 0 && stateRows <= 16 * nIndexed,
       s"state rows $stateRows exceed the 16-band index bound ${16 * nIndexed}")
+    assert(finalOpRows.length == 3, s"expected 3 stateful stages: $finalOpRows")
+    assert(finalOpRows.contains(0L),
+      s"attach stage must hold no state: $finalOpRows")
+    assert(finalOpRows.contains(nIndexed),
+      s"verify store must hold exactly one row per indexed doc " +
+        s"($nIndexed): $finalOpRows")
+    // the band state entry type structurally CANNOT carry a shingle
+    // array — the ×16 shingle replication the old single-stage design
+    // had is gone at the type level
+    assert(!classOf[graft.streaming.NearIdEntry].getDeclaredFields.exists(
+        f => classOf[scala.collection.Seq[_]].isAssignableFrom(f.getType) ||
+          f.getType.isArray),
+      "band state entries must not carry shingle arrays")
     // RocksDB provider equivalence (the off-heap backend the shingle-
     // bearing band index actually needs at corpus scale)
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -260,7 +281,7 @@ class InfraSpec extends AnyFunSuite {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val (rocks, _, _) = run(sf0001, "documents.parquet", Map.empty,
+      val (rocks, _, _, _) = run(sf0001, "documents.parquet", Map.empty,
         s"infra_near_rocks_${System.nanoTime}")
       assert(rocks == got, s"RocksDB drifted: ${rocks.size} vs ${got.size}")
     } finally prev match {
@@ -281,7 +302,7 @@ class InfraSpec extends AnyFunSuite {
       writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
         new java.io.File(dir, f"documents_$i%02d.parquet"), 3000000L + i * 60000L)
     }
-    val (multi, _, batches) = run(dir.getPath, "documents_*.parquet",
+    val (multi, _, batches, _) = run(dir.getPath, "documents_*.parquet",
       Map("maxFilesPerTrigger" -> "1"), "infra_near_multi")
     assert(batches >= parts, s"expected >= $parts data batches, got $batches")
     // Across triggers the invariants weaken EXACTLY where continuous
