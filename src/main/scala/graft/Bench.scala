@@ -177,7 +177,17 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getName).mkString("+").replace(' ', '_')
     }
-    val jvmInfo = s""""heap_max_mb":$heapMb,"gc_collector":"$collectors""""
+    // self-identifying suite scope (round-12 advice): a partial run
+    // produced under SPARK_GRAFT_ONLY must be distinguishable from a
+    // committed full-suite artifact by the line itself, not by
+    // convention or missing keys
+    val scopeInfo = onlySet match {
+      case Some(s) =>
+        s""""full_suite":false,"only_filter":"${s.toSeq.sorted.mkString(",")}""""
+      case None => s""""full_suite":true"""
+    }
+    val jvmInfo =
+      s""""heap_max_mb":$heapMb,"gc_collector":"$collectors",$scopeInfo"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,$jvmInfo,"sf":"$sfDir"}"""
     println(full)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)

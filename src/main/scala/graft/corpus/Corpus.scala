@@ -271,8 +271,11 @@ object Corpus {
           math.min(k.toLong * nGrams, m)), Seq("b"), "left")
       .groupBy(col(idCol), col("g"))
       .agg((count(col("_set")) === k).as("hit"))
+    // String grams are far wider than the 8-byte bit positions
+    // BloomBroadcastMaxBits was calibrated for — gate this broadcast on
+    // the string-row bound instead (round-12 advice).
     val benchSide =
-      if (nGrams <= Sketch.BloomBroadcastMaxBits)
+      if (nGrams <= Sketch.StringBroadcastMaxRows)
         broadcast(benchGrams.withColumn("_e", lit(true)))
       else benchGrams.withColumn("_e", lit(true))
     gramHit

@@ -30,14 +30,18 @@ object LlmOps {
     * "lower-id original wins `kept`" tie-break. The max itself is a
     * column-pruned 1-row aggregate (parquet footer statistics at rest —
     * O(files), not O(rows)). */
-  private[graft] def plantBase(docs: DataFrame): Long = {
-    // max(doc_id) is NULL on an empty corpus — fail loudly with a
+  private[graft] def plantBase(docs: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    // max(id) is NULL on an empty table — fail loudly with a
     // diagnosable message instead of a bare NPE from getLong (round-11
-    // advice), and keep the SQL twin consistent via its COALESCE guard.
-    val row = docs.agg(max(col("doc_id"))).head
+    // advice); the SQL twin stays consistent via its CASE/error()
+    // guard. Parameterized by id column so EVERY plant-base site
+    // (documents.doc_id, embeddings.vec_id, ...) goes through this
+    // guard (round-12 advice).
+    val row = docs.agg(max(col(idCol))).head
     require(!row.isNullAt(0),
-      "plantBase: documents table is empty (max(doc_id) is NULL) — " +
-        "planted-id offsets need a non-empty corpus")
+      s"plantBase: table is empty (max($idCol) is NULL) — " +
+        "planted-id offsets need a non-empty table")
     row.getLong(0) + 1L
   }
 
@@ -1576,7 +1580,7 @@ object LlmOps {
     * embedding space); the flagged set is contamination-sized. */
   def decontamEmbed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val pb = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val pb = plantBase(emb, "vec_id")
     val bench = emb.filter(col("vec_id") < DecontamBenchN)
       .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
     emb.filter(col("vec_id") >= DecontamBenchN)
@@ -4934,7 +4938,7 @@ object LlmOps {
     // vocabulary (8 bits/entry, k=4 → FPR ≤ ~2.3% for every file), so
     // probe positions are computed once, not once per file
     val m = 8L * math.max(ft.groupBy(col("fid")).count()
-      .agg(max(col("count"))).head.getLong(0), 1L)
+      .agg(coalesce(max(col("count")), lit(1L))).head.getLong(0), 1L)
     val bits = ft.select(col("fid"), explode(array((0 until BloomK).map(i =>
         Sketch.bloomPos(col("t"), i, m)): _*)).as("b"))
       .distinct()
@@ -5896,7 +5900,12 @@ object LlmOps {
       .withColumn("inter_kmv", size(array_intersect(
         array_intersect(col("kmv_u"), col("kmv_a")), col("kmv_b")))
         .cast("long"))
-      .withColumn("jacc", round(col("inter_kmv") / lit(k.toDouble), 4))
+      // Beyer et al. 2007 divide by the UNION-sketch size, not a fixed
+      // k: when the merged sketch holds fewer than k members (small
+      // vocabularies) least(k, |kmv_u|) makes jacc the exact Jaccard
+      // instead of a systematic underestimate (round-12 advice).
+      .withColumn("jacc", round(col("inter_kmv") /
+        least(lit(k.toLong), size(col("kmv_u")).cast("long")).cast("double"), 4))
       .select(lit(k.toLong).as("k"),
         col("exact_a"), col("exact_b"), col("exact_u"), col("exact_i"),
         get(col("kmv_a"), lit(k - 1)).as("h_k_a"),
@@ -5941,8 +5950,9 @@ object LlmOps {
        |       ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_b AS DOUBLE), 4) END AS est_b,
        |  CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
        |       ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_u AS DOUBLE), 4) END AS est_u,
-       |  inter_kmv, ROUND(inter_kmv / 256.0, 4) AS jacc,
-       |  ROUND(ROUND(inter_kmv / 256.0, 4) *
+       |  inter_kmv,
+       |  ROUND(inter_kmv / CAST(LEAST(256, n_u) AS DOUBLE), 4) AS jacc,
+       |  ROUND(ROUND(inter_kmv / CAST(LEAST(256, n_u) AS DOUBLE), 4) *
        |    (CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
        |          ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(h_k_u AS DOUBLE), 4) END), 4) AS est_i
        |FROM ka, kb, ku, ic, ea, eb, eu, ei""".stripMargin

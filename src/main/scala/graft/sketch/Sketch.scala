@@ -194,6 +194,15 @@ object Sketch {
     * slice of the bit space. */
   private[graft] val BloomBroadcastMaxBits: Long = 32L << 20
 
+  /** Largest STRING-keyed row count we will force into a broadcast
+    * build. Separate from [[BloomBroadcastMaxBits]] deliberately: that
+    * constant was calibrated for 8-byte long bit positions, and 32M
+    * variable-length grams (tens of bytes each, plus hashed-relation
+    * overhead) would be a multi-GB build just under that gate. 4M
+    * string rows ≈ a few hundred MiB — the same envelope the bit
+    * bound documents. */
+  private[graft] val StringBroadcastMaxRows: Long = 4L << 20
+
   /** Hint `bits` into a broadcast only when its row bound fits
     * [[BloomBroadcastMaxBits]]; otherwise return it unhinted so the
     * planner chooses. `expectedBits` is an UPPER BOUND on set rows

@@ -2172,7 +2172,9 @@ class LlmOpsSpec extends AnyFunSuite {
       if (mins.size < k) mins.size.toDouble
       else round4((k - 1).toDouble * math.pow(2, 60) / mins.last.toDouble)
     val interK = kU.count(h => kA.contains(h) && kB.contains(h)).toLong
-    val jacc = round4(interK / k.toDouble)
+    // Beyer et al. divide by the union-sketch size: least(k, |kmv_u|),
+    // exact Jaccard in the degenerate small-union case
+    val jacc = round4(interK / math.min(k, kU.size).toDouble)
     val r = graft.queries.LlmOps.kmvSetOps(spark, sf001).collect().head
     assert(r.getLong(0) == k.toLong)
     assert(r.getLong(1) == hA.size.toLong && r.getLong(2) == hB.size.toLong)
