@@ -345,6 +345,108 @@ object Multimodal {
       if (brand.isEmpty) "bmff" else brand.trim))
   }
 
+  /** Real perceptual VIDEO fingerprint — the temporal twin of
+    * [[audioEnergyFp]] in the COMPRESSED domain: walk the MP4/ISO-BMFF
+    * boxes (same codec-free discipline as [[decodeVideoInfo]]) to the
+    * visual trak's `stsz` sample-size table — the per-frame compressed
+    * byte sizes, which every container indexes without decoding a
+    * single pixel — slice the frame sequence into 65 equal windows,
+    * sum each window's sizes (exact Long arithmetic), and emit one bit
+    * per neighbor pair (bit j = 1 iff windowSize(j+1) > windowSize(j)).
+    * Frame-size traces are a classic compressed-domain video signature:
+    * scene structure drives I/P/B frame sizes, so the same content
+    * re-muxed or re-encoded at a different bitrate keeps the contour
+    * (uniform bitrate scaling multiplies every window sum by ~the same
+    * factor), while a splice or overlay moves only the windows it
+    * touches — near-dups sit within a small Hamming radius; pair via
+    * [[graft.dedup.Dedup.hammingPairs]], exactly like images and audio.
+    *
+    * None when the payload has no well-formed visual trak with a
+    * per-sample stsz of ≥ `windows` frames (uniform-size stsz tables
+    * carry no contour; audio-only or corrupt payloads carry no visual
+    * trak). Same malformed-box discipline as [[decodeVideoInfo]]:
+    * stop, never throw. */
+  def videoSizeContourFp(payload: Array[Byte], windows: Int = 65): Option[Long] = {
+    def u32(off: Int): Long =
+      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var width = 0
+    var inVisualTrak = false
+    var sizes: Array[Long] = null
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && depth < 8) {
+        val size32 = u32(off)
+        val typ = fourcc(off + 4)
+        var body = off + 8
+        val boxEnd =
+          if (size32 == 0) end
+          else if (size32 == 1) {
+            if (off + 16 > end) return
+            body = off + 16
+            val s = u64(off + 8)
+            if (s < 16 || s > (end - off).toLong) return else off + s.toInt
+          }
+          else if (size32 < 8 || off + size32 > end) return
+          else off + size32.toInt
+        typ match {
+          case "tkhd" if body + 1 <= boxEnd && width == 0 =>
+            val v = payload(body) & 0xff
+            val wOff = if (v == 1) body + 88 else body + 76
+            if (wOff + 8 <= boxEnd) {
+              val w = (u32(wOff) >> 16).toInt
+              if (w > 0) { width = w; inVisualTrak = true }
+            }
+          case "stsz" if body + 12 <= boxEnd && inVisualTrak && sizes == null =>
+            // [version+flags:4][sample_size:u32][sample_count:u32]; a
+            // zero sample_size means per-sample u32 entries follow —
+            // the only form that carries a contour
+            val uniform = u32(body + 4)
+            val count = u32(body + 8)
+            if (uniform == 0L && count > 0L &&
+                body + 12 + 4L * count <= boxEnd) {
+              val arr = new Array[Long](count.toInt)
+              var i = 0
+              while (i < arr.length) { arr(i) = u32(body + 12 + 4 * i); i += 1 }
+              sizes = arr
+            }
+          case "trak" =>
+            val outer = inVisualTrak
+            inVisualTrak = false
+            walk(body, boxEnd, depth + 1)
+            inVisualTrak = outer
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(body, boxEnd, depth + 1)
+          case _ =>
+        }
+        off = boxEnd
+      }
+    }
+    try walk(0, payload.length, 0)
+    catch { case _: ArrayIndexOutOfBoundsException => return None }
+    Option(sizes).filter(_.length >= windows).map { sz =>
+      val n = sz.length
+      val win = new Array[Long](windows)
+      var i = 0
+      while (i < n) {
+        // same integer window map as dhash64's grid / audioEnergyFp
+        val w = math.min(i.toLong * windows / n, windows - 1L).toInt
+        win(w) += sz(i)
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < windows - 1 && j < 64) {
+        if (win(j + 1) > win(j)) fp |= 1L << j
+        j += 1
+      }
+      fp
+    }
+  }
+
   /** Batched decode over partitions. `batchHint` only documents the
     * shape a real decoder would use (reusing codec contexts per batch).
     *

@@ -5306,7 +5306,7 @@ object LlmOps {
 
   /** The [[mmAudioFp]] surrogate samples: per-token squared amplitude
     * amp² where amp = gain · (hash60(token) mod 32768). Bind the result
-    * through [[letCol]] BEFORE [[audioEnergies]] — a plain column
+    * through [[letCol]] BEFORE [[windowSums65]] — a plain column
     * reference collapses back into every window lambda and re-hashes
     * the whole strip once per window. */
   private def audioAmpSq(tk: Column, gain: Column): Column =
@@ -5315,11 +5315,20 @@ object LlmOps {
       amp * amp
     })
 
-  /** 65 window energies over an amp² strip: window w sums the
-    * contiguous sample range [⌊w·n/65⌋, ⌊(w+1)·n/65⌋) — so the 65
-    * energies cost one O(n) pass, not 65 O(n) filters; w·n ≤ 65·n < 2³¹
-    * and the division is exact in double (< 2⁵³). */
-  private def audioEnergies(e2: Column, n: Column): Column =
+  /** The [[mmVideoFp]] surrogate frame sizes: size(i) = gain ·
+    * (hash60(token i) mod 32768) — the per-frame compressed byte count
+    * the real path reads from the stsz table
+    * ([[graft.multimodal.Multimodal.videoSizeContourFp]]). Same letCol
+    * discipline as [[audioAmpSq]]. */
+  private def videoFrameSizes(tk: Column, gain: Column): Column =
+    transform(tk, t => pmod(Sketch.hash60(t), lit(32768L)) * gain)
+
+  /** 65 window sums over a sample strip (audio amp² energies, video
+    * frame sizes): window w sums the contiguous sample range
+    * [⌊w·n/65⌋, ⌊(w+1)·n/65⌋) — so the 65 sums cost one O(n) pass, not
+    * 65 O(n) filters; w·n ≤ 65·n < 2³¹ and the division is exact in
+    * double (< 2⁵³). */
+  private def windowSums65(e2: Column, n: Column): Column =
     transform(sequence(lit(0), lit(64)), w => {
       val start = floor(w * n / lit(65)).cast("int")
       val end = floor((w + 1) * n / lit(65)).cast("int")
@@ -5459,7 +5468,7 @@ object LlmOps {
     val all = base.withColumn("gain", lit(1L))
       .unionByName(volume).unionByName(edited)
     val fp = letCol(audioAmpSq(col("tk"), col("gain"))) { e2 =>
-      letCol(audioEnergies(e2, size(col("tk"))))(contour64) }
+      letCol(windowSums65(e2, size(col("tk"))))(contour64) }
     Dedup.hammingPairs(
         all.select(col("asset_id").as("doc"), fp.as("sh")),
         maxHamming = 6)
@@ -5501,8 +5510,104 @@ object LlmOps {
        |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
        |ORDER BY asset_a, asset_b""".stripMargin
 
+  /** Perceptual near-dup detection for VIDEO assets — the third
+    * modality's twin of [[mmPhash]]/[[mmAudioFp]]: 64-bit FRAME-SIZE
+    * contour fingerprints (bit j = window j+1's summed frame sizes >
+    * window j's, 65 equal windows over the frame sequence) paired
+    * through the same exact-recall Manku banding
+    * ([[graft.dedup.Dedup.hammingPairs]], Hamming radius 6). The REAL
+    * path is [[graft.multimodal.Multimodal.videoSizeContourFp]] —
+    * codec-FREE: the MP4 box walk reads the visual trak's stsz
+    * per-frame compressed byte sizes (every container indexes them
+    * without decoding a pixel), the classic compressed-domain video
+    * signature (scene structure drives I/P/B frame sizes);
+    * spec-exercised on synthesized MP4s incl. a bitrate-scaled exact
+    * dup and a spliced near dup. This GATE runs the identical
+    * contour+banding machinery over a deterministic SURROGATE size
+    * strip (the [[Multimodal.decodeStub]] convention): frame i's size
+    * is gain · ([[Sketch.hash60]](token i) mod 32768), window sums by
+    * [[windowSums65]] — exact integer arithmetic replayable in DuckDB
+    * (size ≤ 65534·gain, window sums < 2⁴⁰ at book length). Assets
+    * shorter than 65 tokens are excluded, mirroring the real path's
+    * None below the window count.
+    *
+    * Plants exercise BOTH documented invariances of the real
+    * fingerprint:
+    *  - BITRATE plant (class A, +plantBase): every asset_id ≡ 3
+    *    (mod 10) re-ingested at gain 2 — the re-encoded-at-2×-bitrate
+    *    upload. Every window sum scales by exactly 2, so the > contour
+    *    is bit-identical: Hamming 0. GUARANTEED.
+    *  - SPLICE plant (class B, +2·plantBase): every asset_id ≡ 9
+    *    (mod 10) with token 4 replaced — a localized edit. One frame
+    *    size moves, so one window sum changes, flipping at most the 2
+    *    contour bits that compare it — well inside radius 6, where
+    *    banding has recall 1 by pigeonhole. GUARANTEED.
+    *
+    * Output: all video-asset pairs within Hamming 6 — (a, b, score)
+    * evidence in the shape [[mmDupUnion]] unions across modalities.
+    * Scale shape: fingerprinting is one map pass (n md5s + 65
+    * slice-sums per asset); the only corpus-scale exchange is the
+    * 28-table band-key self-join, exactly [[mmPhash]]'s geometry. */
+  def mmVideoFp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pb = plantBase(docs)
+    val base = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("asset_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 65)
+    val bitrate = base.filter(col("asset_id") % 10 === 3)
+      .select((col("asset_id") + pb).as("asset_id"), col("tk"),
+        lit(2L).as("gain"))
+    val spliced = base.filter(col("asset_id") % 10 === 9)
+      .select((col("asset_id") + 2 * pb).as("asset_id"),
+        concat(slice(col("tk"), 1, 3), array(lit("zz")),
+          slice(col("tk"), lit(5), size(col("tk")) - 4)).as("tk"),
+        lit(1L).as("gain"))
+    val all = base.withColumn("gain", lit(1L))
+      .unionByName(bitrate).unionByName(spliced)
+    val fp = letCol(videoFrameSizes(col("tk"), col("gain"))) { sz =>
+      letCol(windowSums65(sz, size(col("tk"))))(contour64) }
+    Dedup.hammingPairs(
+        all.select(col("asset_id").as("doc"), fp.as("sh")),
+        maxHamming = 6)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
+  val mmVideoFpSql: String =
+    s"""WITH vid0 AS (
+       |  SELECT doc_id AS asset_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vid AS (
+       |  SELECT asset_id, tk, 1 AS gain FROM vid0 WHERE len(tk) >= 65
+       |  UNION ALL
+       |  SELECT asset_id + $PlantBaseSql, tk, 2
+       |  FROM vid0 WHERE len(tk) >= 65 AND asset_id % 10 = 3
+       |  UNION ALL
+       |  SELECT asset_id + 2 * $PlantBaseSql, tk[1:3] || ['zz'] || tk[5:], 1
+       |  FROM vid0 WHERE len(tk) >= 65 AND asset_id % 10 = 9),
+       |e AS (
+       |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
+       |    (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768) * gain) AS sz
+       |  FROM vid),
+       |en AS (
+       |  SELECT asset_id, list_transform(range(0, 65), w ->
+       |    coalesce(CAST(list_sum(sz[((w * n) // 65) + 1 : ((w + 1) * n) // 65])
+       |             AS BIGINT), 0)) AS en
+       |  FROM e),
+       |bits AS (
+       |  SELECT asset_id, list_transform(range(0, 64), j ->
+       |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
+       |  FROM en)
+       |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |  CAST(len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) AS INTEGER)
+       |    AS hamming
+       |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+       |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
+       |ORDER BY asset_a, asset_b""".stripMargin
+
   /** The MULTIMODAL dedup capstone — one consistently-planted asset
-    * universe run through all three asset-level detectors, evidence
+    * universe run through all four asset-level detectors, evidence
     * unioned, connected components over the union, one summary row per
     * duplicate group. The asset counterpart of [[dedupEvidenceUnion]] ∘
     * [[dedupGroups]]: a production media store runs exactly this chain
@@ -5521,10 +5626,11 @@ object LlmOps {
     *    Hamming ≤ 6 banding (recall 1 by pigeonhole).
     *  - AUDIO contour: [[mmAudioFp]]'s surrogate energies (gain 1) →
     *    same banding.
-    * Video assets participate through exact evidence only — the honest
-    * statement of what this library's perceptual detectors reach.
+    *  - VIDEO contour: [[mmVideoFp]]'s surrogate frame sizes (gain 1)
+    *    → same banding — all three modalities now have a perceptual
+    *    detector (round 13; video previously reached only exact).
     *
-    * Plants (one scheme for the whole universe, so the three detectors
+    * Plants (one scheme for the whole universe, so the four detectors
     * see the SAME planted truth — unlike unioning the per-gate queries,
     * whose independent +plantBase offsets would alias unrelated planted
     * assets onto one id):
@@ -5534,9 +5640,9 @@ object LlmOps {
     *    agreeing-evidence shape).
     *  - class B (+2·plantBase): token-4 edits — images ≡ 0 (mod 6) with
     *    ≥ 37 tokens (≤ 4 contour bits), audio ≡ 7 (mod 10) with ≥ 65
-    *    tokens (≤ 2 bits) — caught ONLY by their perceptual detector
-    *    (the md5 differs), which is the evidence-union's reason to
-    *    exist.
+    *    tokens (≤ 2 bits), video ≡ 9 (mod 10) with ≥ 65 tokens (≤ 2
+    *    bits) — caught ONLY by their perceptual detector (the md5
+    *    differs), which is the evidence-union's reason to exist.
     *
     * Output: per duplicate group — keeper (min asset id = component
     * label), member count, id checksum, and the distinct pair count per
@@ -5572,6 +5678,7 @@ object LlmOps {
       .unionByName(exactPlants)
       .unionByName(edit("image", 6, 0, 37))
       .unionByName(edit("audio", 10, 7, 65))
+      .unionByName(edit("video", 10, 9, 65))
     // the narrow fingerprint trunk: each contour chain is let-bound
     // through letCol so the cells/e2/en arrays evaluate exactly once
     // per row (CollapseProject inlines plain column references into
@@ -5584,7 +5691,10 @@ object LlmOps {
           letCol(phashCells(col("tk")))(contour64)).as("pfp"),
         when(col("kind") === "audio" && size(col("tk")) >= 65,
           letCol(audioAmpSq(col("tk"), lit(1L))) { e2 =>
-            letCol(audioEnergies(e2, size(col("tk"))))(contour64) }).as("afp"))
+            letCol(windowSums65(e2, size(col("tk"))))(contour64) }).as("afp"),
+        when(col("kind") === "video" && size(col("tk")) >= 65,
+          letCol(videoFrameSizes(col("tk"), lit(1L))) { sz =>
+            letCol(windowSums65(sz, size(col("tk"))))(contour64) }).as("vfp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("efp"), col("nb"))
@@ -5601,6 +5711,7 @@ object LlmOps {
     val ev = graft.util.IntermediateCaches.track(exactEdges
       .unionByName(contourPairs("pfp", "phash"))
       .unionByName(contourPairs("afp", "audiofp"))
+      .unionByName(contourPairs("vfp", "videofp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cc = Dedup.connectedComponents(
       ev.select(col("doc_a"), col("doc_b")).distinct())
@@ -5610,10 +5721,11 @@ object LlmOps {
       .groupBy(col("comp"))
       .agg(sum(when(col("etype") === "exact", 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("etype") === "phash", 1L).otherwise(0L)).as("n_phash"),
-        sum(when(col("etype") === "audiofp", 1L).otherwise(0L)).as("n_audiofp"))
+        sum(when(col("etype") === "audiofp", 1L).otherwise(0L)).as("n_audiofp"),
+        sum(when(col("etype") === "videofp", 1L).otherwise(0L)).as("n_videofp"))
     sizes.join(evc, "comp")
       .select(col("comp").as("keeper_id"), col("n_assets"), col("id_sum"),
-        col("n_exact"), col("n_phash"), col("n_audiofp"))
+        col("n_exact"), col("n_phash"), col("n_audiofp"), col("n_videofp"))
       .orderBy(col("keeper_id"))
   }
 
@@ -5638,7 +5750,12 @@ object LlmOps {
        |  SELECT asset_id + 2 * $PlantBaseSql, kind,
        |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
        |    tk[1:3] || ['zz'] || tk[5:]
-       |  FROM a0 WHERE kind = 'audio' AND asset_id % 10 = 7 AND len(tk) >= 65),
+       |  FROM a0 WHERE kind = 'audio' AND asset_id % 10 = 7 AND len(tk) >= 65
+       |  UNION ALL
+       |  SELECT asset_id + 2 * $PlantBaseSql, kind,
+       |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
+       |    tk[1:3] || ['zz'] || tk[5:]
+       |  FROM a0 WHERE kind = 'video' AND asset_id % 10 = 9 AND len(tk) >= 65),
        |exact AS (
        |  SELECT asset_id, MIN(asset_id) OVER (PARTITION BY kind, md5(text),
        |    octet_length(encode(text))) AS keeper
@@ -5676,8 +5793,25 @@ object LlmOps {
        |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'audiofp' AS etype
        |  FROM abits x JOIN abits y ON x.asset_id < y.asset_id
        |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
+       |vse AS (
+       |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
+       |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768) AS sz
+       |  FROM assets WHERE kind = 'video' AND len(tk) >= 65),
+       |ven AS (
+       |  SELECT asset_id, list_transform(range(0, 65), w ->
+       |    coalesce(CAST(list_sum(sz[((w * n) // 65) + 1 : ((w + 1) * n) // 65])
+       |             AS BIGINT), 0)) AS en
+       |  FROM vse),
+       |vbits AS (
+       |  SELECT asset_id, list_transform(range(0, 64),
+       |    j -> CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
+       |  FROM ven),
+       |vpairs AS (
+       |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'videofp' AS etype
+       |  FROM vbits x JOIN vbits y ON x.asset_id < y.asset_id
+       |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
        |ev AS (SELECT * FROM eedges UNION ALL SELECT * FROM ipairs
-       |       UNION ALL SELECT * FROM apairs),
+       |       UNION ALL SELECT * FROM apairs UNION ALL SELECT * FROM vpairs),
        |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ev),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -5691,9 +5825,10 @@ object LlmOps {
        |evc AS (SELECT c.comp,
        |          CAST(SUM(CASE WHEN etype = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
        |          CAST(SUM(CASE WHEN etype = 'phash' THEN 1 ELSE 0 END) AS BIGINT) AS n_phash,
-       |          CAST(SUM(CASE WHEN etype = 'audiofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_audiofp
+       |          CAST(SUM(CASE WHEN etype = 'audiofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_audiofp,
+       |          CAST(SUM(CASE WHEN etype = 'videofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_videofp
        |        FROM ev JOIN comp c ON c.node = ev.doc_a GROUP BY 1)
-       |SELECT sizes.comp AS keeper_id, n_assets, id_sum, n_exact, n_phash, n_audiofp
+       |SELECT sizes.comp AS keeper_id, n_assets, id_sum, n_exact, n_phash, n_audiofp, n_videofp
        |FROM sizes JOIN evc USING (comp) ORDER BY keeper_id""".stripMargin
 
   /** Multinomial Naive Bayes language classifier, trained on the ~15/16

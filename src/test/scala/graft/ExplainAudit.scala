@@ -179,7 +179,11 @@ object ExplainAudit {
       // round 12d: the token-bloom skipping index is one corpus scan
       // into the cached (fid, token) posting trunk; the probe join is
       // position-keyed (sharded-Bloom), never probes x files
-      "t_bloom_skip")
+      "t_bloom_skip",
+      // round 13: the video frame-size contour is one map pass (n md5s
+      // + 65 contiguous slice-sums per asset) into the same 28-table
+      // band-key self-join the other contour detectors use
+      "mm_video_fp")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)

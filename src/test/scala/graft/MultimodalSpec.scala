@@ -366,6 +366,102 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioEnergyFp(outSt.toByteArray).isDefined)
   }
 
+  /** stsz with per-sample sizes (sample_size field = 0). */
+  private def stsz(sizes: Seq[Long]): Array[Byte] =
+    bmffBox("stsz", zeros(4), be32(0), be32(sizes.size.toLong),
+      sizes.toArray.flatMap(be32))
+  private def trakStbl(tkhd: Array[Byte], stblBoxes: Array[Byte]*): Array[Byte] =
+    bmffBox("trak", tkhd,
+      bmffBox("mdia", bmffBox("minf",
+        bmffBox("stbl", stblBoxes.flatten.toArray))))
+
+  test("videoSizeContourFp: bitrate-scale exact-invariant, splice near, unrelated far") {
+    // structured frame-size trace: GOP-scale staircase + fine texture,
+    // the shape a real I/P/B stream has
+    def sz(i: Int): Long = (((i / 100) % 60 - 30) * 300 + (i % 11) * 13 + 20000).toLong
+    val n = 6500
+    val base = Seq.tabulate(n)(sz)
+    val scaled = base.map(_ * 2)    // re-encode at 2x bitrate
+    val spliced = base.zipWithIndex.map { case (s, i) =>
+      if (i >= 900 && i < 960) s + 7000L else s } // localized splice
+    val other = Seq.tabulate(n)(i => ((i * 2654435761L >>> 16) % 8000) + 20000)
+    def mp4(sizes: Seq[Long]) = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 2500), trakStbl(tkhdV0(640, 360),
+        stts(sizes.size.toLong -> 33L), stsz(sizes)))
+    val fpBase = Multimodal.videoSizeContourFp(mp4(base)).get
+    val fpScaled = Multimodal.videoSizeContourFp(mp4(scaled)).get
+    val fpSpliced = Multimodal.videoSizeContourFp(mp4(spliced)).get
+    val fpOther = Multimodal.videoSizeContourFp(mp4(other)).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // uniform bitrate scaling multiplies every window sum by exactly 2
+    assert(fpScaled == fpBase, s"bitrate scale moved ${ham(fpBase, fpScaled)} bits")
+    assert(ham(fpBase, fpSpliced) <= 4,
+      s"splice moved ${ham(fpBase, fpSpliced)} bits")
+    assert(ham(fpBase, fpOther) > 12,
+      s"unrelated stream only ${ham(fpBase, fpOther)} bits away")
+    assert(Multimodal.videoSizeContourFp(mp4(base)).contains(fpBase))
+  }
+
+  test("videoSizeContourFp: envelope edges — short, uniform, audio-trak stsz, junk") {
+    def mp4(sizes: Seq[Long]) = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 2500), trakStbl(tkhdV0(640, 360),
+        stts(sizes.size.toLong -> 33L), stsz(sizes)))
+    // fewer frames than windows: no stable contour
+    assert(Multimodal.videoSizeContourFp(mp4(Seq.tabulate(64)(i => i + 100L))).isEmpty)
+    assert(Multimodal.videoSizeContourFp(mp4(Seq.tabulate(65)(i => i + 100L))).isDefined)
+    // uniform-size stsz (sample_size != 0, no per-sample table)
+    val uniform = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 2500), trakStbl(tkhdV0(640, 360), stts(100L -> 33L),
+        bmffBox("stsz", zeros(4), be32(512), be32(100))))
+    assert(Multimodal.videoSizeContourFp(uniform).isEmpty)
+    // an audio trak's stsz (tkhd width 0) must not be credited
+    val audioOnly = ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 2500), trakStbl(tkhdV0(0, 0), stts(100L -> 33L),
+        stsz(Seq.tabulate(100)(i => i + 50L))))
+    assert(Multimodal.videoSizeContourFp(audioOnly).isEmpty)
+    // and with BOTH traks present, only the visual trak's stsz counts:
+    // the audio trak's 100 monotone sizes would give a different contour
+    val both = ftyp("isom") ++ bmffBox("moov", mvhdV0(1000, 2500),
+      trakStbl(tkhdV0(0, 0), stsz(Seq.tabulate(100)(i => i + 50L))),
+      trakStbl(tkhdV0(640, 360), stsz(Seq.tabulate(100)(i => 50000L - i * 7))))
+    val fpBoth = Multimodal.videoSizeContourFp(both)
+    val fpVisualOnly = Multimodal.videoSizeContourFp(ftyp("isom") ++ bmffBox("moov",
+      mvhdV0(1000, 2500),
+      trakStbl(tkhdV0(640, 360), stsz(Seq.tabulate(100)(i => 50000L - i * 7)))))
+    assert(fpBoth.isDefined && fpBoth == fpVisualOnly)
+    assert(Multimodal.videoSizeContourFp("not video".getBytes).isEmpty)
+    assert(Multimodal.videoSizeContourFp(Array.empty[Byte]).isEmpty)
+  }
+
+  test("mm_video_fp gate: bitrate plants at hamming 0, splice plants within radius") {
+    val sf001 = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf001)
+    val pb = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val pairs = graft.queries.LlmOps.mmVideoFp(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val vids = docs.filter(col("doc_id") % 3 === 2 &&
+        size(split(col("text"), " ")) >= 65)
+      .collect().map(_.getLong(0))
+    val brOrigs = vids.filter(_ % 10 == 3)
+    val spOrigs = vids.filter(_ % 10 == 9)
+    assert(brOrigs.nonEmpty && spOrigs.nonEmpty,
+      "fixture lost its plantable video")
+    // gain 2 scales every window sum by exactly 2: the re-encoded
+    // 2x-bitrate upload is an EXACT fp dup
+    brOrigs.foreach { id =>
+      assert(pairs.get((id, id + pb)).contains(0),
+        s"bitrate plant of $id not an exact fp dup (${pairs.get((id, id + pb))})")
+    }
+    // one moved frame size changes one window's sum: <= 2 contour bits
+    spOrigs.foreach { id =>
+      val h = pairs.get((id, id + 2 * pb))
+      assert(h.exists(_ <= 2), s"splice plant of $id not recovered ($h)")
+    }
+    assert(spOrigs.exists(id => pairs.get((id, id + 2 * pb)).exists(_ >= 1)),
+      "every splice plant reads as an exact dup — the perturbation stopped perturbing")
+    pairs.values.foreach(h => assert(h >= 0 && h <= 6))
+  }
+
   test("mm_audio_fp gate: volume plants at hamming 0, edit plants within radius") {
     val sf001 = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf001)
@@ -405,9 +501,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     // every component has >= 2 members and enough edges to be connected
     rows.foreach { r =>
-      val (n, ne, np, na) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (n, ne, np, na, nv) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
       assert(n >= 2, s"singleton component $r")
-      assert(ne + np + na >= n - 1, s"under-connected component $r")
+      assert(ne + np + na + nv >= n - 1, s"under-connected component $r")
     }
     // every plant pairs with its original (exact at hamming 0, edits
     // within the banding radius), so every group is anchored by a
@@ -424,10 +521,13 @@ class MultimodalSpec extends AnyFunSuite {
       id % 3 == 0 && ((id % 4 == 1 && nt >= 1) || (id % 6 == 0 && nt >= 37)) }
     val nAudioFloor = d.count { case (id, nt) =>
       id % 3 == 1 && nt >= 65 && (id % 4 == 1 || id % 10 == 7) }
-    assert(nExactPlants > 0 && nPhashFloor > 0 && nAudioFloor > 0,
-      "fixture lost its plantable assets")
+    val nVideoFloor = d.count { case (id, nt) =>
+      id % 3 == 2 && nt >= 65 && (id % 4 == 1 || id % 10 == 9) }
+    assert(nExactPlants > 0 && nPhashFloor > 0 && nAudioFloor > 0 &&
+      nVideoFloor > 0, "fixture lost its plantable assets")
     assert(rows.map(_.getLong(3)).sum >= nExactPlants)
     assert(rows.map(_.getLong(4)).sum >= nPhashFloor)
     assert(rows.map(_.getLong(5)).sum >= nAudioFloor)
+    assert(rows.map(_.getLong(6)).sum >= nVideoFloor)
   }
 }
