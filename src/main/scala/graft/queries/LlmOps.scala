@@ -5949,6 +5949,106 @@ object LlmOps {
        |SELECT doc_id, lex_rank, den_rank, rrf_q, rrf_q / 1000000.0 AS rrf
        |FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
 
+  /** PRODUCTION-shape hybrid retrieval — [[hybridRrf]] with the dense
+    * leg on the IVF SCALE path instead of the brute-force truth twin:
+    * the BM25 lexical top-50 fused (same RRF arithmetic) with the
+    * IVF-probed cosine top-50 ([[graft.similarity.Ann.batchTopKIvf]],
+    * 3 of 8 cells — the s_ann_batch_ivf machinery, which at 100 TB
+    * scores ~3/8 of the corpus instead of all of it, and with a real
+    * nCells scores probes/nCells of it). Each fused row carries
+    * `in_exact` — whether the doc also appears in the exact-RRF top-10
+    * ([[hybridRrf]], brute dense leg) — so the gate's hash PINS the
+    * measured fused-recall-vs-exact: sum(in_exact)/10 is the quality
+    * number, and the brute twin stays the documented truth path.
+    *
+    * FULLY oracled despite the approximation: cell assignment, probe
+    * selection, the pruned rank, the RRF micro-unit sums and the
+    * exact-leg comparison are all deterministic, so DuckDB recomputes
+    * the identical fused table (the [[annBatchIvf]] discipline).
+    *
+    * Scale shape: the lexical leg's shuffle is term-filtered
+    * hits-sized ([[bm25Scores]]); the dense leg is one broadcast-seed
+    * map pass + probed-cell-only scoring with a WindowGroupLimit-pruned
+    * rank; fusion and the in_exact probe are full-outer/left joins over
+    * ≤50-row frames (bounded directories, broadcast). */
+  def hybridRrfIvf(s: SparkSession, dir: String): DataFrame = {
+    val kCand = 50
+    val emb = Tables.embeddings(s, dir)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_q"), col("doc_id"))
+    val lex = bm25Scores(s, dir)
+      .orderBy(desc("score_q"), col("doc_id")).limit(kCand)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val den = Ann.batchTopKIvf(
+        corpus = emb.filter(col("vec_id") =!= 0L),
+        queries = emb.filter(col("vec_id") === 0L),
+        k = kCand, nCells = 8, probes = 3)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("den_rank"))
+    def leg(r: Column): Column =
+      coalesce(round(lit(1000000.0) / (lit(60) + r)).cast("long"), lit(0L))
+    val fused = lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_q", leg(col("lex_rank")) + leg(col("den_rank")))
+      .orderBy(desc("rrf_q"), col("doc_id"))
+      .limit(10)
+    val exact = hybridRrf(s, dir).select(col("doc_id").as("e_doc"))
+    fused.join(broadcast(exact), col("doc_id") === col("e_doc"), "left")
+      .select(col("doc_id"), col("lex_rank"), col("den_rank"), col("rrf_q"),
+        col("e_doc").isNotNull.as("in_exact"))
+      .orderBy(desc("rrf_q"), col("doc_id"))
+  }
+
+  val hybridRrfIvfSql: String =
+    s"""WITH $Bm25CteSql,
+       |lexr AS (SELECT doc_id, rn AS lex_rank FROM (
+       |           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+       |           FROM bm) WHERE rn <= 50),
+       |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |          FROM embeddings WHERE vec_id <> 0
+       |          ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id <> 0) t WHERE rn = 1),
+       |qc AS (SELECT cell FROM (
+       |  SELECT s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds s
+       |  WHERE q.vec_id = 0) t WHERE pr <= 3),
+       |denr AS (SELECT vec_id AS doc_id, rank AS den_rank FROM (
+       |  SELECT e.vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
+       |                       e.vec_id) AS rank
+       |  FROM embeddings e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN qc ON qc.cell = asg.cell
+       |  JOIN embeddings q ON q.vec_id = 0) t WHERE rank <= 50),
+       |qe0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |bden0 AS (SELECT vec_id, ROUND(${cosineSql("embedding", "qe")}, 6) AS sim
+       |          FROM embeddings, qe0 WHERE vec_id <> 0),
+       |bdenr AS (SELECT vec_id AS doc_id, rn AS den_rank FROM (
+       |            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |            FROM bden0) WHERE rn <= 50),
+       |bf AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |         COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+       |         + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
+       |       FROM lexr l FULL OUTER JOIN bdenr d ON l.doc_id = d.doc_id),
+       |exact AS (SELECT doc_id FROM bf ORDER BY rrf_q DESC, doc_id LIMIT 10),
+       |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.den_rank,
+       |        COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+       |        + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
+       |      FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
+       |top AS (SELECT * FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
+       |SELECT t.doc_id, t.lex_rank, t.den_rank, t.rrf_q,
+       |  (e.doc_id IS NOT NULL) AS in_exact
+       |FROM top t LEFT JOIN exact e ON e.doc_id = t.doc_id
+       |ORDER BY t.rrf_q DESC, t.doc_id""".stripMargin
+
   /** Provenance propagation through near-dup clustering: when dedup
     * keeps ONE representative per duplicate cluster, the kept document
     * must carry the UNION of its cluster's provenance (sources,

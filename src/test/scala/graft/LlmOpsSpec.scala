@@ -2120,6 +2120,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.exists(r => !r.isNullAt(1)) && out.exists(r => !r.isNullAt(2)))
   }
 
+  test("RRF-IVF fusion: probed dense leg verified, in_exact pins fused recall vs brute") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = graft.queries.LlmOps.hybridRrfIvf(spark, sf001).collect()
+    assert(out.length == 10)
+    // the probed dense leg re-ranked driver-side: batchTopKIvf's own
+    // top-50 for query 0 (the spec'd exhaustive-probe==brute machinery
+    // at probes=3)
+    val den = Ann.batchTopKIvf(
+        corpus = emb.filter(col("vec_id") =!= 0L),
+        queries = emb.filter(col("vec_id") === 0L),
+        k = 50, nCells = 8, probes = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val exact = graft.queries.LlmOps.hybridRrf(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    def leg(rank: Option[Long]): Long =
+      rank.map(r => math.round(1000000.0 / (60 + r))).getOrElse(0L)
+    var prev = Long.MaxValue
+    var prevId = -1L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val denR = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(denR == den.get(id), s"doc $id probed dense rank")
+      assert(r.getLong(3) == leg(lex) + leg(denR), s"doc $id fused score")
+      assert(r.getBoolean(4) == exact.contains(id), s"doc $id in_exact flag")
+      assert(r.getLong(3) < prev || (r.getLong(3) == prev && id > prevId))
+      prev = r.getLong(3); prevId = id
+    }
+    // the measured fused recall: cell pruning may cost some of the
+    // exact top-10, but the lexical leg plus probed cells must keep
+    // the fusion from collapsing (a real quality number, not 0)
+    val recall10 = out.count(_.getBoolean(4))
+    assert(recall10 >= 5, s"fused recall vs exact collapsed: $recall10/10")
+    assert(out.exists(r => !r.isNullAt(1)) && out.exists(r => !r.isNullAt(2)))
+  }
+
   test("provenance propagation: cluster source/lang unions match the exact truth") {
     val out = graft.queries.LlmOps.dedupProvenance(spark, sf001).collect()
     val parent = scala.collection.mutable.Map[Long, Long]()
