@@ -5385,6 +5385,33 @@ object LlmOps {
       .orderBy(col("asset_a"), col("asset_b"))
   }
 
+  /** Band-first Hamming-pair enumeration for the DuckDB oracles — the
+    * Manku pigeonhole replayed in SQL: split the 64 contour bits into
+    * 8 byte blocks; any pair within Hamming 6 dirties at most 6
+    * blocks, so at least one of the C(8,2)=28 block PAIRS is clean on
+    * both sides — equi-joining on every (block-pair, key) enumerates a
+    * candidate superset, and the ≤6 verify on candidates returns
+    * EXACTLY the brute-force `x.id < y.id` join's answer. Replaces the
+    * quadratic Hamming join that made the sf1 oracle replay take hours
+    * (round-12 verdict #6): candidates are collision-sized, never
+    * corpus². Emits CTEs `<pfx>_blk`, `<pfx>_keys`, `<pfx>_cand`
+    * (ida < idb) over a `(asset_id, b)` bits table. */
+  private def hammingPairsSql(bits: String, pfx: String): String =
+    s"""${pfx}_blk AS (
+       |  SELECT asset_id, list_transform(range(0, 8), i ->
+       |    list_sum(list_transform(range(0, 8), k -> b[8*i + k + 1] * (1 << k)))) AS blk
+       |  FROM $bits),
+       |${pfx}_keys AS (
+       |  SELECT asset_id, c.i, c.j, blk[c.i + 1] AS ki, blk[c.j + 1] AS kj
+       |  FROM ${pfx}_blk CROSS JOIN
+       |    (SELECT t.range AS i, u.range AS j FROM range(0, 8) t, range(0, 8) u
+       |     WHERE t.range < u.range) c),
+       |${pfx}_cand AS (
+       |  SELECT DISTINCT x.asset_id AS ida, y.asset_id AS idb
+       |  FROM ${pfx}_keys x JOIN ${pfx}_keys y
+       |    ON x.i = y.i AND x.j = y.j AND x.ki = y.ki AND x.kj = y.kj
+       |   AND x.asset_id < y.asset_id)""".stripMargin
+
   private def phashBitsSql(src: String): String =
     s"""cells AS (
        |  SELECT asset_id, list_transform(range(0, 65),
@@ -5405,11 +5432,13 @@ object LlmOps {
        |  SELECT asset_id + $PlantBaseSql,
        |    tk[1:3] || ['zz'] || tk[5:]
        |  FROM img0 WHERE asset_id % 6 = 0 AND len(tk) >= 37),
-       |${phashBitsSql("img")}
-       |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |${phashBitsSql("img")},
+       |${hammingPairsSql("bits", "hp")}
+       |SELECT c.ida AS asset_a, c.idb AS asset_b,
        |  CAST(len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) AS INTEGER)
        |    AS hamming
-       |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+       |FROM hp_cand c
+       |JOIN bits x ON x.asset_id = c.ida JOIN bits y ON y.asset_id = c.idb
        |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
        |ORDER BY asset_a, asset_b""".stripMargin
 
@@ -5502,11 +5531,13 @@ object LlmOps {
        |bits AS (
        |  SELECT asset_id, list_transform(range(0, 64), j ->
        |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
-       |  FROM en)
-       |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |  FROM en),
+       |${hammingPairsSql("bits", "hp")}
+       |SELECT c.ida AS asset_a, c.idb AS asset_b,
        |  CAST(len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) AS INTEGER)
        |    AS hamming
-       |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+       |FROM hp_cand c
+       |JOIN bits x ON x.asset_id = c.ida JOIN bits y ON y.asset_id = c.idb
        |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
        |ORDER BY asset_a, asset_b""".stripMargin
 
@@ -5598,11 +5629,13 @@ object LlmOps {
        |bits AS (
        |  SELECT asset_id, list_transform(range(0, 64), j ->
        |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
-       |  FROM en)
-       |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |  FROM en),
+       |${hammingPairsSql("bits", "hp")}
+       |SELECT c.ida AS asset_a, c.idb AS asset_b,
        |  CAST(len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) AS INTEGER)
        |    AS hamming
-       |FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+       |FROM hp_cand c
+       |JOIN bits x ON x.asset_id = c.ida JOIN bits y ON y.asset_id = c.idb
        |WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6
        |ORDER BY asset_a, asset_b""".stripMargin
 
@@ -5771,9 +5804,11 @@ object LlmOps {
        |  SELECT asset_id, list_transform(range(0, 64),
        |    j -> CASE WHEN c[j + 2] > c[j + 1] THEN 1 ELSE 0 END) AS b
        |  FROM icells),
+       |${hammingPairsSql("ibits", "ihp")},
        |ipairs AS (
-       |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'phash' AS etype
-       |  FROM ibits x JOIN ibits y ON x.asset_id < y.asset_id
+       |  SELECT c.ida AS doc_a, c.idb AS doc_b, 'phash' AS etype
+       |  FROM ihp_cand c
+       |  JOIN ibits x ON x.asset_id = c.ida JOIN ibits y ON y.asset_id = c.idb
        |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
        |ae AS (
        |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
@@ -5789,9 +5824,11 @@ object LlmOps {
        |  SELECT asset_id, list_transform(range(0, 64),
        |    j -> CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
        |  FROM aen),
+       |${hammingPairsSql("abits", "ahp")},
        |apairs AS (
-       |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'audiofp' AS etype
-       |  FROM abits x JOIN abits y ON x.asset_id < y.asset_id
+       |  SELECT c.ida AS doc_a, c.idb AS doc_b, 'audiofp' AS etype
+       |  FROM ahp_cand c
+       |  JOIN abits x ON x.asset_id = c.ida JOIN abits y ON y.asset_id = c.idb
        |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
        |vse AS (
        |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
@@ -5806,9 +5843,11 @@ object LlmOps {
        |  SELECT asset_id, list_transform(range(0, 64),
        |    j -> CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
        |  FROM ven),
+       |${hammingPairsSql("vbits", "vhp")},
        |vpairs AS (
-       |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b, 'videofp' AS etype
-       |  FROM vbits x JOIN vbits y ON x.asset_id < y.asset_id
+       |  SELECT c.ida AS doc_a, c.idb AS doc_b, 'videofp' AS etype
+       |  FROM vhp_cand c
+       |  JOIN vbits x ON x.asset_id = c.ida JOIN vbits y ON y.asset_id = c.idb
        |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
        |ev AS (SELECT * FROM eedges UNION ALL SELECT * FROM ipairs
        |       UNION ALL SELECT * FROM apairs UNION ALL SELECT * FROM vpairs),
