@@ -180,10 +180,18 @@ object ExplainAudit {
       // into the cached (fid, token) posting trunk; the probe join is
       // position-keyed (sharded-Bloom), never probes x files
       "t_bloom_skip",
+      // round 12 snapshot-commit gates (missed by PLAN_AUDIT_r12 —
+      // verdict #3): RRF fusion over two bounded top-50 legs;
+      // provenance over the pair-sized CC trunk; KMV set algebra off
+      // one token shuffle; MRL truncated-dim recall = two batchTopK
+      // passes + a (queries x k)-row overlap join
+      "s_rrf", "d_provenance", "t_kmv_setops", "s_ann_mrl",
       // round 13: the video frame-size contour is one map pass (n md5s
       // + 65 contiguous slice-sums per asset) into the same 28-table
-      // band-key self-join the other contour detectors use
-      "mm_video_fp")
+      // band-key self-join the other contour detectors use; s_rrf_ivf
+      // swaps the dense leg for probed-cell scoring (the production
+      // hybrid shape) with the brute leg kept as in_exact truth
+      "mm_video_fp", "s_rrf_ivf")
       // optional 2nd arg: comma-separated audit subset (perf iteration)
       .filter(n => args.lift(1).forall(_.split(",").contains(n)))
       .foreach(audit)
