@@ -6285,4 +6285,101 @@ object LlmOps {
        |  COALESCE(ov.n_overlap, 0) / 10.0 AS recall
        |FROM q LEFT JOIN ov USING (query_id) ORDER BY q.query_id""".stripMargin
   }
+
+  // ------------------------------------------------------- round 13:
+  // dedup audit card, cross-document novelty scoring
+
+  /** The DEDUP AUDIT CARD — the component-size histogram a removal job
+    * commits next to its output: over the banded MinHash-LSH + CC trunk
+    * (the exact trunk `d_dup_groups`/`d_dedup_corpus` remove with), per
+    * duplicate-cluster SIZE: how many clusters, how many docs they
+    * absorb, how many docs removal deletes (size − 1 each), and the
+    * member-id checksum (membership pinned, the ceBuckets discipline).
+    * This is the number a data owner actually reads ("how much of the
+    * crawl is 2-way vs 40-way duplicated?") and the regression signal
+    * a detector change must explain. Docs in NO near-dup pair are not
+    * rows here — the card describes the duplicate graph, and the kept
+    * singleton count is corpus − Σ n_docs, derivable from
+    * `t_corpus_stats`.
+    *
+    * Scale shape: the CC map is pair-evidence-sized; both aggregations
+    * are cluster-keyed with map-side partials; the histogram itself is
+    * O(max cluster size) rows. Oracle: the independent recursive-CTE
+    * closure, histogrammed. */
+  def dedupCard(s: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))
+    cc.groupBy(col("comp"))
+      .agg(count(lit(1)).as("comp_size"), sum(col("node")).as("ids"))
+      .groupBy(col("comp_size"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("comp_size")).as("n_docs"),
+        sum(col("comp_size") - 1).as("n_removed"),
+        sum(col("ids")).as("id_sum"))
+      .orderBy(col("comp_size"))
+  }
+
+  val dedupCardSql: String =
+    s"""WITH RECURSIVE
+       |$ShingleCtes,
+       |$JacPairsCte,
+       |$JacClosureCtes,
+       |comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+       |sz AS (SELECT comp, COUNT(*) AS comp_size, CAST(SUM(node) AS BIGINT) AS ids
+       |       FROM comp GROUP BY comp)
+       |SELECT comp_size, COUNT(*) AS n_components,
+       |  CAST(SUM(comp_size) AS BIGINT) AS n_docs,
+       |  CAST(SUM(comp_size - 1) AS BIGINT) AS n_removed,
+       |  CAST(SUM(ids) AS BIGINT) AS id_sum
+       |FROM sz GROUP BY comp_size ORDER BY comp_size""".stripMargin
+
+  /** Cross-document NOVELTY scoring — per document, how much of its
+    * content appears ANYWHERE else in the corpus: the fraction of its
+    * distinct 3-gram hashes with corpus document-frequency ≥ 2. The
+    * boilerplate/templating signal (cookie banners, license headers,
+    * scaffold text) that quality filters use alongside within-doc
+    * repetition (`t_rep_ngram` is the WITHIN-doc twin; `t_oov` is the
+    * token-level cousin). Emitted as exact integers (n_grams, n_shared)
+    * plus micro-unit novelty_q = round(1e6·(n−shared)/n) so the oracle
+    * hash pins the score arithmetic.
+    *
+    * Scale shape: one corpus scan explodes DISTINCT 8-byte gram hashes
+    * (text never shuffles — the d_dup_spans key discipline); the df
+    * aggregation and the gram-keyed membership join both move (hash,
+    * doc_id) pairs only; the final per-doc aggregate is id-keyed with
+    * map-side partials. No broadcast needed at any size — the df table
+    * is gram-cardinality-sized and stays co-partitioned with the probe
+    * side through one shuffle key. */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.DistinctShingleHashes
+          .distinct_shingle_hashes(col("text"), 3)).as("g"))
+    val df = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round((col("n_grams") - col("n_shared")) * lit(1000000.0)
+          / col("n_grams")).cast("long").as("novelty_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle counts gram-STRING equality directly — the Spark side's
+  // 64-bit gram hashes preserve equality (collision odds documented at
+  // the d_dup_spans key discipline), and no hash value reaches the
+  // output, so the two formulations agree row-for-row
+  val textNoveltySql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NormSql, ' ') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i)),
+       |dfreq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM shs GROUP BY s)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(ROUND((COUNT(*) - SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END))
+       |    * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_q
+       |FROM shs JOIN dfreq USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -2245,4 +2245,57 @@ class LlmOpsSpec extends AnyFunSuite {
     // the gate measures a real gap, not a degenerate 0 or 1
     assert(out.map(_._2).sum > 0 && out.map(_._2).sum < 50)
   }
+
+  // ------------------------------------------------------- round 13
+
+  test("dedup card: component-size histogram matches the exact closure") {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    truePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val members = truePairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(find).map { case (_, xs) => xs }
+    val want = members.groupBy(_.size).map { case (sz, comps) =>
+      (sz.toLong, comps.size.toLong, (sz * comps.size).toLong,
+        ((sz - 1) * comps.size).toLong, comps.map(_.sum).sum)
+    }.toSet
+    val got = graft.queries.LlmOps.dedupCard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want, s"card drifted: got=$got want=$want")
+    // the card describes a real graph: at least one multi-doc bucket,
+    // removal counts consistent with doc counts
+    assert(got.nonEmpty && got.forall { case (sz, nc, nd, nr, _) =>
+      sz >= 2 && nd == sz * nc && nr == nd - nc })
+  }
+
+  test("novelty: per-doc shared-gram fractions match a driver-side recount") {
+    def norm(t: String): Seq[String] =
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val gramsByDoc = docs.select("doc_id", "text").collect().map { r =>
+      val g = norm(r.getString(1)).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+      r.getLong(0) -> g
+    }.filter(_._2.nonEmpty)
+    val dfreq = gramsByDoc.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val want = gramsByDoc.map { case (id, g) =>
+      val shared = g.count(dfreq(_) >= 2).toLong
+      (id, g.size.toLong, shared,
+        math.round((g.size - shared) * 1000000.0 / g.size))
+    }.toSet
+    val got = graft.queries.LlmOps.textNovelty(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"novelty drifted: onlyGot=${(got -- want).take(3)} onlyWant=${(want -- got).take(3)}")
+    // the corpus has both boilerplate-heavy and novel docs — the signal
+    // is not degenerate
+    assert(got.exists(_._4 < 500000L) && got.exists(_._4 > 500000L))
+  }
 }
