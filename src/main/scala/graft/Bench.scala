@@ -183,7 +183,13 @@ object Bench {
     // convention or missing keys
     val scopeInfo = onlySet match {
       case Some(s) =>
-        s""""full_suite":false,"only_filter":"${s.toSeq.sorted.mkString(",")}""""
+        // only KNOWN query names reach the JSON literal — an arbitrary
+        // env string could carry quotes/backslashes and corrupt the
+        // line (round-13 advice); unknown entries are reported by count
+        val known = s.toSeq.sorted.filter(SparkEntry.queries.contains)
+        val unknown = s.size - known.size
+        s""""full_suite":false,"only_filter":"${known.mkString(",")}"""" +
+          (if (unknown > 0) s""","only_unknown":$unknown""" else "")
       case None => s""""full_suite":true"""
     }
     val jvmInfo =

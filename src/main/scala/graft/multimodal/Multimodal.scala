@@ -373,7 +373,6 @@ object Multimodal {
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def fourcc(off: Int): String =
       new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    var width = 0
     var inVisualTrak = false
     var sizes: Array[Long] = null
     def walk(start: Int, end: Int, depth: Int): Unit = {
@@ -393,12 +392,16 @@ object Multimodal {
           else if (size32 < 8 || off + size32 > end) return
           else off + size32.toInt
         typ match {
-          case "tkhd" if body + 1 <= boxEnd && width == 0 =>
+          // gate on "no contour captured yet" (NOT first-width-seen):
+          // a file whose FIRST visual trak carries only a uniform stsz
+          // must still let a LATER visual trak supply the per-sample
+          // contour (round-13 advice)
+          case "tkhd" if body + 1 <= boxEnd && sizes == null =>
             val v = payload(body) & 0xff
             val wOff = if (v == 1) body + 88 else body + 76
             if (wOff + 8 <= boxEnd) {
               val w = (u32(wOff) >> 16).toInt
-              if (w > 0) { width = w; inVisualTrak = true }
+              if (w > 0) inVisualTrak = true
             }
           case "stsz" if body + 12 <= boxEnd && inVisualTrak && sizes == null =>
             // [version+flags:4][sample_size:u32][sample_count:u32]; a

@@ -262,11 +262,18 @@ class InfraSpec extends AnyFunSuite {
     assert(stateRows > 0 && stateRows <= 16 * nIndexed,
       s"state rows $stateRows exceed the 16-band index bound ${16 * nIndexed}")
     assert(finalOpRows.length == 3, s"expected 3 stateful stages: $finalOpRows")
-    assert(finalOpRows.contains(0L),
-      s"attach stage must hold no state: $finalOpRows")
-    assert(finalOpRows.contains(nIndexed),
-      s"verify store must hold exactly one row per indexed doc " +
+    // pinned BY OPERATOR POSITION (progress lists operators sink-first:
+    // 0 = verify, 1 = attach, 2 = band index — probed empirically), so a
+    // regression moving shingle state into another store cannot hide
+    // behind a coincidental count match (round-13 advice)
+    assert(finalOpRows(1) == 0L,
+      s"attach stage (op 1) must hold no state: $finalOpRows")
+    assert(finalOpRows(0) == nIndexed,
+      s"verify store (op 0) must hold exactly one row per indexed doc " +
         s"($nIndexed): $finalOpRows")
+    assert(finalOpRows(2) > 0L && finalOpRows(2) <= 16 * nIndexed,
+      s"band store (op 2) must hold (band,key) ids only, " +
+        s"<= ${16 * nIndexed}: $finalOpRows")
     // the band state entry type structurally CANNOT carry a shingle
     // array — the ×16 shingle replication the old single-stage design
     // had is gone at the type level

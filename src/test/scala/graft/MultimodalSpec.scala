@@ -429,6 +429,14 @@ class MultimodalSpec extends AnyFunSuite {
       mvhdV0(1000, 2500),
       trakStbl(tkhdV0(640, 360), stsz(Seq.tabulate(100)(i => 50000L - i * 7)))))
     assert(fpBoth.isDefined && fpBoth == fpVisualOnly)
+    // a FIRST visual trak with only a uniform stsz must not lock out a
+    // SECOND visual trak that carries the per-sample table (round-13
+    // advice: the old width==0 gate returned None here)
+    val secondVisual = ftyp("isom") ++ bmffBox("moov", mvhdV0(1000, 2500),
+      trakStbl(tkhdV0(320, 180), stts(100L -> 33L),
+        bmffBox("stsz", zeros(4), be32(512), be32(100))),
+      trakStbl(tkhdV0(640, 360), stsz(Seq.tabulate(100)(i => 50000L - i * 7))))
+    assert(Multimodal.videoSizeContourFp(secondVisual) == fpVisualOnly)
     assert(Multimodal.videoSizeContourFp("not video".getBytes).isEmpty)
     assert(Multimodal.videoSizeContourFp(Array.empty[Byte]).isEmpty)
   }

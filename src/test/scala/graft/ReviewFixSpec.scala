@@ -97,4 +97,50 @@ class ReviewFixSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("truncated wire-format frame")))
   }
+
+  test("banded Hamming pairs == quadratic join on real fps + planted radii 0..7") {
+    // Round-13 advice: the DuckDB oracles replay the SAME Manku
+    // block-pair pigeonhole as Dedup.hammingPairs, so a radius/block
+    // change that silently broke the premise could slip past the
+    // hash-match (both sides would lose the same pairs). This pins the
+    // banded path against an algorithm-independent quadratic crossJoin
+    // at sf0.001: md5-derived base fingerprints (~32 apart pairwise)
+    // plus, for every 25th doc, planted variants at EXACT Hamming
+    // distance k for k = 0..7 — including k = 7, one past the radius,
+    // which both paths must exclude.
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.select(col("doc_id").as("doc"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        // spread over all 64 bits (the 15-hex conv covers only 60)
+        .bitwiseXOR(shiftleft(col("doc_id") % 16, 60)).as("sh"))
+    val m = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // k flips at deterministic positions 64/k apart, phase doc_id%7
+    val plants = (0 to 7).map { k =>
+      val flips = (0 until k).map(j => (j * 64 / math.max(k, 1)) % 64)
+      base.filter(col("doc") % 25 === 0)
+        .select((col("doc") + lit((k + 1) * m)).as("doc"),
+          flips.foldLeft(col("sh")) { (acc, p) =>
+            acc.bitwiseXOR(shiftleft(lit(1L), (p + 3) % 64))
+          }.as("sh"))
+    }.reduce(_ unionByName _)
+    val fps = base.unionByName(plants).cache()
+    try {
+      val banded = graft.dedup.Dedup.hammingPairs(fps, maxHamming = 6)
+        .select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = fps.as("x").crossJoin(fps.as("y"))
+        .filter(col("x.doc") < col("y.doc"))
+        .select(col("x.doc"), col("y.doc"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("h"))
+        .filter(col("h") <= 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute,
+        s"banded=${banded.size} brute=${brute.size} " +
+          s"missed=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+      // the plant ladder actually exercised every radius incl. the edge
+      val radii = brute.map(_._3)
+      assert((0 to 6).forall(radii.contains), s"radii covered: $radii")
+      assert(!banded.exists(_._3 > 6))
+    } finally fps.unpersist()
+  }
 }
