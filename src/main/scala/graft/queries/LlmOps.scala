@@ -6382,4 +6382,108 @@ object LlmOps {
        |    * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_q
        |FROM shs JOIN dfreq USING (s)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // URL-level dedup (d_url_dedup) — the FIRST dedup stage of a crawl
+  // pipeline, upstream of every content pass (round-13 verdict #4)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic crawl URL per document — exercises every
+    * canonicalization rule: mixed-case scheme/host/TLD, `WWW.` casing,
+    * default ports on both schemes plus a KEPT non-default `:8080`,
+    * an unreserved `%7E` (decoded) next to a reserved `%2F` (must stay
+    * encoded), two `utm_*` tracking params interleaved with two real
+    * params in unsorted order, and a fragment. */
+  private def rawUrl(d: Column, src: Column): Column = concat(
+    when(d % 2 === 0, "https").otherwise("HTTP"), lit("://"),
+    when(d % 4 === 0, "WWW.").otherwise("www."), src, lit(".Example."),
+    when(d % 3 === 0, "com").when(d % 3 === 1, "COM").otherwise("Com"),
+    when(d % 50 === 3, ":8080").when(d % 2 === 0, ":443").otherwise(":80"),
+    lit("/a/%7Eitem%2Fx/"), (d % 7).cast("string"),
+    lit("?utm_source=s"), (d % 3).cast("string"),
+    lit("&b=2&utm_campaign=c&a="), (d % 2).cast("string"),
+    lit("#frag"), (d % 3).cast("string"))
+
+  /** URL canonicalization + URL-level exact dedup, rolled up per
+    * domain: number of raw URLs, distinct canonical URLs, duplicates
+    * collapsed, the keeper-id checksum (sum of min doc_id per
+    * canonical group) and an order-insensitive md5 over the domain's
+    * canonical URL set — so the gate hash pins the canonicalizer
+    * ([[graft.text.Url.canonicalize]]) byte-for-byte.
+    *
+    * Scale shape: URL synthesis + canonicalization are map-only
+    * codegen string expressions over (doc_id, source) — text never
+    * loads; the dedup is ONE hash shuffle on the canonical key (the
+    * 100 TB crawl-dedup shape) and the domain rollup aggregates
+    * canonical-group rows (corpus-distinct-sized, map-side partials). */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Url
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), rawUrl(col("doc_id"), col("source")).as("url"))
+    d.select(col("doc_id"), Url.canonicalize(col("url")).as("curl"),
+        Url.urlDomain(col("url")).as("domain"))
+      .groupBy(col("domain"), col("curl"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_urls"),
+        count(lit(1)).as("n_canonical"),
+        (sum(col("n_docs")) - count(lit(1))).as("n_dupes"),
+        sum(col("keeper")).as("keeper_id_sum"),
+        md5(concat_ws("|", array_sort(collect_list(col("curl"))))
+          .cast("binary")).as("urls_md5"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle folds the SAME [[graft.text.Url.PctDecode]] table the Scala
+    * canonicalizer folds (the piiScrub shared-table discipline), so the
+    * decode set cannot drift between the engines. */
+  val dedupUrlSql: String = {
+    val decoded = graft.text.Url.PctDecode.foldLeft("p0") {
+      case (acc, (code, ch)) => s"replace($acc, '$code', '$ch')"
+    }
+    s"""WITH raw AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
+       |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END)
+       |    || source || '.Example.'
+       |    || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+       |             WHEN doc_id % 3 = 1 THEN 'COM' ELSE 'Com' END)
+       |    || (CASE WHEN doc_id % 50 = 3 THEN ':8080'
+       |             WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+       |    || '/a/%7Eitem%2Fx/' || CAST(doc_id % 7 AS VARCHAR)
+       |    || '?utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+       |    || '&b=2&utm_campaign=c&a=' || CAST(doc_id % 2 AS VARCHAR)
+       |    || '#frag' || CAST(doc_id % 3 AS VARCHAR) AS url
+       |  FROM documents),
+       |parts AS (SELECT doc_id,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p0,
+       |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q0
+       |  FROM raw),
+       |canon AS (SELECT doc_id,
+       |    CASE WHEN scheme = 'https' AND hp LIKE '%:443'
+       |           THEN substr(hp, 1, len(hp) - 4)
+       |         WHEN scheme = 'http' AND hp LIKE '%:80'
+       |           THEN substr(hp, 1, len(hp) - 3)
+       |         ELSE hp END AS host,
+       |    scheme, $decoded AS path,
+       |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+       |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS qs
+       |  FROM parts),
+       |curls AS (SELECT doc_id,
+       |    scheme || '://' || host || path
+       |      || (CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END) AS curl,
+       |    regexp_replace(regexp_replace(host, ':[0-9]+$$', ''),
+       |                   '^www\\.', '') AS domain
+       |  FROM canon),
+       |groups AS (SELECT domain, curl, MIN(doc_id) AS keeper,
+       |    COUNT(*) AS n_docs
+       |  FROM curls GROUP BY domain, curl)
+       |SELECT domain, CAST(SUM(n_docs) AS BIGINT) AS n_urls,
+       |  COUNT(*) AS n_canonical,
+       |  CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dupes,
+       |  CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum,
+       |  md5(string_agg(curl, '|' ORDER BY curl)) AS urls_md5
+       |FROM groups GROUP BY domain ORDER BY domain""".stripMargin
+  }
 }

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the FIRST dedup stage of a crawl-scale
+  * pretraining pipeline (CCNet / RefinedWeb / FineWeb all begin with
+  * URL-level exact dedup before any content pass): two crawls of the
+  * same page differ in scheme/host case, default ports, tracking
+  * parameters, parameter order and fragments long before their bodies
+  * differ, so exact dedup must key on a CANONICAL form.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` string
+  * expressions — whole-stage-codegen'd, map-only, no shuffle, no UDF —
+  * and every rule is replayable in ANSI SQL (the DuckDB oracle folds
+  * the SAME [[PctDecode]] table, the piiScrub shared-table
+  * discipline), so the d_url_dedup gate hash-pins the canonicalizer
+  * end-to-end.
+  *
+  * Rules (RFC 3986 §6 normalization, the subset crawl dedup uses):
+  *   - scheme and host lowercased (path/query stay case-sensitive)
+  *   - default ports stripped (`:443` for https, `:80` for http);
+  *     non-default ports KEPT
+  *   - percent-decoding of UNRESERVED octets only (ALPHA / DIGIT /
+  *     `-` `.` `_` `~`, uppercase-hex forms) — reserved octets like
+  *     `%2F` stay encoded (decoding them would change the path)
+  *   - tracking parameters dropped (`utm_*`), remaining parameters
+  *     sorted; the `?` disappears when nothing is left
+  *   - fragment dropped
+  */
+object Url {
+
+  /** Unreserved-octet decode table, shared verbatim with the DuckDB
+    * oracle so the two engines cannot drift. */
+  private[graft] val PctDecode: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => (f"%%${c.toInt}%02X", c.toString))
+
+  /** Percent-decode unreserved octets (uppercase-hex forms). */
+  def pctDecodeUnreserved(c: Column): Column =
+    PctDecode.foldLeft(c) { case (acc, (code, ch)) =>
+      replace(acc, lit(code), lit(ch))
+    }
+
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  private def hostPortOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
+  private def pathOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+
+  private def queryOf(url: Column): Column =
+    // anchored past a '#'-free prefix: a '?' INSIDE the fragment is
+    // fragment text, not a query
+    regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+
+  /** Registered-domain-ish grouping key: the lowercased host without a
+    * leading `www.` and without ANY port (the canonical URL keeps a
+    * non-default port — different origin — but the per-domain rollup
+    * groups origins of one site together). */
+  def urlDomain(url: Column): Column =
+    regexp_replace(regexp_replace(canonicalHost(url), ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  private def stripSuffix(c: Column, suffix: String): Column =
+    when(c.endsWith(suffix),
+      substring(c, lit(1), length(c) - suffix.length)).otherwise(c)
+
+  /** Lowercased host with the scheme's default port stripped;
+    * non-default ports are kept (a different port IS a different
+    * origin). */
+  def canonicalHost(url: Column): Column = {
+    val hp = hostPortOf(url)
+    val scheme = schemeOf(url)
+    when(scheme === "https", stripSuffix(hp, ":443"))
+      .when(scheme === "http", stripSuffix(hp, ":80"))
+      .otherwise(hp)
+  }
+
+  /** Canonical query string: `utm_*` params dropped, rest sorted. */
+  private def canonicalQuery(url: Column): Column = {
+    val kept = array_sort(filter(split(queryOf(url), "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    array_join(kept, "&")
+  }
+
+  /** The canonical URL — the exact-dedup key. */
+  def canonicalize(url: Column): Column = {
+    val q = canonicalQuery(url)
+    concat(
+      schemeOf(url), lit("://"), canonicalHost(url),
+      pctDecodeUnreserved(pathOf(url)),
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+}

@@ -2298,4 +2298,46 @@ class LlmOpsSpec extends AnyFunSuite {
     // is not degenerate
     assert(got.exists(_._4 < 500000L) && got.exists(_._4 > 500000L))
   }
+
+  test("url canonicalize: planted case/port/tracking/fragment variants collapse") {
+    import graft.text.Url
+    // six raw spellings of ONE page — every rule fires at least once
+    val variants = Seq(
+      "https://www.news.example.com/a/%7Ezoe%2Fx/p?id=7&utm_source=tw&lang=en",
+      "HTTPS://WWW.News.Example.COM/a/%7Ezoe%2Fx/p?lang=en&id=7",
+      "https://www.news.example.com:443/a/%7Ezoe%2Fx/p?utm_campaign=x&id=7&lang=en#sec2",
+      "https://www.news.example.com/a/~zoe%2Fx/p?id=7&lang=en&utm_medium=z",
+      "https://www.News.example.com:443/a/%7Ezoe%2Fx/p#top?not=aquery",
+      "http://www.news.example.com:80/a/%7Ezoe%2Fx/p?id=7&lang=en")
+    val got = variants.toDF("url")
+      .select(Url.canonicalize(col("url")).as("c"),
+        Url.urlDomain(col("url")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val canon = "https://www.news.example.com/a/~zoe%2Fx/p?id=7&lang=en"
+    // first four collapse; the fragment-first URL loses its "query"
+    // (correct: everything after # is fragment), http stays distinct
+    assert(got.take(4).forall(_._1 == canon), got.toSeq.toString)
+    assert(got(4)._1 == "https://www.news.example.com/a/~zoe%2Fx/p")
+    assert(got(5)._1 == canon.replace("https://", "http://"))
+    assert(got.forall(_._2 == "news.example.com"))
+    // non-default port is a DIFFERENT origin — must survive
+    val kept = Seq("https://h.example.com:8443/p?a=1").toDF("url")
+      .select(Url.canonicalize(col("url"))).head.getString(0)
+    assert(kept == "https://h.example.com:8443/p?a=1")
+    // reserved octet stays encoded even when every param is tracking
+    val bare = Seq("HTTP://X.EXAMPLE.COM/%2F%41b?utm_a=1&utm_b=2").toDF("url")
+      .select(Url.canonicalize(col("url"))).head.getString(0)
+    assert(bare == "http://x.example.com/%2FAb")
+  }
+
+  test("d_url_dedup gate: duplicates exist, totals reconcile, domains = sources") {
+    val out = graft.queries.LlmOps.dedupUrl(spark, sf001).collect()
+    val nDocs = docs.count()
+    assert(out.map(_.getLong(1)).sum == nDocs) // every doc has one URL
+    assert(out.forall(r => r.getLong(1) >= r.getLong(2)))
+    assert(out.map(_.getLong(3)).sum > 0, "no URL-level duplicates planted?")
+    val domains = out.map(_.getString(0)).toSeq
+    assert(domains == domains.sorted && domains.distinct == domains)
+    assert(domains.forall(_.endsWith(".example.com")))
+  }
 }
