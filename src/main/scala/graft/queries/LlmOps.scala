@@ -6486,4 +6486,92 @@ object LlmOps {
        |  md5(string_agg(curl, '|' ORDER BY curl)) AS urls_md5
        |FROM groups GROUP BY domain ORDER BY domain""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Paragraph-level exact dedup (d_para_dedup) — RefinedWeb's
+  // exact-substring stage at paragraph grain: the granularity between
+  // d_exact (whole doc) and d_dup_spans (token 8-grams)
+  // ---------------------------------------------------------------------
+
+  /** Paragraph-augmented corpus: each document becomes THREE
+    * `\n\n`-separated paragraphs — its own text, a PLANTED shared
+    * boilerplate paragraph (11 classes by doc_id, guaranteed
+    * cross-document recurrence), and a unique trailing note (must
+    * always survive). Docs whose full text recurs verbatim in the
+    * corpus additionally lose their text paragraph — exactly
+    * RefinedWeb's rule (every copy of a recurring paragraph goes). */
+  private def paraAug(d: Column, text: Column): Column = concat(
+    text,
+    lit("\n\nshared boilerplate paragraph number "), (d % 11).cast("string"),
+    lit(" repeated across documents\n\nunique trailing note for document "),
+    d.cast("string"))
+
+  private def normPara(p: Column): Column =
+    regexp_replace(lower(trim(p)), "\\s+", " ")
+
+  /** Paragraph-level exact dedup: normalize → split on `\n\n` → drop
+    * every paragraph whose normalized form occurs in ≥ 2 DISTINCT
+    * documents → per doc: paragraph counts, chars removed, and the md5
+    * of the kept text (original order) so the gate hash pins the
+    * reconstruction, not just the counts.
+    *
+    * Scale shape (the [[textNovelty]] discipline): the recurrence pass
+    * shuffles ONLY (doc_id, pos, 64-bit paragraph hash, length) — text
+    * never shuffles; the doc-frequency table is corpus-distinct-sized,
+    * hash-partitioned (NOT broadcast — at 100 TB it outgrows any
+    * executor); kept text is reconstructed by joining the kept-position
+    * array back to the document row on doc_id and re-splitting locally.
+    * Hash collisions: 64-bit over ≪ 2^32 paragraphs — the d_dup_spans
+    * key-collision odds note applies; no hash value reaches the output. */
+  def dedupPara(s: SparkSession, dir: String): DataFrame = {
+    val docsAug = Tables.documents(s, dir)
+      .select(col("doc_id"), paraAug(col("doc_id"), col("text")).as("aug"))
+    val paras = docsAug
+      .select(col("doc_id"),
+        posexplode(split(col("aug"), "\n\n")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(normPara(col("p"))).as("h"),
+        length(normPara(col("p"))).cast("long").as("plen"))
+    val dfreq = paras.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("pdf"))
+    val perDoc = paras.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("pdf") < 2, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pdf") >= 2, col("plen")).otherwise(0L)).as("chars_removed"),
+        sort_array(collect_list(when(col("pdf") < 2, col("pos")))).as("kept_pos"))
+    perDoc.join(docsAug, Seq("doc_id"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("chars_removed"),
+        md5(concat_ws("\n",
+          transform(
+            filter(split(col("aug"), "\n\n"),
+              (_, i) => array_contains(col("kept_pos"), i)),
+            p => normPara(p))).cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle counts recurrence on the normalized paragraph STRING
+    * directly (the [[textNoveltySql]] discipline: the Spark side's
+    * 64-bit hashes preserve string equality and never reach the
+    * output). */
+  val dedupParaSql: String =
+    s"""WITH a AS (SELECT doc_id, text
+       |    || chr(10) || chr(10) || 'shared boilerplate paragraph number '
+       |    || CAST(doc_id % 11 AS VARCHAR) || ' repeated across documents'
+       |    || chr(10) || chr(10) || 'unique trailing note for document '
+       |    || CAST(doc_id AS VARCHAR) AS aug
+       |  FROM documents),
+       |p AS (SELECT doc_id, i - 1 AS pos,
+       |    regexp_replace(lower(trim(ps[i])), '\\s+', ' ', 'g') AS np
+       |  FROM (SELECT doc_id, string_split(aug, chr(10) || chr(10)) AS ps FROM a),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i)),
+       |pdf AS (SELECT np, COUNT(DISTINCT doc_id) AS pdf FROM p GROUP BY np)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN pdf < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN pdf >= 2 THEN len(np) ELSE 0 END) AS BIGINT)
+       |    AS chars_removed,
+       |  md5(coalesce(string_agg(np, chr(10) ORDER BY pos)
+       |    FILTER (WHERE pdf < 2), '')) AS kept_md5
+       |FROM p JOIN pdf USING (np)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -2330,6 +2330,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bare == "http://x.example.com/%2FAb")
   }
 
+  test("d_para_dedup: planted shared paragraphs removed everywhere, unique tails kept") {
+    val out = graft.queries.LlmOps.dedupPara(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    val nDocs = docs.count()
+    assert(out.size == nDocs)
+    // every doc has exactly 3 paragraphs and loses AT LEAST the shared
+    // boilerplate one (11 classes over ~500 docs — always >= 2 members)
+    assert(out.values.forall(_._1 == 3L))
+    assert(out.values.forall(v => v._2 <= 2L && v._3 > 0L))
+    // the unique tail always survives
+    assert(out.values.forall(_._2 >= 1L))
+    // driver-side recount on a sample: docs whose TEXT recurs verbatim
+    // lose it too (RefinedWeb: every copy of a recurring paragraph goes)
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tFreq = texts.values.groupBy(norm).map { case (k, v) => k -> v.size }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- texts.keys.take(50)) {
+      val textKept = tFreq(norm(texts(id))) < 2
+      val kept = (if (textKept) Seq(norm(texts(id))) else Seq.empty) :+
+        s"unique trailing note for document $id"
+      val wantMd5 = md.digest(kept.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(out(id)._4 == wantMd5, s"doc $id kept-text md5 drifted")
+      assert(out(id)._2 == kept.size.toLong)
+    }
+  }
+
   test("d_url_dedup gate: duplicates exist, totals reconcile, domains = sources") {
     val out = graft.queries.LlmOps.dedupUrl(spark, sf001).collect()
     val nDocs = docs.count()
