@@ -2330,6 +2330,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bare == "http://x.example.com/%2FAb")
   }
 
+  test("html extract: recovers planted main content, drops nav/ads/footer/short lines") {
+    import graft.text.Html
+    val page =
+      """<html><head><title>Doc 9</title><style>p{color:red}</style></head><body>""" +
+        """<nav><a href="/">Home</a> <a href="/x">Archive</a></nav>""" +
+        """<div class="crumb">Top</div>""" +
+        """<script type="text/js">var links = "<a href=x>never counted</a>";</script>""" +
+        """<h1>The actual headline text</h1>""" +
+        """<p>First real paragraph with enough characters &amp; a &lt;code&gt; sample.</p>""" +
+        """<p>Second one cites <a href="/r">a source</a> but is mostly prose text.</p>""" +
+        """<aside><a href="/buy">Buy now</a><a href="/more">More ads</a></aside>""" +
+        """<footer>(c) <a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>""" +
+        """</body></html>"""
+    val got = Seq(page).toDF("html")
+      .select(Html.extractMainText(col("html"))).head.getString(0)
+    val want = "The actual headline text\n" +
+      "First real paragraph with enough characters & a <code> sample.\n" +
+      "Second one cites a source but is mostly prose text."
+    assert(got == want, s"extracted:\n$got")
+    // entity order: &amp;lt; means the LITERAL string "&lt;"
+    val amp = Seq("<p>escape tutorial: write &amp;lt; for a less-than sign here</p>")
+      .toDF("html").select(Html.extractMainText(col("html"))).head.getString(0)
+    assert(amp == "escape tutorial: write &lt; for a less-than sign here")
+    // exactly-half link density is still kept (rule is <=, 20 vs 10*2)
+    val half = Seq("<p>0123456789<a href=\"/l\">0123456789</a></p>")
+      .toDF("html").select(Html.extractMainText(col("html"))).head.getString(0)
+    assert(half == "0123456789 0123456789")
+  }
+
+  test("t_html_extract gate: per-doc recovery of the planted page structure") {
+    val out = graft.queries.LlmOps.htmlExtract(spark, sf001).collect()
+    val nDocs = docs.count()
+    assert(out.length == nDocs)
+    // the planted page always has 7 non-blank lines, 3 of them kept
+    assert(out.forall(r => r.getLong(1) == 7L && r.getLong(2) == 3L))
+    // dropped boilerplate link mass: nav 16 + aside 16 + footer 19 = 51
+    assert(out.forall(_.getLong(3) == 51L))
+    // the extracted text IS headline + text-with-entities + citation
+    val byId = docs.select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (r <- out.take(40)) {
+      val id = r.getLong(0)
+      val (text, src) = byId(id)
+      val want = s"Section ${id % 7} overview notes\n" +
+        s"""$text & more <tags> "quoted"\n""" +
+        s"See reference $id for details about $src corpus section ${id % 7}."
+      val wantMd5 = md.digest(want.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(4) == want.length.toLong, s"doc $id main_chars")
+      assert(r.getString(5) == wantMd5, s"doc $id main_md5 drifted")
+    }
+  }
+
   test("d_para_dedup: planted shared paragraphs removed everywhere, unique tails kept") {
     val out = graft.queries.LlmOps.dedupPara(spark, sf001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
