@@ -1394,9 +1394,14 @@ object LlmOps {
   /** The per-doc BM25 micro-unit score frame behind [[bm25]] — also the
     * lexical leg of [[hybridRrf]]. Columns (doc_id, score_q, n_terms);
     * query-hits-sized, never corpus-tokens-sized. */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    bm25ScoresOver(Tables.documents(s, dir))
+
+  /** BM25 over any `(doc_id, text)` frame — shared by the document
+    * retrieval gates and the CAPTION leg of cross-modal retrieval
+    * ([[xmodalRetrieve]]). */
+  private def bm25ScoresOver(d: DataFrame): DataFrame = {
     val terms = Bm25Terms
-    val d = Tables.documents(s, dir)
     val nDocs = d.select(count(lit(1)).as("n_total"))
     val dl = d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     val avgdl = dl.select((sum(col("dl")).cast("double") /
@@ -1422,10 +1427,10 @@ object LlmOps {
   private val Bm25Terms = Seq("spark", "join", "customer", "window")
 
   /** [[bm25Sql]]'s CTE chain up to the per-doc score frame `bm` —
-    * shared with [[hybridRrfSql]]. */
-  private val Bm25CteSql: String = {
+    * shared with [[hybridRrfSql]]; `src` must expose (doc_id, text). */
+  private def bm25CteOver(src: String): String = {
     val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+    s"""n AS (SELECT doc_id, $NormSql AS norm FROM $src),
        |dl AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS dl FROM n),
        |stats AS (SELECT COUNT(*) AS n_total,
        |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
@@ -1444,6 +1449,8 @@ object LlmOps {
        |         COUNT(*) AS n_terms
        |       FROM c GROUP BY doc_id)""".stripMargin
   }
+
+  private val Bm25CteSql: String = bm25CteOver("documents")
 
   val bm25Sql: String =
     s"""WITH $Bm25CteSql
@@ -6691,4 +6698,127 @@ object LlmOps {
        |    FILTER (WHERE pdf < 2), '')) AS kept_md5
        |FROM p JOIN pdf USING (np)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cross-modal retrieval (s_xmodal) — text query → asset results,
+  // closing the loop between the retrieval family and the multimodal
+  // family (round-13 verdict #8)
+  // ---------------------------------------------------------------------
+
+  /** An asset's caption: the first 12 tokens of its document's text —
+    * the alt-text / transcript-snippet every curated multimodal corpus
+    * carries next to the raw bytes. */
+  private def assetCaption(text: Column): Column =
+    array_join(slice(split(text, " "), 1, 12), " ")
+
+  /** Cross-modal retrieval: one TEXT query scored against the asset
+    * corpus by fusing (RRF, same micro-unit arithmetic as [[hybridRrf]])
+    * a BM25 lexical leg over asset CAPTIONS with a dense leg over asset
+    * EMBEDDINGS on the IVF scale path (3 of 8 cells,
+    * [[graft.similarity.Ann.batchTopKIvf]] — vec_id 0 standing in as
+    * the encoded query, the multimodal stub discipline). Each fused row
+    * carries its modality (`kind`) and `in_exact` — membership in the
+    * brute-dense-leg fusion's top-10 — so the gate hash PINS the
+    * measured fused recall against the exact twin.
+    *
+    * Scale shape: the caption leg tokenizes 12-token strings (termwise
+    * filter → hits-sized shuffle); the dense leg scores probed cells
+    * only; fusion and the in_exact probe are joins over ≤50-row frames. */
+  def xmodalRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val kCand = 50
+    val caps = Tables.documents(s, dir)
+      .select(col("doc_id"), assetCaption(col("text")).as("text"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_q"), col("doc_id"))
+    val lex = bm25ScoresOver(caps)
+      .orderBy(desc("score_q"), col("doc_id")).limit(kCand)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val den = Ann.batchTopKIvf(
+        corpus = emb.filter(col("vec_id") =!= 0L),
+        queries = emb.filter(col("vec_id") === 0L),
+        k = kCand, nCells = 8, probes = 3)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("den_rank"))
+    def leg(r: Column): Column =
+      coalesce(round(lit(1000000.0) / (lit(60) + r)).cast("long"), lit(0L))
+    val fused = lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_q", leg(col("lex_rank")) + leg(col("den_rank")))
+      .orderBy(desc("rrf_q"), col("doc_id"))
+      .limit(10)
+    val wDen = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("sim"), col("vec_id"))
+    val bruteDen = Ann.bruteForceTopK(emb, queryVecId = 0L, k = kCand)
+      .withColumn("den_rank", row_number().over(wDen).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("den_rank"))
+    val exact = lex.join(bruteDen, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_q", leg(col("lex_rank")) + leg(col("den_rank")))
+      .orderBy(desc("rrf_q"), col("doc_id")).limit(10)
+      .select(col("doc_id").as("e_doc"))
+    fused.join(broadcast(exact), col("doc_id") === col("e_doc"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("lex_rank"), col("den_rank"), col("rrf_q"),
+        col("e_doc").isNotNull.as("in_exact"))
+      .orderBy(desc("rrf_q"), col("doc_id"))
+  }
+
+  val xmodalRetrieveSql: String =
+    s"""WITH caps AS (SELECT doc_id,
+       |    array_to_string((string_split(text, ' '))[1:12], ' ') AS text
+       |  FROM documents),
+       |${bm25CteOver("caps")},
+       |lexr AS (SELECT doc_id, rn AS lex_rank FROM (
+       |           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+       |           FROM bm) WHERE rn <= 50),
+       |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |          FROM embeddings WHERE vec_id <> 0
+       |          ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id <> 0) t WHERE rn = 1),
+       |qc AS (SELECT cell FROM (
+       |  SELECT s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM embeddings q CROSS JOIN seeds s
+       |  WHERE q.vec_id = 0) t WHERE pr <= 3),
+       |denr AS (SELECT vec_id AS doc_id, rank AS den_rank FROM (
+       |  SELECT e.vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
+       |                       e.vec_id) AS rank
+       |  FROM embeddings e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN qc ON qc.cell = asg.cell
+       |  JOIN embeddings q ON q.vec_id = 0) t WHERE rank <= 50),
+       |qe0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |bden0 AS (SELECT vec_id, ROUND(${cosineSql("embedding", "qe")}, 6) AS sim
+       |          FROM embeddings, qe0 WHERE vec_id <> 0),
+       |bdenr AS (SELECT vec_id AS doc_id, rn AS den_rank FROM (
+       |            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |            FROM bden0) WHERE rn <= 50),
+       |bf AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |         COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+       |         + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
+       |       FROM lexr l FULL OUTER JOIN bdenr d ON l.doc_id = d.doc_id),
+       |exact AS (SELECT doc_id FROM bf ORDER BY rrf_q DESC, doc_id LIMIT 10),
+       |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.den_rank,
+       |        COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+       |        + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
+       |      FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
+       |top AS (SELECT * FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
+       |SELECT t.doc_id,
+       |  CASE WHEN t.doc_id % 3 = 0 THEN 'image'
+       |       WHEN t.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  t.lex_rank, t.den_rank, t.rrf_q,
+       |  (e.doc_id IS NOT NULL) AS in_exact
+       |FROM top t LEFT JOIN exact e ON e.doc_id = t.doc_id
+       |ORDER BY t.rrf_q DESC, t.doc_id""".stripMargin
 }

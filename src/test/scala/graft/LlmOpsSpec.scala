@@ -2330,6 +2330,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bare == "http://x.example.com/%2FAb")
   }
 
+  test("s_xmodal: fused top-10 well-formed, measured recall vs the brute twin sane") {
+    val out = graft.queries.LlmOps.xmodalRetrieve(spark, sf001).collect()
+    assert(out.length == 10)
+    // rrf_q strictly ordered output, every row has at least one leg
+    val rrf = out.map(_.getLong(4))
+    assert(rrf.sameElements(rrf.sortBy(-_)))
+    assert(out.forall(r => !(r.isNullAt(2) && r.isNullAt(3))))
+    assert(out.forall(r => Set("image", "audio", "video")(r.getString(1))))
+    // the IVF-probed fusion must still find most of the exact fusion:
+    // 3-of-8 probes on this corpus historically recovers >= 6/10
+    val recall = out.count(_.getBoolean(5))
+    assert(recall >= 6, s"fused-vs-exact recall collapsed: $recall/10")
+    // kind is derived from the id, not fabricated
+    assert(out.forall { r =>
+      val want = (r.getLong(0) % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      r.getString(1) == want
+    })
+  }
+
   test("html extract: recovers planted main content, drops nav/ads/footer/short lines") {
     import graft.text.Html
     val page =
