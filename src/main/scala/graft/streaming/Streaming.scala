@@ -23,6 +23,15 @@ case class IncDoc(doc_id: Long, fp: String)
 case class IncState(inHist: Boolean, firstId: Long)
 case class IncOut(doc_id: Long, fp: String, status: String)
 
+/** Typed rows for the TTL'd (retention-bounded) dedup twin
+  * ([[Streaming.incrementalDedupTtlTransform]]): state additionally
+  * carries the fingerprint's last sighting so the horizon is part of
+  * the state TRANSITION — eviction timing can only affect memory,
+  * never answers. `ts` must survive projection for the event-time
+  * timeout check (see [[SessEvent]]). */
+case class IncTDoc(doc_id: Long, fp: String, ts: java.sql.Timestamp)
+case class IncTState(firstId: Long, lastSeenMs: Long)
+
 /** Typed rows for the streaming incremental NEAR dedup
   * ([[Streaming.incrementalNearStream]]). Three keyed stages share
   * these types; the invariant that matters at corpus scale is that NO
@@ -72,6 +81,36 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Lon
   *
   * Scale: stateful aggregation partitions by (window, type) — state per
   * key lives in the state store; the watermark bounds state size.
+  *
+  * == State-retention contract (growing stores) ==
+  *
+  * Three operators keep one state row per LIVE KEY forever under
+  * `NoTimeout`, because that IS their gate semantics:
+  *  - [[incrementalDedupStream]] — one record per distinct fingerprint
+  *    (dedup against ALL history);
+  *  - [[incrementalNearStream]] — band-id entries + one shingle set per
+  *    indexed doc (near-dedup against ALL history);
+  *  - [[cdcApplyStream]] — the current fingerprint per live key (the
+  *    at-rest MERGE index; keys live until a `delete` op removes them).
+  * Every other stateful gate is watermark-bounded or constant-size
+  * (sketch registers), spec-asserted in InfraSpec.
+  *
+  * At 100 TB "all history" must still be a DECISION, not an accident.
+  * The production retention options, in preference order:
+  *  1. Event-time TTL — [[incrementalDedupTtlTransform]] is the twin:
+  *     the horizon is part of the STATE TRANSITION (a key whose last
+  *     sighting is older than the horizon is re-opened as a fresh
+  *     original — correctness never depends on eviction timing) while
+  *     `EventTimeTimeout` + `state.remove()` bounds the store to keys
+  *     seen within roughly one horizon of the watermark.
+  *  2. Periodic compaction — snapshot the state store (or re-derive it
+  *     from the batch index, which `initial state` loading makes a
+  *     first-class path here) and restart the query with history moved
+  *     back into the cheaper at-rest index; RocksDB keeps the online
+  *     remainder off-heap.
+  *  3. Unbounded, RocksDB-backed — correct and measured (InfraSpec pins
+  *     the per-key O(1) record shapes), but growth is then the same as
+  *     the batch index's and must be capacity-planned like one.
   */
 object Streaming {
 
@@ -665,6 +704,62 @@ object Streaming {
     batch.groupByKey(_.fp)
       .flatMapGroupsWithState[IncState, IncOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout(), hist)(incrementalFold)
+      .toDF()
+  }
+
+  /** Horizon-aware fold for the TTL'd dedup twin. Two layers, on
+    * purpose:
+    *  - CORRECTNESS: a fingerprint whose last sighting is more than
+    *    `horizonMs` older than the arriving event is re-opened as a
+    *    fresh original IN THE DATA PATH — the dedup-within-horizon
+    *    answer holds even if the asynchronous eviction lags (Spark only
+    *    invokes the timeout branch for keys with no data in the batch);
+    *  - BOUNDS: `EventTimeTimeout` + `state.remove()` evicts idle keys
+    *    once the watermark passes lastSeen + horizon, so the store
+    *    holds only fingerprints seen within ~one horizon — the
+    *    retention contract the header's design note promises. */
+  private[graft] def incrementalTtlFold(horizonMs: Long)(fp: String,
+      rows: Iterator[IncTDoc],
+      state: GroupState[IncTState]): Iterator[IncOut] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var cur = state.getOption.getOrElse(IncTState(-1L, Long.MinValue))
+      val out = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).map { d =>
+        val t = d.ts.getTime
+        if (cur.firstId >= 0 && t - cur.lastSeenMs > horizonMs)
+          cur = IncTState(-1L, Long.MinValue) // horizon lapsed: new epoch
+        val status =
+          if (cur.firstId < 0) { cur = IncTState(d.doc_id, t); "kept" }
+          else { cur = cur.copy(lastSeenMs = math.max(cur.lastSeenMs, t)); "dup" }
+        IncOut(d.doc_id, d.fp, status)
+      }
+      state.update(cur)
+      state.setTimeoutTimestamp(
+        math.max(cur.lastSeenMs + horizonMs, state.getCurrentWatermarkMs + 1))
+      out.iterator
+    }
+  }
+
+  /** The TTL'd twin of [[incrementalDedupTransform]] over a
+    * `(doc_id, fp, ts)` parquet stream: exact dedup WITHIN an
+    * event-time horizon, state bounded by watermark-driven eviction
+    * (InfraSpec drives the epochs and asserts the store shrinks). */
+  private[graft] def incrementalDedupTtlTransform(s: SparkSession, dir: String,
+      horizonMs: Long, delay: String = "60 seconds",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", StringType),
+      StructField("ts", TimestampType)))
+    val src = extraOptions.foldLeft(s.readStream.schema(schema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.parquet(dir)
+    src.withWatermark("ts", delay)
+      .as[IncTDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[IncTState, IncOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        incrementalTtlFold(horizonMs))
       .toDF()
   }
 

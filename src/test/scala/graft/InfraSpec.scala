@@ -136,6 +136,41 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("TTL'd dedup twin: horizon re-opens keys in the data path, watermark evicts state") {
+    import graft.streaming.Streaming
+    val t0 = 1700000000000L // fixed epoch base; ONLY relative gaps matter
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toFile
+    // one file per trigger, id-ordered mod times: A dup within horizon,
+    // a late tick advancing the watermark, then A re-arriving PAST the
+    // 300s horizon — must be a fresh original, and B must be evicted
+    val files = Seq(
+      Seq((1L, "A", ts(0)), (2L, "B", ts(60))),
+      Seq((3L, "A", ts(120))),
+      Seq((10L, "C", ts(1200))),
+      Seq((11L, "A", ts(1260))))
+    for ((rows, i) <- files.zipWithIndex) {
+      rows.toDF("doc_id", "fp", "ts")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+      Thread.sleep(20) // distinct mod times => deterministic file order
+    }
+    val out = Streaming.incrementalDedupTtlTransform(spark, s"$dir/*/",
+      horizonMs = 300000L, delay = "60 seconds",
+      extraOptions = Map("maxFilesPerTrigger" -> "1"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("infra_ttl").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("infra_ttl").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "kept", 3L -> "dup",
+      10L -> "kept", 11L -> "kept"), got.toString)
+    // eviction proof: 3 distinct fingerprints ever, but B idled past
+    // lastSeen + horizon and the final store holds only A and C
+    val finalRows = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalRows == 2L, s"expected B evicted, state rows = $finalRows")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("incremental dedup stream: state fp-bounded, RocksDB == default, multi-batch == batch") {
     import graft.streaming.Streaming
     // batch truth: the d_incremental operator on the same composition
