@@ -137,6 +137,14 @@ object Bench {
     }
     val pass1 = runPass()
     val pass2 = runPass()
+    // artifact-staleness guard (round-13 verdict #3, third round running):
+    // a FULL-suite bench artifact must carry one line item per registered
+    // gate (+1 for bpe_learn_shared) — fail loudly instead of committing
+    // a silently stale BENCH_LOCAL that predates the newest gates
+    if (onlySet.isEmpty)
+      require(pass1.size == SparkEntry.queries.size + 1,
+        s"bench covered ${pass1.size - 1} gates but SparkEntry declares " +
+          s"${SparkEntry.queries.size} — artifact stale, re-run at HEAD")
     val results = pass1.zip(pass2).map { case ((name, a, ma), (_, b, mb)) =>
       val sec = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       // report the metrics of the run the timing came from; when exactly

@@ -49,7 +49,7 @@ object ExplainAudit {
         f"exchanges=$nExchange exec_shuffles=$nExec codegen=$codegen topk=$topk")
       if (readSchema.nonEmpty) println(s"    ${readSchema.take(140)}")
     }
-    Seq("q1_agg", "q2_filter_project", "q3_join", "q5_multi_join", "q7_topk",
+    val curated = Seq("q1_agg", "q2_filter_project", "q3_join", "q5_multi_join", "q7_topk",
       "q6_window", "d_ngram_jaccard", "d_minhash_lsh", "s_ann_pairs",
       "x_avro_roundtrip", "t_text_stats",
       "ev_asof", "d_embed_cosine", "d_embed_cosine_lsh", "t_winnow",
@@ -191,10 +191,28 @@ object ExplainAudit {
       // band-key self-join the other contour detectors use; s_rrf_ivf
       // swaps the dense leg for probed-cell scoring (the production
       // hybrid shape) with the brute leg kept as in_exact truth
-      "mm_video_fp", "s_rrf_ivf")
-      // optional 2nd arg: comma-separated audit subset (perf iteration)
-      .filter(n => args.lift(1).forall(_.split(",").contains(n)))
-      .foreach(audit)
+      "mm_video_fp", "s_rrf_ivf",
+      // round 14: extraction/url/para are map-only codegen string passes
+      // (url dedup = ONE canonical-key shuffle + the domain rollup; para
+      // dedup shuffles 8-byte paragraph hashes, text re-joins id-keyed);
+      // s_xmodal keeps the s_rrf_ivf shape with the caption-tokenizing
+      // lexical leg
+      "t_html_extract", "d_url_dedup", "d_para_dedup", "s_xmodal")
+    // EVERY remaining registered gate follows the curated
+    // (shape-documented) list above, so a committed PLAN_AUDIT covers
+    // the whole suite by construction (round-13 verdict #3) — streaming
+    // replay gates included, last, like Bench orders them
+    val rest = SparkEntry.queries.keys.toSeq
+      .filterNot(curated.contains)
+      .sortBy(n => (if (n.startsWith("st_")) "zzz_" else "") + n)
+    val subset = args.lift(1).map(_.split(",").toSet)
+    val toRun = (curated ++ rest).filter(n => subset.forall(_.contains(n)))
+    toRun.foreach(audit)
+    if (subset.isEmpty) {
+      require(toRun.size == SparkEntry.queries.size,
+        s"audited ${toRun.size} of ${SparkEntry.queries.size} gates — stale")
+      println(s"AUDITED ${toRun.size}/${SparkEntry.queries.size} gates (full suite)")
+    } else println(s"AUDITED ${toRun.size} gates (subset — NOT a committable artifact)")
     spark.stop()
   }
 }
