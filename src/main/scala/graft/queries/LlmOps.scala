@@ -6441,14 +6441,17 @@ object LlmOps {
       .orderBy(col("domain"))
   }
 
-  /** Oracle folds the SAME [[graft.text.Url.PctDecode]] table the Scala
-    * canonicalizer folds (the piiScrub shared-table discipline), so the
-    * decode set cannot drift between the engines. */
-  val dedupUrlSql: String = {
+  /** URL synthesis + canonicalization CTE chain up to `curls`
+    * (`doc_id, curl, domain`) — shared by [[dedupUrlSql]] and the crawl
+    * capstone [[pipelineCrawlSql]]. Folds the SAME
+    * [[graft.text.Url.PctDecode]] table the Scala canonicalizer folds
+    * (the piiScrub shared-table discipline), so the decode set cannot
+    * drift between the engines. */
+  private val UrlCanonCtes: String = {
     val decoded = graft.text.Url.PctDecode.foldLeft("p0") {
       case (acc, (code, ch)) => s"replace($acc, '$code', '$ch')"
     }
-    s"""WITH raw AS (SELECT doc_id,
+    s"""raw AS (SELECT doc_id,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
        |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END)
        |    || source || '.Example.'
@@ -6482,8 +6485,12 @@ object LlmOps {
        |      || (CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END) AS curl,
        |    regexp_replace(regexp_replace(host, ':[0-9]+$$', ''),
        |                   '^www\\.', '') AS domain
-       |  FROM canon),
-       |groups AS (SELECT domain, curl, MIN(doc_id) AS keeper,
+       |  FROM canon)""".stripMargin
+  }
+
+  val dedupUrlSql: String =
+    "WITH " + UrlCanonCtes + ",\n" +
+    s"""groups AS (SELECT domain, curl, MIN(doc_id) AS keeper,
        |    COUNT(*) AS n_docs
        |  FROM curls GROUP BY domain, curl)
        |SELECT domain, CAST(SUM(n_docs) AS BIGINT) AS n_urls,
@@ -6492,7 +6499,6 @@ object LlmOps {
        |  CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum,
        |  md5(string_agg(curl, '|' ORDER BY curl)) AS urls_md5
        |FROM groups GROUP BY domain ORDER BY domain""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // Paragraph-level exact dedup (d_para_dedup) — RefinedWeb's
@@ -6619,16 +6625,19 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle replays the extractor rule-for-rule in DuckDB (RE2): the
-    * break/anchor regexes and the entity table are interpolated from
-    * the SAME [[graft.text.Html]] constants the Scala side folds, so
-    * neither the rule set nor the decode order can drift. */
-  val htmlExtractSql: String = {
+  /** The extractor's CTE chain up to the per-line table `u` —
+    * `(doc_id, i, keep, lc, ut)` — shared by [[htmlExtractSql]] and the
+    * crawl capstone [[pipelineCrawlSql]]. Replays the extractor
+    * rule-for-rule in DuckDB (RE2): the break/anchor regexes and the
+    * entity table are interpolated from the SAME [[graft.text.Html]]
+    * constants the Scala side folds, so neither the rule set nor the
+    * decode order can drift. */
+  private def HtmlLineCtes(src: String = "documents"): String = {
     import graft.text.Html
     val unesc = Html.Entities.foldLeft("t") { case (acc, (e, ch)) =>
       s"replace($acc, '$e', '${ch.replace("'", "''")}')"
     }
-    s"""WITH h0 AS (SELECT doc_id,
+    s"""h0 AS (SELECT doc_id,
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
        |    || '</title><style>body{margin:0}</style></head><body>'
        |    || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
@@ -6642,7 +6651,7 @@ object LlmOps {
        |    || '<aside><a href="/buy">Buy now</a> <a href="/sub">Subscribe</a></aside>'
        |    || '<footer>(c) 2026 <a href="/tos">Terms</a> <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></footer>'
        |    || '</body></html>' AS html
-       |  FROM documents),
+       |  FROM $src),
        |h1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
        |    '<script[^>]*>.*?</script>', ' ', 'g'),
        |    '<style[^>]*>.*?</style>', ' ', 'g'),
@@ -6662,8 +6671,16 @@ object LlmOps {
        |l2 AS (SELECT doc_id, i, t, lc,
        |    (len(t) >= ${Html.MinTextChars} AND 2 * lc <= len(t)) AS keep
        |  FROM l1 WHERE len(t) > 0),
-       |u AS (SELECT doc_id, i, keep, lc, $unesc AS ut FROM l2)
-       |SELECT doc_id, COUNT(*) AS n_lines,
+       |u AS (SELECT doc_id, i, keep, lc, $unesc AS ut FROM l2)""".stripMargin
+  }
+
+  // NOTE: the shared CTE fragments contain lines beginning with `||`
+  // (string concatenation), which an OUTER .stripMargin would mangle
+  // into single `|`s — so consumers concatenate the fragments after
+  // their own stripMargin instead of interpolating them into one.
+  val htmlExtractSql: String =
+    "WITH " + HtmlLineCtes() + "\n" +
+    s"""SELECT doc_id, COUNT(*) AS n_lines,
        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST(coalesce(SUM(lc) FILTER (WHERE NOT keep), 0) AS BIGINT)
        |    AS link_chars_dropped,
@@ -6672,7 +6689,6 @@ object LlmOps {
        |  md5(coalesce(string_agg(ut, chr(10) ORDER BY i)
        |    FILTER (WHERE keep), '')) AS main_md5
        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   /** Oracle counts recurrence on the normalized paragraph STRING
     * directly (the [[textNoveltySql]] discipline: the Spark side's
@@ -6821,4 +6837,130 @@ object LlmOps {
        |  (e.doc_id IS NOT NULL) AS in_exact
        |FROM top t LEFT JOIN exact e ON e.doc_id = t.doc_id
        |ORDER BY t.rrf_q DESC, t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Crawl-ingestion capstone (t_pipeline_crawl): the round-14 operators
+  // COMPOSED — HTML extract → URL-level dedup → paragraph-level dedup →
+  // quality floor, one plan, per-domain funnel card
+  // ---------------------------------------------------------------------
+
+  /** The first mile of a crawl pipeline as ONE Spark plan: every page is
+    * extracted ([[graft.text.Html]]), exact-deduped by canonical URL
+    * ([[graft.text.Url]], lowest doc id wins), paragraph-deduped among
+    * the URL survivors (any normalized paragraph recurring in ≥ 2
+    * surviving docs is removed EVERYWHERE — note the interplay the
+    * oracle pins: dropping a URL duplicate can make its twin's text
+    * paragraph unique again), then floored on cleaned length (< 80
+    * chars → dropped: a doc reduced to its citation line carries no
+    * trainable content). The per-domain card reports the full funnel
+    * plus an order-insensitive md5 over the kept cleaned texts.
+    *
+    * Scale shape: ONE corpus scan into a cached narrow trunk
+    * (doc_id, extracted main, canonical url, domain) — extraction and
+    * canonicalization are map-only codegen; URL dedup is one
+    * canonical-key window; paragraph recurrence shuffles 8-byte hashes
+    * only (the [[dedupPara]] discipline) with text re-joined id-keyed;
+    * the card is two domain-keyed aggregates. */
+  def pipelineCrawl(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Html, Url}
+    val rawU = rawUrl(col("doc_id"), col("source"))
+    // every 13th page is a MIRROR of one of three boilerplate landing
+    // pages (the crawl reality paragraph dedup exists for): its whole
+    // body recurs cross-document, so after paragraph dedup only the
+    // citation line remains and the quality floor must catch it
+    val text2 = when(col("doc_id") % 13 === 0,
+        concat(lit("mirror landing page boilerplate body class "),
+          (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    val base = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Html.extractMainText(
+            htmlAug(col("doc_id"), text2, col("source"))).as("main"),
+          Url.canonicalize(rawU).as("curl"),
+          Url.urlDomain(rawU).as("domain"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wUrl = org.apache.spark.sql.expressions.Window.partitionBy(col("curl"))
+    val surv = base.withColumn("is_url_dup",
+      col("doc_id") =!= min(col("doc_id")).over(wUrl))
+    val live = surv.filter(!col("is_url_dup"))
+    val paras = live.select(col("doc_id"),
+        posexplode(split(col("main"), "\n")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), xxhash64(normPara(col("p"))).as("h"))
+    val pdf = paras.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("pdf"))
+    val pk = paras.join(pdf, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("pdf") >= 2, 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("pdf") < 2, col("pos")))).as("kept_pos"))
+    val cleanedCol = concat_ws("\n",
+      transform(filter(split(col("main"), "\n"),
+        (_, i) => array_contains(col("kept_pos"), i)), p => normPara(p)))
+    val fl = pk.join(live, Seq("doc_id"))
+      .select(col("doc_id"), col("domain"), col("n_removed"),
+        cleanedCol.as("cleaned"))
+      .withColumn("q_drop", length(col("cleaned")) < 80)
+    val urlCard = surv.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_crawled"),
+        sum(when(col("is_url_dup"), 1L).otherwise(0L)).as("n_url_dup"))
+    val keptCard = fl.groupBy(col("domain"))
+      .agg(sum(col("n_removed")).as("n_para_removed"),
+        sum(when(col("q_drop"), 1L).otherwise(0L)).as("n_q_drop"),
+        sum(when(!col("q_drop"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("q_drop"), length(col("cleaned")).cast("long"))
+          .otherwise(0L)).as("chars_out"),
+        sum(when(!col("q_drop"), col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+        md5(concat_ws("|", sort_array(collect_list(
+            when(!col("q_drop"), md5(col("cleaned").cast("binary"))))))
+          .cast("binary")).as("kept_md5"))
+    urlCard.join(keptCard, Seq("domain")).orderBy(col("domain"))
+  }
+
+  /** Oracle = the [[HtmlLineCtes]] ∘ [[UrlCanonCtes]] ∘ paragraph-
+    * recurrence ∘ floor chain replayed end-to-end in one WITH — the
+    * same shared rule tables as the component gates, composed. */
+  val pipelineCrawlSql: String =
+    "WITH docs2 AS (SELECT doc_id, source,\n" +
+    "    CASE WHEN doc_id % 13 = 0\n" +
+    "         THEN 'mirror landing page boilerplate body class '\n" +
+    "              || CAST(doc_id % 3 AS VARCHAR)\n" +
+    "         ELSE text END AS text\n" +
+    "  FROM documents),\n" + HtmlLineCtes("docs2") + ",\n" +
+    s"""m AS (SELECT doc_id, coalesce(string_agg(ut, chr(10) ORDER BY i)
+       |        FILTER (WHERE keep), '') AS main
+       |      FROM u GROUP BY doc_id),
+       |""".stripMargin + UrlCanonCtes + ",\n" +
+    s"""surv AS (SELECT m.doc_id, c.domain, m.main,
+       |    (m.doc_id <> MIN(m.doc_id) OVER (PARTITION BY c.curl)) AS is_url_dup
+       |  FROM m JOIN curls c ON c.doc_id = m.doc_id),
+       |sp AS (SELECT doc_id, i - 1 AS pos,
+       |    regexp_replace(lower(trim(ps[i])), '\\s+', ' ', 'g') AS np
+       |  FROM (SELECT doc_id, string_split(main, chr(10)) AS ps
+       |        FROM surv WHERE NOT is_url_dup) t,
+       |    LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i)),
+       |pdf AS (SELECT np, COUNT(DISTINCT doc_id) AS pdf FROM sp GROUP BY np),
+       |pk AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN pdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    coalesce(string_agg(np, chr(10) ORDER BY pos)
+       |      FILTER (WHERE pdf < 2), '') AS cleaned
+       |  FROM sp JOIN pdf USING (np) GROUP BY doc_id),
+       |fl AS (SELECT s.doc_id, s.domain, pk.n_removed, pk.cleaned,
+       |    (len(pk.cleaned) < 80) AS q_drop
+       |  FROM surv s JOIN pk ON pk.doc_id = s.doc_id WHERE NOT s.is_url_dup),
+       |uc AS (SELECT domain, COUNT(*) AS n_crawled,
+       |    CAST(SUM(CASE WHEN is_url_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_url_dup
+       |  FROM surv GROUP BY domain),
+       |kc AS (SELECT domain,
+       |    CAST(SUM(n_removed) AS BIGINT) AS n_para_removed,
+       |    CAST(SUM(CASE WHEN q_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_q_drop,
+       |    CAST(SUM(CASE WHEN NOT q_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN NOT q_drop THEN len(cleaned) ELSE 0 END) AS BIGINT)
+       |      AS chars_out,
+       |    CAST(SUM(CASE WHEN NOT q_drop THEN doc_id ELSE 0 END) AS BIGINT)
+       |      AS kept_id_sum,
+       |    md5(coalesce(string_agg(md5(cleaned), '|' ORDER BY md5(cleaned))
+       |      FILTER (WHERE NOT q_drop), '')) AS kept_md5
+       |  FROM fl GROUP BY domain)
+       |SELECT uc.domain, n_crawled, n_url_dup, n_para_removed, n_q_drop,
+       |  n_kept, chars_out, kept_id_sum, kept_md5
+       |FROM uc JOIN kc USING (domain) ORDER BY uc.domain""".stripMargin
 }

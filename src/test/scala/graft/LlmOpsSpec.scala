@@ -2330,6 +2330,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bare == "http://x.example.com/%2FAb")
   }
 
+  test("t_pipeline_crawl: funnel reconciles, every stage fires") {
+    val out = graft.queries.LlmOps.pipelineCrawl(spark, sf001).collect()
+    val nDocs = docs.count()
+    assert(out.map(_.getLong(1)).sum == nDocs) // n_crawled covers the corpus
+    // per domain: survivors = crawled - url_dup = kept + quality-dropped
+    assert(out.forall(r =>
+      r.getLong(1) - r.getLong(2) == r.getLong(5) + r.getLong(4)))
+    // every funnel stage removes something somewhere
+    assert(out.map(_.getLong(2)).sum > 0, "URL dedup never fired")
+    assert(out.map(_.getLong(3)).sum > 0, "paragraph dedup never fired")
+    assert(out.map(_.getLong(4)).sum > 0, "quality floor never fired")
+    assert(out.map(_.getLong(5)).sum > 0, "nothing survived the funnel")
+    // the planted boilerplate headline is one of the removed paragraphs:
+    // >= 1 removal per surviving doc (headline classes always recur)
+    assert(out.forall(r => r.getLong(3) >= r.getLong(1) - r.getLong(2)))
+  }
+
   test("s_xmodal: fused top-10 well-formed, measured recall vs the brute twin sane") {
     val out = graft.queries.LlmOps.xmodalRetrieve(spark, sf001).collect()
     assert(out.length == 10)
