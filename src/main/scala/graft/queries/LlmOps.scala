@@ -6401,7 +6401,7 @@ object LlmOps {
     * an unreserved `%7E` (decoded) next to a reserved `%2F` (must stay
     * encoded), two `utm_*` tracking params interleaved with two real
     * params in unsorted order, and a fragment. */
-  private def rawUrl(d: Column, src: Column): Column = concat(
+  private[graft] def rawUrl(d: Column, src: Column): Column = concat(
     when(d % 2 === 0, "https").otherwise("HTTP"), lit("://"),
     when(d % 4 === 0, "WWW.").otherwise("www."), src, lit(".Example."),
     when(d % 3 === 0, "com").when(d % 3 === 1, "COM").otherwise("Com"),
@@ -6487,6 +6487,15 @@ object LlmOps {
        |                   '^www\\.', '') AS domain
        |  FROM canon)""".stripMargin
   }
+
+  /** Per-canonical-URL rollup — the oracle of the STREAMING URL dedup
+    * twin ([[graft.streaming.Streaming.urlDedupStream]]): the crawl
+    * frontier's "have we fetched this page" check is a keyed aggregate,
+    * order-invariant, so stream == batch bit-for-bit. */
+  val stUrlDedupSql: String =
+    "WITH " + UrlCanonCtes + "\n" +
+    s"""SELECT curl, domain, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+       |FROM curls GROUP BY curl, domain ORDER BY curl""".stripMargin
 
   val dedupUrlSql: String =
     "WITH " + UrlCanonCtes + ",\n" +
@@ -6913,6 +6922,110 @@ object LlmOps {
             when(!col("q_drop"), md5(col("cleaned").cast("binary"))))))
           .cast("binary")).as("kept_md5"))
     urlCard.join(keptCard, Seq("domain")).orderBy(col("domain"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Link graph + PageRank (t_link_rank) — the iterative-graph member of
+  // the crawl family: outlinks parsed from the markup, rank as exact
+  // integer power iteration
+  // ---------------------------------------------------------------------
+
+  /** Outlink graph + 3 PageRank power iterations, all EXACT-INTEGER so
+    * DuckDB replays it bit-for-bit: each page's HTML carries three
+    * `<a href="/doc/K">` anchors to deterministically computed target
+    * pages (plus a non-doc nav link the edge regex must ignore); edges
+    * are parsed FROM THE MARKUP (`regexp_extract_all` group 1, distinct
+    * per source — the crawler's outlink extraction, not a shortcut from
+    * the id arithmetic); ranks live in 10^12 micro-units with damping
+    * 85/100 and truncating division (`div` / `//` agree on positive
+    * longs): r₀ = S div N, r_{k+1}(v) = (15·S div 100) div N +
+    * (85 · Σ_{u→v} (r_k(u) div outdeg(u))) div 100.
+    *
+    * Scale shape: edge extraction is a map pass persisted ONCE (the
+    * graph is read three times); each iteration is one src-keyed join
+    * (rank onto edges, broadcast outdeg-sized? no — outdeg is
+    * corpus-sized, hash-joined) plus one dst-keyed aggregate — the
+    * canonical distributed power iteration. A production run loops to
+    * convergence and checkpoints ranks per iteration to cut lineage;
+    * the gate pins three iterations so the oracle is a finite CTE
+    * chain. */
+  def linkRank(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val d = Tables.documents(s, dir)
+    val nn = d.agg(count(lit(1)).as("n"))
+    val withN = d.crossJoin(broadcast(nn))
+    val html = concat(
+      lit("<html><body><nav><a href=\"/home\">Home</a></nav><p>see "),
+      lit("<a href=\"/doc/"), ((col("doc_id") * 7 + 3) % col("n")).cast("string"),
+      lit("\">one</a> and <a href=\"/doc/"),
+      ((col("doc_id") * 13 + 5) % col("n")).cast("string"),
+      lit("\">two</a> and <a href=\"/doc/"),
+      ((col("doc_id") * 3 + 11) % col("n")).cast("string"),
+      lit("\">three</a>.</p></body></html>"))
+    val edges = graft.util.IntermediateCaches.track(
+      withN.select(col("doc_id").as("src"),
+          explode(array_distinct(regexp_extract_all(html,
+            lit("<a href=\"/doc/([0-9]+)\">"), lit(1)))).as("dst_s"))
+        .select(col("src"), col("dst_s").cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
+    var ranks = withN.select(col("doc_id").as("v"),
+      expr(s"cast($Scale as bigint) div n").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(outdeg, Seq("src"))
+        .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("v"), expr("r div odeg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+      ranks = withN.select(col("doc_id").as("v"), col("n"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (expr(s"cast(${Scale / 100 * 15} as bigint) div n") +
+            expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+    }
+    ranks.join(outdeg.select(col("src").as("v"), col("odeg")), Seq("v"))
+      .join(indeg.select(col("dst").as("v"), col("ideg")), Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("odeg").as("out_deg"),
+        coalesce(col("ideg"), lit(0L)).as("in_deg"), col("r").as("rank_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val linkRankSql: String = {
+    val Scale = 1000000000000L
+    def iter(k: Int): String =
+      s"""s$k AS (SELECT e0.dst AS v, SUM(r${k - 1}.r // od.odeg) AS sc
+         |  FROM e0 JOIN od USING (src) JOIN r${k - 1} ON r${k - 1}.v = e0.src
+         |  GROUP BY e0.dst),
+         |r$k AS (SELECT d.doc_id AS v,
+         |    CAST(${Scale / 100 * 15} // nn.n + (85 * coalesce(s$k.sc, 0)) // 100
+         |      AS BIGINT) AS r
+         |  FROM documents d CROSS JOIN nn LEFT JOIN s$k ON s$k.v = d.doc_id)"""
+        .stripMargin
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |h AS (SELECT doc_id,
+       |    '<html><body><nav><a href="/home">Home</a></nav><p>see <a href="/doc/'
+       |    || CAST((doc_id * 7 + 3) % n AS VARCHAR)
+       |    || '">one</a> and <a href="/doc/'
+       |    || CAST((doc_id * 13 + 5) % n AS VARCHAR)
+       |    || '">two</a> and <a href="/doc/'
+       |    || CAST((doc_id * 3 + 11) % n AS VARCHAR)
+       |    || '">three</a>.</p></body></html>' AS html
+       |  FROM documents CROSS JOIN nn),
+       |e0 AS (SELECT doc_id AS src, CAST(x AS BIGINT) AS dst FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      regexp_extract_all(html, '<a href="/doc/([0-9]+)">', 1))) AS x
+       |    FROM h)),
+       |od AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
+       |id AS (SELECT dst, COUNT(*) AS ideg FROM e0 GROUP BY dst),
+       |r0 AS (SELECT doc_id AS v, CAST($Scale // n AS BIGINT) AS r
+       |       FROM documents CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT r3.v AS doc_id, od.odeg AS out_deg,
+       |  CAST(coalesce(id.ideg, 0) AS BIGINT) AS in_deg, r3.r AS rank_q
+       |FROM r3 JOIN od ON od.src = r3.v LEFT JOIN id ON id.dst = r3.v
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle = the [[HtmlLineCtes]] ∘ [[UrlCanonCtes]] ∘ paragraph-

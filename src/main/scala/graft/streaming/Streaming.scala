@@ -988,6 +988,38 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming canonical-URL dedup — the crawl FRONTIER shape: "have we
+    * fetched this page (under any raw spelling)" is answered while the
+    * crawl runs, not in a nightly batch. Canonicalization
+    * ([[graft.text.Url.canonicalize]]) is stateless per-row codegen
+    * inside the stream; the keyed aggregate (min doc id wins, count of
+    * raw sightings) is the state — one O(1) row per canonical URL, the
+    * same bound the batch index has (see the header's retention note).
+    * Order-invariant (min/count), so the stream reuses the batch
+    * oracle bit-for-bit. */
+  def urlDedupStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_url"): DataFrame = {
+    import graft.text.Url
+    val raw = graft.queries.LlmOps.rawUrl(col("doc_id"), col("source"))
+    val agg = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), Url.canonicalize(raw).as("curl"),
+        Url.urlDomain(raw).as("domain"))
+      .groupBy(col("curl"), col("domain"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("curl"))
+  }
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

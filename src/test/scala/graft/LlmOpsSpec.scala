@@ -2330,6 +2330,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bare == "http://x.example.com/%2FAb")
   }
 
+  test("t_link_rank: integer PageRank matches a driver-side recount, mass conserved") {
+    val sf = sf0001
+    val out = graft.queries.LlmOps.linkRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.documents(spark, sf).count()
+    assert(out.size == n)
+    // independent recount: same graph from the id arithmetic (the gate
+    // itself parses it from markup — this cross-checks the extraction)
+    val edges = (0L until n).flatMap(d =>
+      Set((d * 7 + 3) % n, (d * 13 + 5) % n, (d * 3 + 11) % n).map(d -> _))
+    val odeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val ideg = edges.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val S = 1000000000000L
+    var r = (0L until n).map(_ -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val sc = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / odeg(u) }.sum }
+      r = (0L until n).map(v =>
+        v -> (S / 100 * 15 / n + 85 * sc.getOrElse(v, 0L) / 100)).toMap
+    }
+    for (v <- 0L until n) {
+      val (o, i, rq) = out(v)
+      assert(o == odeg(v) && i == ideg.getOrElse(v, 0L), s"degree drift at $v")
+      assert(rq == r(v), s"rank drift at $v: got $rq want ${r(v)}")
+    }
+    // probability mass conserved up to truncation loss (< 2 units/node/iter)
+    val mass = out.values.map(_._3).sum
+    assert(mass <= S && mass >= S - 8 * n, s"mass $mass vs $S")
+    // the graph is non-trivial: ranks differ
+    assert(out.values.map(_._3).toSet.size > 10)
+  }
+
   test("t_pipeline_crawl: funnel reconciles, every stage fires") {
     val out = graft.queries.LlmOps.pipelineCrawl(spark, sf001).collect()
     val nDocs = docs.count()
