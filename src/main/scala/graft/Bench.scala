@@ -137,14 +137,12 @@ object Bench {
     }
     val pass1 = runPass()
     val pass2 = runPass()
-    // artifact-staleness guard (round-13 verdict #3, third round running):
-    // a FULL-suite bench artifact must carry one line item per registered
-    // gate (+1 for bpe_learn_shared) — fail loudly instead of committing
-    // a silently stale BENCH_LOCAL that predates the newest gates
-    if (onlySet.isEmpty)
-      require(pass1.size == SparkEntry.queries.size + 1,
-        s"bench covered ${pass1.size - 1} gates but SparkEntry declares " +
-          s"${SparkEntry.queries.size} — artifact stale, re-run at HEAD")
+    // NOTE on artifact staleness (round-13 verdict #3): an in-JVM size
+    // assertion here would be a tautology — pass1 is BUILT from
+    // SparkEntry.queries, so it matches by construction (round-14
+    // review). The real failure mode is a COMMITTED BENCH_LOCAL file
+    // generated at an older HEAD; ArtifactFreshnessSpec validates the
+    // committed artifacts against the live gate set on every sbt test.
     val results = pass1.zip(pass2).map { case ((name, a, ma), (_, b, mb)) =>
       val sec = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       // report the metrics of the run the timing came from; when exactly

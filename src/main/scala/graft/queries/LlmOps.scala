@@ -6044,12 +6044,13 @@ object LlmOps {
       .orderBy(desc("rrf_q"), col("doc_id"))
   }
 
-  val hybridRrfIvfSql: String =
-    s"""WITH $Bm25CteSql,
-       |lexr AS (SELECT doc_id, rn AS lex_rank FROM (
-       |           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
-       |           FROM bm) WHERE rn <= 50),
-       |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+  /** The IVF-probed + brute-twin RRF fusion CTE chain (seeds → asg →
+    * qc → denr → bdenr → bf/exact → f/top), shared by [[hybridRrfIvfSql]]
+    * and [[xmodalRetrieveSql]] so the probing/tie-break/RRF conventions
+    * cannot drift between the two gates (round-14 review). Expects a
+    * CTE `lexr(doc_id, lex_rank)` to be defined upstream. */
+  private def IvfFusionCtes: String =
+    s"""seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
        |          FROM embeddings WHERE vec_id <> 0
        |          ORDER BY vec_id LIMIT 8),
        |asg AS (SELECT vec_id, cell FROM (
@@ -6089,8 +6090,15 @@ object LlmOps {
        |        COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
        |        + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
        |      FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
-       |top AS (SELECT * FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
-       |SELECT t.doc_id, t.lex_rank, t.den_rank, t.rrf_q,
+       |top AS (SELECT * FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)""".stripMargin
+
+  val hybridRrfIvfSql: String =
+    s"""WITH $Bm25CteSql,
+       |lexr AS (SELECT doc_id, rn AS lex_rank FROM (
+       |           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
+       |           FROM bm) WHERE rn <= 50),
+       |""".stripMargin + IvfFusionCtes + "\n" +
+    s"""SELECT t.doc_id, t.lex_rank, t.den_rank, t.rrf_q,
        |  (e.doc_id IS NOT NULL) AS in_exact
        |FROM top t LEFT JOIN exact e ON e.doc_id = t.doc_id
        |ORDER BY t.rrf_q DESC, t.doc_id""".stripMargin
@@ -6448,9 +6456,16 @@ object LlmOps {
     * (the piiScrub shared-table discipline), so the decode set cannot
     * drift between the engines. */
   private val UrlCanonCtes: String = {
-    val decoded = graft.text.Url.PctDecode.foldLeft("p0") {
+    // mirror of Url.pctDecodeUnreserved: two dangling-escape
+    // neutralization passes (DuckDB backreference syntax \1), the
+    // shared decode-table fold, sentinel restored last
+    val re = graft.text.Url.DanglingRe
+    def neut(x: String) = s"regexp_replace($x, '$re', chr(1) || '\\1\\2', 'g')"
+    val guarded = neut(neut("p0"))
+    val folded = graft.text.Url.PctDecode.foldLeft(guarded) {
       case (acc, (code, ch)) => s"replace($acc, '$code', '$ch')"
     }
+    val decoded = s"replace($folded, chr(1), '%')"
     s"""raw AS (SELECT doc_id,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
        |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END)
@@ -6687,17 +6702,22 @@ object LlmOps {
   // (string concatenation), which an OUTER .stripMargin would mangle
   // into single `|`s — so consumers concatenate the fragments after
   // their own stripMargin instead of interpolating them into one.
+  // total over DOCUMENTS (left join): a page whose extraction yields
+  // zero non-blank lines must still produce its (0, 0, 0, 0, md5(""))
+  // row, as the Scala side does (round-14 review)
   val htmlExtractSql: String =
     "WITH " + HtmlLineCtes() + "\n" +
-    s"""SELECT doc_id, COUNT(*) AS n_lines,
-       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    s"""SELECT d.doc_id, COUNT(u.i) AS n_lines,
+       |  CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_kept,
        |  CAST(coalesce(SUM(lc) FILTER (WHERE NOT keep), 0) AS BIGINT)
        |    AS link_chars_dropped,
        |  CAST(coalesce(len(string_agg(ut, chr(10) ORDER BY i)
        |    FILTER (WHERE keep)), 0) AS BIGINT) AS main_chars,
        |  md5(coalesce(string_agg(ut, chr(10) ORDER BY i)
        |    FILTER (WHERE keep), '')) AS main_md5
-       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Oracle counts recurrence on the normalized paragraph STRING
     * directly (the [[textNoveltySql]] discipline: the Spark side's
@@ -6798,48 +6818,8 @@ object LlmOps {
        |lexr AS (SELECT doc_id, rn AS lex_rank FROM (
        |           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn
        |           FROM bm) WHERE rn <= 50),
-       |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
-       |          FROM embeddings WHERE vec_id <> 0
-       |          ORDER BY vec_id LIMIT 8),
-       |asg AS (SELECT vec_id, cell FROM (
-       |  SELECT e.vec_id, s.cell_id AS cell,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
-       |               s.cell_id DESC) AS rn
-       |  FROM embeddings e CROSS JOIN seeds s
-       |  WHERE e.vec_id <> 0) t WHERE rn = 1),
-       |qc AS (SELECT cell FROM (
-       |  SELECT s.cell_id AS cell,
-       |    ROW_NUMBER() OVER (
-       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
-       |               s.cell_id DESC) AS pr
-       |  FROM embeddings q CROSS JOIN seeds s
-       |  WHERE q.vec_id = 0) t WHERE pr <= 3),
-       |denr AS (SELECT vec_id AS doc_id, rank AS den_rank FROM (
-       |  SELECT e.vec_id,
-       |    ROW_NUMBER() OVER (ORDER BY ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) DESC,
-       |                       e.vec_id) AS rank
-       |  FROM embeddings e
-       |  JOIN asg ON asg.vec_id = e.vec_id
-       |  JOIN qc ON qc.cell = asg.cell
-       |  JOIN embeddings q ON q.vec_id = 0) t WHERE rank <= 50),
-       |qe0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |bden0 AS (SELECT vec_id, ROUND(${cosineSql("embedding", "qe")}, 6) AS sim
-       |          FROM embeddings, qe0 WHERE vec_id <> 0),
-       |bdenr AS (SELECT vec_id AS doc_id, rn AS den_rank FROM (
-       |            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
-       |            FROM bden0) WHERE rn <= 50),
-       |bf AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
-       |         COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
-       |         + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
-       |       FROM lexr l FULL OUTER JOIN bdenr d ON l.doc_id = d.doc_id),
-       |exact AS (SELECT doc_id FROM bf ORDER BY rrf_q DESC, doc_id LIMIT 10),
-       |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.den_rank,
-       |        COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
-       |        + COALESCE(CAST(ROUND(1000000.0 / (60 + d.den_rank)) AS BIGINT), 0) AS rrf_q
-       |      FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
-       |top AS (SELECT * FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
-       |SELECT t.doc_id,
+       |""".stripMargin + IvfFusionCtes + "\n" +
+    s"""SELECT t.doc_id,
        |  CASE WHEN t.doc_id % 3 = 0 THEN 'image'
        |       WHEN t.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        |  t.lex_rank, t.den_rank, t.rrf_q,
@@ -7038,9 +7018,10 @@ object LlmOps {
     "              || CAST(doc_id % 3 AS VARCHAR)\n" +
     "         ELSE text END AS text\n" +
     "  FROM documents),\n" + HtmlLineCtes("docs2") + ",\n" +
-    s"""m AS (SELECT doc_id, coalesce(string_agg(ut, chr(10) ORDER BY i)
+    s"""m AS (SELECT d2.doc_id, coalesce(string_agg(ut, chr(10) ORDER BY i)
        |        FILTER (WHERE keep), '') AS main
-       |      FROM u GROUP BY doc_id),
+       |      FROM docs2 d2 LEFT JOIN u ON u.doc_id = d2.doc_id
+       |      GROUP BY d2.doc_id),
        |""".stripMargin + UrlCanonCtes + ",\n" +
     s"""surv AS (SELECT m.doc_id, c.domain, m.main,
        |    (m.doc_id <> MIN(m.doc_id) OVER (PARTITION BY c.curl)) AS is_url_dup

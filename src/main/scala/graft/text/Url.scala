@@ -36,11 +36,32 @@ object Url {
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
       .map(c => (f"%%${c.toInt}%02X", c.toString))
 
+  /** DANGLING-escape neutralization (round-14 review): a sequential
+    * replace fold is not a single-pass decoder — decoding `%44` → `D`
+    * after a dangling `%2` creates a `%2D` that a later fold entry
+    * would decode, collapsing two genuinely different raw URLs onto
+    * one dedup key. Before folding, every `%` that does NOT start a
+    * complete 2-hex escape is replaced by a sentinel (U+0001, never
+    * present in a URL), applied twice so overlapping dangling runs
+    * (`%2%2%44`) are caught when the first pass re-exposes one; the
+    * sentinel is restored to `%` after the fold. Decoded output chars
+    * are alphanumerics/`-._~`, which can never re-form a sentinel
+    * escape, so the fold is cascade-free on every input with dangling
+    * depth ≤ 2 (deeper pathological `%`-runs are out of contract — the
+    * worst case is an over-merged dedup key on garbage input). */
+  private[graft] val DanglingRe = "%([0-9A-Fa-f]?)([^0-9A-Fa-f]|$)"
+  private[graft] val Sentinel = "\u0001"
+
   /** Percent-decode unreserved octets (uppercase-hex forms). */
-  def pctDecodeUnreserved(c: Column): Column =
-    PctDecode.foldLeft(c) { case (acc, (code, ch)) =>
+  def pctDecodeUnreserved(c: Column): Column = {
+    def neutralize(x: Column): Column =
+      regexp_replace(x, DanglingRe, Sentinel + "$1$2")
+    val guarded = neutralize(neutralize(c))
+    val decoded = PctDecode.foldLeft(guarded) { case (acc, (code, ch)) =>
       replace(acc, lit(code), lit(ch))
     }
+    replace(decoded, lit(Sentinel), lit("%"))
+  }
 
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

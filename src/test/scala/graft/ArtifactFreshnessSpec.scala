@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Artifact-staleness guard WITH TEETH (round-13 verdict #3, sharpened
+  * by the round-14 review: an in-JVM assertion inside Bench is a
+  * tautology — the failure mode is a COMMITTED artifact generated at an
+  * older HEAD). This spec validates the newest committed
+  * `BENCH_LOCAL_r*.json` and `PLAN_AUDIT_r*.txt` against the LIVE
+  * `SparkEntry.queries` set, so `sbt test` goes red the moment a gate
+  * lands without the end-of-round artifacts being re-cut.
+  *
+  * Mid-round escape hatch: set `SPARK_GRAFT_WIP=1` to skip while
+  * iterating — the final, driver-checked run never sets it.
+  */
+class ArtifactFreshnessSpec extends AnyFunSuite {
+
+  private def wip = sys.env.get("SPARK_GRAFT_WIP").contains("1")
+
+  private def latest(prefix: String, suffix: String): Option[java.io.File] = {
+    val dir = new java.io.File(".")
+    val re = (java.util.regex.Pattern.quote(prefix) + "r(\\d+)" +
+      java.util.regex.Pattern.quote(suffix)).r
+    Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case re(n) => Some(n.toInt -> f)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption.map(_._2)
+  }
+
+  test("committed BENCH_LOCAL covers every registered gate (+ bpe_learn_shared)") {
+    assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
+    val f = latest("BENCH_LOCAL_", ".json")
+    assume(f.isDefined, "no committed BENCH_LOCAL artifact yet")
+    val txt = scala.io.Source.fromFile(f.get).mkString
+    // count the keys of the "queries" object without a JSON dependency:
+    // every line item appears exactly once as "name": in that object
+    val qObj = txt.drop(txt.indexOf("\"queries\":") + 10)
+    val body = qObj.take(qObj.indexOf("}") + 1)
+    val names = "\"([A-Za-z0-9_]+)\":".r.findAllMatchIn(body)
+      .map(_.group(1)).toSet
+    val expected = SparkEntry.queries.keySet + "bpe_learn_shared"
+    val missing = expected -- names
+    val extra = names -- expected
+    assert(missing.isEmpty && extra.isEmpty,
+      s"${f.get.getName} is stale vs SparkEntry: missing=${missing.take(5)} " +
+        s"extra=${extra.take(5)} — re-cut the bench at HEAD")
+    assert(txt.contains("\"full_suite\":true"),
+      s"${f.get.getName} was produced under SPARK_GRAFT_ONLY — not committable")
+  }
+
+  test("committed PLAN_AUDIT covers every registered gate") {
+    assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
+    val f = latest("PLAN_AUDIT_", ".txt")
+    assume(f.isDefined, "no committed PLAN_AUDIT artifact yet")
+    val lines = scala.io.Source.fromFile(f.get).getLines().toSeq
+    val audited = lines.flatMap(
+      "^([A-Za-z0-9_]+) +pushdown=".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    val missing = SparkEntry.queries.keySet -- audited
+    assert(missing.isEmpty,
+      s"${f.get.getName} is stale vs SparkEntry: missing=${missing.take(5)} " +
+        s"— re-run ExplainAudit at HEAD")
+    assert(lines.exists(_.startsWith(
+        s"AUDITED ${SparkEntry.queries.size}/${SparkEntry.queries.size}")),
+      s"${f.get.getName} lacks the full-suite AUDITED stamp")
+  }
+}

@@ -2328,6 +2328,20 @@ class LlmOpsSpec extends AnyFunSuite {
     val bare = Seq("HTTP://X.EXAMPLE.COM/%2F%41b?utm_a=1&utm_b=2").toDF("url")
       .select(Url.canonicalize(col("url"))).head.getString(0)
     assert(bare == "http://x.example.com/%2FAb")
+    // dangling-escape cascade guard (round-14 review): decoding %44->D
+    // after a dangling %2 must NOT re-form a decodable %2D — the bytes
+    // "%2D" were never in the raw URL
+    val malformed = Seq(
+      "https://h.example.com/x%2%44",   // dangling %2 + valid %44
+      "https://h.example.com/x%%44",    // bare % + valid %44
+      "https://h.example.com/x%2%2%44", // overlapping dangling run
+      "https://h.example.com/x%2")      // dangling at end of path
+      .toDF("url").select(Url.canonicalize(col("url")))
+      .collect().map(_.getString(0))
+    assert(malformed(0) == "https://h.example.com/x%2D", malformed(0))
+    assert(malformed(1) == "https://h.example.com/x%D", malformed(1))
+    assert(malformed(2) == "https://h.example.com/x%2%2D", malformed(2))
+    assert(malformed(3) == "https://h.example.com/x%2", malformed(3))
   }
 
   test("t_link_rank: integer PageRank matches a driver-side recount, mass conserved") {
