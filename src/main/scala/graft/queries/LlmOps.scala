@@ -6905,6 +6905,80 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
+  // Topic-balanced sampling (t_topic_mix) — cluster the corpus in
+  // embedding space, downsample over-represented topics to a uniform
+  // per-cluster cap (the DoReMi/cluster-reweighting family's simplest
+  // deterministic member)
+  // ---------------------------------------------------------------------
+
+  /** Topic-balanced resampling: every document's embedding is assigned
+    * to one of 8 IVF cells ([[graft.similarity.Ann.ivfAssign]] — the
+    * deterministic seed/argmax machinery the s_ann_ivf oracle already
+    * replays), each cell is capped at ⌈total/8⌉ docs, and
+    * over-populated cells are downsampled by the deterministic per-row
+    * hash sampler ([[graft.sampling.Sampling.weightedHashSample]] — the
+    * t_quality_sample/t_dsir_sample contract: the kept set is a pure
+    * function of (doc_id, p_keep), stable under repartitioning, no
+    * RNG). Per cell: population, cap, keep probability (round-6
+    * double, exact cross-engine), kept count and kept-id checksum.
+    *
+    * Scale shape: assignment is a map pass (broadcast codegen argmax);
+    * the cell census is an 8-row aggregate; the 8-row weight table
+    * broadcasts back onto the corpus for a map-only keep filter —
+    * per-doc work never shuffles; the card is one cell-keyed aggregate. */
+  def topicMix(s: SparkSession, dir: String): DataFrame = {
+    val nCells = 8
+    val asg = Ann.ivfAssign(Tables.embeddings(s, dir), nCells)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("target", expr(s"(n_total + ${nCells - 1}) div $nCells"))
+      .withColumn("p_keep",
+        round(least(lit(1.0), col("target").cast("double") / col("n_docs")), 6))
+    val kept = graft.sampling.Sampling.weightedHashSample(
+      asg.join(broadcast(w.select(col("cell"), col("p_keep"))), Seq("cell")),
+      "doc_id", col("p_keep"))
+    val ka = kept.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    w.join(ka, Seq("cell"), "left")
+      .select(col("cell"), col("n_docs"), col("target"), col("p_keep"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy(col("cell"))
+  }
+
+  /** Oracle replays seeds → argmax assignment (the [[annIvfSql]]
+    * conventions), the integer cap, and the md5-bucket sampler (the
+    * [[dsirSampleSql]] arithmetic) end-to-end. */
+  val topicMixSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id AS doc_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+       |cnt AS (SELECT cell, COUNT(*) AS n_docs FROM asg GROUP BY cell),
+       |tot AS (SELECT SUM(n_docs) AS n_total FROM cnt),
+       |w AS (SELECT cell, n_docs, (n_total + 7) // 8 AS target,
+       |        ROUND(LEAST(1.0,
+       |          CAST((n_total + 7) // 8 AS DOUBLE) / n_docs), 6) AS p_keep
+       |      FROM cnt CROSS JOIN tot),
+       |k AS (SELECT a.doc_id, a.cell FROM asg a JOIN w USING (cell)
+       |      WHERE substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 2) <
+       |        printf('%02x', GREATEST(0, LEAST(255,
+       |          CAST(COALESCE(floor(p_keep * 256), 0) AS BIGINT))))),
+       |ka AS (SELECT cell, COUNT(*) AS n_kept,
+       |         CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+       |       FROM k GROUP BY cell)
+       |SELECT w.cell, w.n_docs, CAST(w.target AS BIGINT) AS target, w.p_keep,
+       |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(ka.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+       |FROM w LEFT JOIN ka USING (cell) ORDER BY w.cell""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Link graph + PageRank (t_link_rank) — the iterative-graph member of
   // the crawl family: outlinks parsed from the markup, rank as exact
   // integer power iteration

@@ -2344,6 +2344,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(malformed(3) == "https://h.example.com/x%2", malformed(3))
   }
 
+  test("t_topic_mix: over-populated cells downsampled toward the uniform cap, deterministic") {
+    val out = graft.queries.LlmOps.topicMix(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._2).sum == emb.count()) // census covers the corpus
+    val target = out.head._3
+    assert(out.forall(_._3 == target))
+    for ((cell, nDocs, tgt, pKeep, nKept, _) <- out) {
+      assert(nKept <= nDocs, s"cell $cell kept more than it has")
+      if (nDocs <= tgt) assert(pKeep == 1.0 && nKept == nDocs,
+        s"under-cap cell $cell must keep everything")
+      else {
+        // hash sampler: kept/n within the 1/256 bucket-quantization
+        // band around p_keep (binomial-free: the sampler is a fixed
+        // id-hash threshold, so the deviation is set by bucket rounding)
+        assert(pKeep < 1.0 && nKept < nDocs, s"cell $cell not downsampled")
+      }
+    }
+    // the corpus is NOT uniform over cells — the gate must actually act
+    assert(out.exists(r => r._2 > target), "no over-populated cell?")
+    // deterministic: a second run returns the identical card
+    val again = graft.queries.LlmOps.topicMix(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == out.map(r => (r._1, r._5, r._6)).toSeq)
+  }
+
   test("t_link_rank: integer PageRank matches a driver-side recount, mass conserved") {
     val sf = sf0001
     val out = graft.queries.LlmOps.linkRank(spark, sf).collect()
