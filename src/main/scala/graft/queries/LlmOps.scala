@@ -583,7 +583,7 @@ object LlmOps {
        |  $QualityScoreSql AS quality
        |FROM m)
        |SELECT doc_id, quality FROM scored
-       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+       |WHERE quality >= 1.0 OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
        |  printf('%02x', GREATEST(0, LEAST(255,
        |    CAST(COALESCE(floor(quality * 256), 0) AS BIGINT))))
        |ORDER BY doc_id""".stripMargin
@@ -822,7 +822,7 @@ object LlmOps {
        |  ROUND(LEAST(1.0, GREATEST(0.0, (w_dsir - 0.3) / 0.7)), 6) AS p_keep
        |  FROM ds)
        |SELECT doc_id, lang, w_dsir, p_keep FROM p
-       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+       |WHERE p_keep >= 1.0 OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
        |  printf('%02x', GREATEST(0, LEAST(255,
        |    CAST(COALESCE(floor(p_keep * 256), 0) AS BIGINT))))
        |ORDER BY doc_id""".stripMargin
@@ -6967,7 +6967,7 @@ object LlmOps {
        |          CAST((n_total + 7) // 8 AS DOUBLE) / n_docs), 6) AS p_keep
        |      FROM cnt CROSS JOIN tot),
        |k AS (SELECT a.doc_id, a.cell FROM asg a JOIN w USING (cell)
-       |      WHERE substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 2) <
+       |      WHERE p_keep >= 1.0 OR substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 2) <
        |        printf('%02x', GREATEST(0, LEAST(255,
        |          CAST(COALESCE(floor(p_keep * 256), 0) AS BIGINT))))),
        |ka AS (SELECT cell, COUNT(*) AS n_kept,

@@ -65,21 +65,22 @@ object Sampling {
   /** Importance sampling with a PER-ROW keep probability: keep a row iff
     * its id's hash bucket falls below `weight` (a column in [0,1] — a
     * quality score, a perplexity-derived rate). Granularity 1/256 via
-    * floor(weight·256), capped at 255/256 so weight=1.0 keeps ~255/256
-    * of rows (the cap keeps the comparison inside 2-hex-char space; pass
-    * weight ≥ 1 rows around the sampler if they must be kept whole).
-    * Out-of-domain weights degrade safely: negative or NULL weights
-    * keep NOTHING (unclamped, a negative int renders as two's-complement
-    * 'ffffffxx' and would silently keep EVERYTHING — and least() skips
-    * nulls). Map-only, no RNG: the kept set is a pure function of
-    * (id, weight), reproducible across engines and stable under
-    * repartitioning. */
+    * floor(weight·256) for weights below 1; weight ≥ 1 keeps the row
+    * UNCONDITIONALLY (the [[hashSample]] whole-space escape — without
+    * it the 255/256 rendering clamp would silently drop the ~1/256 of
+    * rows whose bucket is 'ff' from strata that promised to keep
+    * everything). Out-of-domain weights degrade safely: negative or
+    * NULL weights keep NOTHING (unclamped, a negative int renders as
+    * two's-complement 'ffffffxx' and would silently keep EVERYTHING —
+    * and a NULL ≥ 1 disjunct is NULL, which filters). Map-only, no
+    * RNG: the kept set is a pure function of (id, weight),
+    * reproducible across engines and stable under repartitioning. */
   def weightedHashSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
     // clamp in LONG space BEFORE the int cast: floor() of an extreme
     // negative weight is a Long whose 32-bit truncation can wrap
     // positive (e.g. floor(w*256) = -4294967041 casts to int 255 =
     // keep-everything) — the exact hole the clamp exists to close
-    df.filter(hexBucket(col(idCol)) <
+    df.filter(weight >= 1.0 || hexBucket(col(idCol)) <
       format_string("%02x", greatest(lit(0L),
         least(lit(255L), coalesce(floor(weight * 256), lit(0L)))).cast("int")))
 

@@ -705,11 +705,19 @@ class LlmOpsSpec extends AnyFunSuite {
         .digest(id.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 2), 16)
     val ref = rows.filter { case (id, w) =>
-      bucket(id) < math.min(255, math.floor(w * 256).toInt)
+      w >= 1.0 || bucket(id) < math.floor(w * 256).toInt
     }.map(_._1).toSet
     assert(kept == ref)
-    // w=0 keeps nothing; w=1 keeps all but the top 1/256 of hash space
+    // w=0 keeps nothing; w=1 keeps EVERYTHING (the >=1 escape — no
+    // 255/256 clamp may drop bucket-'ff' rows from a keep-all stratum)
     assert(rows.filter(_._2 == 0.0).map(_._1).forall(!kept.contains(_)))
+    assert(rows.filter(_._2 == 1.0).map(_._1).forall(kept.contains(_)))
+    // pin the escape on an id whose bucket IS 'ff' (the row the old
+    // clamp silently dropped): md5("373") = ff... — bucket 255
+    assert(bucket(373L) == 255)
+    val ff = Sampling.weightedHashSample(
+      Seq((373L, 1.0)).toDF("doc_id", "w"), "doc_id", col("w")).count()
+    assert(ff == 1L, "weight>=1.0 must keep bucket-'ff' rows")
   }
 
   test("mixToTarget: integer thresholds, ratios near the recipe, subset per stratum") {
