@@ -6593,25 +6593,39 @@ object LlmOps {
   // RefinedWeb, FineWeb) begins at crawled HTML, not clean text
   // ---------------------------------------------------------------------
 
-  /** Deterministic synthetic page per document: head (title + style,
-    * dropped wholesale), a pure-link nav, a too-short breadcrumb, a
-    * kept `<h1>`, the document text as the main `<p>` (with planted
-    * entities so the unescape order is pinned), a SECOND kept `<p>`
-    * containing a link below the density cutoff, a pure-link aside ad
-    * block, and a link-dense footer — every extractor rule fires on
-    * every row. */
+  /** Deterministic synthetic page per document: head (with an
+    * attribute, title + style — dropped wholesale), a pure-link nav, a
+    * too-short breadcrumb, an HTML comment containing a bare `>` (the
+    * generic tag-strip would leak its tail), a kept `<h1>`, the
+    * document text as the main `<p>` (with planted entities so the
+    * unescape order is pinned), an UPPERCASE `<P>` with `<BR/>` and an
+    * inline `<code>` span (case-insensitivity + the inline-code
+    * exemption), a kept `<p>` containing a link below the density
+    * cutoff, a multi-line UPPERCASE `<SCRIPT>` whose body holds a
+    * decoy anchor, a three-line `<pre>` block of short link-bearing
+    * code lines (kept only by the pre exemption — the middle line by
+    * the running-depth window alone), a boilerplate `<div>` whose
+    * link mass comes partly from a BARE `<a>` anchor, a pure-link
+    * aside ad block, and a link-dense footer — every extractor rule
+    * fires on every row. */
   private def htmlAug(d: Column, text: Column, src: Column): Column = concat(
-    lit("<html><head><title>Doc "), d.cast("string"),
+    lit("<html><head lang=\"en\"><title>Doc "), d.cast("string"),
     lit("</title><style>body{margin:0}</style></head><body>"),
     lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
       " <a href=\"/contact\">Contact</a></nav>"),
     lit("<div class=\"crumb\">Top</div>"),
+    lit("<!-- promo slot 3 > begin -->"),
     lit("<h1>Section "), (d % 7).cast("string"), lit(" overview notes</h1>"),
     lit("<p>"), text, lit(" &amp; more &lt;tags&gt; &quot;quoted&quot;</p>"),
+    lit("<P>Uppercase markup doesn&#39;t scare this extractor.<BR/>" +
+      "Break two holds <code>inline_code()</code> tail.</P>"),
     lit("<p>See <a href=\"/ref?id="), d.cast("string"),
     lit("\">reference "), d.cast("string"),
     lit("</a> for details about "), src,
     lit(" corpus section "), (d % 7).cast("string"), lit(".</p>"),
+    lit("<SCRIPT type=\"text/js\">\nvar x = \"<a href=/no>never counted</a>\";\n</SCRIPT>"),
+    lit("<pre>x = <a href=\"/api/f\">f</a>(1)\nm = h(3)\ny = g(2)</pre>"),
+    lit("<div><a>promo one</a> <a href=\"/p\">promo two</a></div>"),
     lit("<aside><a href=\"/buy\">Buy now</a>" +
       " <a href=\"/sub\">Subscribe</a></aside>"),
     lit("<footer>(c) 2026 <a href=\"/tos\">Terms</a>" +
@@ -6631,7 +6645,7 @@ object LlmOps {
     * first stage of a crawl pipeline must do. */
   def htmlExtract(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Html
-    val keepS = (x: Column) => Html.keepRule(x.getField("t"), x.getField("lc"))
+    val keepS = (x: Column) => Html.keepLine(x)
     val withLs = Tables.documents(s, dir)
       .select(col("doc_id"),
         Html.scoredLines(htmlAug(col("doc_id"), col("text"), col("source")))
@@ -6662,39 +6676,60 @@ object LlmOps {
       s"replace($acc, '$e', '${ch.replace("'", "''")}')"
     }
     s"""h0 AS (SELECT doc_id,
-       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |    '<html><head lang="en"><title>Doc ' || CAST(doc_id AS VARCHAR)
        |    || '</title><style>body{margin:0}</style></head><body>'
        |    || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
        |    || '<div class="crumb">Top</div>'
+       |    || '<!-- promo slot 3 > begin -->'
        |    || '<h1>Section ' || CAST(doc_id % 7 AS VARCHAR) || ' overview notes</h1>'
        |    || '<p>' || text || ' &amp; more &lt;tags&gt; &quot;quoted&quot;</p>'
+       |    || '<P>Uppercase markup doesn&#39;t scare this extractor.<BR/>Break two holds <code>inline_code()</code> tail.</P>'
        |    || '<p>See <a href="/ref?id=' || CAST(doc_id AS VARCHAR)
        |    || '">reference ' || CAST(doc_id AS VARCHAR)
        |    || '</a> for details about ' || source
        |    || ' corpus section ' || CAST(doc_id % 7 AS VARCHAR) || '.</p>'
+       |    || '<SCRIPT type="text/js">' || chr(10)
+       |    || 'var x = "<a href=/no>never counted</a>";' || chr(10) || '</SCRIPT>'
+       |    || '<pre>x = <a href="/api/f">f</a>(1)' || chr(10)
+       |    || 'm = h(3)' || chr(10) || 'y = g(2)</pre>'
+       |    || '<div><a>promo one</a> <a href="/p">promo two</a></div>'
        |    || '<aside><a href="/buy">Buy now</a> <a href="/sub">Subscribe</a></aside>'
        |    || '<footer>(c) 2026 <a href="/tos">Terms</a> <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></footer>'
        |    || '</body></html>' AS html
        |  FROM $src),
-       |h1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-       |    '<script[^>]*>.*?</script>', ' ', 'g'),
-       |    '<style[^>]*>.*?</style>', ' ', 'g'),
-       |    '<head>.*?</head>', ' ', 'g') AS h FROM h0),
+       |h1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       |    '${Html.CommentRe}', ' ', 'g'),
+       |    '${Html.ScriptRe}', ' ', 'g'),
+       |    '${Html.StyleRe}', ' ', 'g'),
+       |    '${Html.HeadRe}', ' ', 'g') AS h FROM h0),
+       |hp AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+       |    '${Html.PreOpenRe}', chr(10) || chr(1), 'g'),
+       |    '${Html.PreCloseRe}', chr(2) || chr(10), 'g'),
+       |    '${Html.CodeOpenRe}', chr(1), 'g'),
+       |    '${Html.CodeCloseRe}', chr(2), 'g') AS h FROM h1),
        |h2 AS (SELECT doc_id,
        |    string_split(regexp_replace(h, '${Html.BreakRe}', chr(10), 'g'),
        |      chr(10)) AS ls
-       |  FROM h1),
+       |  FROM hp),
        |l0 AS (SELECT doc_id, i, ls[i] AS line
        |  FROM h2, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
        |l1 AS (SELECT doc_id, i,
-       |    trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
+       |    trim(regexp_replace(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
+       |      '[' || chr(1) || chr(2) || ']', ' ', 'g'),
        |      '\\s+', ' ', 'g')) AS t,
        |    coalesce(list_sum(list_transform(
-       |      regexp_extract_all(line, '${Html.AnchorRe}', 1), a -> len(a))), 0) AS lc
+       |      regexp_extract_all(line, '${Html.AnchorRe}', 1), a -> len(a))), 0) AS lc,
+       |    len(line) - len(replace(line, chr(1), '')) AS op,
+       |    len(line) - len(replace(line, chr(2), '')) AS cl
        |  FROM l0),
+       |l1e AS (SELECT doc_id, i, t, lc, op, cl,
+       |    coalesce(SUM(op - cl) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sb
+       |  FROM l1),
        |l2 AS (SELECT doc_id, i, t, lc,
-       |    (len(t) >= ${Html.MinTextChars} AND 2 * lc <= len(t)) AS keep
-       |  FROM l1 WHERE len(t) > 0),
+       |    ((sb > 0 OR op > 0 OR cl > 0)
+       |     OR (len(t) >= ${Html.MinTextChars} AND 2 * lc <= len(t))) AS keep
+       |  FROM l1e WHERE len(t) > 0),
        |u AS (SELECT doc_id, i, keep, lc, $unesc AS ut FROM l2)""".stripMargin
   }
 

@@ -8,25 +8,51 @@ import org.apache.spark.sql.functions._
   * crawled HTML, not clean text): strip non-content subtrees, break the
   * markup into visual lines at block-element boundaries, then keep a
   * line iff it reads like body text — long enough and not link-dense
-  * (the jusText / trafilatura line-level heuristic family).
+  * (the jusText / trafilatura line-level heuristic family) — or sits
+  * inside a `<pre>`/`<code>` block (FineWeb keeps code; code lines are
+  * short and symbol-heavy by nature, so the prose heuristics must not
+  * judge them).
   *
   * Everything is `org.apache.spark.sql.functions` string expressions
-  * and higher-order array functions — whole-stage-codegen'd, map-only,
-  * no shuffle, no UDF — and every rule replays in ANSI SQL (RE2-safe
-  * regexes: no backreferences, lazy quantifiers only), so the
-  * t_html_extract gate hash-pins the extractor byte-for-byte.
+  * and higher-order array functions — map-only, no shuffle, no UDF —
+  * and every rule replays in ANSI SQL (RE2-safe regexes: no
+  * backreferences, lazy quantifiers only; `(?i)` and `[\s\S]` are
+  * RE2-valid), so the t_html_extract gate hash-pins the extractor
+  * byte-for-byte.
+  *
+  * Real-crawl hardening (round 15): all tag regexes are
+  * case-insensitive (`</P>`, `<BR/>`, `<SCRIPT>` are everyday crawl
+  * markup), HTML comments are stripped explicitly (the generic
+  * tag-strip would cut `<!-- a > b -->` at the first `>` and leak
+  * ` b -->` into line text), script/style/head bodies match across
+  * raw newlines (`[\s\S]*?` — lazy `.` stops at `\n`), `<head>` may
+  * carry attributes (without catching `<header>`, hence
+  * `(?:\s[^>]*)?`), and a bare `<a>` anchor contributes link mass.
   *
   * Pipeline:
-  *   1. drop `<script>`/`<style>` subtrees and the whole `<head>`
-  *   2. turn closing block tags + `<br>` into line breaks
-  *   3. per line: text = tag-strip + whitespace-collapse + trim;
-  *      link mass = Σ length of `<a …>…</a>` inner texts
-  *   4. keep iff `len(text) >= MinTextChars` and
-  *      `2 * link_mass <= len(text)` (link density ≤ ½)
-  *   5. unescape HTML entities on the KEPT text only — after
+  *   1. drop comments, `<script>`/`<style>` subtrees and the whole
+  *      `<head>`
+  *   2. mark `<pre>`/`<code>` boundaries with sentinel chars
+  *      (\u0001 open / \u0002 close — neither survives to output)
+  *   3. turn closing block tags + `<br>` into line breaks
+  *   4. per line: text = tag-strip + sentinel-strip +
+  *      whitespace-collapse + trim; link mass = Σ length of
+  *      `<a …>…</a>` inner texts; pre-depth = running Σ(opens−closes)
+  *   5. keep iff inside a pre/code block (depth before the line > 0,
+  *      or the line carries a boundary itself) OR `len(text) >=
+  *      MinTextChars` and `2 * link_mass <= len(text)` (link density
+  *      ≤ ½)
+  *   6. unescape HTML entities on the KEPT text only — after
   *      tag-strip, so `&lt;tags&gt;` in content cannot be eaten as
   *      markup; `&amp;` is decoded LAST so `&amp;lt;` correctly yields
   *      the literal `&lt;`
+  *
+  * The pre-depth is an UNCLAMPED running sum (replayable as a window
+  * SUM in any engine): a stray unmatched `</pre>` drives the depth
+  * negative and suppresses the exemption until markup rebalances —
+  * the documented behavior on malformed input, chosen over clamping
+  * because a clamped scan is not expressible as a plain window
+  * aggregate.
   */
 object Html {
 
@@ -44,44 +70,98 @@ object Html {
   private[graft] val MinTextChars = 10
 
   private[graft] val BreakRe: String =
-    "</(" + BlockTags.mkString("|") + ")>|<br */?>"
-  private[graft] val AnchorRe: String = "<a [^>]*>(.*?)</a>"
+    "(?i)</(" + BlockTags.mkString("|") + ")>|<br\\s*/?>"
+
+  /** `(?:\s[^>]*)?` — attributes optional, so a bare `<a>` still
+    * contributes its inner text to link mass. */
+  private[graft] val AnchorRe: String = "(?i)<a(?:\\s[^>]*)?>(.*?)</a>"
+
+  /** Non-content strips. Comments FIRST (commented-out markup must
+    * not be seen by any later rule); element bodies span newlines. */
+  private[graft] val CommentRe: String = "<!--[\\s\\S]*?-->"
+  private[graft] val ScriptRe: String =
+    "(?i)<script(?:\\s[^>]*)?>[\\s\\S]*?</script>"
+  private[graft] val StyleRe: String =
+    "(?i)<style(?:\\s[^>]*)?>[\\s\\S]*?</style>"
+  private[graft] val HeadRe: String =
+    "(?i)<head(?:\\s[^>]*)?>[\\s\\S]*?</head>"
+
+  /** Pre/code boundary sentinels: substituted before line-breaking so
+    * per-line open/close counts (and their running sum) identify the
+    * lines exempt from the prose heuristics. `<pre>` is block-level —
+    * its sentinels carry a line break, isolating the block on its own
+    * lines — while `<code>` is inline: its sentinels exempt the
+    * CONTAINING line without splitting the sentence around an inline
+    * code span. The control chars never occur in text and are
+    * stripped from the output. Oracle side: chr(1)/chr(2). */
+  private[graft] val PreOpen = "\u0001"
+  private[graft] val PreClose = "\u0002"
+  private[graft] val PreOpenRe: String = "(?i)<pre(?:\\s[^>]*)?>"
+  private[graft] val PreCloseRe: String = "(?i)</pre>"
+  private[graft] val CodeOpenRe: String = "(?i)<code(?:\\s[^>]*)?>"
+  private[graft] val CodeCloseRe: String = "(?i)</code>"
 
   def unescapeEntities(c: Column): Column =
     Entities.foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
 
-  /** Drop subtrees that never carry content. Lazy `.*?` keeps each
-    * strip inside its own element; the synthetic fixtures (and crawl
-    * practice) put no raw newlines inside these, so default
-    * `.`-excludes-newline semantics match RE2's. */
+  /** Drop subtrees that never carry content. */
   def stripNonContent(html: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(html,
-      "<script[^>]*>.*?</script>", " "),
-      "<style[^>]*>.*?</style>", " "),
-      "<head>.*?</head>", " ")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      CommentRe, " "),
+      ScriptRe, " "),
+      StyleRe, " "),
+      HeadRe, " ")
 
-  /** Non-blank visual lines as `struct(t: clean text, lc: link mass)`. */
+  /** Non-blank visual lines as `struct(t: clean text, lc: link mass,
+    * ex: inside-pre/code exemption)`. The exemption is a prefix scan
+    * (depth of pre/code blocks open BEFORE the line, or a boundary on
+    * the line itself) computed by one linear fold over the line array
+    * — still map-only, no shuffle; the oracle replays it as a window
+    * SUM over the unnested lines. */
   def scoredLines(html: Column): Column = {
-    val lines = split(regexp_replace(stripNonContent(html), BreakRe, "\n"), "\n")
+    val marked = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      stripNonContent(html),
+      PreOpenRe, "\n" + PreOpen), PreCloseRe, PreClose + "\n"),
+      CodeOpenRe, PreOpen), CodeCloseRe, PreClose)
+    val lines = split(regexp_replace(marked, BreakRe, "\n"), "\n")
     val scored = transform(lines, l => {
-      val t = trim(regexp_replace(regexp_replace(l, "<[^>]*>", " "), "\\s+", " "))
+      val t = trim(regexp_replace(regexp_replace(regexp_replace(l,
+        "<[^>]*>", " "), "[\u0001\u0002]", " "), "\\s+", " "))
       val lc = aggregate(
         transform(regexp_extract_all(l, lit(AnchorRe), lit(1)), a => length(a)),
         lit(0), (acc, x) => acc + x)
-      struct(t.as("t"), lc.as("lc"))
+      val op = length(l) - length(replace(l, lit(PreOpen), lit("")))
+      val cl = length(l) - length(replace(l, lit(PreClose), lit("")))
+      struct(t.as("t"), lc.as("lc"), op.as("op"), cl.as("cl"))
     })
-    filter(scored, s => length(s.getField("t")) > 0)
+    val zero = struct(lit(0).as("s"),
+      expr("CAST(array() AS array<struct<t:string,lc:int,ex:boolean>>)")
+        .as("out"))
+    val flagged = aggregate(scored, zero,
+      (acc, x) => struct(
+        (acc.getField("s") + x.getField("op") - x.getField("cl")).as("s"),
+        concat(acc.getField("out"), array(struct(
+          x.getField("t").as("t"), x.getField("lc").as("lc"),
+          (acc.getField("s") > 0 || x.getField("op") > 0 ||
+            x.getField("cl") > 0).as("ex")))).as("out")),
+      acc => acc.getField("out"))
+    filter(flagged, s => length(s.getField("t")) > 0)
   }
 
-  /** The line-level keep rule (step 4 above). */
+  /** The prose keep rule (step 5's length/density leg). */
   def keepRule(t: Column, lc: Column): Column =
     length(t) >= MinTextChars && lc * 2 <= length(t)
+
+  /** Full keep decision on a [[scoredLines]] struct: pre/code lines
+    * are exempt from the prose heuristics. */
+  def keepLine(s: Column): Column =
+    s.getField("ex") || keepRule(s.getField("t"), s.getField("lc"))
 
   /** The extracted main content from a [[scoredLines]] column: kept
     * lines, entity-unescaped, joined with `\n` in document order. */
   def extractFromLines(ls: Column): Column =
     concat_ws("\n",
-      transform(filter(ls, s => keepRule(s.getField("t"), s.getField("lc"))),
+      transform(filter(ls, keepLine _),
         s => unescapeEntities(s.getField("t"))))
 
   /** The extracted main content of an HTML document. */

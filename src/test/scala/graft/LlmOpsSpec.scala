@@ -2476,15 +2476,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(half == "0123456789 0123456789")
   }
 
+  test("html extract hardening: uppercase tags, comments, pre/code, bare anchors") {
+    import graft.text.Html
+    def x(page: String): String = Seq(page).toDF("html")
+      .select(Html.extractMainText(col("html"))).head.getString(0)
+    // uppercase block/break/script tags are everyday crawl markup
+    assert(x("<P>Uppercase paragraph number one.<BR/>Uppercase line two here.</P>")
+      == "Uppercase paragraph number one.\nUppercase line two here.")
+    assert(x("<SCRIPT>\nvar links = \"<a href=/x>never</a>\";\n</SCRIPT>" +
+      "<p>Real paragraph after the script block.</p>")
+      == "Real paragraph after the script block.")
+    assert(x("<STYLE media=\"all\">\np{color:red}\n</STYLE>" +
+      "<p>Real paragraph after the style block.</p>")
+      == "Real paragraph after the style block.")
+    // a comment containing '>' must vanish whole (generic tag-strip
+    // would cut at the first '>' and leak ' b -->' into line text)
+    assert(x("<p>Before the comment plant.</p><!-- a > b -->" +
+      "<p>After the comment plant text.</p>")
+      == "Before the comment plant.\nAfter the comment plant text.")
+    // <head> with attributes is dropped whole; <header> is NOT eaten
+    // by the head rule (it is a block tag with content)
+    assert(x("<head lang=\"en\"><title>T</title></head>" +
+      "<header>Site header headline text</header><p>Body paragraph text here.</p>")
+      == "Site header headline text\nBody paragraph text here.")
+    // pre blocks: short, link-bearing code lines survive — the middle
+    // line only via the running-depth window (no boundary on it)
+    assert(x("<p>Intro prose paragraph before code.</p>" +
+      "<pre>x = <a href=\"/api/f\">f</a>(1)\nm = h(3)\ny = g(2)</pre>")
+      == "Intro prose paragraph before code.\nx = f (1)\nm = h(3)\ny = g(2)")
+    // inline <code> exempts its containing line without splitting it
+    // ("Use f(x)" is 8 chars — under MinTextChars without the exemption)
+    assert(x("<p>Use <code>f(x)</code></p>") == "Use f(x)")
+    // a BARE <a> (no attributes) contributes link mass: 2*18 > 19
+    assert(x("<div><a>promo one</a> <a href=\"/p\">promo two</a></div>") == "")
+    // unmatched </pre> drives depth negative: the following short
+    // line is NOT exempt (documented malformed-markup behavior)
+    assert(x("</pre>\nshort\n<pre>ok(1)</pre>") == "ok(1)")
+  }
+
   test("t_html_extract gate: per-doc recovery of the planted page structure") {
     val out = graft.queries.LlmOps.htmlExtract(spark, sf001).collect()
     val nDocs = docs.count()
     assert(out.length == nDocs)
-    // the planted page always has 7 non-blank lines, 3 of them kept
-    assert(out.forall(r => r.getLong(1) == 7L && r.getLong(2) == 3L))
-    // dropped boilerplate link mass: nav 16 + aside 16 + footer 19 = 51
-    assert(out.forall(_.getLong(3) == 51L))
-    // the extracted text IS headline + text-with-entities + citation
+    // the planted page always has 13 non-blank lines, 8 of them kept
+    // (h1, main p, uppercase P x2, citation, pre block x3)
+    assert(out.forall(r => r.getLong(1) == 13L && r.getLong(2) == 8L))
+    // dropped boilerplate link mass: nav 16 + bare-anchor promo 18 +
+    // aside 16 + footer 19 = 69
+    assert(out.forall(_.getLong(3) == 69L))
+    // the extracted text IS headline + text-with-entities + uppercase
+    // plant + citation + the pre-exempt code lines
     val byId = docs.select("doc_id", "text", "source").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -2493,7 +2534,10 @@ class LlmOpsSpec extends AnyFunSuite {
       val (text, src) = byId(id)
       val want = s"Section ${id % 7} overview notes\n" +
         s"""$text & more <tags> "quoted"\n""" +
-        s"See reference $id for details about $src corpus section ${id % 7}."
+        "Uppercase markup doesn't scare this extractor.\n" +
+        "Break two holds inline_code() tail.\n" +
+        s"See reference $id for details about $src corpus section ${id % 7}.\n" +
+        "x = f (1)\nm = h(3)\ny = g(2)"
       val wantMd5 = md.digest(want.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       assert(r.getLong(4) == want.length.toLong, s"doc $id main_chars")
