@@ -6407,16 +6407,28 @@ object LlmOps {
     * canonicalization rule: mixed-case scheme/host/TLD, `WWW.` casing,
     * default ports on both schemes plus a KEPT non-default `:8080`,
     * an unreserved `%7E` (decoded) next to a reserved `%2F` (must stay
-    * encoded), two `utm_*` tracking params interleaved with two real
-    * params in unsorted order, and a fragment. */
+    * encoded), FIVE raw spellings of the same path — plain, `/./`
+    * noise, a one-level `/../` traversal, a three-level traversal
+    * (forces ≥ 3 remove_dot_segments passes), and all-lowercase hex
+    * (`%7e` decodes, `%2f` case-normalizes to `%2F`) — an escaped
+    * `%32` spelling of a query value (`b=%32` == `b=2`), two `utm_*`
+    * tracking params interleaved with two real params in unsorted
+    * order, and a fragment. The spelling moduli (5, 11) are coprime
+    * to the grouping moduli, so every canonical group mixes raw
+    * spellings and the dedup key provably collapses them. */
   private[graft] def rawUrl(d: Column, src: Column): Column = concat(
     when(d % 2 === 0, "https").otherwise("HTTP"), lit("://"),
     when(d % 4 === 0, "WWW.").otherwise("www."), src, lit(".Example."),
     when(d % 3 === 0, "com").when(d % 3 === 1, "COM").otherwise("Com"),
     when(d % 50 === 3, ":8080").when(d % 2 === 0, ":443").otherwise(":80"),
-    lit("/a/%7Eitem%2Fx/"), (d % 7).cast("string"),
+    when(d % 5 === 0, "/a/./%7Eitem%2Fx/")
+      .when(d % 5 === 1, "/drop/../a/%7Eitem%2Fx/")
+      .when(d % 5 === 2, "/u/v/w/../../../a/%7Eitem%2Fx/")
+      .when(d % 5 === 3, "/a/%7eitem%2fx/")
+      .otherwise("/a/%7Eitem%2Fx/"), (d % 7).cast("string"),
     lit("?utm_source=s"), (d % 3).cast("string"),
-    lit("&b=2&utm_campaign=c&a="), (d % 2).cast("string"),
+    when(d % 11 === 0, "&b=%32").otherwise("&b=2"),
+    lit("&utm_campaign=c&a="), (d % 2).cast("string"),
     lit("#frag"), (d % 3).cast("string"))
 
   /** URL canonicalization + URL-level exact dedup, rolled up per
@@ -6457,15 +6469,29 @@ object LlmOps {
     * drift between the engines. */
   private val UrlCanonCtes: String = {
     // mirror of Url.pctDecodeUnreserved: two dangling-escape
-    // neutralization passes (DuckDB backreference syntax \1), the
-    // shared decode-table fold, sentinel restored last
+    // neutralization passes (DuckDB backreference syntax \\1), the
+    // shared decode-table fold (both hex cases), the shared reserved
+    // hex-case-norm fold, sentinel restored last
     val re = graft.text.Url.DanglingRe
     def neut(x: String) = s"regexp_replace($x, '$re', chr(1) || '\\1\\2', 'g')"
-    val guarded = neut(neut("p0"))
-    val folded = graft.text.Url.PctDecode.foldLeft(guarded) {
-      case (acc, (code, ch)) => s"replace($acc, '$code', '$ch')"
+    def decode(in0: String): String = {
+      val folded = graft.text.Url.PctDecode.foldLeft(neut(neut(in0))) {
+        case (acc, (code, ch)) => s"replace($acc, '$code', '$ch')"
+      }
+      val cased = graft.text.Url.HexCaseNorm.foldLeft(folded) {
+        case (acc, (lo, up)) => s"replace($acc, '$lo', '$up')"
+      }
+      s"replace($cased, chr(1), '%')"
     }
-    val decoded = s"replace($folded, chr(1), '%')"
+    // mirror of Url.removeDotSegments: the same bounded 6-rule pass,
+    // DotSegPasses times
+    val undot = (1 to graft.text.Url.DotSegPasses).foldLeft("pd") { (x, _) =>
+      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(regexp_replace($x, " +
+        s"'/\\./', '/', 'g'), '/\\.$$', '/', 'g'), " +
+        s"'/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/', 'g'), " +
+        s"'^/\\.\\./', '/', 'g'), '^/\\.\\.$$', '/', 'g')"
+    }
     s"""raw AS (SELECT doc_id,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
        |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END)
@@ -6474,9 +6500,14 @@ object LlmOps {
        |             WHEN doc_id % 3 = 1 THEN 'COM' ELSE 'Com' END)
        |    || (CASE WHEN doc_id % 50 = 3 THEN ':8080'
        |             WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-       |    || '/a/%7Eitem%2Fx/' || CAST(doc_id % 7 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN '/a/./%7Eitem%2Fx/'
+       |             WHEN doc_id % 5 = 1 THEN '/drop/../a/%7Eitem%2Fx/'
+       |             WHEN doc_id % 5 = 2 THEN '/u/v/w/../../../a/%7Eitem%2Fx/'
+       |             WHEN doc_id % 5 = 3 THEN '/a/%7eitem%2fx/'
+       |             ELSE '/a/%7Eitem%2Fx/' END) || CAST(doc_id % 7 AS VARCHAR)
        |    || '?utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
-       |    || '&b=2&utm_campaign=c&a=' || CAST(doc_id % 2 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 11 = 0 THEN '&b=%32' ELSE '&b=2' END)
+       |    || '&utm_campaign=c&a=' || CAST(doc_id % 2 AS VARCHAR)
        |    || '#frag' || CAST(doc_id % 3 AS VARCHAR) AS url
        |  FROM documents),
        |parts AS (SELECT doc_id,
@@ -6485,16 +6516,17 @@ object LlmOps {
        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p0,
        |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q0
        |  FROM raw),
+       |pdec AS (SELECT doc_id, scheme, hp, q0, ${decode("p0")} AS pd FROM parts),
        |canon AS (SELECT doc_id,
        |    CASE WHEN scheme = 'https' AND hp LIKE '%:443'
        |           THEN substr(hp, 1, len(hp) - 4)
        |         WHEN scheme = 'http' AND hp LIKE '%:80'
        |           THEN substr(hp, 1, len(hp) - 3)
        |         ELSE hp END AS host,
-       |    scheme, $decoded AS path,
-       |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+       |    scheme, $undot AS path,
+       |    array_to_string(list_sort(list_filter(string_split(${decode("q0")}, '&'),
        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS qs
-       |  FROM parts),
+       |  FROM pdec),
        |curls AS (SELECT doc_id,
        |    scheme || '://' || host || path
        |      || (CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END) AS curl,

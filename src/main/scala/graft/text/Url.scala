@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   *   - default ports stripped (`:443` for https, `:80` for http);
   *     non-default ports KEPT
   *   - percent-decoding of UNRESERVED octets only (ALPHA / DIGIT /
-  *     `-` `.` `_` `~`, uppercase-hex forms) — reserved octets like
-  *     `%2F` stay encoded (decoding them would change the path)
+  *     `-` `.` `_` `~`, both hex cases — §6.2.2.1) in the PATH and
+  *     the QUERY — reserved octets like `%2F` stay encoded (decoding
+  *     them would change the path) but their hex digits are
+  *     case-normalized to uppercase (`%2f` → `%2F`); escapes of
+  *     octets outside unreserved+reserved (raw UTF-8 bytes like
+  *     `%C3`) keep their original case — a documented gap, they are
+  *     rare in dedup-relevant URL spellings
+  *   - dot-segments removed from the decoded path (§6.2.2.3):
+  *     `/a/./b` and `/a/c/../b` both collapse to `/a/b`
   *   - tracking parameters dropped (`utm_*`), remaining parameters
   *     sorted; the `?` disappears when nothing is left
   *   - fragment dropped
@@ -31,10 +38,28 @@ import org.apache.spark.sql.functions._
 object Url {
 
   /** Unreserved-octet decode table, shared verbatim with the DuckDB
-    * oracle so the two engines cannot drift. */
+    * oracle so the two engines cannot drift. Both hex-case forms of
+    * each octet (`%7E` and `%7e`) decode — RFC 3986 §6.2.2.1 treats
+    * escape hex as case-insensitive. */
   private[graft] val PctDecode: Seq[(String, String)] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
-      .map(c => (f"%%${c.toInt}%02X", c.toString))
+      .flatMap { c =>
+        val up = f"%%${c.toInt}%02X"
+        val lo = f"%%${c.toInt}%02x"
+        (up -> c.toString) +: (if (lo != up) Seq(lo -> c.toString) else Nil)
+      }
+
+  /** Hex-case normalization for escapes that stay encoded: the RFC
+    * 3986 reserved set's lowercase-hex spellings map to uppercase
+    * (`%2f` → `%2F`), so two crawls differing only in escape hex case
+    * share a dedup key. Only reserved octets whose second hex digit
+    * is a letter need an entry. */
+  private[graft] val HexCaseNorm: Seq[(String, String)] =
+    ":/?#[]@!$&'()*+,;=".flatMap { c =>
+      val up = f"%%${c.toInt}%02X"
+      val lo = f"%%${c.toInt}%02x"
+      if (lo != up) Seq(lo -> up) else Nil
+    }
 
   /** DANGLING-escape neutralization (round-14 review): a sequential
     * replace fold is not a single-pass decoder — decoding `%44` → `D`
@@ -52,7 +77,8 @@ object Url {
   private[graft] val DanglingRe = "%([0-9A-Fa-f]?)([^0-9A-Fa-f]|$)"
   private[graft] val Sentinel = "\u0001"
 
-  /** Percent-decode unreserved octets (uppercase-hex forms). */
+  /** Percent-decode unreserved octets (both hex cases) and uppercase
+    * the hex of reserved escapes that stay encoded. */
   def pctDecodeUnreserved(c: Column): Column = {
     def neutralize(x: Column): Column =
       regexp_replace(x, DanglingRe, Sentinel + "$1$2")
@@ -60,8 +86,34 @@ object Url {
     val decoded = PctDecode.foldLeft(guarded) { case (acc, (code, ch)) =>
       replace(acc, lit(code), lit(ch))
     }
-    replace(decoded, lit(Sentinel), lit("%"))
+    // decoded output chars are unreserved (never '%'), so the
+    // case-norm fold sees only escapes that were in the raw input
+    val cased = HexCaseNorm.foldLeft(decoded) { case (acc, (lo, up)) =>
+      replace(acc, lit(lo), lit(up))
+    }
+    replace(cased, lit(Sentinel), lit("%"))
   }
+
+  /** RFC 3986 §6.2.2.3 remove_dot_segments, as a BOUNDED fold of
+    * regex passes (deterministic and replayable in any engine — the
+    * reference algorithm's segment loop is not): each pass collapses
+    * `/./`, a trailing `/.`, one level of `/seg/../` (innermost-first,
+    * left-to-right), a trailing `/seg/..`, and a rootward `/../`.
+    * [[DotSegPasses]] passes resolve any path with up to that many
+    * nested `..` levels; deeper traversal chains (hand-crafted, not
+    * crawl reality) may retain residual dot-segments — the documented
+    * bound. Runs AFTER percent-decoding, so `/%2E%2E/` collapses like
+    * `/../` (the RFC's ordering). */
+  private[graft] val DotSegPasses = 8
+  def removeDotSegments(p: Column): Column =
+    (1 to DotSegPasses).foldLeft(p) { (x, _) =>
+      val a = regexp_replace(x, "/\\./", "/")
+      val b = regexp_replace(a, "/\\.$", "/")
+      val c2 = regexp_replace(b, "/[^/]+/\\.\\./", "/")
+      val d = regexp_replace(c2, "/[^/]+/\\.\\.$", "/")
+      val e = regexp_replace(d, "^/\\.\\./", "/")
+      regexp_replace(e, "^/\\.\\.$", "/")
+    }
 
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -100,9 +152,12 @@ object Url {
       .otherwise(hp)
   }
 
-  /** Canonical query string: `utm_*` params dropped, rest sorted. */
+  /** Canonical query string: unreserved escapes decoded (`?q=%41` ==
+    * `?q=A` — decode FIRST, so an escaped `%75tm_` spelling cannot
+    * smuggle a tracking param past the filter), `utm_*` params
+    * dropped, rest sorted. */
   private def canonicalQuery(url: Column): Column = {
-    val kept = array_sort(filter(split(queryOf(url), "&"),
+    val kept = array_sort(filter(split(pctDecodeUnreserved(queryOf(url)), "&"),
       p => !p.startsWith("utm_") && p =!= ""))
     array_join(kept, "&")
   }
@@ -112,7 +167,7 @@ object Url {
     val q = canonicalQuery(url)
     concat(
       schemeOf(url), lit("://"), canonicalHost(url),
-      pctDecodeUnreserved(pathOf(url)),
+      removeDotSegments(pctDecodeUnreserved(pathOf(url))),
       when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
   }
 }

@@ -2352,6 +2352,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(malformed(3) == "https://h.example.com/x%2", malformed(3))
   }
 
+  test("url canonicalize: dot segments, query decoding, escape hex case (round 15)") {
+    import graft.text.Url
+    def c(u: String): String =
+      Seq(u).toDF("url").select(Url.canonicalize(col("url"))).head.getString(0)
+    // RFC 3986 6.2.2.3: /./ noise and /seg/../ traversal collapse
+    assert(c("https://h.example.com/a/./b/../c") == "https://h.example.com/a/c")
+    assert(c("https://h.example.com/a/b/../c")
+      == c("https://h.example.com/a/c"))
+    // three nested levels force >= 3 remove_dot_segments passes
+    assert(c("https://h.example.com/u/v/w/../../../z") == "https://h.example.com/z")
+    // rootward .. cannot climb above / ; trailing /. and /seg/.. resolve
+    assert(c("https://h.example.com/../a") == "https://h.example.com/a")
+    assert(c("https://h.example.com/a/b/..") == "https://h.example.com/a/")
+    assert(c("https://h.example.com/a/.") == "https://h.example.com/a/")
+    // decode runs FIRST: %2E%2E is a dot-segment in disguise (RFC order)
+    assert(c("https://h.example.com/a/%2E%2E/b") == "https://h.example.com/b")
+    // 6.2.2.1 hex case: lowercase unreserved escapes decode; reserved
+    // escapes that stay encoded are case-normalized to uppercase
+    assert(c("https://h.example.com/%7ezoe%2fx") == "https://h.example.com/~zoe%2Fx")
+    assert(c("https://h.example.com/%7ezoe%2fx")
+      == c("https://h.example.com/%7Ezoe%2Fx"))
+    // query VALUES decode too: ?q=%41 == ?q=A (and sort sees decoded)
+    assert(c("https://h.example.com/p?q=%41") == c("https://h.example.com/p?q=A"))
+    // decode-before-filter: an escaped %75tm_ spelling IS a utm_ param
+    assert(c("https://h.example.com/p?%75tm_source=x&a=1")
+      == "https://h.example.com/p?a=1")
+  }
+
   test("t_topic_mix: over-populated cells downsampled toward the uniform cap, deterministic") {
     val out = graft.queries.LlmOps.topicMix(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
