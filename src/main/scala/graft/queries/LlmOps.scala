@@ -3490,6 +3490,144 @@ object LlmOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-family) tokenizer (t_unigram_encode) —
+  // the other production tokenizer family beside BPE: segmentation is
+  // a per-word Viterbi DP under a scored piece vocabulary, not a merge
+  // fold (round-14 verdict #3)
+  // ---------------------------------------------------------------------
+
+  private val UnigramMaxPieceLen = 4
+  private val UnigramMultiPieces = 24
+  private val UnigramInf = java.lang.Long.MAX_VALUE / 4
+
+  /** Corpus-derived integer-scored piece vocabulary — the
+    * SentencePiece seed-vocab construction reduced to its
+    * deterministic core: candidates are all code-point substrings of
+    * vocabulary words up to length [[UnigramMaxPieceLen]], frequency =
+    * Σ word_freq · occurrences; the vocabulary keeps ALL single code
+    * points (every word stays segmentable) plus the top
+    * [[UnigramMultiPieces]] multi-char pieces by (freq DESC, piece
+    * ASC). Scores are micro-unit integer surrogates of −log p:
+    * cost(p) = (bitlen(total) − bitlen(freq_p))·10⁶ + 1000 — bit
+    * length is an EXACT integer floor-log2 both engines agree on
+    * (`len(bin(x))` in SQL, 64 − numberOfLeadingZeros here), where a
+    * transcendental log could flip a DP tie cross-engine (the
+    * dsirSample linear-squash precedent). OOV floor: an unknown
+    * single code point costs (bitlen(total)+10)·10⁶.
+    *
+    * Scale shape: substring generation + piece counts are one
+    * vocabulary-sized aggregation (map-side combined); the selected
+    * table is tokenizer-sized by contract and rides to executors as a
+    * codegen reference object (the BPE-merge discipline). */
+  private def unigramVocab(s: SparkSession, dir: String): (Seq[(String, Long)], Long) = {
+    val pieceFreq = bpeWordFreq(s, dir)
+      .select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(1),
+            least(lit(UnigramMaxPieceLen), length(col("word")) - i + lit(1))),
+            L => col("word").substr(i, L))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val singles = pieceFreq.filter(p => cpLen(p._1) == 1)
+    val multi = pieceFreq.filter(p => cpLen(p._1) > 1)
+      .sortBy { case (p, f) => (-f, p) }.take(UnigramMultiPieces)
+    val sel = (singles ++ multi).toSeq
+    val tot = sel.map(_._2).sum
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    (sel.map { case (p, f) => p -> ((blen(tot) - blen(f)) * 1000000L + 1000L) }
+      .sortBy(_._1),
+      (blen(tot) + 10L) * 1000000L)
+  }
+
+  /** Unigram-LM ENCODE gate: every vocabulary word's minimum-cost
+    * piece sequence under the corpus-derived scored vocabulary
+    * ([[org.apache.spark.sql.graft.UnigramTokens.unigram_encode]] —
+    * Viterbi, ties to the longest final piece), with piece count,
+    * space-joined pieces and the exact integer path cost. Greedy
+    * longest-match is NOT optimal under a scored vocabulary (spec'd on
+    * a planted word); the DP is, and the DuckDB oracle replays it as a
+    * per-word recursive-CTE DP over the identical integer scores.
+    *
+    * Scale shape: vocabulary learning is one aggregation; encoding is
+    * a map pass with O(len·maxPieceLen) hash probes per word — at
+    * 100 TB the encode runs at scan speed like t_bpe_encode. */
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, unk) = unigramVocab(s, dir)
+    val vm = typedlit(vocab.toMap)
+    bpeWordFreq(s, dir)
+      .select(col("word"), col("freq"),
+        org.apache.spark.sql.graft.UnigramTokens
+          .unigram_encode(col("word"), vocab, unk).as("ps"))
+      .select(col("word"), col("freq"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        array_join(col("ps"), " ").as("pieces"),
+        aggregate(transform(col("ps"),
+          p => coalesce(element_at(vm, p), lit(unk))),
+          lit(0L), (a, x) => a + x).as("cost"))
+      .orderBy(col("word"))
+  }
+
+  /** Oracle: vocabulary CTEs (substring census → single-chars + top-K
+    * multi → bit-length scores → one MAP value), then the Viterbi DP
+    * as a recursive CTE per word (dp/backpointer lists grow one
+    * position per iteration; candidates are a `list_transform` over
+    * the ≤ maxPieceLen lookback window, argmin via `list_sort` on
+    * (cost, j) — the same longest-final-piece tie-break), then a
+    * second recursion backtracking the piece sequence. */
+  val unigramEncodeSql: String = {
+    val k = UnigramMaxPieceLen
+    val best = (fld: String) =>
+      s"""list_sort(list_transform(range(greatest(0, i - ${k - 1}), i + 1),
+         |      j -> {'c': CASE WHEN d[j+1] >= $UnigramInf THEN CAST($UnigramInf AS BIGINT)
+         |                      ELSE d[j+1] + coalesce(map_extract(m, word[j+1:i+1])[1],
+         |                        CASE WHEN i - j = 0 THEN u ELSE CAST($UnigramInf AS BIGINT) END) END,
+         |            'j': j}))[1].$fld""".stripMargin
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |       FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
+       |       GROUP BY word),
+       |sub AS (SELECT freq, word[i:i+L-1] AS piece
+       |        FROM w0,
+       |          LATERAL (SELECT unnest(range(1, len(word)+1)) AS i),
+       |          LATERAL (SELECT unnest(range(1, ${k + 1})) AS L)
+       |        WHERE i + L - 1 <= len(word)),
+       |pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS f FROM sub GROUP BY piece),
+       |vocab AS (SELECT piece, f FROM pf WHERE len(piece) = 1
+       |          UNION ALL
+       |          SELECT piece, f FROM (SELECT piece, f FROM pf WHERE len(piece) > 1
+       |                                ORDER BY f DESC, piece LIMIT $UnigramMultiPieces)),
+       |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM vocab),
+       |vc AS (SELECT piece, CAST((len(bin(t)) - len(bin(f))) * 1000000 + 1000 AS BIGINT) AS cost
+       |       FROM vocab CROSS JOIN tot),
+       |vmu AS (SELECT map_from_entries(list({'k': piece, 'v': cost})) AS m,
+       |               (SELECT CAST((len(bin(t)) + 10) AS BIGINT) * 1000000 FROM tot) AS u
+       |        FROM vc),
+       |wn AS (SELECT word, freq, len(word) AS n, m, u FROM w0 CROSS JOIN vmu),
+       |dp AS (
+       |  SELECT word, freq, n, m, u, CAST(0 AS BIGINT) AS i,
+       |    [CAST(0 AS BIGINT)] AS d, [CAST(-1 AS BIGINT)] AS bk
+       |  FROM wn
+       |  UNION ALL
+       |  SELECT word, freq, n, m, u, i + 1,
+       |    list_append(d, ${best("c")}),
+       |    list_append(bk, ${best("j")})
+       |  FROM dp WHERE i < n),
+       |fin AS (SELECT word, freq, n, d, bk FROM dp WHERE i = n),
+       |bt AS (
+       |  SELECT word, freq, n, d, bk, CAST(n AS BIGINT) AS pos,
+       |    CAST([] AS VARCHAR[]) AS pcs
+       |  FROM fin
+       |  UNION ALL
+       |  SELECT word, freq, n, d, bk, bk[pos+1] AS pos,
+       |    list_prepend(word[bk[pos+1]+1:pos], pcs)
+       |  FROM bt WHERE pos > 0)
+       |SELECT word, freq, CAST(len(pcs) AS BIGINT) AS n_pieces,
+       |  array_to_string(pcs, ' ') AS pieces, d[n+1] AS cost
+       |FROM bt WHERE pos = 0 ORDER BY word""".stripMargin
+  }
+
   /** Strict-budget (no-straddle) packing gate: next-fit within id
     * buckets — a doc that would overflow the open sequence closes it —
     * so every multi-doc sequence holds ≤ 256 tokens

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.UnigramTokens
+
+/** Unigram-LM (SentencePiece-family) Viterbi segmentation: optimality
+  * vs greedy longest-match, the longest-final-piece tie-break, the OOV
+  * single-char floor, code-point symbol units, and the corpus gate's
+  * cost/piece reconciliation. */
+class UnigramSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private val unk = 99000000L
+
+  private def seg(word: String, vocab: Seq[(String, Long)]): Seq[String] =
+    Seq(word).toDF("w")
+      .select(UnigramTokens.unigram_encode(col("w"), vocab, unk))
+      .head.getSeq[String](0)
+
+  test("Viterbi beats greedy longest-match on a planted ambiguous word") {
+    // greedy longest-match from the left grabs "abc" and is stuck with
+    // an expensive "d"; the optimal split is "ab" + "cd"
+    val vocab = Seq("a" -> 50L, "b" -> 50L, "c" -> 50L, "d" -> 900L,
+      "ab" -> 10L, "cd" -> 10L, "abc" -> 10L)
+    // greedy: abc(10) + d(900) = 910 ; viterbi: ab(10) + cd(10) = 20
+    assert(seg("abcd", vocab) == Seq("ab", "cd"))
+    // hand-replayed greedy for the record: longest prefix in vocab at
+    // pos 0 is "abc" (len 3 beats "ab"/"a"), then "d"
+    val greedy = {
+      var i = 0; val out = Seq.newBuilder[String]
+      val vs = vocab.map(_._1).toSet
+      while (i < 4) {
+        val l = (math.min(4, 4 - i) to 1 by -1)
+          .find(n => vs.contains("abcd".substring(i, i + n))).get
+        out += "abcd".substring(i, i + l); i += l
+      }
+      out.result()
+    }
+    assert(greedy == Seq("abc", "d")) // differs from the Viterbi answer
+  }
+
+  test("ties prefer the longest final piece (smallest j)") {
+    // two optimal paths of equal cost 20: [xy, z] and [x, yz] — the DP
+    // must pick the one whose FINAL piece is longer: [x, yz]
+    val vocab = Seq("x" -> 10L, "y" -> 10L, "z" -> 10L,
+      "xy" -> 10L, "yz" -> 10L)
+    assert(seg("xyz", vocab) == Seq("x", "yz"))
+  }
+
+  test("OOV single code points cost the unk floor; longer misses are not candidates") {
+    val vocab = Seq("a" -> 1L, "b" -> 1L)
+    // 'q' is not in the vocabulary: it segments as its own unk piece
+    assert(seg("aqb", vocab) == Seq("a", "q", "b"))
+    // an entirely unknown word degrades to per-code-point pieces
+    assert(seg("qq", vocab) == Seq("q", "q"))
+  }
+
+  test("symbols are code points (astral chars are one piece)") {
+    val clef = new String(Character.toChars(0x1D11E)) // U+1D11E, 2 UTF-16 units
+    val vocab = Seq("a" -> 1L)
+    assert(seg(s"a${clef}a", vocab) == Seq("a", clef, "a"))
+  }
+
+  test("t_unigram_encode gate: costs reconcile with the vocab, multi-char pieces used") {
+    val out = graft.queries.LlmOps.unigramEncode(spark, SharedSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val pieces = r.getString(3).split(" ").toSeq
+      assert(pieces.mkString == r.getString(0), s"pieces don't respell '${r.getString(0)}'")
+      assert(r.getLong(2) == pieces.length.toLong)
+      assert(r.getLong(2) <= r.getString(0).length.toLong)
+    }
+    // the learned vocabulary actually compresses: some word uses a
+    // multi-char piece (fewer pieces than characters)
+    assert(out.exists(r => r.getLong(2) < r.getString(0).length.toLong),
+      "no word segmented with a multi-char piece")
+  }
+}
