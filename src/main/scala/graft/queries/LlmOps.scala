@@ -5833,6 +5833,93 @@ object LlmOps {
     * exact detector is one (kind, fp, len)-keyed window; each
     * perceptual detector is the 28-table band-key self-join; clustering
     * iterates over the pair-evidence-sized edge set only. */
+  /** Asset-space SEMANTIC dedup (mm_semdedup): the [[semDedup]]
+    * IVF∘cosine∘connected-components machinery pointed at the
+    * multimodal embedding column — SemDeDup for the asset universe,
+    * closing the detector ladder (exact → perceptual contour →
+    * embedding space). The corpus has no natural asset pairs at the
+    * 0.95 operating threshold (measured: none above 0.90), so the gate
+    * plants the two real-world twin shapes:
+    *  - re-renders (+3·plantBase, every asset ≡ 2 mod 7): the SAME
+    *    embedding under a different payload encoding — cos = 1.0;
+    *  - re-encodes (+4·plantBase, every asset ≡ 4 mod 9): one
+    *    embedding component drifts by +0.05f (float add, bit-identical
+    *    cross-engine) — cos ≈ 0.9988, above threshold but not exact.
+    * Kind rides from the base asset (a re-encoded image is an image).
+    *
+    * Scale shape: one broadcast-argmax assignment pass + within-cell
+    * verified pairs + CC over the pair set (the s_semdedup plan); the
+    * embedding column never shuffles outside its cell. */
+  def mmSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pb = plantBase(emb, "vec_id")
+    val base = emb.select(col("vec_id").as("asset_id"),
+      col("vec_id").as("bid"), col("embedding"))
+    val twinExact = base.filter(col("bid") % 7 === 2)
+      .select((col("bid") + lit(3L) * pb).as("asset_id"), col("bid"),
+        col("embedding"))
+    val twinNear = base.filter(col("bid") % 9 === 4)
+      .select((col("bid") + lit(4L) * pb).as("asset_id"), col("bid"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val assets = base.unionByName(twinExact).unionByName(twinNear)
+    val dups = graft.similarity.Ann.semDedup(
+      assets.select(col("asset_id").as("vec_id"), col("embedding")),
+      threshold = 0.95, nCells = 16)
+    dups.join(assets.select(col("asset_id").as("vec_id"),
+        when(col("bid") % 3 === 0, "image")
+          .when(col("bid") % 3 === 1, "audio")
+          .otherwise("video").as("kind")), "vec_id")
+      .select(col("vec_id").as("asset_id"), col("kind"), col("keep_id"))
+      .orderBy(col("asset_id"))
+  }
+
+  private val PlantBaseEmbSql =
+    "(1 + (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error('empty embeddings') AS BIGINT) " +
+      "ELSE MAX(vec_id) END FROM embeddings))"
+
+  /** Oracle = the [[semDedupSql]] chain over the planted asset
+    * embedding set: argmax cell assignment, within-cell verified
+    * pairs, recursive-CTE closure, kind from the base id. */
+  val mmSemDedupSql: String =
+    s"""WITH RECURSIVE
+       |ea AS (SELECT vec_id AS asset_id, vec_id AS bid, embedding FROM embeddings
+       |       UNION ALL
+       |       SELECT vec_id + 3 * $PlantBaseEmbSql, vec_id, embedding
+       |       FROM embeddings WHERE vec_id % 7 = 2
+       |       UNION ALL
+       |       SELECT vec_id + 4 * $PlantBaseEmbSql, vec_id,
+       |         list_prepend(CAST(embedding[1] + CAST(0.05 AS FLOAT) AS FLOAT),
+       |                      embedding[2:])
+       |       FROM embeddings WHERE vec_id % 9 = 4),
+       |seeds AS (SELECT asset_id AS cell_id, embedding AS cvec
+       |          FROM ea ORDER BY asset_id LIMIT 16),
+       |asg AS (SELECT asset_id, cell FROM (
+       |  SELECT e.asset_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.asset_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM ea e CROSS JOIN seeds s) t WHERE rn = 1),
+       |p AS (SELECT a.asset_id AS doc_a, b.asset_id AS doc_b
+       |  FROM ea a
+       |  JOIN asg aa ON aa.asset_id = a.asset_id
+       |  JOIN ea b ON a.asset_id < b.asset_id
+       |  JOIN asg ab ON ab.asset_id = b.asset_id AND ab.cell = aa.cell
+       |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.95),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |          UNION
+       |          SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT g.node AS asset_id,
+       |  CASE WHEN ea.bid % 3 = 0 THEN 'image'
+       |       WHEN ea.bid % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  g.comp AS keep_id
+       |FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) g
+       |JOIN ea ON ea.asset_id = g.node
+       |WHERE g.node <> g.comp ORDER BY asset_id""".stripMargin
+
   def mmDupUnion(s: SparkSession, dir: String): DataFrame = {
     val pb = plantBase(Tables.documents(s, dir))
     val a0 = graft.util.Partitioning.spreadIfNarrow(Tables.documents(s, dir))
@@ -5840,29 +5927,42 @@ object LlmOps {
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("kind"),
-        col("text"), split(col("text"), " ").as("tk"))
+        col("text"), split(col("text"), " ").as("tk"),
+        col("doc_id").as("bid"))
     val exactPlants = a0.filter(col("asset_id") % 4 === 1)
       .select((col("asset_id") + pb).as("asset_id"), col("kind"),
-        col("text"), col("tk"))
+        col("text"), col("tk"), col("bid"))
     def edit(kindName: String, modBase: Int, rem: Int, minTok: Int) = {
       val etk = concat(slice(col("tk"), 1, 3), array(lit("zz")),
         slice(col("tk"), lit(5), size(col("tk")) - 4))
       a0.filter(col("kind") === kindName &&
           col("asset_id") % modBase === rem && size(col("tk")) >= minTok)
         .select((col("asset_id") + 2 * pb).as("asset_id"), col("kind"),
-          concat_ws(" ", etk).as("text"), etk.as("tk"))
+          concat_ws(" ", etk).as("text"), etk.as("tk"), col("bid"))
     }
+    // class C (+3*pb): semantic re-renders — a completely different
+    // payload (no exact or contour evidence possible: the text shares
+    // no tokens and is far below every contour floor) whose EMBEDDING
+    // is the base asset's, so ONLY the fifth detector can find it
+    val semPlants = a0.filter(col("asset_id") % 7 === 2)
+      .select((col("asset_id") + 3 * pb).as("asset_id"), col("kind"),
+        concat(lit("semantic re-render of asset "),
+          col("asset_id").cast("string")).as("text"),
+        split(concat(lit("semantic re-render of asset "),
+          col("asset_id").cast("string")), " ").as("tk"),
+        col("bid"))
     val assets = a0
       .unionByName(exactPlants)
       .unionByName(edit("image", 6, 0, 37))
       .unionByName(edit("audio", 10, 7, 65))
       .unionByName(edit("video", 10, 9, 65))
+      .unionByName(semPlants)
     // the narrow fingerprint trunk: each contour chain is let-bound
     // through letCol so the cells/e2/en arrays evaluate exactly once
     // per row (CollapseProject inlines plain column references into
     // every one of contour64's 128 reads)
     val trunk = graft.util.IntermediateCaches.track(assets
-      .select(col("asset_id"), col("kind"),
+      .select(col("asset_id"), col("kind"), col("bid"),
         md5(col("text")).as("efp"),
         octet_length(col("text")).cast("long").as("nb"),
         when(col("kind") === "image" && size(col("tk")) >= 1,
@@ -5886,10 +5986,21 @@ object LlmOps {
           .select(col("asset_id").as("doc"), col(fpCol).as("sh")),
           maxHamming = 6)
         .select(col("doc_a"), col("doc_b"), lit(etype).as("etype"))
+    // fifth leg: SemDeDup over the asset embedding column — every
+    // asset carries its base doc's embedding (plants share it exactly:
+    // a re-upload, an edit, a re-render of one source), so within-cell
+    // verified cosine >= 0.95 pairs are the embedding-space evidence
+    val assetEmb = trunk.select(col("asset_id"), col("bid"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("bid"), col("embedding")), Seq("bid"))
+      .select(col("asset_id").as("vec_id"), col("embedding"))
+    val semEdges = Ann.semDedupPairs(assetEmb, threshold = 0.95, nCells = 16)
+      .select(col("doc_a"), col("doc_b"), lit("semantic").as("etype"))
     val ev = graft.util.IntermediateCaches.track(exactEdges
       .unionByName(contourPairs("pfp", "phash"))
       .unionByName(contourPairs("afp", "audiofp"))
       .unionByName(contourPairs("vfp", "videofp"))
+      .unionByName(semEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cc = Dedup.connectedComponents(
       ev.select(col("doc_a"), col("doc_b")).distinct())
@@ -5900,10 +6011,12 @@ object LlmOps {
       .agg(sum(when(col("etype") === "exact", 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("etype") === "phash", 1L).otherwise(0L)).as("n_phash"),
         sum(when(col("etype") === "audiofp", 1L).otherwise(0L)).as("n_audiofp"),
-        sum(when(col("etype") === "videofp", 1L).otherwise(0L)).as("n_videofp"))
+        sum(when(col("etype") === "videofp", 1L).otherwise(0L)).as("n_videofp"),
+        sum(when(col("etype") === "semantic", 1L).otherwise(0L)).as("n_sem"))
     sizes.join(evc, "comp")
       .select(col("comp").as("keeper_id"), col("n_assets"), col("id_sum"),
-        col("n_exact"), col("n_phash"), col("n_audiofp"), col("n_videofp"))
+        col("n_exact"), col("n_phash"), col("n_audiofp"), col("n_videofp"),
+        col("n_sem"))
       .orderBy(col("keeper_id"))
   }
 
@@ -5915,25 +6028,31 @@ object LlmOps {
        |    text, string_split(text, ' ') AS tk
        |  FROM documents),
        |assets AS (
-       |  SELECT asset_id, kind, text, tk FROM a0
+       |  SELECT asset_id, kind, text, tk, asset_id AS bid FROM a0
        |  UNION ALL
-       |  SELECT asset_id + $PlantBaseSql, kind, text, tk
+       |  SELECT asset_id + $PlantBaseSql, kind, text, tk, asset_id
        |  FROM a0 WHERE asset_id % 4 = 1
        |  UNION ALL
        |  SELECT asset_id + 2 * $PlantBaseSql, kind,
        |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
-       |    tk[1:3] || ['zz'] || tk[5:]
+       |    tk[1:3] || ['zz'] || tk[5:], asset_id
        |  FROM a0 WHERE kind = 'image' AND asset_id % 6 = 0 AND len(tk) >= 37
        |  UNION ALL
        |  SELECT asset_id + 2 * $PlantBaseSql, kind,
        |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
-       |    tk[1:3] || ['zz'] || tk[5:]
+       |    tk[1:3] || ['zz'] || tk[5:], asset_id
        |  FROM a0 WHERE kind = 'audio' AND asset_id % 10 = 7 AND len(tk) >= 65
        |  UNION ALL
        |  SELECT asset_id + 2 * $PlantBaseSql, kind,
        |    array_to_string(tk[1:3] || ['zz'] || tk[5:], ' '),
-       |    tk[1:3] || ['zz'] || tk[5:]
-       |  FROM a0 WHERE kind = 'video' AND asset_id % 10 = 9 AND len(tk) >= 65),
+       |    tk[1:3] || ['zz'] || tk[5:], asset_id
+       |  FROM a0 WHERE kind = 'video' AND asset_id % 10 = 9 AND len(tk) >= 65
+       |  UNION ALL
+       |  SELECT asset_id + 3 * $PlantBaseSql, kind,
+       |    'semantic re-render of asset ' || CAST(asset_id AS VARCHAR),
+       |    string_split('semantic re-render of asset ' || CAST(asset_id AS VARCHAR), ' '),
+       |    asset_id
+       |  FROM a0 WHERE asset_id % 7 = 2),
        |exact AS (
        |  SELECT asset_id, MIN(asset_id) OVER (PARTITION BY kind, md5(text),
        |    octet_length(encode(text))) AS keeper
@@ -5994,8 +6113,26 @@ object LlmOps {
        |  FROM vhp_cand c
        |  JOIN vbits x ON x.asset_id = c.ida JOIN vbits y ON y.asset_id = c.idb
        |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
+       |emba AS (SELECT a.asset_id, e.embedding
+       |         FROM assets a JOIN embeddings e ON e.vec_id = a.bid),
+       |sseeds AS (SELECT asset_id AS cell_id, embedding AS cvec
+       |           FROM emba ORDER BY asset_id LIMIT 16),
+       |sasg AS (SELECT asset_id, cell FROM (
+       |  SELECT e.asset_id, sd.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.asset_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "sd.cvec")}, 9) DESC,
+       |               sd.cell_id DESC) AS rn
+       |  FROM emba e CROSS JOIN sseeds sd) t WHERE rn = 1),
+       |spairs AS (SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,
+       |    'semantic' AS etype
+       |  FROM emba a
+       |  JOIN sasg aa ON aa.asset_id = a.asset_id
+       |  JOIN emba b ON a.asset_id < b.asset_id
+       |  JOIN sasg ab ON ab.asset_id = b.asset_id AND ab.cell = aa.cell
+       |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.95),
        |ev AS (SELECT * FROM eedges UNION ALL SELECT * FROM ipairs
-       |       UNION ALL SELECT * FROM apairs UNION ALL SELECT * FROM vpairs),
+       |       UNION ALL SELECT * FROM apairs UNION ALL SELECT * FROM vpairs
+       |       UNION ALL SELECT * FROM spairs),
        |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ev),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -6010,9 +6147,10 @@ object LlmOps {
        |          CAST(SUM(CASE WHEN etype = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
        |          CAST(SUM(CASE WHEN etype = 'phash' THEN 1 ELSE 0 END) AS BIGINT) AS n_phash,
        |          CAST(SUM(CASE WHEN etype = 'audiofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_audiofp,
-       |          CAST(SUM(CASE WHEN etype = 'videofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_videofp
+       |          CAST(SUM(CASE WHEN etype = 'videofp' THEN 1 ELSE 0 END) AS BIGINT) AS n_videofp,
+       |          CAST(SUM(CASE WHEN etype = 'semantic' THEN 1 ELSE 0 END) AS BIGINT) AS n_sem
        |        FROM ev JOIN comp c ON c.node = ev.doc_a GROUP BY 1)
-       |SELECT sizes.comp AS keeper_id, n_assets, id_sum, n_exact, n_phash, n_audiofp, n_videofp
+       |SELECT sizes.comp AS keeper_id, n_assets, id_sum, n_exact, n_phash, n_audiofp, n_videofp, n_sem
        |FROM sizes JOIN evc USING (comp) ORDER BY keeper_id""".stripMargin
 
   /** Multinomial Naive Bayes language classifier, trained on the ~15/16

@@ -509,10 +509,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     // every component has >= 2 members and enough edges to be connected
     rows.foreach { r =>
-      val (n, ne, np, na, nv) =
-        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val (n, ne, np, na, nv, ns) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))
       assert(n >= 2, s"singleton component $r")
-      assert(ne + np + na + nv >= n - 1, s"under-connected component $r")
+      assert(ne + np + na + nv + ns >= n - 1, s"under-connected component $r")
     }
     // every plant pairs with its original (exact at hamming 0, edits
     // within the banding radius), so every group is anchored by a
@@ -537,5 +538,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).sum >= nPhashFloor)
     assert(rows.map(_.getLong(5)).sum >= nAudioFloor)
     assert(rows.map(_.getLong(6)).sum >= nVideoFloor)
+    // fifth leg: every class-C semantic re-render (asset % 7 == 2, a
+    // payload sharing NO tokens with its base) must reach its base's
+    // component, and it can ONLY do so via the semantic detector —
+    // each contributes at least one semantic edge
+    val nSemPlants = d.keys.count(_ % 7 == 2)
+    assert(nSemPlants > 0, "fixture lost its semantic plants")
+    assert(rows.map(_.getLong(7)).sum >= nSemPlants)
+    // every class-C twin is a MEMBER of some component (it shares no
+    // tokens with anything, so only the semantic leg can place it):
+    // total membership must cover all plants of every class
+    val totalMembers = rows.map(_.getLong(1)).sum
+    val minPlanted = nExactPlants + nSemPlants
+    assert(totalMembers >= minPlanted + rows.length,
+      s"components too small to hold every planted twin: $totalMembers")
+  }
+
+  test("mm_semdedup: planted re-renders and re-encodes cluster to their base, naturals stay") {
+    val sf001 = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val pb = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val rows = graft.queries.LlmOps.mmSemDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val expectExact = ids.filter(_ % 7 == 2).map(b => (b + 3 * pb, b)).toMap
+    val expectNear = ids.filter(_ % 9 == 4).map(b => (b + 4 * pb, b)).toMap
+    val got = rows.map(_._1).toSet
+    // only planted twins can be dups (no natural pair reaches 0.95)
+    assert(got.subsetOf(expectExact.keySet ++ expectNear.keySet))
+    // exact re-renders share their base's embedding bit-for-bit, so
+    // they land in the base's cell BY CONSTRUCTION: recall 1 required
+    assert(expectExact.keySet.subsetOf(got), "an exact re-render escaped")
+    // near re-encodes drift by one component; a twin whose base sits
+    // on a cell boundary can argmax into a neighboring cell — the
+    // SemDeDup recall tradeoff. Require the overwhelming majority.
+    val nearFound = expectNear.keySet.count(got)
+    assert(nearFound * 10 >= expectNear.size * 9,
+      s"near-twin recall collapsed: $nearFound/${expectNear.size}")
+    // every recovered twin's keeper is its own base
+    rows.foreach { case (a, kind, keep) =>
+      val base = expectExact.getOrElse(a, expectNear(a))
+      assert(keep == base, s"twin $a kept by $keep, expected base $base")
+      val wantKind = (base % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      assert(kind == wantKind, s"twin $a kind $kind != base kind $wantKind")
+    }
   }
 }
