@@ -7387,7 +7387,9 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  val linkRankSql: String = {
+  /** The linkRank CTE chain up to `r3`/`od`/`id` — shared by
+    * [[linkRankSql]] and the domain-prior rollup [[domainRankSql]]. */
+  private val LinkRankCtes: String = {
     val Scale = 1000000000000L
     def iter(k: Int): String =
       s"""s$k AS (SELECT e0.dst AS v, SUM(r${k - 1}.r // od.odeg) AS sc
@@ -7398,7 +7400,7 @@ object LlmOps {
          |      AS BIGINT) AS r
          |  FROM documents d CROSS JOIN nn LEFT JOIN s$k ON s$k.v = d.doc_id)"""
         .stripMargin
-    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    s"""nn AS (SELECT COUNT(*) AS n FROM documents),
        |h AS (SELECT doc_id,
        |    '<html><body><nav><a href="/home">Home</a></nav><p>see <a href="/doc/'
        |    || CAST((doc_id * 7 + 3) % n AS VARCHAR)
@@ -7418,12 +7420,60 @@ object LlmOps {
        |       FROM documents CROSS JOIN nn),
        |${iter(1)},
        |${iter(2)},
-       |${iter(3)}
-       |SELECT r3.v AS doc_id, od.odeg AS out_deg,
+       |${iter(3)}""".stripMargin
+  }
+
+  val linkRankSql: String =
+    "WITH " + LinkRankCtes + "\n" +
+    s"""SELECT r3.v AS doc_id, od.odeg AS out_deg,
        |  CAST(coalesce(id.ideg, 0) AS BIGINT) AS in_deg, r3.r AS rank_q
        |FROM r3 JOIN od ON od.src = r3.v LEFT JOIN id ON id.dst = r3.v
        |ORDER BY doc_id""".stripMargin
+
+  /** Domain-level quality prior (t_domain_rank): [[linkRank]]'s page
+    * ranks rolled up per registered domain ([[graft.text.Url.urlDomain]]
+    * of the crawl URL) and the domain's rank TIER (ntile 4 over the
+    * domain table, ordered rank_sum DESC with a total domain
+    * tie-break) joined back onto every page — the Common-Crawl-style
+    * domain prior that closes graph -> curation: a page inherits its
+    * domain's authority as a curation feature.
+    *
+    * Scale shape: the rollup aggregates the page-rank table to a
+    * DOMAIN-sized frame; the ntile window runs over that frame only
+    * (domains << corpus — the t_token_budget directory discipline);
+    * the join back broadcasts the domain table onto the corpus. */
+  def domainRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Url
+    val pr = linkRank(s, dir).select(col("doc_id"), col("rank_q"))
+    val rawU = rawUrl(col("doc_id"), col("source"))
+    val byDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), Url.urlDomain(rawU).as("domain"))
+      .join(pr, Seq("doc_id"))
+    val rolled = byDoc.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("rank_q")).as("rank_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rank_sum"), col("domain"))
+    val tiers = rolled.withColumn("tier", ntile(4).over(w).cast("long"))
+    byDoc.join(broadcast(tiers), Seq("domain"))
+      .select(col("doc_id"), col("domain"), col("rank_q"),
+        col("n_pages"), col("rank_sum"), col("tier"))
+      .orderBy(col("doc_id"))
   }
+
+  /** Oracle = [[UrlCanonCtes]] (for the domain key) + [[LinkRankCtes]]
+    * (for the ranks) + the rollup, tier window and join back. */
+  val domainRankSql: String =
+    "WITH " + UrlCanonCtes + ",\n" + LinkRankCtes + ",\n" +
+    s"""byd AS (SELECT c.doc_id, c.domain, r3.r AS rank_q
+       |  FROM curls c JOIN r3 ON r3.v = c.doc_id),
+       |rolled AS (SELECT domain, COUNT(*) AS n_pages,
+       |    CAST(SUM(rank_q) AS BIGINT) AS rank_sum
+       |  FROM byd GROUP BY domain),
+       |tiers AS (SELECT domain, n_pages, rank_sum,
+       |    CAST(ntile(4) OVER (ORDER BY rank_sum DESC, domain) AS BIGINT) AS tier
+       |  FROM rolled)
+       |SELECT b.doc_id, b.domain, b.rank_q, t.n_pages, t.rank_sum, t.tier
+       |FROM byd b JOIN tiers t USING (domain) ORDER BY doc_id""".stripMargin
 
   /** Oracle = the [[HtmlLineCtes]] ∘ [[UrlCanonCtes]] ∘ paragraph-
     * recurrence ∘ floor chain replayed end-to-end in one WITH — the

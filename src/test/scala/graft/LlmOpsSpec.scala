@@ -2438,6 +2438,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._3).toSet.size > 10)
   }
 
+  test("t_domain_rank: rollup and tiers match a driver-side recount off t_link_rank") {
+    val sf = sf0001
+    val pr = graft.queries.LlmOps.linkRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val out = graft.queries.LlmOps.domainRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == pr.size) // one row per page
+    // per-page rank carried through unchanged
+    out.foreach { case (id, _, rq, _, _, _) => assert(rq == pr(id)) }
+    // recount the rollup
+    val byDom = out.groupBy(_._2)
+    for ((dom, rows) <- byDom) {
+      val want = rows.map(r => pr(r._1)).sum
+      rows.foreach { case (_, _, _, np, rs, _) =>
+        assert(np == rows.length.toLong, s"$dom n_pages")
+        assert(rs == want, s"$dom rank_sum")
+      }
+      // one tier per domain
+      assert(rows.map(_._6).distinct.length == 1, s"$dom split across tiers")
+    }
+    // tiers are 1..4, monotone in rank_sum (DESC order), all used
+    val doms = byDom.map { case (d, rows) => (d, rows.head._5, rows.head._6) }
+      .toSeq.sortBy { case (d, rs, _) => (-rs, d) }
+    assert(doms.map(_._3).toSet == Set(1L, 2L, 3L, 4L))
+    assert(doms.map(_._3) == doms.map(_._3).sorted, "tiers not monotone")
+    // ntile evenness: tier sizes differ by at most 1
+    val sizes = doms.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("t_pipeline_crawl: funnel reconciles, every stage fires") {
     val out = graft.queries.LlmOps.pipelineCrawl(spark, sf001).collect()
     val nDocs = docs.count()
