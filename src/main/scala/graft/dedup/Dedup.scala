@@ -779,4 +779,36 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** [[hammingPairs]] over SEVERAL fingerprint families in ONE banded
+    * self-join: `fps` carries a `tag` column naming each row's family
+    * (e.g. the detector that produced the fingerprint), the band key
+    * gains the tag, and the output keeps it — so pairs never cross
+    * families while N families pay one exchange + one join instead of
+    * N (the mm_dup_union diet: three per-detector banded joins fold
+    * into one). Per-family results are IDENTICAL to N separate
+    * [[hammingPairs]] calls by construction (the tag partitions the
+    * band space). */
+  def hammingPairsTagged(fps: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming must be in [0,7] (wider radii need >64-bit fingerprints)")
+    def block(i: Int, w: Int): Column =
+      shiftright(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1))
+    val tableKeys: Seq[Column] =
+      if (maxHamming <= 3) (0 until 4).map(block(_, 16))
+      else if (maxHamming <= 6)
+        (0 until 8).combinations(2).toSeq.map(ij =>
+          shiftleft(block(ij(0), 8), 8) + block(ij(1), 8))
+      else (0 until 8).map(block(_, 8))
+    val banded = fps.select(col("doc"), col("sh"), col("tag"),
+      posexplode(array(tableKeys: _*)).as(Seq("band", "chunk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.tag") === col("y.tag") &&
+          col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"), col("x.tag").as("tag"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -5981,11 +5981,19 @@ object LlmOps {
       .filter(col("asset_id") =!= col("keeper"))
       .select(col("keeper").as("doc_a"), col("asset_id").as("doc_b"),
         lit("exact").as("etype"))
-    def contourPairs(fpCol: String, etype: String) =
-      Dedup.hammingPairs(trunk.filter(col(fpCol).isNotNull)
-          .select(col("asset_id").as("doc"), col(fpCol).as("sh")),
-          maxHamming = 6)
-        .select(col("doc_a"), col("doc_b"), lit(etype).as("etype"))
+    // the three per-detector banded joins fold into ONE tagged join
+    // (round-14 verdict #6): the tag partitions the band space, so the
+    // per-detector pair sets are identical to three separate joins
+    def fpRows(fpCol: String, etype: String) =
+      trunk.filter(col(fpCol).isNotNull)
+        .select(col("asset_id").as("doc"), col(fpCol).as("sh"),
+          lit(etype).as("tag"))
+    val contourEdges = Dedup.hammingPairsTagged(
+      fpRows("pfp", "phash")
+        .unionByName(fpRows("afp", "audiofp"))
+        .unionByName(fpRows("vfp", "videofp")),
+      maxHamming = 6)
+      .select(col("doc_a"), col("doc_b"), col("tag").as("etype"))
     // fifth leg: SemDeDup over the asset embedding column — every
     // asset carries its base doc's embedding (plants share it exactly:
     // a re-upload, an edit, a re-render of one source), so within-cell
@@ -5994,12 +6002,14 @@ object LlmOps {
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id").as("bid"), col("embedding")), Seq("bid"))
       .select(col("asset_id").as("vec_id"), col("embedding"))
-    val semEdges = Ann.semDedupPairs(assetEmb, threshold = 0.95, nCells = 16)
+    // 64 cells (vs the standalone gate's 16): every union asset
+    // carries its base's embedding EXACTLY, so co-location of true
+    // pairs is guaranteed at any cell count — finer cells only shrink
+    // the within-cell quadratic term (64x fewer candidate pairs)
+    val semEdges = Ann.semDedupPairs(assetEmb, threshold = 0.95, nCells = 64)
       .select(col("doc_a"), col("doc_b"), lit("semantic").as("etype"))
     val ev = graft.util.IntermediateCaches.track(exactEdges
-      .unionByName(contourPairs("pfp", "phash"))
-      .unionByName(contourPairs("afp", "audiofp"))
-      .unionByName(contourPairs("vfp", "videofp"))
+      .unionByName(contourEdges)
       .unionByName(semEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cc = Dedup.connectedComponents(
@@ -6116,7 +6126,7 @@ object LlmOps {
        |emba AS (SELECT a.asset_id, e.embedding
        |         FROM assets a JOIN embeddings e ON e.vec_id = a.bid),
        |sseeds AS (SELECT asset_id AS cell_id, embedding AS cvec
-       |           FROM emba ORDER BY asset_id LIMIT 16),
+       |           FROM emba ORDER BY asset_id LIMIT 64),
        |sasg AS (SELECT asset_id, cell FROM (
        |  SELECT e.asset_id, sd.cell_id AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY e.asset_id

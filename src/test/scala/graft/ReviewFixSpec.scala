@@ -141,6 +141,24 @@ class ReviewFixSpec extends AnyFunSuite {
       val radii = brute.map(_._3)
       assert((0 to 6).forall(radii.contains), s"radii covered: $radii")
       assert(!banded.exists(_._3 > 6))
+      // the TAGGED single-join variant partitions the band space by
+      // tag: per-tag results must equal separate hammingPairs calls,
+      // and no pair may cross tags (mm_dup_union's one-join fold)
+      val tagged3 = graft.dedup.Dedup.hammingPairsTagged(
+        fps.withColumn("tag",
+          when(col("doc") % 3 === 0, "p").when(col("doc") % 3 === 1, "a")
+            .otherwise("v")), maxHamming = 6)
+        .collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getLong(1), r.getInt(3)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+      for ((tagName, rem) <- Seq(("p", 0L), ("a", 1L), ("v", 2L))) {
+        val solo = graft.dedup.Dedup.hammingPairs(
+          fps.filter(col("doc") % 3 === rem), maxHamming = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(tagged3.getOrElse(tagName, Set.empty) == solo,
+          s"tag $tagName diverges from the separate banded join")
+      }
     } finally fps.unpersist()
   }
 }
