@@ -34,11 +34,27 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     val f = latest("BENCH_LOCAL_", ".json")
     assume(f.isDefined, "no committed BENCH_LOCAL artifact yet")
     val txt = scala.io.Source.fromFile(f.get).mkString
-    // count the keys of the "queries" object without a JSON dependency:
-    // every line item appears exactly once as "name": in that object
+    // extract the keys of the "queries" object without a JSON
+    // dependency. Scan to the MATCHING close brace with a depth
+    // counter (round-14 advice: taking the first '}' silently
+    // truncates the name set the moment a query value becomes a
+    // nested object), then keep only keys whose value starts with a
+    // digit — the per-query seconds — so nested-object keys at deeper
+    // levels can never alias a gate name.
     val qObj = txt.drop(txt.indexOf("\"queries\":") + 10)
-    val body = qObj.take(qObj.indexOf("}") + 1)
-    val names = "\"([A-Za-z0-9_]+)\":".r.findAllMatchIn(body)
+    val start = qObj.indexOf("{")
+    var depth = 0
+    var end = start
+    while (end < qObj.length && {
+      qObj.charAt(end) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+      }
+      depth > 0 || qObj.charAt(end) != '}'
+    }) end += 1
+    val body = qObj.substring(start, math.min(end + 1, qObj.length))
+    val names = "\"([A-Za-z0-9_]+)\":\\s*\\d".r.findAllMatchIn(body)
       .map(_.group(1)).toSet
     val expected = SparkEntry.queries.keySet + "bpe_learn_shared"
     val missing = expected -- names
