@@ -7485,6 +7485,142 @@ object LlmOps {
        |SELECT b.doc_id, b.domain, b.rank_q, t.n_pages, t.rank_sum, t.tier
        |FROM byd b JOIN tiers t USING (domain) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // robots.txt filtering (t_robots) + politeness fetch plan
+  // (t_fetch_plan) — the two crawl stages between the frontier
+  // (st_url_stream) and the fetch: every production crawler honors
+  // RFC 9309 robots rules and schedules at most one request per
+  // domain per tick
+  // ---------------------------------------------------------------------
+
+  /** robots.txt filtering: each domain publishes a deterministic
+    * synthetic robots file (three-deep prefix ladder: `Disallow: /a/`
+    * shadowed by `Allow: /a/~item%2Fx/` shadowed by a domain-keyed
+    * `Disallow: /a/~item%2Fx/K`), the RULES ARE PARSED FROM THE FILE
+    * TEXT (line split + regex — the crawler's parser, not a shortcut
+    * from the rule arithmetic), and every canonical URL is judged by
+    * RFC 9309 longest-prefix-match (ties prefer Allow; no matching
+    * rule = allowed). K = len(domain) % 7 blocks exactly the pages
+    * whose path section equals it — every domain has blocked AND
+    * allowed pages and all three ladder depths decide somewhere.
+    *
+    * Scale shape: the rule table is domain-sized and broadcasts; the
+    * per-page verdict is one broadcast join + a map-side-combinable
+    * max(struct) argmax per page (no per-page window shuffle); the
+    * card is one domain-keyed aggregate. */
+  def robotsFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Url
+    val rawU = rawUrl(col("doc_id"), col("source"))
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
+        Url.urlDomain(rawU).as("domain"))
+      .withColumn("path",
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
+    val robotsTxt = pages.select(col("domain")).distinct()
+      .withColumn("robots", concat(
+        lit("User-agent: *\nDisallow: /a/\nAllow: /a/~item%2Fx/\nDisallow: /a/~item%2Fx/"),
+        (length(col("domain")) % 7).cast("string"),
+        lit("\nCrawl-delay: 1")))
+    val rules = robotsTxt
+      .select(col("domain"), explode(split(col("robots"), "\n")).as("line"))
+      .select(col("domain"),
+        regexp_extract(col("line"), "^(Allow|Disallow): (.*)$", 1).as("rule"),
+        regexp_extract(col("line"), "^(Allow|Disallow): (.*)$", 2).as("rpath"))
+      .filter(col("rule") =!= "")
+    val verdict = pages.join(broadcast(rules), Seq("domain"))
+      .filter(col("path").startsWith(col("rpath")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(length(col("rpath")).as("l"),
+        (col("rule") === "Allow").cast("int").as("a"))).as("best"))
+      .select(col("doc_id"), (col("best").getField("a") === 1).as("ok"))
+    pages.join(verdict, Seq("doc_id"), "left")
+      .withColumn("allowed", coalesce(col("ok"), lit(true)))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(!col("allowed"), col("doc_id")).otherwise(0L)).as("blocked_id_sum"),
+        md5(concat_ws("|",
+          array_sort(collect_list(when(col("allowed"), col("curl")))))
+          .cast("binary")).as("allowed_md5"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle = [[UrlCanonCtes]] + the same file synthesis, line parse,
+    * longest-prefix argmax (ROW_NUMBER over (len DESC, Allow first))
+    * and domain card. */
+  val robotsFilterSql: String =
+    "WITH " + UrlCanonCtes + ",\n" +
+    s"""pages AS (SELECT doc_id, curl, domain,
+       |    regexp_extract(curl, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+       |  FROM curls),
+       |rt AS (SELECT DISTINCT domain,
+       |    'User-agent: *' || chr(10) || 'Disallow: /a/' || chr(10)
+       |    || 'Allow: /a/~item%2Fx/' || chr(10)
+       |    || 'Disallow: /a/~item%2Fx/' || CAST(len(domain) % 7 AS VARCHAR)
+       |    || chr(10) || 'Crawl-delay: 1' AS robots
+       |  FROM pages),
+       |rl AS (SELECT domain,
+       |    regexp_extract(line, '^(Allow|Disallow): (.*)$$', 1) AS rule,
+       |    regexp_extract(line, '^(Allow|Disallow): (.*)$$', 2) AS rpath
+       |  FROM (SELECT domain, unnest(string_split(robots, chr(10))) AS line FROM rt)
+       |  WHERE regexp_extract(line, '^(Allow|Disallow): (.*)$$', 1) <> ''),
+       |v AS (SELECT doc_id, (rule = 'Allow') AS ok FROM (
+       |    SELECT p.doc_id, r.rule,
+       |      ROW_NUMBER() OVER (PARTITION BY p.doc_id
+       |        ORDER BY len(r.rpath) DESC,
+       |                 CASE WHEN r.rule = 'Allow' THEN 0 ELSE 1 END) AS rn
+       |    FROM pages p JOIN rl r ON r.domain = p.domain
+       |    WHERE starts_with(p.path, r.rpath)) t
+       |  WHERE rn = 1),
+       |j AS (SELECT p.doc_id, p.domain, p.curl, coalesce(v.ok, true) AS allowed
+       |  FROM pages p LEFT JOIN v ON v.doc_id = p.doc_id)
+       |SELECT domain, COUNT(*) AS n_urls,
+       |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+       |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT)
+       |    AS blocked_id_sum,
+       |  md5(coalesce(string_agg(CASE WHEN allowed THEN curl END, '|'
+       |    ORDER BY CASE WHEN allowed THEN curl END), '')) AS allowed_md5
+       |FROM j GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Politeness fetch plan: the scheduler between frontier and fetch —
+    * at most ONE request per domain per tick (the per-host rate limit
+    * every crawler enforces), FIFO within a domain by doc_id. tick =
+    * rank within domain; the output is the per-tick load card (how
+    * many domains are active at tick T, which ids fetch, an
+    * order-insensitive domain checksum) — the crawl-capacity planning
+    * view: the makespan is the largest domain, and the tail of the
+    * plan shows the skew a per-domain limiter creates.
+    *
+    * Scale shape: one domain-keyed window (rank within domain — the
+    * frontier is naturally partitioned by domain at 100 TB) + one
+    * tick-keyed aggregate; nothing else shuffles. */
+  def fetchPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Url
+    val rawU = rawUrl(col("doc_id"), col("source"))
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id"), Url.urlDomain(rawU).as("domain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+    pages.withColumn("tick", row_number().over(w).cast("long"))
+      .groupBy(col("tick"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("doc_id")).as("id_sum"),
+        md5(concat_ws("|", array_sort(collect_list(col("domain"))))
+          .cast("binary")).as("domains_md5"))
+      .orderBy(col("tick"))
+  }
+
+  val fetchPlanSql: String =
+    "WITH " + UrlCanonCtes + ",\n" +
+    s"""t AS (SELECT doc_id, domain,
+       |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS tick
+       |  FROM curls)
+       |SELECT tick, COUNT(*) AS n_fetches, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  md5(string_agg(domain, '|' ORDER BY domain)) AS domains_md5
+       |FROM t GROUP BY tick ORDER BY tick""".stripMargin
+
   /** Oracle = the [[HtmlLineCtes]] ∘ [[UrlCanonCtes]] ∘ paragraph-
     * recurrence ∘ floor chain replayed end-to-end in one WITH — the
     * same shared rule tables as the component gates, composed. */

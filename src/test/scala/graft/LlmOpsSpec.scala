@@ -2469,6 +2469,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("t_robots: longest-prefix-match verdicts, every domain has both outcomes") {
+    val out = graft.queries.LlmOps.robotsFilter(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val nDocs = docs.count()
+    assert(out.map(_._2).sum == nDocs)
+    // the domain-keyed Disallow ladder blocks exactly the pages whose
+    // path section K equals len(domain) % 7 — recount driver-side
+    val byId = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((domain, nUrls, nAllowed, nBlocked) <- out) {
+      assert(nAllowed + nBlocked == nUrls, s"$domain verdicts don't cover")
+      val src = domain.stripSuffix(".example.com")
+      val k = domain.length % 7
+      val want = byId.count { case (id, s0) => s0 == src && id % 7 == k }
+      assert(nBlocked == want.toLong,
+        s"$domain blocked $nBlocked, ladder says $want (K=$k)")
+      // all three ladder depths decide somewhere: blocked and allowed
+      // pages both exist per domain (K covers 1/7 of a domain)
+      assert(nBlocked > 0 && nAllowed > 0, s"$domain one-sided")
+    }
+  }
+
+  test("robots semantics: tie prefers Allow, unmatched pages are allowed") {
+    // replicate the per-page argmax contract on hand rules: equal-length
+    // Allow + Disallow -> Allow wins; no matching rule -> allowed
+    val rules = Seq(("d", "Allow", "/x/"), ("d", "Disallow", "/x/"),
+      ("d", "Disallow", "/y/"))
+      .toDF("domain", "rule", "rpath")
+    val pages = Seq(("d", 1L, "/x/a"), ("d", 2L, "/y/b"), ("d", 3L, "/z/c"))
+      .toDF("domain", "doc_id", "path")
+    val verdict = pages.join(rules, Seq("domain"))
+      .filter(col("path").startsWith(col("rpath")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(length(col("rpath")).as("l"),
+        (col("rule") === "Allow").cast("int").as("a"))).as("best"))
+      .select(col("doc_id"), (col("best").getField("a") === 1).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdict(1L), "equal-length tie must prefer Allow")
+    assert(!verdict(2L), "Disallow must block")
+    assert(!verdict.contains(3L), "unmatched page has no verdict row (defaults allowed)")
+  }
+
+  test("t_fetch_plan: one fetch per domain per tick, makespan = largest domain") {
+    val out = graft.queries.LlmOps.fetchPlan(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = docs.count()
+    assert(out.map(_._2).sum == nDocs) // every page is scheduled once
+    // ticks are 1..makespan, load is non-increasing (FIFO drain), and
+    // the makespan equals the largest domain's page count
+    val ticks = out.map(_._1)
+    assert(ticks.toSeq == (1L to ticks.max).toSeq)
+    val loads = out.sortBy(_._1).map(_._2)
+    assert(loads.zip(loads.tail).forall { case (a, b) => a >= b },
+      "per-tick load must drain monotonically")
+    val domSizes = docs.select("source").collect().map(_.getString(0))
+      .groupBy(identity).map(_._2.size)
+    assert(ticks.max == domSizes.max.toLong)
+    assert(out.find(_._1 == 1L).get._2 == domSizes.size.toLong,
+      "tick 1 must fetch one page from EVERY domain")
+  }
+
   test("t_pipeline_crawl: funnel reconciles, every stage fires") {
     val out = graft.queries.LlmOps.pipelineCrawl(spark, sf001).collect()
     val nDocs = docs.count()
