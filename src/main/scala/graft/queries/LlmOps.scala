@@ -3576,7 +3576,7 @@ object LlmOps {
     * the ≤ maxPieceLen lookback window, argmin via `list_sort` on
     * (cost, j) — the same longest-final-piece tie-break), then a
     * second recursion backtracking the piece sequence. */
-  val unigramEncodeSql: String = {
+  private val UnigramChainCtes: String = {
     val k = UnigramMaxPieceLen
     val best = (fld: String) =>
       s"""list_sort(list_transform(range(greatest(0, i - ${k - 1}), i + 1),
@@ -3584,8 +3584,7 @@ object LlmOps {
          |                      ELSE d[j+1] + coalesce(map_extract(m, word[j+1:i+1])[1],
          |                        CASE WHEN i - j = 0 THEN u ELSE CAST($UnigramInf AS BIGINT) END) END,
          |            'j': j}))[1].$fld""".stripMargin
-    s"""WITH RECURSIVE
-       |w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |       FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
        |       GROUP BY word),
        |sub AS (SELECT freq, word[i:i+L-1] AS piece
@@ -3622,11 +3621,46 @@ object LlmOps {
        |  UNION ALL
        |  SELECT word, freq, n, d, bk, bk[pos+1] AS pos,
        |    list_prepend(word[bk[pos+1]+1:pos], pcs)
-       |  FROM bt WHERE pos > 0)
+       |  FROM bt WHERE pos > 0)""".stripMargin
+  }
+
+  val unigramEncodeSql: String =
+    s"""WITH RECURSIVE
+       |$UnigramChainCtes
        |SELECT word, freq, CAST(len(pcs) AS BIGINT) AS n_pieces,
        |  array_to_string(pcs, ' ') AS pieces, d[n+1] AS cost
        |FROM bt WHERE pos = 0 ORDER BY word""".stripMargin
+
+  /** Packing on UNIGRAM piece counts — t_pack_bpe's machinery with the
+    * Viterbi piece count ([[org.apache.spark.sql.graft.UnigramTokens
+    * .unigram_count]]) as the token measure, closing the unigram
+    * family end-to-end (vocab -> encode -> pack) exactly as the BPE
+    * trio does. Fully oracled: the vocabulary DP chain gives every
+    * word's piece count; per-doc counts are the sum over the doc's
+    * words (Viterbi is per-word, so encode-time and chain-time counts
+    * agree for any fixed word). */
+  def packUnigram(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, unk) = unigramVocab(s, dir)
+    graft.corpus.Corpus.packSequences(Tables.documents(s, dir),
+      tokensOf = org.apache.spark.sql.graft.UnigramTokens
+        .unigram_count(tokens(col("text")), vocab, unk),
+      budget = 1024, bucketSize = 64)
   }
+
+  val packUnigramSql: String =
+    s"""WITH RECURSIVE
+       |$UnigramChainCtes,
+       |nsym AS (SELECT word, CAST(len(pcs) AS BIGINT) AS ns
+       |         FROM bt WHERE pos = 0),
+       |dt AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word FROM documents),
+       |nt AS (SELECT doc_id, CAST(SUM(COALESCE(ns, 0)) AS BIGINT) AS ntok
+       |       FROM dt LEFT JOIN nsym USING (word) GROUP BY doc_id),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM nt)
+       |SELECT CAST(floor(sof / 1024.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
 
   /** Strict-budget (no-straddle) packing gate: next-fit within id
     * buckets — a doc that would overflow the open sequence closes it —

@@ -40,6 +40,11 @@ object UnigramTokens {
     ColumnBridge.column(UnigramEncodeExpr(ColumnBridge.expression(word),
       pieces.map(_._1).toArray, pieces.map(_._2).toArray, unkCost))
 
+  def unigram_count(tokens: Column, pieces: Seq[(String, Long)],
+      unkCost: Long): Column =
+    ColumnBridge.column(UnigramCountExpr(ColumnBridge.expression(tokens),
+      pieces.map(_._1).toArray, pieces.map(_._2).toArray, unkCost))
+
   private val Inf = java.lang.Long.MAX_VALUE / 4
 
   /** Viterbi segmentation of one word; shared by codegen and eval. */
@@ -136,6 +141,54 @@ object UnigramTokens {
     }
 
     override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+      copy(child = newChild)
+  }
+
+  def countCompute(tokens: ArrayData, hm: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkCost: Long): Long = {
+    var total = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        total += segmentSyms(tokens.getUTF8String(i).toString, hm, maxLen,
+          unkCost).length.toLong
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** array<string> of tokens → Σ Viterbi piece counts (the
+    * [[BpeTokens.BpeCountExpr]] shape for the unigram family — what a
+    * sequence-budget packer counts in). */
+  case class UnigramCountExpr(child: Expression, pieces: Array[String],
+      costs: Array[Long], unkCost: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(pieces.length == costs.length, "piece/cost arrays differ in length")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+
+    @transient private lazy val hm: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) { m.put(pieces(i), costs(i)); i += 1 }
+      m
+    }
+    @transient private lazy val maxLen: Int =
+      if (pieces.isEmpty) 1
+      else math.max(1, pieces.map(p => p.codePointCount(0, p.length)).max)
+
+    override def nullSafeEval(a: Any): Any =
+      countCompute(a.asInstanceOf[ArrayData], hm, maxLen, unkCost)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("unigramVocab", hm, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = $cls.MODULE$$.countCompute($a, $mRef, $maxLen, ${unkCost}L);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): UnigramCountExpr =
       copy(child = newChild)
   }
 }

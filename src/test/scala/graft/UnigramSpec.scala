@@ -78,4 +78,17 @@ class UnigramSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(2) < r.getString(0).length.toLong),
       "no word segmented with a multi-char piece")
   }
+
+  test("t_pack_unigram: sequence budgets reconcile with per-word piece counts") {
+    val enc = graft.queries.LlmOps.unigramEncode(spark, SharedSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, SharedSpark.sf0001)
+      .select(col("doc_id"), graft.text.norm_text(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val wantTotal = docs.map(_._2.map(enc).sum).sum
+    val out = graft.queries.LlmOps.packUnigram(spark, SharedSpark.sf0001).collect()
+    assert(out.map(_.getLong(2)).sum == wantTotal,
+      "packed token total != sum of per-word Viterbi piece counts")
+    assert(out.map(_.getLong(1)).sum == docs.length.toLong)
+  }
 }
