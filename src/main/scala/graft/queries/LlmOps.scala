@@ -3520,7 +3520,10 @@ object LlmOps {
     * vocabulary-sized aggregation (map-side combined); the selected
     * table is tokenizer-sized by contract and rides to executors as a
     * codegen reference object (the BPE-merge discipline). */
-  private def unigramVocab(s: SparkSession, dir: String): (Seq[(String, Long)], Long) = {
+  /** The selected V0 vocabulary WITH RAW CENSUS FREQUENCIES — the
+    * (piece, freq) table both the cost builder and the pruning round
+    * score from. */
+  private def unigramCensus(s: SparkSession, dir: String): Seq[(String, Long)] = {
     val pieceFreq = bpeWordFreq(s, dir)
       .select(col("freq"), explode(flatten(
         transform(sequence(lit(1), length(col("word"))), i =>
@@ -3533,13 +3536,22 @@ object LlmOps {
     val singles = pieceFreq.filter(p => cpLen(p._1) == 1)
     val multi = pieceFreq.filter(p => cpLen(p._1) > 1)
       .sortBy { case (p, f) => (-f, p) }.take(UnigramMultiPieces)
-    val sel = (singles ++ multi).toSeq
+    (singles ++ multi).toSeq
+  }
+
+  /** Integer costs for a selected (piece, freq) vocabulary (total and
+    * therefore every cost shifts when pieces are pruned — exactly the
+    * renormalization a real unigram-LM pruning round performs). */
+  private def unigramCosts(sel: Seq[(String, Long)]): (Seq[(String, Long)], Long) = {
     val tot = sel.map(_._2).sum
     def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     (sel.map { case (p, f) => p -> ((blen(tot) - blen(f)) * 1000000L + 1000L) }
       .sortBy(_._1),
       (blen(tot) + 10L) * 1000000L)
   }
+
+  private def unigramVocab(s: SparkSession, dir: String): (Seq[(String, Long)], Long) =
+    unigramCosts(unigramCensus(s, dir))
 
   /** Unigram-LM ENCODE gate: every vocabulary word's minimum-cost
     * piece sequence under the corpus-derived scored vocabulary
@@ -3576,14 +3588,10 @@ object LlmOps {
     * the ≤ maxPieceLen lookback window, argmin via `list_sort` on
     * (cost, j) — the same longest-final-piece tie-break), then a
     * second recursion backtracking the piece sequence. */
-  private val UnigramChainCtes: String = {
+  /** The vocabulary-census CTEs (w0/sub/pf) shared by every unigram
+    * oracle. */
+  private val UnigramCensusCtes: String = {
     val k = UnigramMaxPieceLen
-    val best = (fld: String) =>
-      s"""list_sort(list_transform(range(greatest(0, i - ${k - 1}), i + 1),
-         |      j -> {'c': CASE WHEN d[j+1] >= $UnigramInf THEN CAST($UnigramInf AS BIGINT)
-         |                      ELSE d[j+1] + coalesce(map_extract(m, word[j+1:i+1])[1],
-         |                        CASE WHEN i - j = 0 THEN u ELSE CAST($UnigramInf AS BIGINT) END) END,
-         |            'j': j}))[1].$fld""".stripMargin
     s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |       FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
        |       GROUP BY word),
@@ -3592,37 +3600,56 @@ object LlmOps {
        |          LATERAL (SELECT unnest(range(1, len(word)+1)) AS i),
        |          LATERAL (SELECT unnest(range(1, ${k + 1})) AS L)
        |        WHERE i + L - 1 <= len(word)),
-       |pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS f FROM sub GROUP BY piece),
-       |vocab AS (SELECT piece, f FROM pf WHERE len(piece) = 1
-       |          UNION ALL
-       |          SELECT piece, f FROM (SELECT piece, f FROM pf WHERE len(piece) > 1
-       |                                ORDER BY f DESC, piece LIMIT $UnigramMultiPieces)),
-       |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM vocab),
-       |vc AS (SELECT piece, CAST((len(bin(t)) - len(bin(f))) * 1000000 + 1000 AS BIGINT) AS cost
-       |       FROM vocab CROSS JOIN tot),
-       |vmu AS (SELECT map_from_entries(list({'k': piece, 'v': cost})) AS m,
-       |               (SELECT CAST((len(bin(t)) + 10) AS BIGINT) * 1000000 FROM tot) AS u
-       |        FROM vc),
-       |wn AS (SELECT word, freq, len(word) AS n, m, u FROM w0 CROSS JOIN vmu),
-       |dp AS (
+       |pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS f FROM sub GROUP BY piece)"""
+      .stripMargin
+  }
+
+  /** One full cost-table + Viterbi-DP + backtrack CTE chain over the
+    * vocabulary CTE `$vocabCte` (piece, f), with every CTE name
+    * suffixed `$sfx` — so the pruning oracle can run the identical DP
+    * twice (before and after pruning) in one WITH. */
+  private def unigramDpCtes(sfx: String, vocabCte: String): String = {
+    val k = UnigramMaxPieceLen
+    val best = (fld: String) =>
+      s"""list_sort(list_transform(range(greatest(0, i - ${k - 1}), i + 1),
+         |      j -> {'c': CASE WHEN d[j+1] >= $UnigramInf THEN CAST($UnigramInf AS BIGINT)
+         |                      ELSE d[j+1] + coalesce(map_extract(m, word[j+1:i+1])[1],
+         |                        CASE WHEN i - j = 0 THEN u ELSE CAST($UnigramInf AS BIGINT) END) END,
+         |            'j': j}))[1].$fld""".stripMargin
+    s"""tot$sfx AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM $vocabCte),
+       |vc$sfx AS (SELECT piece, CAST((len(bin(t)) - len(bin(f))) * 1000000 + 1000 AS BIGINT) AS cost
+       |       FROM $vocabCte CROSS JOIN tot$sfx),
+       |vmu$sfx AS (SELECT map_from_entries(list({'k': piece, 'v': cost})) AS m,
+       |               (SELECT CAST((len(bin(t)) + 10) AS BIGINT) * 1000000 FROM tot$sfx) AS u
+       |        FROM vc$sfx),
+       |wn$sfx AS (SELECT word, freq, len(word) AS n, m, u FROM w0 CROSS JOIN vmu$sfx),
+       |dp$sfx AS (
        |  SELECT word, freq, n, m, u, CAST(0 AS BIGINT) AS i,
        |    [CAST(0 AS BIGINT)] AS d, [CAST(-1 AS BIGINT)] AS bk
-       |  FROM wn
+       |  FROM wn$sfx
        |  UNION ALL
        |  SELECT word, freq, n, m, u, i + 1,
        |    list_append(d, ${best("c")}),
        |    list_append(bk, ${best("j")})
-       |  FROM dp WHERE i < n),
-       |fin AS (SELECT word, freq, n, d, bk FROM dp WHERE i = n),
-       |bt AS (
+       |  FROM dp$sfx WHERE i < n),
+       |fin$sfx AS (SELECT word, freq, n, d, bk FROM dp$sfx WHERE i = n),
+       |bt$sfx AS (
        |  SELECT word, freq, n, d, bk, CAST(n AS BIGINT) AS pos,
        |    CAST([] AS VARCHAR[]) AS pcs
-       |  FROM fin
+       |  FROM fin$sfx
        |  UNION ALL
        |  SELECT word, freq, n, d, bk, bk[pos+1] AS pos,
        |    list_prepend(word[bk[pos+1]+1:pos], pcs)
-       |  FROM bt WHERE pos > 0)""".stripMargin
+       |  FROM bt$sfx WHERE pos > 0)""".stripMargin
   }
+
+  private val UnigramChainCtes: String =
+    UnigramCensusCtes + ",\n" +
+    s"""vocab AS (SELECT piece, f FROM pf WHERE len(piece) = 1
+       |          UNION ALL
+       |          SELECT piece, f FROM (SELECT piece, f FROM pf WHERE len(piece) > 1
+       |                                ORDER BY f DESC, piece LIMIT $UnigramMultiPieces)),
+       |""".stripMargin + unigramDpCtes("", "vocab")
 
   val unigramEncodeSql: String =
     s"""WITH RECURSIVE
@@ -3646,6 +3673,80 @@ object LlmOps {
         .unigram_count(tokens(col("text")), vocab, unk),
       budget = 1024, bucketSize = 64)
   }
+
+  private val UnigramPruneK = 12
+
+  /** Unigram-LM vocabulary PRUNING — one hard-EM (Viterbi-EM) round,
+    * the learning half of the SentencePiece recipe beside the encode
+    * gate: segment every vocabulary word under V0, count each piece's
+    * freq-weighted usage across the Viterbi paths, drop the
+    * [[UnigramPruneK]] least-used multi-char pieces (singles never
+    * prune — coverage), rebuild the integer cost table over the
+    * shrunk vocabulary (the total, and therefore EVERY cost, shifts —
+    * the renormalization step), and re-segment. Output per word: V0
+    * piece count, V1 piece count, the V1 pieces and exact path cost —
+    * pinning usage counting, the prune choice, renormalization AND
+    * the re-segmentation in one hash.
+    *
+    * Scale shape: usage counting is one vocabulary-sized aggregate
+    * over the encoded pieces; both vocabularies ride as codegen
+    * reference objects; the two encode passes are map-only. */
+  def unigramPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.UnigramTokens
+    val sel0 = unigramCensus(s, dir)
+    val (vocab0, unk0) = unigramCosts(sel0)
+    val wf = bpeWordFreq(s, dir)
+    val used = wf.select(col("freq"),
+        explode(UnigramTokens.unigram_encode(col("word"), vocab0, unk0))
+          .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def cpLen(p: String) = p.codePointCount(0, p.length)
+    val dropped = sel0.filter(p => cpLen(p._1) > 1)
+      .map { case (p, _) => (p, used.getOrElse(p, 0L)) }
+      .sortBy { case (p, u) => (u, p) }
+      .take(UnigramPruneK).map(_._1).toSet
+    val sel1 = sel0.filterNot { case (p, _) => dropped(p) }
+    val (vocab1, unk1) = unigramCosts(sel1)
+    val vm1 = typedlit(vocab1.toMap)
+    wf.select(col("word"), col("freq"),
+        size(UnigramTokens.unigram_encode(col("word"), vocab0, unk0))
+          .cast("long").as("n_pieces_v0"),
+        UnigramTokens.unigram_encode(col("word"), vocab1, unk1).as("ps"))
+      .select(col("word"), col("freq"), col("n_pieces_v0"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        array_join(col("ps"), " ").as("pieces"),
+        aggregate(transform(col("ps"),
+          p => coalesce(element_at(vm1, p), lit(unk1))),
+          lit(0L), (a, x) => a + x).as("cost"))
+      .orderBy(col("word"))
+  }
+
+  /** Oracle: the V0 chain, usage counts off its backtracked pieces,
+    * the prune set (used ASC, piece ASC over multi-char V0 pieces —
+    * unused pieces prune first), then the IDENTICAL DP chain suffixed
+    * `2` over the shrunk vocabulary. */
+  val unigramPruneSql: String =
+    s"""WITH RECURSIVE
+       |$UnigramChainCtes,
+       |emc AS (SELECT pc AS piece, CAST(SUM(freq) AS BIGINT) AS used
+       |        FROM (SELECT freq, unnest(pcs) AS pc FROM bt WHERE pos = 0)
+       |        GROUP BY pc),
+       |mdrop AS (SELECT piece FROM (
+       |    SELECT v.piece, coalesce(e.used, 0) AS used
+       |    FROM vocab v LEFT JOIN emc e USING (piece) WHERE len(v.piece) > 1)
+       |  ORDER BY used ASC, piece ASC LIMIT $UnigramPruneK),
+       |vocab2 AS (SELECT piece, f FROM vocab
+       |           WHERE piece NOT IN (SELECT piece FROM mdrop)),
+       |${unigramDpCtes("2", "vocab2")}
+       |SELECT b0.word, b0.freq,
+       |  CAST(len(b0.pcs) AS BIGINT) AS n_pieces_v0,
+       |  CAST(len(b2.pcs) AS BIGINT) AS n_pieces,
+       |  array_to_string(b2.pcs, ' ') AS pieces,
+       |  b2.d[b2.n + 1] AS cost
+       |FROM (SELECT * FROM bt WHERE pos = 0) b0
+       |JOIN (SELECT * FROM bt2 WHERE pos = 0) b2 USING (word)
+       |ORDER BY b0.word""".stripMargin
 
   val packUnigramSql: String =
     s"""WITH RECURSIVE

@@ -91,4 +91,47 @@ class UnigramSpec extends AnyFunSuite {
       "packed token total != sum of per-word Viterbi piece counts")
     assert(out.map(_.getLong(1)).sum == docs.length.toLong)
   }
+
+  test("t_unigram_prune: dropped pieces vanish, live drops force re-segmentation") {
+    val v0 = graft.queries.LlmOps.unigramEncode(spark, SharedSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSeq
+    val out = graft.queries.LlmOps.unigramPrune(spark, SharedSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(out.map(_._1) == v0.map(_._1)) // same vocabulary of words
+    // n_pieces_v0 agrees with the standalone encode gate
+    val v0counts = v0.map(r => r._1 -> r._3.split(" ").length.toLong).toMap
+    out.foreach { case (w, n0, _, _) => assert(n0 == v0counts(w)) }
+    // recount the prune driver-side: usage over V0 segmentations,
+    // 12 least-used multi-char pieces drop (ties by piece asc)
+    val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    v0.foreach { case (_, f, pieces) =>
+      pieces.split(" ").foreach(p => usage(p) += f) }
+    val multiV0 = v0.flatMap(_._3.split(" ")).distinct // used pieces only
+    // the V0 vocabulary's multi pieces include UNUSED ones the spec
+    // can't see from encode output alone — so check the containment
+    // direction: no piece in the pruned output may be one of the 12
+    // least-used (usage asc, piece asc) among pieces we can rank
+    val survivors = out.flatMap(_._4.split(" ")).toSet
+    val rankedUsed = multiV0.filter(_.length > 1)
+      .map(p => (usage(p), p)).sorted
+    // at least one USED multi piece was pruned (K exceeds the dead
+    // count) and its words re-segmented
+    assert(out.exists { case (_, n0, n1, _) => n0 != n1 },
+      "prune round changed no segmentation — K too small to bite")
+    val prunedLive = rankedUsed.map(_._2).filterNot(survivors)
+    assert(prunedLive.nonEmpty, "no live piece was pruned")
+    // pruned live pieces are a PREFIX of the usage ranking (the least
+    // used go first; dead pieces rank before any live one)
+    val k = prunedLive.map(p => rankedUsed.indexWhere(_._2 == p)).max
+    assert(rankedUsed.take(k + 1).map(_._2).toSet.subsetOf(
+      prunedLive.toSet ++ rankedUsed.take(k + 1).map(_._2).filter(survivors)),
+      "pruned set is not usage-ranked")
+    assert(prunedLive.toSet ==
+      rankedUsed.take(prunedLive.size).map(_._2).toSet,
+      "pruned live pieces are not exactly the least-used ones")
+    // single code points never prune: every word still respells
+    out.foreach { case (w, _, _, ps) =>
+      assert(ps.split(" ").mkString == w, s"$w does not respell") }
+  }
 }
