@@ -41,8 +41,13 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     // nested object), then keep only keys whose value starts with a
     // digit — the per-query seconds — so nested-object keys at deeper
     // levels can never alias a gate name.
-    val qObj = txt.drop(txt.indexOf("\"queries\":") + 10)
+    val qIdx = txt.indexOf("\"queries\":")
+    assert(qIdx >= 0,
+      s"${f.get.getName} has no queries object — the compact summary " +
+        "line was committed instead of the full per-query line")
+    val qObj = txt.drop(qIdx + 10)
     val start = qObj.indexOf("{")
+    assert(start >= 0, s"${f.get.getName}: malformed queries object")
     var depth = 0
     var end = start
     while (end < qObj.length && {
