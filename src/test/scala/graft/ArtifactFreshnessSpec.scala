@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * by the round-14 review: an in-JVM assertion inside Bench is a
   * tautology — the failure mode is a COMMITTED artifact generated at an
   * older HEAD). This spec validates the newest committed
-  * `BENCH_LOCAL_r*.json` and `PLAN_AUDIT_r*.txt` against the LIVE
-  * `SparkEntry.queries` set, so `sbt test` goes red the moment a gate
-  * lands without the end-of-round artifacts being re-cut.
+  * `BENCH_LOCAL_r*.json`, `BENCH_SF1_r*_FULL.json` and
+  * `PLAN_AUDIT_r*.txt` against the LIVE `SparkEntry.queries` set, so
+  * `sbt test` goes red the moment a gate lands without the
+  * end-of-round artifacts being re-cut. (The sf1 record joined the
+  * guard in round 15: the round-14 BENCH_SF1 silently predated
+  * t_topic_mix — exactly the staleness class the spec exists for.)
   *
   * Mid-round escape hatch: set `SPARK_GRAFT_WIP=1` to skip while
   * iterating — the final, driver-checked run never sets it.
@@ -29,25 +32,22 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     }.sortBy(_._1).lastOption.map(_._2)
   }
 
-  test("committed BENCH_LOCAL covers every registered gate (+ bpe_learn_shared)") {
-    assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
-    val f = latest("BENCH_LOCAL_", ".json")
-    assume(f.isDefined, "no committed BENCH_LOCAL artifact yet")
-    val txt = scala.io.Source.fromFile(f.get).mkString
-    // extract the keys of the "queries" object without a JSON
-    // dependency. Scan to the MATCHING close brace with a depth
-    // counter (round-14 advice: taking the first '}' silently
-    // truncates the name set the moment a query value becomes a
-    // nested object), then keep only keys whose value starts with a
-    // digit — the per-query seconds — so nested-object keys at deeper
-    // levels can never alias a gate name.
+  /** Extract the key set of a bench record's "queries" object without
+    * a JSON dependency. Scans to the MATCHING close brace with a depth
+    * counter (round-14 advice: taking the first '}' silently truncates
+    * the name set the moment a query value becomes a nested object),
+    * then keeps only keys whose value starts with a digit — the
+    * per-query seconds — so nested-object keys at deeper levels can
+    * never alias a gate name. */
+  private def benchQueryNames(f: java.io.File): Set[String] = {
+    val txt = scala.io.Source.fromFile(f).mkString
     val qIdx = txt.indexOf("\"queries\":")
     assert(qIdx >= 0,
-      s"${f.get.getName} has no queries object — the compact summary " +
+      s"${f.getName} has no queries object — the compact summary " +
         "line was committed instead of the full per-query line")
     val qObj = txt.drop(qIdx + 10)
     val start = qObj.indexOf("{")
-    assert(start >= 0, s"${f.get.getName}: malformed queries object")
+    assert(start >= 0, s"${f.getName}: malformed queries object")
     var depth = 0
     var end = start
     while (end < qObj.length && {
@@ -59,16 +59,34 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
       depth > 0 || qObj.charAt(end) != '}'
     }) end += 1
     val body = qObj.substring(start, math.min(end + 1, qObj.length))
-    val names = "\"([A-Za-z0-9_]+)\":\\s*\\d".r.findAllMatchIn(body)
+    "\"([A-Za-z0-9_]+)\":\\s*\\d".r.findAllMatchIn(body)
       .map(_.group(1)).toSet
+  }
+
+  private def assertCoversSuite(f: java.io.File, what: String): Unit = {
+    val names = benchQueryNames(f)
     val expected = SparkEntry.queries.keySet + "bpe_learn_shared"
     val missing = expected -- names
     val extra = names -- expected
     assert(missing.isEmpty && extra.isEmpty,
-      s"${f.get.getName} is stale vs SparkEntry: missing=${missing.take(5)} " +
-        s"extra=${extra.take(5)} — re-cut the bench at HEAD")
-    assert(txt.contains("\"full_suite\":true"),
+      s"${f.getName} is stale vs SparkEntry: missing=${missing.take(5)} " +
+        s"extra=${extra.take(5)} — re-cut $what at HEAD")
+  }
+
+  test("committed BENCH_LOCAL covers every registered gate (+ bpe_learn_shared)") {
+    assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
+    val f = latest("BENCH_LOCAL_", ".json")
+    assume(f.isDefined, "no committed BENCH_LOCAL artifact yet")
+    assertCoversSuite(f.get, "the sf0.1 bench")
+    assert(scala.io.Source.fromFile(f.get).mkString.contains("\"full_suite\":true"),
       s"${f.get.getName} was produced under SPARK_GRAFT_ONLY — not committable")
+  }
+
+  test("committed BENCH_SF1 full-suite record covers every registered gate") {
+    assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
+    val f = latest("BENCH_SF1_", "_FULL.json")
+    assume(f.isDefined, "no committed BENCH_SF1 full-suite artifact yet")
+    assertCoversSuite(f.get, "the sf1 bench")
   }
 
   test("committed PLAN_AUDIT covers every registered gate") {
