@@ -3520,6 +3520,28 @@ object LlmOps {
     * vocabulary-sized aggregation (map-side combined); the selected
     * table is tokenizer-sized by contract and rides to executors as a
     * codegen reference object (the BPE-merge discipline). */
+  /** Unsigned UTF-8 byte ordering — the collation DuckDB (and Spark's
+    * UTF8String) order strings by. Driver-side vocabulary tie-breaks
+    * MUST use it: java.lang.String.compareTo orders by UTF-16 code
+    * units, which disagrees with UTF-8 bytes between supplementary-
+    * plane and [U+E000, U+FFFF] code points — a selection-boundary tie
+    * on a real multilingual corpus would pick different pieces per
+    * engine (round-15 review). */
+  private val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** The selected V0 vocabulary WITH RAW CENSUS FREQUENCIES — the
     * (piece, freq) table both the cost builder and the pruning round
     * score from. */
@@ -3535,7 +3557,8 @@ object LlmOps {
     def cpLen(p: String): Int = p.codePointCount(0, p.length)
     val singles = pieceFreq.filter(p => cpLen(p._1) == 1)
     val multi = pieceFreq.filter(p => cpLen(p._1) > 1)
-      .sortBy { case (p, f) => (-f, p) }.take(UnigramMultiPieces)
+      .sortBy { case (p, f) => (-f, p) }(
+        Ordering.Tuple2(Ordering.Long, Utf8Order)).take(UnigramMultiPieces)
     (singles ++ multi).toSeq
   }
 
@@ -3546,7 +3569,7 @@ object LlmOps {
     val tot = sel.map(_._2).sum
     def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     (sel.map { case (p, f) => p -> ((blen(tot) - blen(f)) * 1000000L + 1000L) }
-      .sortBy(_._1),
+      .sortBy(_._1)(Utf8Order),
       (blen(tot) + 10L) * 1000000L)
   }
 
@@ -3704,7 +3727,8 @@ object LlmOps {
     def cpLen(p: String) = p.codePointCount(0, p.length)
     val dropped = sel0.filter(p => cpLen(p._1) > 1)
       .map { case (p, _) => (p, used.getOrElse(p, 0L)) }
-      .sortBy { case (p, u) => (u, p) }
+      .sortBy { case (p, u) => (u, p) }(
+        Ordering.Tuple2(Ordering.Long, Utf8Order))
       .take(UnigramPruneK).map(_._1).toSet
     val sel1 = sel0.filterNot { case (p, _) => dropped(p) }
     val (vocab1, unk1) = unigramCosts(sel1)
@@ -6096,16 +6120,24 @@ object LlmOps {
     // through letCol so the cells/e2/en arrays evaluate exactly once
     // per row (CollapseProject inlines plain column references into
     // every one of contour64's 128 reads)
+    // class-C re-renders (asset_id >= 3*pb) carry NO contour
+    // fingerprints: a re-render is a DIFFERENT payload whose real
+    // contours would not match anything — and the surrogate texts of
+    // the class share 4 of 5 tokens, so fingerprinting them would
+    // collide UNRELATED plants pairwise at Hamming 0 and merge their
+    // components (round-15 review). The semantic leg is their only
+    // legitimate detector, by construction.
+    val contourable = col("asset_id") < 3 * pb
     val trunk = graft.util.IntermediateCaches.track(assets
       .select(col("asset_id"), col("kind"), col("bid"),
         md5(col("text")).as("efp"),
         octet_length(col("text")).cast("long").as("nb"),
-        when(col("kind") === "image" && size(col("tk")) >= 1,
+        when(contourable && col("kind") === "image" && size(col("tk")) >= 1,
           letCol(phashCells(col("tk")))(contour64)).as("pfp"),
-        when(col("kind") === "audio" && size(col("tk")) >= 65,
+        when(contourable && col("kind") === "audio" && size(col("tk")) >= 65,
           letCol(audioAmpSq(col("tk"), lit(1L))) { e2 =>
             letCol(windowSums65(e2, size(col("tk"))))(contour64) }).as("afp"),
-        when(col("kind") === "video" && size(col("tk")) >= 65,
+        when(contourable && col("kind") === "video" && size(col("tk")) >= 65,
           letCol(videoFrameSizes(col("tk"), lit(1L))) { sz =>
             letCol(windowSums65(sz, size(col("tk"))))(contour64) }).as("vfp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -6208,7 +6240,8 @@ object LlmOps {
        |icells AS (
        |  SELECT asset_id, list_transform(range(0, 65),
        |    j -> CAST('0x' || substr(md5(tk[(j % len(tk)) + 1]), 1, 15) AS BIGINT)) AS c
-       |  FROM assets WHERE kind = 'image' AND len(tk) >= 1),
+       |  FROM assets WHERE kind = 'image' AND len(tk) >= 1
+       |    AND asset_id < 3 * $PlantBaseSql),
        |ibits AS (
        |  SELECT asset_id, list_transform(range(0, 64),
        |    j -> CASE WHEN c[j + 2] > c[j + 1] THEN 1 ELSE 0 END) AS b
@@ -6223,7 +6256,8 @@ object LlmOps {
        |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
        |      (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768)
        |    * (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768)) AS e2
-       |  FROM assets WHERE kind = 'audio' AND len(tk) >= 65),
+       |  FROM assets WHERE kind = 'audio' AND len(tk) >= 65
+       |    AND asset_id < 3 * $PlantBaseSql),
        |aen AS (
        |  SELECT asset_id, list_transform(range(0, 65), w ->
        |    coalesce(CAST(list_sum(e2[((w * n) // 65) + 1 : ((w + 1) * n) // 65])
@@ -6242,7 +6276,8 @@ object LlmOps {
        |vse AS (
        |  SELECT asset_id, len(tk) AS n, list_transform(tk, t ->
        |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 32768) AS sz
-       |  FROM assets WHERE kind = 'video' AND len(tk) >= 65),
+       |  FROM assets WHERE kind = 'video' AND len(tk) >= 65
+       |    AND asset_id < 3 * $PlantBaseSql),
        |ven AS (
        |  SELECT asset_id, list_transform(range(0, 65), w ->
        |    coalesce(CAST(list_sum(sz[((w * n) // 65) + 1 : ((w + 1) * n) // 65])
@@ -7591,9 +7626,14 @@ object LlmOps {
     import graft.text.Url
     val pr = linkRank(s, dir).select(col("doc_id"), col("rank_q"))
     val rawU = rawUrl(col("doc_id"), col("source"))
-    val byDoc = Tables.documents(s, dir)
-      .select(col("doc_id"), Url.urlDomain(rawU).as("domain"))
-      .join(pr, Seq("doc_id"))
+    // byDoc feeds BOTH the rollup and the final join-back; without a
+    // persist the whole upstream lineage (three PageRank iterations +
+    // URL canonicalization) would execute twice (round-15 review)
+    val byDoc = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Url.urlDomain(rawU).as("domain"))
+        .join(pr, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rolled = byDoc.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_pages"), sum(col("rank_q")).as("rank_sum"))
     val w = org.apache.spark.sql.expressions.Window
@@ -7646,11 +7686,16 @@ object LlmOps {
   def robotsFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Url
     val rawU = rawUrl(col("doc_id"), col("source"))
-    val pages = Tables.documents(s, dir)
-      .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
-        Url.urlDomain(rawU).as("domain"))
-      .withColumn("path",
-        regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
+    // pages feeds the robots synthesis, the rule join AND the final
+    // left join; the ~300-pass canonicalization chain must run once
+    // (round-15 review)
+    val pages = graft.util.IntermediateCaches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
+          Url.urlDomain(rawU).as("domain"))
+        .withColumn("path",
+          regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val robotsTxt = pages.select(col("domain")).distinct()
       .withColumn("robots", concat(
         lit("User-agent: *\nDisallow: /a/\nAllow: /a/~item%2Fx/\nDisallow: /a/~item%2Fx/"),

@@ -134,17 +134,22 @@ object Html {
       val cl = length(l) - length(replace(l, lit(PreClose), lit("")))
       struct(t.as("t"), lc.as("lc"), op.as("op"), cl.as("cl"))
     })
+    // the depth scan accumulates ONLY booleans (not the line structs —
+    // an accumulator carrying every line's text would copy O(L²) chars
+    // on long pages; the boolean array still concat-copies per step but
+    // the per-element cost is one byte) and zips the flags back onto
+    // the scored lines elementwise
     val zero = struct(lit(0).as("s"),
-      expr("CAST(array() AS array<struct<t:string,lc:int,ex:boolean>>)")
-        .as("out"))
-    val flagged = aggregate(scored, zero,
+      expr("CAST(array() AS array<boolean>)").as("fs"))
+    val flags = aggregate(scored, zero,
       (acc, x) => struct(
         (acc.getField("s") + x.getField("op") - x.getField("cl")).as("s"),
-        concat(acc.getField("out"), array(struct(
-          x.getField("t").as("t"), x.getField("lc").as("lc"),
-          (acc.getField("s") > 0 || x.getField("op") > 0 ||
-            x.getField("cl") > 0).as("ex")))).as("out")),
-      acc => acc.getField("out"))
+        concat(acc.getField("fs"),
+          array(acc.getField("s") > 0 || x.getField("op") > 0 ||
+            x.getField("cl") > 0)).as("fs")),
+      acc => acc.getField("fs"))
+    val flagged = zip_with(scored, flags, (x, f) => struct(
+      x.getField("t").as("t"), x.getField("lc").as("lc"), f.as("ex")))
     filter(flagged, s => length(s.getField("t")) > 0)
   }
 

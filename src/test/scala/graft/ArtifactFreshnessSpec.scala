@@ -37,8 +37,10 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     * counter (round-14 advice: taking the first '}' silently truncates
     * the name set the moment a query value becomes a nested object),
     * then keeps only keys whose value starts with a digit — the
-    * per-query seconds — so nested-object keys at deeper levels can
-    * never alias a gate name. */
+    * per-query seconds. A nested-object VALUE would still surface its
+    * inner numeric keys (the scrape is depth-blind past the brace
+    * match), but the failure is LOUD — the extra/missing diff names
+    * the impostor keys — not a silent truncation. */
   private def benchQueryNames(f: java.io.File): Set[String] = {
     val txt = scala.io.Source.fromFile(f).mkString
     val qIdx = txt.indexOf("\"queries\":")
