@@ -6293,14 +6293,17 @@ object LlmOps {
        |  FROM vhp_cand c
        |  JOIN vbits x ON x.asset_id = c.ida JOIN vbits y ON y.asset_id = c.idb
        |  WHERE len(list_filter(range(0, 64), j -> x.b[j + 1] <> y.b[j + 1])) <= 6),
-       |emba AS (SELECT a.asset_id, e.embedding
+       |emba AS (SELECT a.asset_id, e.embedding::DOUBLE[] AS emb,
+       |           sqrt(list_dot_product(e.embedding::DOUBLE[],
+       |                                 e.embedding::DOUBLE[])) AS nrm
        |         FROM assets a JOIN embeddings e ON e.vec_id = a.bid),
-       |sseeds AS (SELECT asset_id AS cell_id, embedding AS cvec
+       |sseeds AS (SELECT asset_id AS cell_id, emb AS cvec, nrm AS cnrm
        |           FROM emba ORDER BY asset_id LIMIT 64),
        |sasg AS (SELECT asset_id, cell FROM (
        |  SELECT e.asset_id, sd.cell_id AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY e.asset_id
-       |      ORDER BY ROUND(${cosineSql("e.embedding", "sd.cvec")}, 9) DESC,
+       |      ORDER BY ROUND(list_dot_product(e.emb, sd.cvec)
+       |                     / (e.nrm * sd.cnrm), 9) DESC,
        |               sd.cell_id DESC) AS rn
        |  FROM emba e CROSS JOIN sseeds sd) t WHERE rn = 1),
        |spairs AS (SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,
@@ -6309,7 +6312,8 @@ object LlmOps {
        |  JOIN sasg aa ON aa.asset_id = a.asset_id
        |  JOIN emba b ON a.asset_id < b.asset_id
        |  JOIN sasg ab ON ab.asset_id = b.asset_id AND ab.cell = aa.cell
-       |  WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.95),
+       |  WHERE ROUND(list_dot_product(a.emb, b.emb)
+       |              / (a.nrm * b.nrm), 6) >= 0.95),
        |ev AS (SELECT * FROM eedges UNION ALL SELECT * FROM ipairs
        |       UNION ALL SELECT * FROM apairs UNION ALL SELECT * FROM vpairs
        |       UNION ALL SELECT * FROM spairs),
@@ -7621,8 +7625,11 @@ object LlmOps {
     * Scale shape: the rollup aggregates the page-rank table to a
     * DOMAIN-sized frame; the ntile window runs over that frame only
     * (domains << corpus — the t_token_budget directory discipline);
-    * the join back broadcasts the domain table onto the corpus. */
-  def domainRank(s: SparkSession, dir: String): DataFrame = {
+    * the join back broadcasts the domain table onto the corpus. At a
+    * real 100 TB crawl (10^7–10^8 domains) the domain table outgrows
+    * a broadcast and a single window: degrade to a shuffle join and
+    * the t_token_budget bucketed-window trick (see SCALE.md). */
+  private[graft] def domainTierTable(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.text.Url
     val pr = linkRank(s, dir).select(col("doc_id"), col("rank_q"))
     val rawU = rawUrl(col("doc_id"), col("source"))
@@ -7638,7 +7645,11 @@ object LlmOps {
       .agg(count(lit(1)).as("n_pages"), sum(col("rank_q")).as("rank_sum"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rank_sum"), col("domain"))
-    val tiers = rolled.withColumn("tier", ntile(4).over(w).cast("long"))
+    (byDoc, rolled.withColumn("tier", ntile(4).over(w).cast("long")))
+  }
+
+  def domainRank(s: SparkSession, dir: String): DataFrame = {
+    val (byDoc, tiers) = domainTierTable(s, dir)
     byDoc.join(broadcast(tiers), Seq("domain"))
       .select(col("doc_id"), col("domain"), col("rank_q"),
         col("n_pages"), col("rank_sum"), col("tier"))
@@ -7647,8 +7658,11 @@ object LlmOps {
 
   /** Oracle = [[UrlCanonCtes]] (for the domain key) + [[LinkRankCtes]]
     * (for the ranks) + the rollup, tier window and join back. */
-  val domainRankSql: String =
-    "WITH " + UrlCanonCtes + ",\n" + LinkRankCtes + ",\n" +
+  /** LinkRank rollup to the domain tier table (`byd`/`rolled`/`tiers`;
+    * depends on `curls` from [[UrlCanonCtes]]) — shared by
+    * [[domainRankSql]] and [[pipelineScheduleSql]]. */
+  private val DomainTierCtes: String =
+    LinkRankCtes + ",\n" +
     s"""byd AS (SELECT c.doc_id, c.domain, r3.r AS rank_q
        |  FROM curls c JOIN r3 ON r3.v = c.doc_id),
        |rolled AS (SELECT domain, COUNT(*) AS n_pages,
@@ -7656,8 +7670,11 @@ object LlmOps {
        |  FROM byd GROUP BY domain),
        |tiers AS (SELECT domain, n_pages, rank_sum,
        |    CAST(ntile(4) OVER (ORDER BY rank_sum DESC, domain) AS BIGINT) AS tier
-       |  FROM rolled)
-       |SELECT b.doc_id, b.domain, b.rank_q, t.n_pages, t.rank_sum, t.tier
+       |  FROM rolled)""".stripMargin
+
+  val domainRankSql: String =
+    "WITH " + UrlCanonCtes + ",\n" + DomainTierCtes + "\n" +
+    s"""SELECT b.doc_id, b.domain, b.rank_q, t.n_pages, t.rank_sum, t.tier
        |FROM byd b JOIN tiers t USING (domain) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -7668,51 +7685,110 @@ object LlmOps {
   // domain per tick
   // ---------------------------------------------------------------------
 
-  /** robots.txt filtering: each domain publishes a deterministic
-    * synthetic robots file (three-deep prefix ladder: `Disallow: /a/`
-    * shadowed by `Allow: /a/~item%2Fx/` shadowed by a domain-keyed
-    * `Disallow: /a/~item%2Fx/K`), the RULES ARE PARSED FROM THE FILE
-    * TEXT (line split + regex — the crawler's parser, not a shortcut
-    * from the rule arithmetic), and every canonical URL is judged by
-    * RFC 9309 longest-prefix-match (ties prefer Allow; no matching
-    * rule = allowed). K = len(domain) % 7 blocks exactly the pages
-    * whose path section equals it — every domain has blocked AND
-    * allowed pages and all three ladder depths decide somewhere.
+  /** Per-page (doc_id, curl, domain, path) view the robots machinery
+    * judges — shared by [[robotsFilter]] and [[pipelineSchedule]].
+    * NOT persisted deliberately: Spark reuses the shared exchanges
+    * across the consumers, and a persist measured SLOWER at both SFs
+    * (sf1 1.0 s -> 4.8 s — materializing the wide canonicalization
+    * chain costs more than the reuse saves). */
+  private[graft] def robotsPages(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Url
+    val rawU = rawUrl(col("doc_id"), col("source"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
+        Url.urlDomain(rawU).as("domain"))
+      .withColumn("path",
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
+  }
+
+  /** Synthetic per-domain robots.txt — a three-deep literal prefix
+    * ladder, ONE wildcard rule and a per-domain Crawl-delay:
+    * {{{
+    *   User-agent: *
+    *   Disallow: /a/
+    *   Allow: /a/~item%2Fx/
+    *   Disallow: /a/~item%2Fx/K$      K = len(domain) % 7
+    *   Disallow: /a/~item*%2Fx/J$     J = (len(domain) + 3) % 7
+    *   Crawl-delay: D                 D = 1 + len(domain) % 3
+    * }}}
+    * K != J always (3 is nonzero mod 7), so the literal rule and the
+    * wildcard rule each block their own 1/7 of the domain and the
+    * Allow decides the rest. The '$' anchors are load-bearing for the
+    * PARSER even though path digits are terminal: an implementation
+    * that treats '$' as a literal makes both Disallows match nothing
+    * and flips 2/7 of every domain's verdicts. The wildcard rule is
+    * 16 octets — it outranks the 13-octet Allow ONLY because '*'
+    * expands, so a literal-'*' parser flips J-pages too. */
+  private[graft] def robotsTxtCol(domain: Column): Column = concat(
+    lit("User-agent: *\nDisallow: /a/\nAllow: /a/~item%2Fx/\nDisallow: /a/~item%2Fx/"),
+    (length(domain) % 7).cast("string"), lit("$"),
+    lit("\nDisallow: /a/~item*%2Fx/"),
+    ((length(domain) + 3) % 7).cast("string"), lit("$"),
+    lit("\nCrawl-delay: "), (length(domain) % 3 + 1).cast("string"))
+
+  /** RFC 9309 rule-path -> regex: a trailing '$' is the end-of-path
+    * anchor, '*' matches any character sequence, every other regex
+    * metacharacter is escaped (so '%2F', '~', '.' in real rule paths
+    * stay literal); the result is '^'-anchored (a plain rule is a
+    * prefix match). Mid-string '$' is treated as a literal — RFC 9309
+    * only assigns it meaning as the final octet. */
+  private[graft] def robotsRuleRegex(rpath: Column): Column = {
+    val anch = rpath.endsWith("$")
+    val body = when(anch,
+      expr("substring(rpath, 1, length(rpath) - 1)")).otherwise(rpath)
+    val esc = regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anch, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parsed rule table (domain, rule, rpath, rex): the rules are
+    * PARSED FROM THE FILE TEXT (line split + regex — the crawler's
+    * parser, not a shortcut from the rule arithmetic). */
+  private[graft] def robotsRules(pages: DataFrame): DataFrame =
+    pages.select(col("domain")).distinct()
+      .withColumn("robots", robotsTxtCol(col("domain")))
+      .select(col("domain"), explode(split(col("robots"), "\n")).as("line"))
+      .select(col("domain"),
+        regexp_extract(col("line"), "^(Allow|Disallow): (.*)$", 1).as("rule"),
+        regexp_extract(col("line"), "^(Allow|Disallow): (.*)$", 2).as("rpath"))
+      .filter(col("rule") =!= "")
+      .withColumn("rex", robotsRuleRegex(col("rpath")))
+
+  /** Per-domain Crawl-delay, parsed from the same robots text. */
+  private[graft] def robotsDelays(pages: DataFrame): DataFrame =
+    pages.select(col("domain")).distinct()
+      .select(col("domain"),
+        regexp_extract(robotsTxtCol(col("domain")), "Crawl-delay: ([0-9]+)", 1)
+          .cast("long").as("delay"))
+
+  /** Per-page verdict (doc_id, ok): RFC 9309 most-specific-match —
+    * precedence is rule-path octet length (as written, wildcards
+    * included), ties prefer Allow, no matching rule = allowed (the
+    * caller coalesces the missing rows to true). One broadcast join +
+    * a map-side-combinable max(struct) argmax per page. */
+  private[graft] def robotsVerdict(pages: DataFrame, rules: DataFrame): DataFrame =
+    pages.join(broadcast(rules), Seq("domain"))
+      .filter(regexp_like(col("path"), col("rex")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(length(col("rpath")).as("l"),
+        (col("rule") === "Allow").cast("int").as("a"))).as("best"))
+      .select(col("doc_id"), (col("best").getField("a") === 1).as("ok"))
+
+  /** robots.txt filtering: each domain publishes the deterministic
+    * synthetic robots file of [[robotsTxtCol]], rules are parsed from
+    * the text, and every canonical URL is judged by RFC 9309
+    * most-specific-match with '*'/'$' wildcard support
+    * ([[robotsRuleRegex]]). Every domain has blocked AND allowed pages
+    * and every ladder depth (incl. the wildcard rule) decides
+    * somewhere.
     *
     * Scale shape: the rule table is domain-sized and broadcasts; the
     * per-page verdict is one broadcast join + a map-side-combinable
     * max(struct) argmax per page (no per-page window shuffle); the
     * card is one domain-keyed aggregate. */
   def robotsFilter(s: SparkSession, dir: String): DataFrame = {
-    import graft.text.Url
-    val rawU = rawUrl(col("doc_id"), col("source"))
-    // pages feeds the robots synthesis, the rule join AND the final
-    // left join. NOT persisted deliberately: Spark reuses the shared
-    // exchanges across the three consumers, and a persist measured
-    // SLOWER at both SFs (sf1 1.0 s -> 4.8 s — materializing the wide
-    // canonicalization chain costs more than the reuse saves).
-    val pages = Tables.documents(s, dir)
-      .select(col("doc_id"), Url.canonicalize(rawU).as("curl"),
-        Url.urlDomain(rawU).as("domain"))
-      .withColumn("path",
-        regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
-    val robotsTxt = pages.select(col("domain")).distinct()
-      .withColumn("robots", concat(
-        lit("User-agent: *\nDisallow: /a/\nAllow: /a/~item%2Fx/\nDisallow: /a/~item%2Fx/"),
-        (length(col("domain")) % 7).cast("string"),
-        lit("\nCrawl-delay: 1")))
-    val rules = robotsTxt
-      .select(col("domain"), explode(split(col("robots"), "\n")).as("line"))
-      .select(col("domain"),
-        regexp_extract(col("line"), "^(Allow|Disallow): (.*)$", 1).as("rule"),
-        regexp_extract(col("line"), "^(Allow|Disallow): (.*)$", 2).as("rpath"))
-      .filter(col("rule") =!= "")
-    val verdict = pages.join(broadcast(rules), Seq("domain"))
-      .filter(col("path").startsWith(col("rpath")))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(length(col("rpath")).as("l"),
-        (col("rule") === "Allow").cast("int").as("a"))).as("best"))
-      .select(col("doc_id"), (col("best").getField("a") === 1).as("ok"))
+    val pages = robotsPages(s, dir)
+    val verdict = robotsVerdict(pages, robotsRules(pages))
     pages.join(verdict, Seq("doc_id"), "left")
       .withColumn("allowed", coalesce(col("ok"), lit(true)))
       .groupBy(col("domain"))
@@ -7726,11 +7802,14 @@ object LlmOps {
       .orderBy(col("domain"))
   }
 
-  /** Oracle = [[UrlCanonCtes]] + the same file synthesis, line parse,
-    * longest-prefix argmax (ROW_NUMBER over (len DESC, Allow first))
-    * and domain card. */
-  val robotsFilterSql: String =
-    "WITH " + UrlCanonCtes + ",\n" +
+  /** The robots CTE chain (depends on `curls` from [[UrlCanonCtes]]):
+    * `pages` -> file synthesis `rt` -> parsed rules `rl0` -> the
+    * wildcard-aware regex translation `rl` ([[robotsRuleRegex]]'s
+    * mirror: trailing '$' anchors, '*' -> '.*', every other metachar
+    * escaped) -> Crawl-delay table `rdel` -> per-page argmax verdict
+    * `v` -> `pv` (doc_id, domain, curl, allowed). Shared by
+    * [[robotsFilterSql]] and [[pipelineScheduleSql]]. */
+  private val RobotsCtes: String =
     s"""pages AS (SELECT doc_id, curl, domain,
        |    regexp_extract(curl, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
        |  FROM curls),
@@ -7738,31 +7817,51 @@ object LlmOps {
        |    'User-agent: *' || chr(10) || 'Disallow: /a/' || chr(10)
        |    || 'Allow: /a/~item%2Fx/' || chr(10)
        |    || 'Disallow: /a/~item%2Fx/' || CAST(len(domain) % 7 AS VARCHAR)
-       |    || chr(10) || 'Crawl-delay: 1' AS robots
+       |    || '$$' || chr(10) || 'Disallow: /a/~item*%2Fx/'
+       |    || CAST((len(domain) + 3) % 7 AS VARCHAR) || '$$'
+       |    || chr(10) || 'Crawl-delay: ' || CAST(1 + len(domain) % 3 AS VARCHAR)
+       |    AS robots
        |  FROM pages),
-       |rl AS (SELECT domain,
+       |rl0 AS (SELECT domain,
        |    regexp_extract(line, '^(Allow|Disallow): (.*)$$', 1) AS rule,
        |    regexp_extract(line, '^(Allow|Disallow): (.*)$$', 2) AS rpath
        |  FROM (SELECT domain, unnest(string_split(robots, chr(10))) AS line FROM rt)
        |  WHERE regexp_extract(line, '^(Allow|Disallow): (.*)$$', 1) <> ''),
+       |rl AS (SELECT domain, rule, rpath,
+       |    '^' || replace(regexp_replace(
+       |        CASE WHEN rpath LIKE '%$$' THEN substr(rpath, 1, len(rpath) - 1)
+       |             ELSE rpath END,
+       |        '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+       |    || CASE WHEN rpath LIKE '%$$' THEN '$$' ELSE '' END AS rex
+       |  FROM rl0),
+       |rdel AS (SELECT domain,
+       |    CAST(regexp_extract(robots, 'Crawl-delay: ([0-9]+)', 1) AS BIGINT)
+       |      AS delay
+       |  FROM rt),
        |v AS (SELECT doc_id, (rule = 'Allow') AS ok FROM (
        |    SELECT p.doc_id, r.rule,
        |      ROW_NUMBER() OVER (PARTITION BY p.doc_id
        |        ORDER BY len(r.rpath) DESC,
        |                 CASE WHEN r.rule = 'Allow' THEN 0 ELSE 1 END) AS rn
        |    FROM pages p JOIN rl r ON r.domain = p.domain
-       |    WHERE starts_with(p.path, r.rpath)) t
+       |    WHERE regexp_matches(p.path, r.rex)) t
        |  WHERE rn = 1),
-       |j AS (SELECT p.doc_id, p.domain, p.curl, coalesce(v.ok, true) AS allowed
-       |  FROM pages p LEFT JOIN v ON v.doc_id = p.doc_id)
-       |SELECT domain, COUNT(*) AS n_urls,
+       |pv AS (SELECT p.doc_id, p.domain, p.curl, coalesce(v.ok, true) AS allowed
+       |  FROM pages p LEFT JOIN v ON v.doc_id = p.doc_id)""".stripMargin
+
+  /** Oracle = [[UrlCanonCtes]] + [[RobotsCtes]] (file synthesis, line
+    * parse, wildcard regex translation, most-specific argmax) + the
+    * domain card. */
+  val robotsFilterSql: String =
+    "WITH " + UrlCanonCtes + ",\n" + RobotsCtes + "\n" +
+    s"""SELECT domain, COUNT(*) AS n_urls,
        |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
        |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
        |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT)
        |    AS blocked_id_sum,
        |  md5(coalesce(string_agg(CASE WHEN allowed THEN curl END, '|'
        |    ORDER BY CASE WHEN allowed THEN curl END), '')) AS allowed_md5
-       |FROM j GROUP BY domain ORDER BY domain""".stripMargin
+       |FROM pv GROUP BY domain ORDER BY domain""".stripMargin
 
   /** Politeness fetch plan: the scheduler between frontier and fetch —
     * at most ONE request per domain per tick (the per-host rate limit
@@ -7800,6 +7899,70 @@ object LlmOps {
        |SELECT tick, COUNT(*) AS n_fetches, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        |  md5(string_agg(domain, '|' ORDER BY domain)) AS domains_md5
        |FROM t GROUP BY tick ORDER BY tick""".stripMargin
+
+  /** The composed crawl scheduler (t_pipeline_schedule): robots ∘
+    * Crawl-delay ∘ domain tier ∘ FIFO — what [[fetchPlan]] leaves on
+    * the table, closed (round-15 verdict #2). The frontier is the
+    * robots-ALLOWED pages ONLY (a blocked URL never appears in any
+    * tick — its id would break id_sum and the domain checksum), each
+    * domain fetches at its own declared Crawl-delay cadence, and
+    * higher-authority domains start first:
+    *
+    *   tick(page) = tier(domain) + (fifoRank(page) - 1) · delay(domain)
+    *
+    * tier ∈ 1..4 from [[domainTierTable]] (tier-1 domains open at
+    * tick 1, tier-4 at tick 4 — the priority stagger), delay ∈ 1..3
+    * parsed from the domain's robots.txt, FIFO rank by doc_id within
+    * the domain. Successive ticks of one domain are `delay` apart, so
+    * the per-host politeness contract holds BY ARITHMETIC (one request
+    * per domain per tick, spaced its declared delay). Output is the
+    * per-tick load card: fetch count, id checksum, tier-1 fetch count
+    * (the priority signal) and an order-insensitive domain md5.
+    *
+    * Scale shape: verdict = one broadcast rule join + map-side argmax;
+    * tier + delay join back by broadcast (domain-sized tables — see
+    * SCALE.md for the 10^8-domain fallback); ONE domain-keyed window
+    * for the FIFO rank (the frontier is naturally domain-partitioned
+    * at 100 TB); one tick aggregate. Nothing else shuffles. */
+  def pipelineSchedule(s: SparkSession, dir: String): DataFrame = {
+    val pages = robotsPages(s, dir)
+    val verdict = robotsVerdict(pages, robotsRules(pages))
+    val frontier = pages.join(verdict, Seq("doc_id"), "left")
+      .filter(coalesce(col("ok"), lit(true)))
+      .select(col("doc_id"), col("domain"))
+    val tiers = domainTierTable(s, dir)._2.select(col("domain"), col("tier"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+    frontier
+      .join(broadcast(robotsDelays(pages)), Seq("domain"))
+      .join(broadcast(tiers), Seq("domain"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("tick", col("tier") + (col("rk") - 1) * col("delay"))
+      .groupBy(col("tick"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_tier1"),
+        md5(concat_ws("|", array_sort(collect_list(col("domain"))))
+          .cast("binary")).as("domains_md5"))
+      .orderBy(col("tick"))
+  }
+
+  /** Oracle = [[UrlCanonCtes]] + [[RobotsCtes]] + [[DomainTierCtes]]
+    * composed in one WITH: the allowed frontier, the per-domain FIFO
+    * rank, the tick arithmetic and the load card — all exact integers,
+    * so robots ∘ delay ∘ tier ∘ FIFO replays bit-for-bit. */
+  val pipelineScheduleSql: String =
+    "WITH " + UrlCanonCtes + ",\n" + RobotsCtes + ",\n" + DomainTierCtes + ",\n" +
+    s"""fr AS (SELECT doc_id, domain FROM pv WHERE allowed),
+       |sched AS (SELECT f.doc_id, f.domain, t.tier, d.delay,
+       |    ROW_NUMBER() OVER (PARTITION BY f.domain ORDER BY f.doc_id) AS rk
+       |  FROM fr f JOIN tiers t USING (domain) JOIN rdel d USING (domain)),
+       |tk AS (SELECT doc_id, domain, tier,
+       |    tier + (rk - 1) * delay AS tick FROM sched)
+       |SELECT tick, COUNT(*) AS n_fetches, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier1,
+       |  md5(string_agg(domain, '|' ORDER BY domain)) AS domains_md5
+       |FROM tk GROUP BY tick ORDER BY tick""".stripMargin
 
   /** Oracle = the [[HtmlLineCtes]] ∘ [[UrlCanonCtes]] ∘ paragraph-
     * recurrence ∘ floor chain replayed end-to-end in one WITH — the

@@ -2475,41 +2475,89 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     val nDocs = docs.count()
     assert(out.map(_._2).sum == nDocs)
-    // the domain-keyed Disallow ladder blocks exactly the pages whose
-    // path section K equals len(domain) % 7 — recount driver-side
+    // the literal K-rule blocks pages with path digit K = len(domain)%7,
+    // the WILDCARD J-rule (/a/~item*%2Fx/J$) blocks digit J =
+    // (len(domain)+3)%7 — recount both driver-side
     val byId = docs.select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     for ((domain, nUrls, nAllowed, nBlocked) <- out) {
       assert(nAllowed + nBlocked == nUrls, s"$domain verdicts don't cover")
       val src = domain.stripSuffix(".example.com")
       val k = domain.length % 7
-      val want = byId.count { case (id, s0) => s0 == src && id % 7 == k }
+      val j = (domain.length + 3) % 7
+      assert(k != j, s"$domain fixture degenerate")
+      val want = byId.count { case (id, s0) =>
+        s0 == src && (id % 7 == k || id % 7 == j) }
       assert(nBlocked == want.toLong,
-        s"$domain blocked $nBlocked, ladder says $want (K=$k)")
-      // all three ladder depths decide somewhere: blocked and allowed
-      // pages both exist per domain (K covers 1/7 of a domain)
+        s"$domain blocked $nBlocked, ladder says $want (K=$k, J=$j)")
+      // every ladder depth decides somewhere: blocked and allowed
+      // pages both exist per domain (K+J cover 2/7 of a domain)
       assert(nBlocked > 0 && nAllowed > 0, s"$domain one-sided")
     }
   }
 
-  test("robots semantics: tie prefers Allow, unmatched pages are allowed") {
-    // replicate the per-page argmax contract on hand rules: equal-length
-    // Allow + Disallow -> Allow wins; no matching rule -> allowed
+  test("robots semantics: tie prefers Allow, unmatched allowed, wildcards anchor") {
+    // the per-page argmax contract driven through the REAL matcher
+    // (robotsRuleRegex + regexp_like): equal-length Allow + Disallow ->
+    // Allow wins; no matching rule -> allowed; '*' spans segments; '$'
+    // anchors (a trailing-$ rule must NOT match a longer path); a
+    // mid-string '$' and regex metachars ('.', '+') stay literal
     val rules = Seq(("d", "Allow", "/x/"), ("d", "Disallow", "/x/"),
-      ("d", "Disallow", "/y/"))
+      ("d", "Disallow", "/y/"), ("d", "Disallow", "/w/*/end$"),
+      ("d", "Disallow", "/lit$eral/"), ("d", "Disallow", "/dot./p+/"))
       .toDF("domain", "rule", "rpath")
-    val pages = Seq(("d", 1L, "/x/a"), ("d", 2L, "/y/b"), ("d", 3L, "/z/c"))
+      .withColumn("rex", graft.queries.LlmOps.robotsRuleRegex(col("rpath")))
+    val pages = Seq(("d", 1L, "/x/a"), ("d", 2L, "/y/b"), ("d", 3L, "/z/c"),
+      ("d", 4L, "/w/deep/er/end"), ("d", 5L, "/w/deep/end/not"),
+      ("d", 6L, "/lit$eral/x"), ("d", 7L, "/dot./p+/q"), ("d", 8L, "/dotX/pp/q"))
       .toDF("domain", "doc_id", "path")
-    val verdict = pages.join(rules, Seq("domain"))
-      .filter(col("path").startsWith(col("rpath")))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(length(col("rpath")).as("l"),
-        (col("rule") === "Allow").cast("int").as("a"))).as("best"))
-      .select(col("doc_id"), (col("best").getField("a") === 1).as("ok"))
+    val verdict = graft.queries.LlmOps.robotsVerdict(pages, rules)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(verdict(1L), "equal-length tie must prefer Allow")
     assert(!verdict(2L), "Disallow must block")
     assert(!verdict.contains(3L), "unmatched page has no verdict row (defaults allowed)")
+    assert(!verdict(4L), "'*' must span multiple path segments")
+    assert(!verdict.contains(5L), "'$' must anchor: /w/*/end$ can't match a longer path")
+    assert(!verdict(6L), "mid-string '$' must stay literal")
+    assert(!verdict(7L), "'.' and '+' in rule paths must stay literal")
+    assert(!verdict.contains(8L), "escaped '.'/'+' must not act as regex operators")
+  }
+
+  test("t_pipeline_schedule: blocked absent, politeness spacing, tier priority") {
+    val ops = graft.queries.LlmOps
+    val out = ops.pipelineSchedule(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // recompute the frontier driver-side from the fixture arithmetic:
+    // blocked = path digit in {K, J} per domain
+    val byId = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) + ".example.com"))
+    val allowed = byId.filter { case (id, dom) =>
+      val (k, j) = (dom.length % 7, (dom.length + 3) % 7)
+      id % 7 != k && id % 7 != j }
+    // coverage: every allowed page scheduled exactly once, NO blocked id
+    // can hide (id_sum is a checksum over the whole plan)
+    assert(out.map(_._2).sum == allowed.length.toLong)
+    assert(out.map(_._3).sum == allowed.map(_._1).sum)
+    // replay the tick arithmetic driver-side: tier + (rank-1)*delay
+    val tiers = ops.domainTierTable(spark, sf001)._2
+      .select("domain", "tier").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = allowed.groupBy(_._2).toSeq.flatMap { case (dom, pages) =>
+      val delay = 1L + dom.length % 3
+      pages.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (tiers(dom) + i * delay, id, tiers(dom)) }
+    }
+    val wantCard = expect.groupBy(_._1).map { case (t, rows) =>
+      (t, rows.size.toLong, rows.map(_._2).sum,
+        rows.count(_._3 == 1L).toLong) }.toSet
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSet == wantCard,
+      "per-tick card diverges from the driver-side replay")
+    // tier priority: tick 1 is exactly the tier-1 domains' first pages
+    val t1 = out.find(_._1 == 1L).get
+    assert(t1._2 == t1._4 && t1._2 == tiers.values.count(_ == 1L).toLong,
+      "tick 1 must hold exactly one fetch per tier-1 domain")
+    // delays actually vary across the fixture (the gate isn't trivial)
+    assert(byId.map(_._2.length % 3).distinct.length > 1)
   }
 
   test("t_fetch_plan: one fetch per domain per tick, makespan = largest domain") {
