@@ -3553,13 +3553,16 @@ object LlmOps {
             least(lit(UnigramMaxPieceLen), length(col("word")) - i + lit(1))),
             L => col("word").substr(i, L))))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("f"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    def cpLen(p: String): Int = p.codePointCount(0, p.length)
-    val singles = pieceFreq.filter(p => cpLen(p._1) == 1)
-    val multi = pieceFreq.filter(p => cpLen(p._1) > 1)
-      .sortBy { case (p, f) => (-f, p) }(
-        Ordering.Tuple2(Ordering.Long, Utf8Order)).take(UnigramMultiPieces)
-    (singles ++ multi).toSeq
+    // the SELECTION stays distributed (round-15 verdict #4): the top-K
+    // multi pieces come from a TakeOrdered over the census (UTF8String's
+    // unsigned-byte ordering IS the Utf8Order the tie-break needs, and
+    // Spark's length() counts code points like codePointCount), so only
+    // singles (alphabet-sized) + K rows ever reach the driver — the
+    // substring census itself never collects, at any corpus size
+    pieceFreq.filter(length(col("piece")) === 1)
+      .unionByName(pieceFreq.filter(length(col("piece")) > 1)
+        .orderBy(desc("f"), col("piece")).limit(UnigramMultiPieces))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
   }
 
   /** Integer costs for a selected (piece, freq) vocabulary (total and
@@ -3770,6 +3773,117 @@ object LlmOps {
        |  b2.d[b2.n + 1] AS cost
        |FROM (SELECT * FROM bt WHERE pos = 0) b0
        |JOIN (SELECT * FROM bt2 WHERE pos = 0) b2 USING (word)
+       |ORDER BY b0.word""".stripMargin
+
+  private val UnigramEmRounds = 3
+  private val UnigramEmK = 6
+
+  /** Iterated unigram hard-EM (t_unigram_em) — the actual SentencePiece
+    * trainer loop ([[unigramPrune]] is one round of it): R =
+    * [[UnigramEmRounds]] rounds of segment → count freq-weighted piece
+    * usage over the Viterbi paths → drop the [[UnigramEmK]] least-used
+    * multi-char pieces (used ASC, piece ASC in UTF-8 byte order;
+    * singles never prune — coverage) → rebuild the integer cost table
+    * over the shrunk vocabulary (the total shifts, so every cost
+    * shifts — and a bit-length change in the total re-weights LONG
+    * segmentations against SHORT ones, the renormalization dynamic) →
+    * re-segment. The loop walks the vocabulary from
+    * singles + [[UnigramMultiPieces]] down to singles +
+    * ([[UnigramMultiPieces]] − R·K) — the target-vocabulary-size
+    * descent of the published trainer. Output per word: the piece
+    * count under every intermediate vocabulary (V0, round 1, round 2)
+    * plus the final pieces and exact path cost — pinning each round's
+    * usage counts, prune set, renormalized costs and re-segmentation
+    * in one hash.
+    *
+    * Scale shape: R+1 map-only encode passes over the word-frequency
+    * table (persisted once — vocabulary-sized, not corpus-sized); each
+    * usage count is one vocabulary-sized aggregate; every vocabulary
+    * rides as a codegen reference object (the BPE-merge discipline). */
+  def unigramEm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.UnigramTokens
+    require(UnigramEmRounds * UnigramEmK <= UnigramMultiPieces,
+      "EM would prune past the multi-piece pool")
+    // R+1 encode passes fan out over the word-frequency aggregate —
+    // persist it once (word-vocabulary-sized)
+    val wf = graft.util.IntermediateCaches.track(bpeWordFreq(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def cpLen(p: String) = p.codePointCount(0, p.length)
+    var sel = unigramCensus(s, dir)
+    var (vocab, unk) = unigramCosts(sel)
+    var df = wf.select(col("word"), col("freq"),
+      size(UnigramTokens.unigram_encode(col("word"), vocab, unk))
+        .cast("long").as("n_pieces_v0"))
+    for (r <- 1 to UnigramEmRounds) {
+      val (v0, u0) = (vocab, unk)
+      val used = wf.select(col("freq"),
+          explode(UnigramTokens.unigram_encode(col("word"), v0, u0))
+            .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val dropped = sel.filter(p => cpLen(p._1) > 1)
+        .map { case (p, _) => (p, used.getOrElse(p, 0L)) }
+        .sortBy { case (p, u) => (u, p) }(
+          Ordering.Tuple2(Ordering.Long, Utf8Order))
+        .take(UnigramEmK).map(_._1).toSet
+      sel = sel.filterNot { case (p, _) => dropped(p) }
+      val cu = unigramCosts(sel); vocab = cu._1; unk = cu._2
+      if (r < UnigramEmRounds)
+        df = df.withColumn(s"n_pieces_r$r",
+          size(UnigramTokens.unigram_encode(col("word"), vocab, unk))
+            .cast("long"))
+    }
+    val vmF = typedlit(vocab.toMap)
+    val unkF = unk
+    df.withColumn("ps",
+        UnigramTokens.unigram_encode(col("word"), vocab, unkF))
+      .select(col("word"), col("freq"), col("n_pieces_v0"),
+        col("n_pieces_r1"), col("n_pieces_r2"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        array_join(col("ps"), " ").as("pieces"),
+        aggregate(transform(col("ps"),
+          p => coalesce(element_at(vmF, p), lit(unkF))),
+          lit(0L), (a, x) => a + x).as("cost"))
+      .orderBy(col("word"))
+  }
+
+  /** One EM round's oracle CTEs: usage off round `prevSfx`'s
+    * backtracked pieces, the K-piece prune set, the shrunk vocabulary,
+    * then the IDENTICAL DP chain suffixed `sfx`. */
+  private def unigramEmRoundCtes(prevSfx: String, sfx: String): String =
+    s"""emc$sfx AS (SELECT pc AS piece, CAST(SUM(freq) AS BIGINT) AS used
+       |        FROM (SELECT freq, unnest(pcs) AS pc FROM bt$prevSfx WHERE pos = 0)
+       |        GROUP BY pc),
+       |mdrop$sfx AS (SELECT piece FROM (
+       |    SELECT v.piece, coalesce(e.used, 0) AS used
+       |    FROM vocab$prevSfx v LEFT JOIN emc$sfx e USING (piece)
+       |    WHERE len(v.piece) > 1)
+       |  ORDER BY used ASC, piece ASC LIMIT $UnigramEmK),
+       |vocab$sfx AS (SELECT piece, f FROM vocab$prevSfx
+       |           WHERE piece NOT IN (SELECT piece FROM mdrop$sfx)),
+       |${unigramDpCtes(sfx, s"vocab$sfx")}""".stripMargin
+
+  /** Oracle: the V0 chain, then [[unigramEmRoundCtes]] three times —
+    * the full DP/backtrack recursion runs FOUR times in one WITH, each
+    * round's vocabulary derived from the previous round's Viterbi
+    * usage. */
+  val unigramEmSql: String =
+    s"""WITH RECURSIVE
+       |$UnigramChainCtes,
+       |${unigramEmRoundCtes("", "e1")},
+       |${unigramEmRoundCtes("e1", "e2")},
+       |${unigramEmRoundCtes("e2", "e3")}
+       |SELECT b0.word, b0.freq,
+       |  CAST(len(b0.pcs) AS BIGINT) AS n_pieces_v0,
+       |  CAST(len(b1.pcs) AS BIGINT) AS n_pieces_r1,
+       |  CAST(len(b2.pcs) AS BIGINT) AS n_pieces_r2,
+       |  CAST(len(b3.pcs) AS BIGINT) AS n_pieces,
+       |  array_to_string(b3.pcs, ' ') AS pieces,
+       |  b3.d[b3.n + 1] AS cost
+       |FROM (SELECT * FROM bt WHERE pos = 0) b0
+       |JOIN (SELECT * FROM bte1 WHERE pos = 0) b1 USING (word)
+       |JOIN (SELECT * FROM bte2 WHERE pos = 0) b2 USING (word)
+       |JOIN (SELECT * FROM bte3 WHERE pos = 0) b3 USING (word)
        |ORDER BY b0.word""".stripMargin
 
   val packUnigramSql: String =

@@ -134,4 +134,33 @@ class UnigramSpec extends AnyFunSuite {
     out.foreach { case (w, _, _, ps) =>
       assert(ps.split(" ").mkString == w, s"$w does not respell") }
   }
+
+  test("t_unigram_em: 3 hard-EM rounds descend the vocab, later rounds re-segment") {
+    val out = graft.queries.LlmOps.unigramEm(spark, SharedSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(out.nonEmpty)
+    // coverage never breaks: final pieces respell every word
+    out.foreach { case (w, _, _, _, _, ps) =>
+      assert(ps.split(" ").mkString == w, s"$w does not respell") }
+    // the descent hit its target: 24 - 3*6 = 6 multi pieces can
+    // survive, so the final segmentations use at most 6 distinct ones
+    val multisUsed = out.flatMap(_._6.split(" ")).filter(
+      p => p.codePointCount(0, p.length) > 1).distinct
+    assert(multisUsed.length <= 6,
+      s"${multisUsed.length} multi pieces used after a descent to 6")
+    // round 1 agrees with the V0 count only if no LIVE piece dropped;
+    // EM must actually move: at least TWO distinct rounds re-segment
+    // some word (one round = the prune gate; the loop is the point)
+    val moved = Seq(
+      out.exists(r => r._2 != r._3),
+      out.exists(r => r._3 != r._4),
+      out.exists(r => r._4 != r._5)).count(identity)
+    assert(moved >= 2, "EM descent is trivial at this fixture")
+    // piece counts never shrink as the vocabulary shrinks HERE (the
+    // fixture's renorm deltas are non-negative): each word's count is
+    // monotone non-decreasing across rounds
+    out.foreach { case (w, n0, n1, n2, n3, _) =>
+      assert(n0 <= n1 && n1 <= n2 && n2 <= n3, s"$w count shrank") }
+  }
 }
