@@ -54,6 +54,14 @@ object LlmOps {
     "(1 + (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error('empty documents') AS BIGINT) " +
       "ELSE MAX(doc_id) END FROM documents))"
 
+  /** The embeddings-table twin of [[PlantBaseSql]] (same guarded CASE,
+    * keyed on vec_id) — defined beside it because object vals
+    * initialize in declaration order and plant-carrying oracles below
+    * interpolate it. */
+  private val PlantBaseEmbSql =
+    "(1 + (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error('empty embeddings') AS BIGINT) " +
+      "ELSE MAX(vec_id) END FROM embeddings))"
+
   /** Shared oracle text for the quality-score signals and formula —
     * ONE definition (the ShingleCtes discipline) so the seven
     * quality-based oracles (quality, corpus filter, weighted sample,
@@ -5565,6 +5573,71 @@ object LlmOps {
        |FROM batch b LEFT JOIN m ON m.doc_a = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Incremental SEMANTIC dedup gate
+    * ([[graft.similarity.Ann.incrementalSem]]): vectors with
+    * id % 5 == 0 arrive as the new batch against the rest as the
+    * IVF-partitioned history index — the embedding-space member of the
+    * incremental family beside [[dedupIncremental]] (exact) and
+    * [[dedupIncrementalNear]] (shingle near-dup). Planted arrivals
+    * exercise every status with IDENTICAL-embedding re-ingests (the
+    * re-render / re-encode case — same vector, so the argmax cell and
+    * cosine 1 are guaranteed in both engines at any cell geometry):
+    * re-crawls of history vectors (id + plantBase, every 7th →
+    * dup_hist) and within-batch replays (id + 2·plantBase, every 9th
+    * batch vector → dup_batch, the lower-id original staying kept) —
+    * plus whatever natural ≥ 0.44 within-cell pairs straddle the
+    * split. Seeds come from the FULL static table (the [[semDedupSql]]
+    * convention), so the oracle's seed CTE is unchanged. */
+  def dedupIncrementalSem(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pb = plantBase(emb, "vec_id")
+    val hist = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 === 0)
+        .select((col("vec_id") + pb).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 2 * pb).as("vec_id"), col("embedding")))
+    Ann.incrementalSem(batch, hist, seedSource = emb,
+      threshold = 0.44, nCells = 16)
+  }
+
+  val dedupIncrementalSemSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |          FROM embeddings ORDER BY vec_id LIMIT 16),
+       |batch AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + $PlantBaseEmbSql, embedding FROM embeddings
+       |  WHERE vec_id % 5 <> 0 AND vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 2 * $PlantBaseEmbSql, embedding FROM embeddings
+       |  WHERE vec_id % 5 = 0 AND vec_id % 9 = 0),
+       |ad AS (SELECT vec_id, embedding, 'h' AS side FROM embeddings
+       |       WHERE vec_id % 5 <> 0
+       |       UNION ALL SELECT vec_id, embedding, 'b' FROM batch),
+       |asg AS (SELECT vec_id, side, embedding, cell FROM (
+       |  SELECT e.vec_id, e.side, e.embedding, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.side
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM ad e CROSS JOIN seeds s) t WHERE rn = 1),
+       |m AS (SELECT a.vec_id AS va,
+       |        SUM(CASE WHEN b.side = 'h' THEN 1 ELSE 0 END) AS n_hist,
+       |        SUM(CASE WHEN b.side = 'b' THEN 1 ELSE 0 END) AS n_prior
+       |      FROM asg a JOIN asg b ON a.side = 'b' AND b.cell = a.cell
+       |        AND (b.side = 'h' OR (b.side = 'b' AND b.vec_id < a.vec_id))
+       |        AND ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.44
+       |      GROUP BY 1)
+       |SELECT b.vec_id, CAST(COALESCE(n_hist, 0) AS BIGINT) AS n_hist,
+       |  CAST(COALESCE(n_prior, 0) AS BIGINT) AS n_prior,
+       |  CASE WHEN COALESCE(n_hist, 0) > 0 THEN 'dup_hist'
+       |       WHEN COALESCE(n_prior, 0) > 0 THEN 'dup_batch'
+       |       ELSE 'kept' END AS status
+       |FROM batch b LEFT JOIN m ON m.va = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+
   /** Per-source quality cap — the anti-monopoly mixing rule: no source
     * contributes more than its top-K docs by quality (K=10), however
     * large the source is. The rank is a per-source row_number over
@@ -6146,10 +6219,6 @@ object LlmOps {
       .select(col("vec_id").as("asset_id"), col("kind"), col("keep_id"))
       .orderBy(col("asset_id"))
   }
-
-  private val PlantBaseEmbSql =
-    "(1 + (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error('empty embeddings') AS BIGINT) " +
-      "ELSE MAX(vec_id) END FROM embeddings))"
 
   /** Oracle = the [[semDedupSql]] chain over the planted asset
     * embedding set: argmax cell assignment, within-cell verified
@@ -7058,12 +7127,16 @@ object LlmOps {
       s"replace($cased, chr(1), '%')"
     }
     // mirror of Url.removeDotSegments: the same bounded 6-rule pass,
-    // DotSegPasses times
+    // DotSegPasses times, the popped-segment pattern interpolated from
+    // the ONE NonDotSeg definition (DuckDB '' literals pass
+    // backslashes through untouched, so the Scala regex string IS the
+    // RE2 pattern)
+    val seg = graft.text.Url.NonDotSeg
     val undot = (1 to graft.text.Url.DotSegPasses).foldLeft("pd") { (x, _) =>
       s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
         s"regexp_replace(regexp_replace($x, " +
         s"'/\\./', '/', 'g'), '/\\.$$', '/', 'g'), " +
-        s"'/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\.$$', '/', 'g'), " +
+        s"'/$seg/\\.\\./', '/', 'g'), '/$seg/\\.\\.$$', '/', 'g'), " +
         s"'^/\\.\\./', '/', 'g'), '^/\\.\\.$$', '/', 'g')"
     }
     s"""raw AS (SELECT doc_id,

@@ -539,6 +539,66 @@ object Ann {
     pairs
   }
 
+  /** Incremental SEMANTIC dedup — the embedding-space member of the
+    * incremental-dedup family (exact fingerprints:
+    * [[graft.dedup.Dedup.incrementalExact]]; shingle near-dup:
+    * [[graft.dedup.Dedup.incrementalNear]]): a batch of arriving
+    * vectors against an IVF-partitioned history index. Seeds are the
+    * `nCells` lowest-id vectors of `seedSource` (the [[semDedup]]
+    * convention — a stable catalog table, so cell geometry does not
+    * drift as batches arrive); both sides are assigned by the codegen
+    * [[org.apache.spark.sql.graft.NearestCentroid]] argmax, and an
+    * arrival is a duplicate when a CO-CELLED history vector (dup_hist)
+    * or a lower-id co-celled arrival (dup_batch) clears
+    * round(cosine, 6) ≥ threshold — the SemDeDup detector applied
+    * incrementally, with the same recall tradeoff (a cross-cell twin
+    * is missed; [[semDedupPairs]]' measured-recall gate prices that).
+    *
+    * Scale shape: assignment is a broadcast-argmax map pass; norms are
+    * computed ONCE per row before the verify join; the join keys on
+    * the cell, so per-batch work is |arrivals-in-cell| × |cell| — the
+    * SemDeDup quadratic bounded by cell size ([[semDedupByCellSize]]
+    * sizes cells), never corpus². The streaming twin
+    * ([[graft.streaming.Streaming.semDedupStream]]) holds the same
+    * cell → (id, side, vector, norm) index as
+    * flatMapGroupsWithState state. */
+  def incrementalSem(batch: DataFrame, history: DataFrame,
+      seedSource: DataFrame, threshold: Double, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seeds = ivfSeeds(seedSource, nCells, 0, idCol, vecCol)
+    val (cells, cents) = collectSeeds(seeds)
+    def withCell(df: DataFrame, side: String) =
+      graft.util.Partitioning.spreadIfNarrow(df).select(
+        col(idCol), col(vecCol), lit(side).as("side"),
+        org.apache.spark.sql.graft.NearestCentroid
+          .nearest_centroid(col(vecCol), cells, cents).as("cell"),
+        l2norm(col(vecCol)).as("nrm"))
+    // assignment (argmax + norm) feeds both self-join sides — one pass
+    val all = graft.util.IntermediateCaches.track(
+      withCell(history, "h").unionByName(withCell(batch, "b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = all.filter(col("side") === "b").select(col("cell"),
+      col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
+    val b = all.select(col("cell"), col(idCol).as("vb"),
+      col("side").as("side_b"), col(vecCol).as("eb"), col("nrm").as("nb"))
+    val hits = a.join(b, Seq("cell"))
+      .filter(col("side_b") === "h" || col("vb") < col("va"))
+      .filter(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .groupBy(col("va"))
+      .agg(sum(when(col("side_b") === "h", 1L).otherwise(0L)).as("n_hist"),
+        sum(when(col("side_b") === "b", 1L).otherwise(0L)).as("n_prior"))
+    batch.select(col(idCol))
+      .join(hits, col(idCol) === col("va"), "left")
+      .select(col(idCol),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        when(coalesce(col("n_hist"), lit(0L)) > 0, "dup_hist")
+          .when(coalesce(col("n_prior"), lit(0L)) > 0, "dup_batch")
+          .otherwise("kept").as("status"))
+      .orderBy(col(idCol))
+  }
+
   /** Approximate top-k with multi-probe: candidates differ from the
     * query's LSH signature by at most `probe` sign bits; exact cosine
     * re-ranks. Candidate fraction ≈ Σ_{i≤probe} C(planes,i) / 2^planes.

@@ -51,6 +51,20 @@ case class IncTState(firstId: Long, lastSeenMs: Long)
   * `sh` on [[NearCand]] is transient shuffle payload (what the batch
   * operator's verify join shuffles per candidate anyway) — it never
   * lands in the band state. */
+/** Typed rows for the streaming SEMANTIC dedup
+  * ([[Streaming.semDedupStream]]): the IVF cell index as streaming
+  * state — one state record per COARSE CELL, holding the cell's member
+  * vectors with their norms (the production vector-index layout: norms
+  * are computed once at insert, never per comparison). The cell key
+  * partitions the state exactly as the batch operator's within-cell
+  * join partitions its work, so a hot cell is one hot key (saltable)
+  * and state growth is O(indexed vectors) total, independent of the
+  * cell count. */
+case class SemVecRow(cell: Long, vec_id: Long, emb: Seq[Float])
+case class SemEntry(id: Long, side: String, emb: Seq[Float], nrm: Double)
+case class SemCellState(members: Seq[SemEntry])
+case class SemHit(vec_id: Long, other: Long, side: String)
+
 case class NearBandKey(band: Int, bkey: Int)
 case class NearBandRow(band: Int, bkey: Int, doc_id: Long)
 case class NearIdEntry(doc: Long, side: String)
@@ -986,6 +1000,176 @@ object Streaming {
           .when(coalesce(col("m_prior"), lit(0L)) > 0, "dup_batch")
           .otherwise("kept").as("status"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------ semantic dedup
+
+  /** The incremental-sem cell geometry and threshold — shared with the
+    * batch twin ([[graft.similarity.Ann.incrementalSem]] via the
+    * `d_incremental_sem` gate) so single-trigger replay equals the
+    * batch answer bit-for-bit. */
+  private val SemCells = 16
+  private val SemThreshold = 0.44
+
+  /** Σ aᵢ·bᵢ as double, floats widened first, accumulated in array
+    * order — the Scala twin of
+    * [[org.apache.spark.sql.graft.VectorOps]].dotCompute (same IEEE
+    * sequence, so in-state cosines equal the batch expression's). */
+  private[graft] def semDot(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private[graft] def semNorm(a: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Spark Round-on-double semantics (NaN/Inf pass through, else
+    * HALF_UP on the decimal string expansion) — the same contract
+    * [[org.apache.spark.sql.graft.NearestCentroid]] documents, at the
+    * verify threshold's scale 6. */
+  private[graft] def semRound6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-cell fold for the streaming SEMANTIC dedup: arrivals (sorted
+    * by id — the within-trigger "prior" order, matching the batch
+    * gate's `vb < va`) probe every indexed member of their coarse cell
+    * with the exact rounded-cosine verify, then join the cell index
+    * with side "b" so later arrivals — same trigger or later
+    * triggers — see them as prior batch. Norms are computed ONCE at
+    * insert and carried in the entry (the production vector-index
+    * layout); probing recomputes nothing per stored member but the
+    * dot. */
+  private[graft] def semCellFold(key: Long, rows: Iterator[SemVecRow],
+      state: GroupState[SemCellState]): Iterator[SemHit] = {
+    val members = scala.collection.mutable.ArrayBuffer.empty[SemEntry]
+    state.getOption.foreach(s => members ++= s.members)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SemHit]
+    rows.toSeq.sortBy(_.vec_id).foreach { r =>
+      val nrm = semNorm(r.emb)
+      members.foreach { m =>
+        if (semRound6(semDot(r.emb, m.emb) / (nrm * m.nrm)) >= SemThreshold)
+          out += SemHit(r.vec_id, m.id, m.side)
+      }
+      members += SemEntry(r.vec_id, "b", r.emb, nrm)
+    }
+    state.update(SemCellState(members.toSeq))
+    out.iterator
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("label", IntegerType)))
+
+  /** The incremental SEMANTIC dedup streaming TRANSFORM — the
+    * continuous twin of [[graft.similarity.Ann.incrementalSem]] and
+    * the embedding-space member of the streaming dedup family
+    * (exact: [[incrementalDedupTransform]]; MinHash near-dup:
+    * [[incrementalNearTransform]]). ONE append-mode
+    * flatMapGroupsWithState stage keyed by the IVF coarse cell: the
+    * cell → (id, side, vector, norm) index rides as state, history
+    * vectors loaded as INITIAL STATE, and cell ASSIGNMENT is the same
+    * codegen [[org.apache.spark.sql.graft.NearestCentroid]] argmax the
+    * batch operator runs — a stateless map inside the stream, seeds
+    * collected once from the static catalog table (stable geometry as
+    * triggers arrive).
+    *
+    * State bound: exactly one entry per indexed vector (history ∪
+    * arrivals), each carrying its vector + precomputed norm ONCE —
+    * O(corpus embedding footprint) total, independent of the cell
+    * count, with a hot cell being one hot key. Per-trigger work is
+    * |arrivals-in-cell| × |cell| dots — the SemDeDup quadratic bounded
+    * by cell geometry, identical to the batch verify join's. The
+    * RocksDB provider keeps the vector store off-heap (InfraSpec
+    * certifies provider equivalence).
+    *
+    * Same composition, plants and oracle as `d_incremental_sem`:
+    * single-trigger replay == the batch operator bit-for-bit. Across
+    * MULTIPLE triggers the contract is continuous-ingest semantics
+    * (the [[incrementalNearTransform]] contract): detection and
+    * history attribution are arrival-order-free; within-batch "prior"
+    * attribution follows ARRIVAL order, so a batch-batch pair's
+    * direction can flip vs the id-ordered batch oracle. */
+  private[graft] def semDedupTransform(s: SparkSession, dir: String,
+      histDir: String,
+      glob: String = "embeddings.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, histDir)
+    val pb = graft.queries.LlmOps.plantBase(emb, "vec_id")
+    val (cells, cents) = graft.similarity.Ann.collectSeeds(
+      graft.similarity.Ann.ivfSeeds(emb, SemCells, 0, "vec_id", "embedding"))
+    def cellOf = org.apache.spark.sql.graft.NearestCentroid
+      .nearest_centroid(col("embedding"), cells, cents)
+    val init = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(cellOf.as("cell"), col("vec_id"), col("embedding").as("emb"))
+      .as[SemVecRow]
+      .groupByKey(_.cell)
+      .mapGroups((k, it) => k -> SemCellState(
+        it.map(r => SemEntry(r.vec_id, "h", r.emb, semNorm(r.emb))).toSeq))
+      .groupByKey(_._1).mapValues(_._2)
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val batch = src.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      .unionByName(src.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 === 0)
+        .select((col("vec_id") + pb).as("vec_id"), col("embedding")))
+      .unionByName(src.filter(col("vec_id") % 5 === 0 && col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 2 * pb).as("vec_id"), col("embedding")))
+    val hits = batch
+      .select(cellOf.as("cell"), col("vec_id"), col("embedding").as("emb"))
+      .as[SemVecRow]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[SemCellState, SemHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(semCellFold)
+    hits.toDF().unionByName(batch.select(col("vec_id"),
+      lit(-1L).as("other"), lit("self").as("side")))
+  }
+
+  /** Streaming incremental SEMANTIC dedup gate — replays
+    * [[semDedupTransform]] into a memory sink, then reduces the hit
+    * stream exactly as the batch operator reduces its verify join:
+    * per-arrival history/prior counts, kept/dup_batch/dup_hist status.
+    * Reuses `d_incremental_sem`'s oracle verbatim — stream == batch
+    * bit-for-bit. (No cross-band DISTINCT here: a pair lives in
+    * exactly one cell, so each hit is emitted once.) */
+  def semDedupStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_sem"): DataFrame = {
+    val out = semDedupTransform(s, dir, histDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val t = s.table(queryName)
+    val m = t.filter(col("side") =!= "self")
+      .select(col("vec_id").as("m_vec"), col("other"), col("side"))
+      .groupBy(col("m_vec"))
+      .agg(sum(when(col("side") === "h", 1L).otherwise(0L)).as("m_hist"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("m_prior"))
+    t.filter(col("side") === "self").select(col("vec_id")).distinct()
+      .join(m, col("vec_id") === col("m_vec"), "left")
+      .select(col("vec_id"),
+        coalesce(col("m_hist"), lit(0L)).as("n_hist"),
+        coalesce(col("m_prior"), lit(0L)).as("n_prior"),
+        when(coalesce(col("m_hist"), lit(0L)) > 0, "dup_hist")
+          .when(coalesce(col("m_prior"), lit(0L)) > 0, "dup_batch")
+          .otherwise("kept").as("status"))
+      .orderBy(col("vec_id"))
   }
 
   /** Streaming canonical-URL dedup — the crawl FRONTIER shape: "have we

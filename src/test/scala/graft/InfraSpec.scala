@@ -382,6 +382,107 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental SEM dedup stream: == batch, cell-bounded state, RocksDB ==, multi-batch ==") {
+    import graft.streaming.Streaming
+    // batch truth: the d_incremental_sem operator on the same composition
+    val batchAnswer = graft.queries.LlmOps.dedupIncrementalSem(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    graft.util.IntermediateCaches.releaseAll(blocking = true)
+    def reduceHits(name: String): Set[(Long, Long, Long, String)] = {
+      val t = spark.table(name).collect()
+      val pairs = t.filter(_.getString(2) != "self")
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val vecs = t.filter(_.getString(2) == "self").map(_.getLong(0)).toSet
+      vecs.map { v =>
+        val nh = pairs.count(p => p._1 == v && p._3 == "h").toLong
+        val np = pairs.count(p => p._1 == v && p._3 == "b").toLong
+        (v, nh, np,
+          if (nh > 0) "dup_hist" else if (np > 0) "dup_batch" else "kept")
+      }
+    }
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Set[(Long, Long, Long, String)], Int, Seq[Long]) = {
+      val out = Streaming.semDedupTransform(spark, dir,
+        histDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val finalRows = q.recentProgress.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq.empty)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      (reduceHits(name), batches, finalRows)
+    }
+    val (got, _, finalOpRows) =
+      run(sf0001, "embeddings.parquet", Map.empty, "infra_sem")
+    assert(got == batchAnswer,
+      s"stream=${got.size} batch=${batchAnswer.size} " +
+        s"onlyStream=${(got -- batchAnswer).take(3)} onlyBatch=${(batchAnswer -- got).take(3)}")
+    // the identical-embedding plants guarantee every status at any SF
+    assert(got.exists(_._4 == "dup_hist") && got.exists(_._4 == "kept") &&
+      got.exists(_._4 == "dup_batch"))
+    // state bound: ONE stateful stage, keyed by the coarse cell — at
+    // most nCells=16 state ROWS however large the corpus (the index
+    // grows inside the per-cell entry list, one entry per indexed
+    // vector, norms precomputed — never a second copy of a vector)
+    assert(finalOpRows.length == 1, s"expected 1 stateful stage: $finalOpRows")
+    assert(finalOpRows.head > 0L && finalOpRows.head <= 16L,
+      s"cell store must hold <= 16 rows (occupied cells): $finalOpRows")
+    // RocksDB provider equivalence (the off-heap backend the
+    // vector-bearing cell index actually needs at corpus scale)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (rocks, _, _) = run(sf0001, "embeddings.parquet", Map.empty,
+        s"infra_sem_rocks_${System.nanoTime}")
+      assert(rocks == got, s"RocksDB drifted: ${rocks.size} vs ${got.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // multi-batch continuous-ingest replay: id-ordered 3-file split, one
+    // file per trigger — the cell index carries over BETWEEN triggers,
+    // and under ordered ingestion within-batch "prior" stays the lower
+    // vec_id, so the invariants mirror the NEAR stream's exactly
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_split").toFile
+    val n = emb.count()
+    val parts = 3
+    val ranked = emb.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"embeddings_$i%02d.parquet"), 4000000L + i * 60000L)
+    }
+    val (multi, batches, _) = run(dir.getPath, "embeddings_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_sem_multi")
+    assert(batches >= parts, s"expected >= $parts data batches, got $batches")
+    def pairsOf(name: String): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val t = spark.table(name).collect()
+        .filter(_.getString(2) != "self")
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      (t.filter(_._3 == "h").map(p => (p._1, p._2)),
+        t.filter(_._3 == "b").map(p =>
+          (math.min(p._1, p._2), math.max(p._1, p._2))))
+    }
+    val (singleH, singleB) = pairsOf("infra_sem")
+    val (multiH, multiB) = pairsOf("infra_sem_multi")
+    assert(multi.map(_._1) == batchAnswer.map(_._1), "vector universe drifted")
+    assert(multiH == singleH,
+      s"history attribution drifted: ${((multiH -- singleH) ++ (singleH -- multiH)).take(5)}")
+    assert(multiB == singleB,
+      s"undirected batch-pair set drifted: ${((multiB -- singleB) ++ (singleB -- multiB)).take(5)}")
+    val flipped = (multi -- batchAnswer).map(_._1)
+    assert((batchAnswer -- multi).map(_._1) == flipped)
+    flipped.foreach { v =>
+      assert(multiB.exists(p => p._1 == v || p._2 == v),
+        s"vector $v drifted without being in any batch-batch pair")
+    }
+  }
+
   test("CDC apply stream: transition log == batch, state key-bounded, RocksDB ==, multi-batch ==") {
     import graft.streaming.Streaming
     // batch truth: the oracle's one-join transition log, computed as a
