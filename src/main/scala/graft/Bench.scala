@@ -198,8 +198,16 @@ object Bench {
           (if (unknown > 0) s""","only_unknown":$unknown""" else "")
       case None => s""""full_suite":true"""
     }
+    // provenance stamp (round-15 verdict #6: a value-stale committed
+    // artifact slipped past the set-level freshness guard) — the git
+    // HEAD this record was cut at, read from .git directly (no
+    // subprocess; loose ref or packed-refs). ArtifactFreshnessSpec
+    // asserts the committed artifact's stamp matches the code tree it
+    // sits beside, so a re-cut that regresses one line item can no
+    // longer masquerade as current.
+    val gitHead = gitHeadSha()
     val jvmInfo =
-      s""""heap_max_mb":$heapMb,"gc_collector":"$collectors",$scopeInfo"""
+      s""""heap_max_mb":$heapMb,"gc_collector":"$collectors","git_head":"$gitHead",$scopeInfo"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,$jvmInfo,"sf":"$sfDir"}"""
     println(full)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
@@ -243,4 +251,34 @@ object Bench {
     }
     spark.stop()
   }
+
+  /** Current git HEAD commit sha, read from the repository files (a
+    * subprocess would hang sbt's batch mode on a mis-set PATH):
+    * `.git/HEAD` → loose ref file, falling back to `packed-refs`.
+    * "unknown" (never a throw) outside a git checkout — the bench must
+    * keep working in an exported tree. Only [a-f0-9] reaches the JSON
+    * literal, so a corrupt ref cannot break the line. */
+  private def gitHeadSha(): String = try {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def read(p: java.nio.file.Path) =
+      new String(java.nio.file.Files.readAllBytes(p), UTF_8).trim
+    val head = read(java.nio.file.Paths.get(".git", "HEAD"))
+    val sha =
+      if (head.startsWith("ref: ")) {
+        val ref = head.drop(5)
+        val loose = java.nio.file.Paths.get(".git", ref)
+        if (java.nio.file.Files.exists(loose)) read(loose)
+        else {
+          val packed = java.nio.file.Paths.get(".git", "packed-refs")
+          if (java.nio.file.Files.exists(packed))
+            read(packed).linesIterator
+              .find(_.endsWith(" " + ref)).map(_.takeWhile(_ != ' '))
+              .getOrElse("unknown")
+          else "unknown"
+        }
+      } else head
+    if (sha.nonEmpty && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+      sha
+    else "unknown"
+  } catch { case _: Exception => "unknown" }
 }

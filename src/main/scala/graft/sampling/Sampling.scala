@@ -74,7 +74,19 @@ object Sampling {
     * two's-complement 'ffffffxx' and would silently keep EVERYTHING —
     * and a NULL ≥ 1 disjunct is NULL, which filters). Map-only, no
     * RNG: the kept set is a pure function of (id, weight),
-    * reproducible across engines and stable under repartitioning. */
+    * reproducible across engines and stable under repartitioning.
+    *
+    * Caller contract at the keep-all boundary (round-15 advice): the
+    * escape is an EXACT `>= 1.0` compare, so the keep-rate is
+    * discontinuous there — weight 255/256 ≈ 0.9961 keeps 255/256 of
+    * rows while 0.99999999 still keeps 255/256 (floor quantization)
+    * and exactly 1.0 keeps ALL. A weight INTENDED as "keep all" must
+    * therefore still compare ≥ 1.0 after whatever floating-point
+    * arithmetic produced it — derive it as `LEAST(1.0, x)` with x
+    * computed so the keep-all branch lands on the literal, not on
+    * 1 − ε. This is deliberate: a tolerance band below 1.0 would make
+    * "keeps everything" depend on ε conventions that no SQL oracle
+    * replays exactly. */
   def weightedHashSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
     // clamp in LONG space BEFORE the int cast: floor() of an extreme
     // negative weight is a Long whose 32-bit truncation can wrap

@@ -48,11 +48,21 @@ import org.apache.spark.sql.functions._
   *      the literal `&lt;`
   *
   * The pre-depth is an UNCLAMPED running sum (replayable as a window
-  * SUM in any engine): a stray unmatched `</pre>` drives the depth
-  * negative and suppresses the exemption until markup rebalances —
-  * the documented behavior on malformed input, chosen over clamping
-  * because a clamped scan is not expressible as a plain window
-  * aggregate.
+  * SUM in any engine), which fixes the behavior on BOTH malformed
+  * shapes: a stray unmatched `</pre>` drives the depth negative and
+  * suppresses the exemption until markup rebalances, and — the worse
+  * quality outcome — a stray unmatched `<pre>`/`<code>` OPEN leaves
+  * the depth positive for the REST of the document, exempting every
+  * later line (nav/footer/ad boilerplate included) from the prose
+  * heuristics. Both are accepted, documented behavior on malformed
+  * input, chosen over clamping or a block-boundary depth reset because
+  * neither of those is expressible as a plain window aggregate (the
+  * oracle-replayability contract). A production crawl that cannot
+  * tolerate the stray-open keep-everything mode should bound it
+  * UPSTREAM of this extractor — e.g. drop documents whose total
+  * open−close imbalance exceeds a threshold (one map-side aggregate
+  * over the same per-line counts this pass already computes) — rather
+  * than bend the scan itself away from window-SUM replayability.
   */
 object Html {
 

@@ -94,23 +94,35 @@ object Url {
     replace(cased, lit(Sentinel), lit("%"))
   }
 
+  /** A path segment that is neither `.` nor `..` — the only thing a
+    * `..` may pop (RFC 3986 §6.2.2.3's stack never pops a dot-segment:
+    * a bare `[^/]+` here let `/../../` annihilate PAIRWISE, silently
+    * mis-resolving — not just truncating — traversal chains deeper
+    * than the pass bound; round-16 probe). RE2-safe (no lookahead), so
+    * the DuckDB oracle replays it verbatim. Shared with the oracle
+    * builder — one definition, both engines. */
+  private[graft] val NonDotSeg = "(?:[^./][^/]*|\\.[^./][^/]*|\\.\\.[^/]+)"
+
   /** RFC 3986 §6.2.2.3 remove_dot_segments, as a BOUNDED fold of
     * regex passes (deterministic and replayable in any engine — the
     * reference algorithm's segment loop is not): each pass collapses
     * `/./`, a trailing `/.`, one level of `/seg/../` (innermost-first,
-    * left-to-right), a trailing `/seg/..`, and a rootward `/../`.
+    * left-to-right, seg never itself a dot-segment — see
+    * [[NonDotSeg]]), a trailing `/seg/..`, and a rootward `/../`.
     * [[DotSegPasses]] passes resolve any path with up to that many
     * nested `..` levels; deeper traversal chains (hand-crafted, not
-    * crawl reality) may retain residual dot-segments — the documented
-    * bound. Runs AFTER percent-decoding, so `/%2E%2E/` collapses like
-    * `/../` (the RFC's ordering). */
+    * crawl reality) retain residual LITERAL dot-segments — the
+    * documented bound, and an OBSERVABLE one: saturation is detectable
+    * by grepping the canonical output for `/../` (spec-pinned), never
+    * a silently wrong key. Runs AFTER percent-decoding, so `/%2E%2E/`
+    * collapses like `/../` (the RFC's ordering). */
   private[graft] val DotSegPasses = 8
   def removeDotSegments(p: Column): Column =
     (1 to DotSegPasses).foldLeft(p) { (x, _) =>
       val a = regexp_replace(x, "/\\./", "/")
       val b = regexp_replace(a, "/\\.$", "/")
-      val c2 = regexp_replace(b, "/[^/]+/\\.\\./", "/")
-      val d = regexp_replace(c2, "/[^/]+/\\.\\.$", "/")
+      val c2 = regexp_replace(b, "/" + NonDotSeg + "/\\.\\./", "/")
+      val d = regexp_replace(c2, "/" + NonDotSeg + "/\\.\\.$", "/")
       val e = regexp_replace(d, "^/\\.\\./", "/")
       regexp_replace(e, "^/\\.\\.$", "/")
     }

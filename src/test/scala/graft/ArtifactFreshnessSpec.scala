@@ -75,6 +75,32 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
         s"extra=${extra.take(5)} — re-cut $what at HEAD")
   }
 
+  /** VALUE-level staleness teeth (round-15 verdict #6: the set-level
+    * check above let a re-cut artifact carry one pre-fix line item).
+    * Bench stamps `git_head` into every record; this asserts the code
+    * tree the artifact was cut against is the code tree it sits beside
+    * — `git diff --quiet <stamp> -- src/main build.sbt` against the
+    * CURRENT working tree, so an artifact cut before a source change
+    * (or from an uncommitted tree) fails sbt test until re-cut. Skips
+    * (assume) on pre-stamp artifacts and outside a git checkout. */
+  private def assertStampMatchesTree(f: java.io.File): Unit = {
+    val txt = scala.io.Source.fromFile(f).mkString
+    val sha = "\"git_head\":\"([a-f0-9]{7,40})\"".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    assume(sha.isDefined,
+      s"${f.getName} predates the git_head provenance stamp")
+    assume(new java.io.File(".git").exists(), "not a git checkout")
+    val probe = new ProcessBuilder("git", "cat-file", "-e", sha.get)
+      .start()
+    assume(probe.waitFor() == 0,
+      s"${f.getName}: stamped commit ${sha.get} not in this clone")
+    val p = new ProcessBuilder("git", "diff", "--quiet", sha.get, "--",
+      "src/main", "build.sbt").start()
+    assert(p.waitFor() == 0,
+      s"${f.getName} is value-stale: src/main changed since its cut " +
+        s"commit ${sha.get} — re-cut the artifact at HEAD")
+  }
+
   test("committed BENCH_LOCAL covers every registered gate (+ bpe_learn_shared)") {
     assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
     val f = latest("BENCH_LOCAL_", ".json")
@@ -82,6 +108,14 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     assertCoversSuite(f.get, "the sf0.1 bench")
     assert(scala.io.Source.fromFile(f.get).mkString.contains("\"full_suite\":true"),
       s"${f.get.getName} was produced under SPARK_GRAFT_ONLY — not committable")
+    assertStampMatchesTree(f.get)
+  }
+
+  test("committed BENCH_SF1 record was cut at the committed code tree") {
+    assume(!wip, "SPARK_GRAFT_WIP=1: mid-round iteration")
+    val f = latest("BENCH_SF1_", "_FULL.json")
+    assume(f.isDefined, "no committed BENCH_SF1 full-suite artifact yet")
+    assertStampMatchesTree(f.get)
   }
 
   test("committed BENCH_SF1 full-suite record covers every registered gate") {

@@ -2380,6 +2380,35 @@ class LlmOpsSpec extends AnyFunSuite {
       == "https://h.example.com/p?a=1")
   }
 
+  test("url canonicalize: DotSegPasses saturation is observable, and the corpus never saturates") {
+    import graft.text.Url
+    // round-15 advice: the pass bound is silent at runtime — make the
+    // saturation state OBSERVABLE via the residual-dot-segment probe a
+    // pipeline would alarm on, and pin that the fixture corpus (every
+    // planted path spelling) resolves fully within the bound.
+    val residual = "(/\\.\\./|/\\./|/\\.\\.$|/\\.$|^\\.\\./)"
+    val docs = Tables.documents(spark, sf001)
+    val n = docs.select(graft.queries.LlmOps.rawUrl(col("doc_id"),
+        col("source")).as("u"))
+      .select(Url.canonicalize(col("u")).as("c"))
+      .filter(col("c").rlike(residual)).count()
+    assert(n == 0, s"$n canonical fixture URLs retain dot segments")
+    // teeth: a deeper-than-DotSegPasses traversal chain DOES trip the
+    // same probe (so a saturated path is detectable, not silent) …
+    val deep = "https://h.example.com/" +
+      ("s/" * (Url.DotSegPasses + 4)) + ("../" * (Url.DotSegPasses + 4)) + "z"
+    val sat = Seq(deep).toDF("u")
+      .select(Url.canonicalize(col("u")).as("c")).head.getString(0)
+    assert(sat.matches(".*" + residual + ".*"),
+      s"probe blind to a saturated path: $sat")
+    // … while the bound itself resolves chains DotSegPasses deep
+    val atBound = "https://h.example.com/" +
+      ("s/" * Url.DotSegPasses) + ("../" * Url.DotSegPasses) + "z"
+    assert(Seq(atBound).toDF("u")
+      .select(Url.canonicalize(col("u")).as("c")).head.getString(0)
+      == "https://h.example.com/z")
+  }
+
   test("t_topic_mix: over-populated cells downsampled toward the uniform cap, deterministic") {
     val out = graft.queries.LlmOps.topicMix(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
