@@ -65,6 +65,25 @@ case class SemEntry(id: Long, side: String, emb: Seq[Float], nrm: Double)
 case class SemCellState(members: Seq[SemEntry])
 case class SemHit(vec_id: Long, other: Long, side: String)
 
+/** Typed rows for the streaming crawl SCHEDULER
+  * ([[Streaming.scheduleStream]]): per-domain state is the domain's
+  * CRAWL CARD — its parsed robots rules (the wildcard-aware regex
+  * translation rides precomputed, exactly the strings the batch
+  * verdict matched), its Crawl-delay, its authority tier, and the next
+  * politeness rank — O(rules) per domain, never per-page. The rank
+  * counter is the piece of scheduler state that only a STREAM needs:
+  * it carries the FIFO position across triggers, so a frontier that
+  * arrives in waves still spaces each domain's fetches Crawl-delay
+  * ticks apart. */
+case class SchedPage(domain: String, doc_id: Long, path: String)
+case class SchedRule(rpath: String, allow: Boolean, rex: String)
+case class SchedInit(domain: String, rules: Seq[SchedRule], delay: Long,
+  tier: Long)
+case class SchedState(rules: Seq[SchedRule], delay: Long, tier: Long,
+  nextRk: Long)
+case class SchedHit(doc_id: Long, domain: String, tier: Long, tick: Long,
+  status: String)
+
 case class NearBandKey(band: Int, bkey: Int)
 case class NearBandRow(band: Int, bkey: Int, doc_id: Long)
 case class NearIdEntry(doc: Long, side: String)
@@ -1170,6 +1189,130 @@ object Streaming {
           .when(coalesce(col("m_prior"), lit(0L)) > 0, "dup_batch")
           .otherwise("kept").as("status"))
       .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------ crawl scheduler
+
+  /** Per-domain fold for the streaming crawl scheduler: arrivals
+    * (sorted by id — the batch FIFO order) are judged by RFC 9309
+    * most-specific-match against the rules IN STATE (longest rule path
+    * wins, Allow breaks ties, no match = allowed — the exact
+    * [[graft.queries.LlmOps.robotsVerdict]] argmax, here a per-row
+    * max over the domain's handful of rules), and each ALLOWED page
+    * takes the next politeness slot: tick = tier + (rank − 1) · delay.
+    * Blocked pages emit a `blocked` marker (tick −1) and do NOT
+    * consume a rank — the plan never reserves a slot for a page the
+    * crawler won't fetch. Patterns compile once per trigger-group, not
+    * per page. */
+  private[graft] def schedFold(key: String, rows: Iterator[SchedPage],
+      state: GroupState[SchedState]): Iterator[SchedHit] = {
+    state.getOption match {
+      case None => Iterator.empty // domain outside the catalog: no card
+      case Some(st0) =>
+        val pats = st0.rules.map(r =>
+          (r, java.util.regex.Pattern.compile(r.rex)))
+        var rk = st0.nextRk
+        val out = scala.collection.mutable.ArrayBuffer.empty[SchedHit]
+        rows.toSeq.sortBy(_.doc_id).foreach { p =>
+          val matching = pats.collect {
+            case (r, pat) if pat.matcher(p.path).find() => r
+          }
+          val allowed = matching.isEmpty ||
+            matching.maxBy(r => (r.rpath.length, if (r.allow) 1 else 0)).allow
+          if (allowed) {
+            out += SchedHit(p.doc_id, key, st0.tier,
+              st0.tier + (rk - 1) * st0.delay, "fetch")
+            rk += 1
+          } else out += SchedHit(p.doc_id, key, st0.tier, -1L, "blocked")
+        }
+        state.update(st0.copy(nextRk = rk))
+        out.iterator
+    }
+  }
+
+  /** The crawl-scheduler streaming TRANSFORM — the continuous twin of
+    * the `t_pipeline_schedule` composition
+    * ([[graft.queries.LlmOps.pipelineSchedule]]): robots ∘ Crawl-delay
+    * ∘ authority tier ∘ FIFO, with the per-domain crawl card (parsed
+    * rules, delay, tier, next rank) as flatMapGroupsWithState state.
+    * The static catalog side — robots files parsed to rules with the
+    * wildcard regex translation, Crawl-delays, and the PageRank-tier
+    * table — is computed ONCE from the history directory and loaded as
+    * INITIAL STATE (domain-sized by the t_token_budget directory
+    * discipline); URL synthesis → canonicalization → domain/path
+    * extraction runs statelessly inside the stream, the same codegen
+    * expressions the batch gate plans.
+    *
+    * State bound: O(domains × rules) — no page is ever retained; the
+    * only thing that grows with the crawl is the rank COUNTER per
+    * domain. Single-trigger replay == the batch gate bit-for-bit
+    * (same oracle); across triggers the rank carries over, which IS
+    * the production semantics: a frontier arriving in waves still
+    * spaces per-domain fetches `delay` ticks apart, and under
+    * id-ordered ingestion the whole plan equals the batch one
+    * (InfraSpec certifies both, plus that blocked pages never appear
+    * in any tick). */
+  private[graft] def scheduleTransform(s: SparkSession, dir: String,
+      histDir: String,
+      glob: String = "documents.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    import graft.queries.LlmOps
+    val staticPages = LlmOps.robotsPages(s, histDir)
+    val init = LlmOps.robotsRules(staticPages)
+      .groupBy(col("domain"))
+      .agg(collect_list(struct(col("rpath"),
+        (col("rule") === "Allow").as("allow"), col("rex"))).as("rules"))
+      .join(LlmOps.robotsDelays(staticPages), Seq("domain"))
+      .join(LlmOps.domainTierTable(s, histDir)._2
+        .select(col("domain"), col("tier")), Seq("domain"))
+      .select(col("domain"), col("rules"), col("delay"), col("tier"))
+      .as[SchedInit]
+      .groupByKey(_.domain)
+      .mapValues(i => SchedState(i.rules, i.delay, i.tier, 1L))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val rawU = LlmOps.rawUrl(col("doc_id"), col("source"))
+    val pages = src.select(col("doc_id"),
+        graft.text.Url.canonicalize(rawU).as("curl"),
+        graft.text.Url.urlDomain(rawU).as("domain"))
+      .select(col("domain"), col("doc_id"),
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]+([^?#]*)", 1).as("path"))
+      .as[SchedPage]
+    pages.groupByKey(_.domain)
+      .flatMapGroupsWithState[SchedState, SchedHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(schedFold)
+      .toDF()
+  }
+
+  /** Streaming crawl-scheduler gate — replays [[scheduleTransform]]
+    * into a memory sink and reduces the fetch rows to the per-tick
+    * load card exactly as the batch gate does. Reuses
+    * `t_pipeline_schedule`'s oracle verbatim — stream == batch
+    * bit-for-bit (blocked rows carry tick −1 and are excluded the way
+    * the batch composition filters them before ranking). */
+  def scheduleStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_sched"): DataFrame = {
+    val out = scheduleTransform(s, dir, histDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).filter(col("status") === "fetch")
+      .groupBy(col("tick"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_tier1"),
+        md5(concat_ws("|", array_sort(collect_list(col("domain"))))
+          .cast("binary")).as("domains_md5"))
+      .orderBy(col("tick"))
   }
 
   /** Streaming canonical-URL dedup — the crawl FRONTIER shape: "have we

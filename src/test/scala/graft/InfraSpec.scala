@@ -483,6 +483,77 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl scheduler stream: plan == batch, blocked never ticked, domain-bounded state, multi-batch rank carry-over") {
+    import graft.streaming.Streaming
+    // batch truth: the composed t_pipeline_schedule capstone
+    val batchCard = graft.queries.LlmOps.pipelineSchedule(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Int, Seq[Long]) = {
+      val out = Streaming.scheduleTransform(spark, dir,
+        histDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val finalRows = q.recentProgress.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq.empty)
+      (q.recentProgress.count(_.numInputRows > 0), finalRows)
+    }
+    def cardOf(name: String) = spark.table(name)
+      .filter(col("status") === "fetch")
+      .groupBy(col("tick"))
+      .agg(count(lit(1)).as("n_fetches"), sum(col("doc_id")).as("id_sum"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_tier1"),
+        md5(concat_ws("|", array_sort(collect_list(col("domain"))))
+          .cast("binary")).as("domains_md5"))
+      .orderBy(col("tick")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val (_, finalRows) = run(sf0001, "documents.parquet", Map.empty, "infra_sched")
+    assert(cardOf("infra_sched") == batchCard,
+      s"stream card drifted from the batch plan")
+    // the robots verdicts BITE inside the stream: blocked rows exist,
+    // carry tick −1 only, and no blocked doc appears in any fetch row
+    val rows = spark.table("infra_sched").collect()
+    val blocked = rows.filter(_.getString(4) == "blocked")
+    val fetched = rows.filter(_.getString(4) == "fetch")
+    assert(blocked.nonEmpty && blocked.forall(_.getLong(3) == -1L))
+    val blockedIds = blocked.map(_.getLong(0)).toSet
+    assert(!fetched.exists(r => blockedIds.contains(r.getLong(0))),
+      "a robots-blocked page took a fetch slot")
+    // cross-check the blocked set against the standalone robots gate
+    val nBlocked = graft.queries.LlmOps.robotsFilter(spark, sf0001)
+      .agg(sum(col("n_blocked"))).head.getLong(0)
+    assert(blockedIds.size.toLong == nBlocked,
+      s"${blockedIds.size} blocked in-stream vs $nBlocked in t_robots")
+    // state is the DOMAIN card, one row per catalog domain — no page
+    // is ever retained
+    val nDomains = graft.queries.LlmOps.robotsFilter(spark, sf0001).count()
+    assert(finalRows == Seq(nDomains),
+      s"state must be one row per domain ($nDomains): $finalRows")
+    // multi-batch: id-ordered 3-file split, one file per trigger — the
+    // rank counter carries over, so waves of frontier still produce
+    // the IDENTICAL plan (FIFO by id == arrival order here)
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched_split").toFile
+    val n = docs.count()
+    val parts = 3
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"documents_$i%02d.parquet"), 5000000L + i * 60000L)
+    }
+    val (batches, _) = run(dir.getPath, "documents_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_sched_multi")
+    assert(batches >= parts, s"expected >= $parts data batches, got $batches")
+    assert(cardOf("infra_sched_multi") == batchCard,
+      "rank carry-over broke the multi-trigger plan")
+  }
+
   test("CDC apply stream: transition log == batch, state key-bounded, RocksDB ==, multi-batch ==") {
     import graft.streaming.Streaming
     // batch truth: the oracle's one-join transition log, computed as a
