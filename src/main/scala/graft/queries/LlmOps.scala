@@ -694,6 +694,118 @@ object LlmOps {
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023): the data-mix
+    * OPTIMIZER the mixing gates (t_domain_mix / t_topic_mix /
+    * t_token_budget) consume a weight table from. DoReMi's Group-DRO
+    * proxy loop reduces, per round, to "upweight domains with excess
+    * loss, multiplicatively, then renormalize" — replayed here with
+    * the corpus unigram LM as the reference model and EXACT integer
+    * arithmetic end-to-end so both engines agree bit-for-bit:
+    *
+    *  - per-token-CLASS cost `li` = round(−log₂ p̂(class) · 10⁶) — the
+    *    one transcendental, a single IEEE op per class (top-V token or
+    *    the OOV floor, the [[textUnigramCE]] convention) rounded to
+    *    the 1e−6 bit grid;
+    *  - per-domain mean loss `m` = Σ n·li div Σ n — exact integer
+    *    sums (order-free, unlike a double AVG over domains), one
+    *    truncating division;
+    *  - [[MwRounds]] multiplicative-weights rounds at scale 10⁶:
+    *    mbar = Σ w·m div 10⁶ (the weighted corpus loss),
+    *    f = max(1, 10⁶ + (m − mbar)) (η = 1 per bit of excess),
+    *    w ← (w·f div 10⁶) renormalized to Σ ≈ 10⁶ — every step
+    *    integer, every intermediate < 2⁴⁶;
+    *  - `alloc` = the final weight applied to the corpus token budget.
+    *
+    * Output: per-domain token count, mean loss, the full weight
+    * TRAJECTORY (w0..w3 — hash-pins every round, not just the fixed
+    * point) and the resulting token allocation.
+    *
+    * Scale shape: one token-class shuffle (map-side combined, output
+    * bounded by V+1 classes × domains) + one domain rollup; the MW
+    * loop runs on the DOMAIN-sized frame only (3 rounds × 2 scalar
+    * aggregates, each broadcast back) — nothing corpus-sized moves
+    * after the first pass, exactly how the optimizer would sit in
+    * front of a 100 TB mixing job. */
+  // defined BEFORE domainReweightSql (object vals initialize in order)
+  private val MwRounds = 3
+
+  def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    val V = 10
+    val Scale = 1000000L
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+    val cls = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = docs.agg(sum(n_tokens(col("text")).cast("long")).as("total"))
+    val vocab = cls.orderBy(desc("cnt"), asc("token")).limit(V)
+    val byClass = tok
+      .join(broadcast(vocab.select(col("token"), col("cnt"))), Seq("token"), "left")
+      .groupBy(col("source"), coalesce(col("cnt"), lit(1L)).as("ccnt"))
+      .agg(count(lit(1)).as("n"))
+    val dom = byClass.crossJoin(broadcast(total))
+      .select(col("source"), col("n"),
+        (col("n") * round(-log(2.0, col("ccnt").cast("double") / col("total"))
+          * Scale, 0).cast("long")).as("l"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tok"), sum(col("l")).as("l_sum"))
+      .select(col("source"), col("n_tok"),
+        expr("l_sum div n_tok").as("m"))
+    val nDom = dom.agg(count(lit(1)).as("n_dom"))
+    var w = dom.crossJoin(broadcast(nDom))
+      .select(col("source"), col("n_tok"), col("m"),
+        expr(s"$Scale div n_dom").as("w0"), expr(s"$Scale div n_dom").as("w"))
+    for (t <- 1 to MwRounds) {
+      val mbar = w.agg(expr(s"sum(w * m) div $Scale").as("mbar"))
+      val up = w.crossJoin(broadcast(mbar))
+        .withColumn("wr", expr(
+          s"(w * greatest(1L, $Scale + (m - mbar))) div $Scale"))
+      val sw = up.agg(sum(col("wr")).as("sw"))
+      w = up.crossJoin(broadcast(sw))
+        .withColumn("w", expr(s"(wr * $Scale) div sw"))
+        .withColumn(s"w$t", col("w"))
+        .drop("wr", "sw", "mbar")
+    }
+    w.crossJoin(broadcast(total))
+      .select((Seq("source", "n_tok", "m", "w0") ++
+        (1 to MwRounds).map(t => s"w$t")).map(col) :+
+        expr(s"(w$MwRounds * total) div $Scale").as("alloc"): _*)
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the identical integer chain, the three MW rounds unrolled
+    * as chained CTEs (each round = one weighted-mean scalar, one
+    * update, one renormalization — all BIGINT). */
+  val domainReweightSql: String = {
+    val S = 1000000L
+    def round(t: Int, prev: String): String =
+      s"""mb$t AS (SELECT CAST(SUM(w * m) AS BIGINT) // $S AS mbar FROM $prev),
+         |up$t AS (SELECT r.*, (w * GREATEST(1, $S + (m - (SELECT mbar FROM mb$t)))) // $S AS wr
+         |         FROM $prev r),
+         |sw$t AS (SELECT CAST(SUM(wr) AS BIGINT) AS sw FROM up$t),
+         |r$t AS (SELECT source, n_tok, m, w0${(1 until t).map(i => s", w$i").mkString},
+         |          (wr * $S) // (SELECT sw FROM sw$t) AS w$t,
+         |          (wr * $S) // (SELECT sw FROM sw$t) AS w
+         |        FROM up$t)""".stripMargin
+    s"""WITH tok AS (SELECT source, unnest(string_split($NormSql, ' ')) AS token
+       |             FROM documents),
+       |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       |v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+       |cl AS (SELECT source, COALESCE(v.cnt, 1) AS ccnt, COUNT(*) AS n
+       |       FROM tok LEFT JOIN v USING (token) GROUP BY 1, 2),
+       |dom AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tok,
+       |    CAST(SUM(n * CAST(ROUND(-log2(CAST(ccnt AS DOUBLE)
+       |      / (SELECT total FROM tot)) * $S, 0) AS BIGINT)) AS BIGINT) AS l_sum
+       |  FROM cl GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n_dom FROM dom),
+       |r0 AS (SELECT source, n_tok, l_sum // n_tok AS m,
+       |    $S // (SELECT n_dom FROM nd) AS w0,
+       |    $S // (SELECT n_dom FROM nd) AS w FROM dom),
+       |${(1 to MwRounds).map(t => round(t, s"r${t - 1}")).mkString(",\n")}
+       |SELECT source, n_tok, m, w0${(1 to MwRounds).map(i => s", w$i").mkString},
+       |  (w$MwRounds * (SELECT total FROM tot)) // $S AS alloc
+       |FROM r$MwRounds ORDER BY source""".stripMargin
+  }
+
   /** Bigram-LM cross-entropy — [[textUnigramCE]]'s model upgraded one
     * order: score each document by the mean −log₂ p̂(wᵢ | wᵢ₋₁) under a
     * bigram LM fit on the corpus itself. The table keeps the top-V₂

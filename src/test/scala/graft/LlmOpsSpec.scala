@@ -2409,6 +2409,37 @@ class LlmOpsSpec extends AnyFunSuite {
       == "https://h.example.com/z")
   }
 
+  test("t_domain_reweight: MW rounds upweight excess-loss domains, conserve the simplex") {
+    val out = graft.queries.LlmOps.domainReweight(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)),
+        r.getLong(7)))
+    val S = 1000000L
+    // uniform start; every round stays on the (integer-rounded) simplex
+    assert(out.map(_._4.head).distinct.size == 1)
+    for (t <- 0 to 3) {
+      val sum = out.map(_._4(t)).sum
+      assert(sum <= S && sum > S - 2L * out.size,
+        s"round $t weight sum $sum off the scaled simplex")
+    }
+    // the loop MOVES: some domain's weight changes every round
+    for (t <- 1 to 3)
+      assert(out.exists(d => d._4(t) != d._4(t - 1)), s"round $t is a no-op")
+    // directionality: the max-loss domain never loses weight, the
+    // min-loss domain never gains, and by round 3 max-loss outweighs
+    // min-loss (excess loss is what MW amplifies)
+    val byLoss = out.sortBy(_._3)
+    val (lo, hi) = (byLoss.head, byLoss.last)
+    assert(hi._3 > lo._3, "fixture has no loss spread across sources?")
+    assert(hi._4.sliding(2).forall(p => p(1) >= p(0)), s"max-loss domain lost weight: ${hi._4}")
+    assert(lo._4.sliding(2).forall(p => p(1) <= p(0)), s"min-loss domain gained weight: ${lo._4}")
+    assert(hi._4.last > lo._4.last)
+    // allocation applies the final weight to the corpus token budget
+    val totalTok = out.map(_._2).sum
+    for (d <- out)
+      assert(d._5 == d._4.last * totalTok / S, s"alloc drifted for ${d._1}")
+  }
+
   test("t_topic_mix: over-populated cells downsampled toward the uniform cap, deterministic") {
     val out = graft.queries.LlmOps.topicMix(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
