@@ -5618,6 +5618,32 @@ object LlmOps {
        |  CAST(SUM(z) AS BIGINT) AS z_sum, CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for the STREAMING ingest quota (`st_budget_stream`,
+    * [[graft.streaming.Streaming.budgetStream]]): the whole continuous
+    * run replayed as one window — per-source budget = 2/5 of catalog
+    * token volume, admitted ⟺ the running id-ordered token total
+    * fits. Monotone offered volume makes the stream's O(1) counter and
+    * this window provably identical (prefix-close admission). */
+  val budgetStreamSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |b AS (SELECT source, CAST(SUM(ntok) * 2 AS BIGINT) // 5 AS budget
+       |      FROM d GROUP BY 1),
+       |cum AS (SELECT doc_id, source, ntok,
+       |    CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM d),
+       |adm AS (SELECT c.doc_id, c.source, c.ntok, (c.cum <= b.budget) AS admitted
+       |        FROM cum c JOIN b USING (source))
+       |SELECT source, COUNT(*) AS n_offered,
+       |  CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(CASE WHEN admitted THEN ntok ELSE 0 END) AS BIGINT) AS tok_admitted,
+       |  CAST(SUM(CASE WHEN admitted THEN doc_id ELSE 0 END) AS BIGINT)
+       |    AS admitted_id_sum,
+       |  MAX(CASE WHEN admitted THEN doc_id END) AS last_admitted
+       |FROM adm GROUP BY source ORDER BY source""".stripMargin
+
   /** Incremental NEAR dedup gate ([[graft.dedup.Dedup.incrementalNear]]):
     * docs with id % 5 == 0 arrive as the new batch against the rest as
     * the history index. Planted arrivals exercise every status the way

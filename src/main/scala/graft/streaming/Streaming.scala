@@ -84,6 +84,18 @@ case class SchedState(rules: Seq[SchedRule], delay: Long, tier: Long,
 case class SchedHit(doc_id: Long, domain: String, tier: Long, tick: Long,
   status: String)
 
+/** Typed rows for the streaming ingest-quota admission
+  * ([[Streaming.budgetStream]]): per-source state is ONE cumulative
+  * token counter against a fixed budget — O(1) per source forever.
+  * Because offered volume is monotone, prefix-close admission
+  * ("admit while the running total fits") is exactly the batch window
+  * `cumsum ≤ budget`, so the streaming counter and a window replay
+  * cannot disagree. */
+case class BudgetDoc(source: String, doc_id: Long, ntok: Long)
+case class BudgetState(budget: Long, spent: Long)
+case class BudgetHit(doc_id: Long, source: String, ntok: Long, cum: Long,
+  admitted: Boolean)
+
 case class NearBandKey(band: Int, bkey: Int)
 case class NearBandRow(band: Int, bkey: Int, doc_id: Long)
 case class NearIdEntry(doc: Long, side: String)
@@ -1313,6 +1325,89 @@ object Streaming {
         md5(concat_ws("|", array_sort(collect_list(col("domain"))))
           .cast("binary")).as("domains_md5"))
       .orderBy(col("tick"))
+  }
+
+  // ------------------------------------------------ ingest quota
+
+  /** Per-source fold for the streaming ingest quota: every arrival
+    * (sorted by id — the batch window's ORDER BY) adds its token count
+    * to the running total and is admitted iff the total still fits the
+    * source's budget. The counter accumulates OFFERED volume, not
+    * admitted volume — that is what makes the semantics prefix-close
+    * (= the monotone window `cumsum ≤ budget`) instead of a greedy
+    * knapsack no window can replay. */
+  private[graft] def budgetFold(key: String, rows: Iterator[BudgetDoc],
+      state: GroupState[BudgetState]): Iterator[BudgetHit] = {
+    state.getOption match {
+      case None => Iterator.empty // source outside the catalog: no quota
+      case Some(st0) =>
+        var spent = st0.spent
+        val out = scala.collection.mutable.ArrayBuffer.empty[BudgetHit]
+        rows.toSeq.sortBy(_.doc_id).foreach { d =>
+          spent += d.ntok
+          out += BudgetHit(d.doc_id, key, d.ntok, spent, spent <= st0.budget)
+        }
+        state.update(BudgetState(st0.budget, spent))
+        out.iterator
+    }
+  }
+
+  /** The ingest-quota streaming TRANSFORM: per-source token budgets
+    * (2/5 of each source's catalog volume — the pipelineBudget ratio)
+    * are loaded as initial state; arriving documents are tokenized
+    * statelessly in-stream and admitted while the source's cumulative
+    * offered volume fits. The production shape for "stop pulling from
+    * this feed once its quota is filled" — enforced WHILE ingest runs,
+    * not in a nightly batch, with O(sources) state. */
+  private[graft] def budgetTransform(s: SparkSession, dir: String,
+      histDir: String,
+      glob: String = "documents.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val init = graft.Tables.documents(s, histDir)
+      .groupBy(col("source"))
+      .agg((sum(graft.text.n_tokens(col("text")).cast("long")) * 2).as("t2"))
+      .select(col("source"), expr("t2 div 5").as("budget"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => BudgetState(t._2, 0L))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    src.select(col("source"), col("doc_id"),
+        graft.text.n_tokens(col("text")).cast("long").as("ntok"))
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, BudgetHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(budgetFold)
+      .toDF()
+  }
+
+  /** Streaming ingest-quota gate — replays [[budgetTransform]] and
+    * reduces to the per-source admission card. The oracle replays the
+    * whole run as ONE window: admitted ⟺ the per-source running token
+    * total (ordered by id) fits the budget. */
+  def budgetStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_budget"): DataFrame = {
+    val out = budgetTransform(s, dir, histDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_offered"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("ntok")).otherwise(0L)).as("tok_admitted"),
+        sum(when(col("admitted"), col("doc_id")).otherwise(0L)).as("admitted_id_sum"),
+        max(when(col("admitted"), col("doc_id"))).as("last_admitted"))
+      .orderBy(col("source"))
   }
 
   /** Streaming canonical-URL dedup — the crawl FRONTIER shape: "have we

@@ -554,6 +554,59 @@ class InfraSpec extends AnyFunSuite {
       "rank carry-over broke the multi-trigger plan")
   }
 
+  test("ingest quota stream: admission bites, O(sources) state, multi-batch counter carry-over") {
+    import graft.streaming.Streaming
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Int, Seq[Long]) = {
+      val out = Streaming.budgetTransform(spark, dir,
+        histDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val finalRows = q.recentProgress.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq.empty)
+      (q.recentProgress.count(_.numInputRows > 0), finalRows)
+    }
+    val (_, finalRows) = run(sf0001, "documents.parquet", Map.empty, "infra_budget")
+    val rows = spark.table("infra_budget").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.length == docs.count(), "every offered doc gets a verdict")
+    // the 2/5 quota BITES in every source: both admitted and rejected
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.exists(_._5) && rs.exists(!_._5), s"quota toothless in $src")
+      // prefix-close: admitted ids are exactly the ids below the first
+      // rejection (monotone cum makes the admitted set a prefix)
+      val firstRej = rs.filter(!_._5).map(_._1).min
+      assert(rs.filter(_._5).forall(_._1 < firstRej), s"non-prefix admission in $src")
+      // the counter is offered volume: cum of the max-id row == Σ ntok
+      assert(rs.maxBy(_._1)._4 == rs.map(_._3).sum, s"cum drifted in $src")
+    }
+    // O(sources) state — one counter per source, never a doc list
+    assert(finalRows == Seq(bySrc.size.toLong),
+      s"state must be one row per source (${bySrc.size}): $finalRows")
+    // multi-batch: the counter carries over, verdicts identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget_split").toFile
+    val n = docs.count()
+    val parts = 3
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"documents_$i%02d.parquet"), 6000000L + i * 60000L)
+    }
+    val (batches, _) = run(dir.getPath, "documents_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_budget_multi")
+    assert(batches >= parts, s"expected >= $parts data batches, got $batches")
+    val multi = spark.table("infra_budget_multi").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(multi == rows.toSet, "multi-trigger quota verdicts drifted")
+  }
+
   test("CDC apply stream: transition log == batch, state key-bounded, RocksDB ==, multi-batch ==") {
     import graft.streaming.Streaming
     // batch truth: the oracle's one-join transition log, computed as a
