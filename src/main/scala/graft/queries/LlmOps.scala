@@ -8272,6 +8272,65 @@ object LlmOps {
       .orderBy(col("tick"))
   }
 
+  /** Authority-weighted crawl BUDGET allocation — the mechanism a real
+    * crawl uses to spend its fetch capacity: every domain gets a page
+    * CAP from its PageRank tier (cap = 4^(5−tier): tier-1 authority
+    * domains crawl 256 pages, tier-4 tail domains 4 — exact powers of
+    * two via a shift, no float pow), and only the first `cap`
+    * robots-allowed pages per domain (FIFO by id) are planned. The
+    * per-domain card shows the budget BITING: tail tiers drop most of
+    * their frontier while tier-1 domains crawl everything — the
+    * authority prior turned into fetch capacity, composed from the
+    * same robots ∘ tier chain the scheduler uses.
+    *
+    * Scale shape: identical to t_pipeline_schedule minus the tick
+    * arithmetic — one domain window over the naturally
+    * domain-partitioned frontier + one domain rollup; the tier/cap
+    * table broadcasts (fallback documented in SCALE.md). */
+  def crawlBudget(s: SparkSession, dir: String): DataFrame = {
+    val pages = robotsPages(s, dir)
+    val verdict = robotsVerdict(pages, robotsRules(pages))
+    val frontier = pages.join(verdict, Seq("doc_id"), "left")
+      .filter(coalesce(col("ok"), lit(true)))
+      .select(col("doc_id"), col("domain"))
+    val tiers = domainTierTable(s, dir)._2.select(col("domain"), col("tier"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+    frontier
+      .join(broadcast(tiers), Seq("domain"))
+      .withColumn("cap",
+        expr("shiftleft(cast(1 as bigint), cast(2 * (5 - tier) as int))"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("domain"))
+      .agg(min(col("tier")).as("tier"), min(col("cap")).as("cap"),
+        count(lit(1)).as("n_allowed"),
+        sum(when(col("rk") <= col("cap"), 1L).otherwise(0L)).as("n_planned"),
+        sum(when(col("rk") <= col("cap"), col("doc_id")).otherwise(0L))
+          .as("planned_id_sum"))
+      .select(col("domain"), col("tier"), col("cap"), col("n_allowed"),
+        col("n_planned"), (col("n_allowed") - col("n_planned")).as("n_dropped"),
+        col("planned_id_sum"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle = the scheduler's CTE chain with the tick arithmetic
+    * swapped for the shift-derived cap and the rank filter. */
+  val crawlBudgetSql: String =
+    "WITH " + UrlCanonCtes + ",\n" + RobotsCtes + ",\n" + DomainTierCtes + ",\n" +
+    s"""fr AS (SELECT doc_id, domain FROM pv WHERE allowed),
+       |sched AS (SELECT f.doc_id, f.domain, t.tier,
+       |    (CAST(1 AS BIGINT) << CAST(2 * (5 - t.tier) AS INTEGER)) AS cap,
+       |    ROW_NUMBER() OVER (PARTITION BY f.domain ORDER BY f.doc_id) AS rk
+       |  FROM fr f JOIN tiers t USING (domain))
+       |SELECT domain, MIN(tier) AS tier, MIN(cap) AS cap,
+       |  COUNT(*) AS n_allowed,
+       |  CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_planned,
+       |  CAST(COUNT(*) - SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(CASE WHEN rk <= cap THEN doc_id ELSE 0 END) AS BIGINT)
+       |    AS planned_id_sum
+       |FROM sched GROUP BY domain ORDER BY domain""".stripMargin
+
   /** Oracle = [[UrlCanonCtes]] + [[RobotsCtes]] + [[DomainTierCtes]]
     * composed in one WITH: the allowed frontier, the per-domain FIFO
     * rank, the tick arithmetic and the load card — all exact integers,

@@ -2409,6 +2409,25 @@ class LlmOpsSpec extends AnyFunSuite {
       == "https://h.example.com/z")
   }
 
+  test("t_crawl_budget: tier caps bite the tail, authority crawls in full") {
+    val out = graft.queries.LlmOps.crawlBudget(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    for ((dom, tier, cap, nAllowed, nPlanned, nDropped, _) <- out) {
+      assert(cap == (1L << (2 * (5 - tier)).toInt), s"$dom cap/tier mismatch")
+      assert(nPlanned == math.min(nAllowed, cap), s"$dom planned != min(allowed, cap)")
+      assert(nDropped == nAllowed - nPlanned)
+    }
+    // the allocation is DIFFERENTIAL: the tail tier drops frontier, the
+    // top tier crawls everything it is allowed (cap 256 >> any fixture
+    // domain) — the authority prior visibly converts to fetch capacity
+    assert(out.filter(_._2 == 4).forall(d => d._5 == d._3 && d._3 < d._4),
+      "tier-4 caps must bite")
+    assert(out.filter(_._2 == 1).forall(d => d._6 == 0),
+      "tier-1 domains must crawl their full allowed frontier")
+    assert(out.map(_._2).distinct.size == 4, "all four tiers present")
+  }
+
   test("t_domain_reweight: MW rounds upweight excess-loss domains, conserve the simplex") {
     val out = graft.queries.LlmOps.domainReweight(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
