@@ -96,6 +96,17 @@ case class BudgetState(budget: Long, spent: Long)
 case class BudgetHit(doc_id: Long, source: String, ntok: Long, cum: Long,
   admitted: Boolean)
 
+/** Typed rows for the streaming ASSET dedup
+  * ([[Streaming.mmDedupStream]]): state per content-address key
+  * (kind, payload md5, byte length) is ONE long — the keeper id.
+  * Payload bytes are hashed statelessly in-stream and never enter the
+  * state store (the d_exact discipline applied to media at ingest
+  * time). */
+case class MmKeyRow(kind: String, fp: String, n_bytes: Long, asset_id: Long)
+case class MmKeyState(keeper: Long)
+case class MmVerdict(asset_id: Long, kind: String, fp: String, n_bytes: Long,
+  status: String)
+
 case class NearBandKey(band: Int, bkey: Int)
 case class NearBandRow(band: Int, bkey: Int, doc_id: Long)
 case class NearIdEntry(doc: Long, side: String)
@@ -1325,6 +1336,85 @@ object Streaming {
         md5(concat_ws("|", array_sort(collect_list(col("domain"))))
           .cast("binary")).as("domains_md5"))
       .orderBy(col("tick"))
+  }
+
+  // ------------------------------------------------ asset dedup
+
+  /** Per-content-address fold for the streaming asset dedup: the first
+    * arrival (by id — the batch `min(asset_id)` keeper rule) under a
+    * (kind, md5, length) key is `kept` and claims the key; every later
+    * arrival — same trigger or any later one — is `dup`. State is the
+    * keeper id alone. */
+  private[graft] def mmKeyFold(key: (String, String, Long),
+      rows: Iterator[MmKeyRow],
+      state: GroupState[MmKeyState]): Iterator[MmVerdict] = {
+    var keeper = state.getOption.map(_.keeper)
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmVerdict]
+    rows.toSeq.sortBy(_.asset_id).foreach { r =>
+      val st = if (keeper.isEmpty) { keeper = Some(r.asset_id); "kept" }
+        else "dup"
+      out += MmVerdict(r.asset_id, r.kind, r.fp, r.n_bytes, st)
+    }
+    keeper.foreach(k => state.update(MmKeyState(k)))
+    out.iterator
+  }
+
+  /** The ASSET-dedup streaming TRANSFORM — the multimodal member of
+    * the streaming dedup family (text exact:
+    * [[incrementalDedupTransform]]; MinHash near:
+    * [[incrementalNearTransform]]; semantic: [[semDedupTransform]]):
+    * continuous media ingest deduplicated by content address. Arriving
+    * documents become assets in-stream (the mm_dedup synthesis,
+    * including the every-4th re-upload plant at a plantBase id), the
+    * (kind, md5(payload), byte length) key is computed by stateless
+    * codegen — payload bytes never shuffle, never enter state — and
+    * one flatMapGroupsWithState stage keyed by the content address
+    * resolves kept/dup. State: one long per distinct asset content —
+    * the exabyte-object-store dedup index, built while ingest runs.
+    * Single-trigger replay == the batch mm_dedup gate bit-for-bit
+    * (same oracle); under ordered multi-trigger ingest the keeper (min
+    * id) arrives first, so verdicts are identical (InfraSpec). */
+  private[graft] def mmDedupTransform(s: SparkSession, dir: String,
+      histDir: String,
+      glob: String = "documents.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val pb = graft.queries.LlmOps.plantBase(graft.Tables.documents(s, histDir))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val assets = graft.multimodal.Multimodal.assetsFromDocuments(src).toDF()
+      .unionByName(graft.multimodal.Multimodal
+        .assetsFromDocuments(src.filter(col("doc_id") % 4 === 1)).toDF()
+        .withColumn("asset_id", col("asset_id") + pb))
+    assets.select(col("kind"), md5(col("payload")).as("fp"),
+        length(col("payload")).cast("long").as("n_bytes"), col("asset_id"))
+      .as[MmKeyRow]
+      .groupByKey(r => (r.kind, r.fp, r.n_bytes))
+      .flatMapGroupsWithState[MmKeyState, MmVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(mmKeyFold)
+      .toDF()
+  }
+
+  /** Streaming asset-dedup gate — replays [[mmDedupTransform]] into a
+    * memory sink; reuses `mm_dedup`'s oracle verbatim. */
+  def mmDedupStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_mm"): DataFrame = {
+    val out = mmDedupTransform(s, dir, histDir = dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+      .select(col("asset_id"), col("kind"), col("fp"), col("n_bytes"),
+        col("status"))
+      .orderBy(col("asset_id"))
   }
 
   // ------------------------------------------------ ingest quota

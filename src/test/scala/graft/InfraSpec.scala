@@ -554,6 +554,55 @@ class InfraSpec extends AnyFunSuite {
       "rank carry-over broke the multi-trigger plan")
   }
 
+  test("asset dedup stream: == batch mm_dedup, key-bounded state, multi-batch ==") {
+    import graft.streaming.Streaming
+    val batchAnswer = graft.queries.LlmOps.mmDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSet
+    def run(dir: String, glob: String, opts: Map[String, String],
+        name: String): (Set[(Long, String, String, Long, String)], Int, Seq[Long]) = {
+      val out = Streaming.mmDedupTransform(spark, dir,
+        histDir = sf0001, glob = glob, extraOptions = opts)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val finalRows = q.recentProgress.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq.empty)
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getString(4))).toSet
+      (got, q.recentProgress.count(_.numInputRows > 0), finalRows)
+    }
+    val (got, _, finalRows) = run(sf0001, "documents.parquet", Map.empty, "infra_mm")
+    assert(got == batchAnswer,
+      s"stream=${got.size} batch=${batchAnswer.size} " +
+        s"diff=${((got -- batchAnswer) ++ (batchAnswer -- got)).take(3)}")
+    // every re-upload plant is caught, originals stay kept
+    assert(got.count(_._5 == "dup") >= got.size / 6 && got.exists(_._5 == "kept"))
+    // state = ONE row per distinct content address — never per asset,
+    // never the payload
+    val nKeys = got.map(g => (g._2, g._3, g._4)).size
+    assert(finalRows == Seq(nKeys.toLong),
+      s"state must be one row per content key ($nKeys): $finalRows")
+    // multi-batch ordered ingest: keeper (min id) arrives first, so the
+    // verdict table is identical while the key index carries over
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm_split").toFile
+    val n = docs.count()
+    val parts = 3
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    for (i <- 0 until parts) {
+      val lo = i * n / parts; val hi = (i + 1) * n / parts
+      writeOneParquet(ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn"),
+        new java.io.File(dir, f"documents_$i%02d.parquet"), 7000000L + i * 60000L)
+    }
+    val (multi, batches, _) = run(dir.getPath, "documents_*.parquet",
+      Map("maxFilesPerTrigger" -> "1"), "infra_mm_multi")
+    assert(batches >= parts, s"expected >= $parts data batches, got $batches")
+    assert(multi == batchAnswer, "multi-trigger asset verdicts drifted")
+  }
+
   test("ingest quota stream: admission bites, O(sources) state, multi-batch counter carry-over") {
     import graft.streaming.Streaming
     def run(dir: String, glob: String, opts: Map[String, String],
