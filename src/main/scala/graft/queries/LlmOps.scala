@@ -722,52 +722,57 @@ object LlmOps {
     *
     * Scale shape: one token-class shuffle (map-side combined, output
     * bounded by V+1 classes × domains) + one domain rollup; the MW
-    * loop runs on the DOMAIN-sized frame only (3 rounds × 2 scalar
-    * aggregates, each broadcast back) — nothing corpus-sized moves
-    * after the first pass, exactly how the optimizer would sit in
-    * front of a 100 TB mixing job. */
+    * loop then runs DRIVER-SIDE on the collected domain table — the
+    * BPE/unigram-learner discipline for dimension-sized model state
+    * (domains are a directory, not a corpus; an in-plan loop costs
+    * ~20 scalar-broadcast jobs of pure launch overhead — measured 6 s
+    * at sf0.1 vs ~1 s collected). Nothing corpus-sized moves after
+    * the first pass, exactly how the optimizer would sit in front of
+    * a 100 TB mixing job. */
   // defined BEFORE domainReweightSql (object vals initialize in order)
   private val MwRounds = 3
 
   def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val V = 10
     val Scale = 1000000L
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
     val cls = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = docs.agg(sum(n_tokens(col("text")).cast("long")).as("total"))
+    // == the oracle's SUM over the class counts; one scan-side scalar
+    val totalV = docs.agg(sum(n_tokens(col("text")).cast("long"))).head.getLong(0)
     val vocab = cls.orderBy(desc("cnt"), asc("token")).limit(V)
-    val byClass = tok
+    val dom = tok
       .join(broadcast(vocab.select(col("token"), col("cnt"))), Seq("token"), "left")
       .groupBy(col("source"), coalesce(col("cnt"), lit(1L)).as("ccnt"))
       .agg(count(lit(1)).as("n"))
-    val dom = byClass.crossJoin(broadcast(total))
       .select(col("source"), col("n"),
-        (col("n") * round(-log(2.0, col("ccnt").cast("double") / col("total"))
+        (col("n") * round(-log(2.0, col("ccnt").cast("double") / lit(totalV.toDouble))
           * Scale, 0).cast("long")).as("l"))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_tok"), sum(col("l")).as("l_sum"))
-      .select(col("source"), col("n_tok"),
-        expr("l_sum div n_tok").as("m"))
-    val nDom = dom.agg(count(lit(1)).as("n_dom"))
-    var w = dom.crossJoin(broadcast(nDom))
-      .select(col("source"), col("n_tok"), col("m"),
-        expr(s"$Scale div n_dom").as("w0"), expr(s"$Scale div n_dom").as("w"))
-    for (t <- 1 to MwRounds) {
-      val mbar = w.agg(expr(s"sum(w * m) div $Scale").as("mbar"))
-      val up = w.crossJoin(broadcast(mbar))
-        .withColumn("wr", expr(
-          s"(w * greatest(1L, $Scale + (m - mbar))) div $Scale"))
-      val sw = up.agg(sum(col("wr")).as("sw"))
-      w = up.crossJoin(broadcast(sw))
-        .withColumn("w", expr(s"(wr * $Scale) div sw"))
-        .withColumn(s"w$t", col("w"))
-        .drop("wr", "sw", "mbar")
+      .select(col("source"), col("n_tok"), expr("l_sum div n_tok").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // driver-side MW loop over the domain directory — exact integers
+    val w0 = Scale / dom.length
+    val traj = Array.fill(dom.length)(scala.collection.mutable.ArrayBuffer(w0))
+    var w = Array.fill(dom.length)(w0)
+    for (_ <- 1 to MwRounds) {
+      val mbar = dom.indices.map(i => w(i) * dom(i)._3).sum / Scale
+      val wr = dom.indices.map(i =>
+        (w(i) * math.max(1L, Scale + (dom(i)._3 - mbar))) / Scale).toArray
+      val sw = wr.sum
+      w = wr.map(_ * Scale / sw)
+      dom.indices.foreach(i => traj(i) += w(i))
     }
-    w.crossJoin(broadcast(total))
-      .select((Seq("source", "n_tok", "m", "w0") ++
-        (1 to MwRounds).map(t => s"w$t")).map(col) :+
-        expr(s"(w$MwRounds * total) div $Scale").as("alloc"): _*)
+    val rows = dom.indices.map { i =>
+      val (src, nTok, m) = dom(i)
+      (src, nTok, m, traj(i)(0), traj(i)(1), traj(i)(2), traj(i)(3),
+        traj(i)(3) * totalV / Scale)
+    }
+    require(MwRounds == 3, "column names below are arity-locked to 3 rounds")
+    rows.toDF("source", "n_tok", "m", "w0", "w1", "w2", "w3", "alloc")
       .orderBy(col("source"))
   }
 
@@ -8250,7 +8255,13 @@ object LlmOps {
     * for the FIFO rank (the frontier is naturally domain-partitioned
     * at 100 TB); one tick aggregate. Nothing else shuffles. */
   def pipelineSchedule(s: SparkSession, dir: String): DataFrame = {
-    val pages = robotsPages(s, dir)
+    // pages feeds rules, the verdict join, the frontier AND the delay
+    // table — four evaluations of the rawUrl+canonicalize regex chain
+    // without a persist (the composition, unlike t_robots' three, also
+    // pays the tier chain; pinning the narrow page frame is the cheap
+    // half of the gate's 5 s at sf0.1)
+    val pages = graft.util.IntermediateCaches.track(robotsPages(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val verdict = robotsVerdict(pages, robotsRules(pages))
     val frontier = pages.join(verdict, Seq("doc_id"), "left")
       .filter(coalesce(col("ok"), lit(true)))
@@ -8288,7 +8299,8 @@ object LlmOps {
     * domain-partitioned frontier + one domain rollup; the tier/cap
     * table broadcasts (fallback documented in SCALE.md). */
   def crawlBudget(s: SparkSession, dir: String): DataFrame = {
-    val pages = robotsPages(s, dir)
+    val pages = graft.util.IntermediateCaches.track(robotsPages(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val verdict = robotsVerdict(pages, robotsRules(pages))
     val frontier = pages.join(verdict, Seq("doc_id"), "left")
       .filter(coalesce(col("ok"), lit(true)))
