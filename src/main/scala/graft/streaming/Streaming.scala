@@ -1053,11 +1053,22 @@ object Streaming {
   private val SemCells = 16
   private val SemThreshold = 0.44
 
+  /** Unbox once: the encoder hands vectors back as `Seq[Float]` whose
+    * generic `apply` BOXES every element — on the fold's quadratic
+    * within-cell work that boxing dominated (13.7× sf0.1→sf1 for 10×
+    * vectors before; the arithmetic itself is ~100× pair work at a
+    * fixed cell count). The common `ArraySeq.ofFloat` case is a free
+    * unwrap. */
+  private[graft] def semArr(a: Seq[Float]): Array[Float] = a match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case s => s.toArray
+  }
+
   /** Σ aᵢ·bᵢ as double, floats widened first, accumulated in array
     * order — the Scala twin of
     * [[org.apache.spark.sql.graft.VectorOps]].dotCompute (same IEEE
     * sequence, so in-state cosines equal the batch expression's). */
-  private[graft] def semDot(a: Seq[Float], b: Seq[Float]): Double = {
+  private[graft] def semDot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -1065,7 +1076,7 @@ object Streaming {
     s
   }
 
-  private[graft] def semNorm(a: Seq[Float]): Double = {
+  private[graft] def semNorm(a: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { val d = a(i).toDouble; s += d * d; i += 1 }
@@ -1091,16 +1102,25 @@ object Streaming {
     * dot. */
   private[graft] def semCellFold(key: Long, rows: Iterator[SemVecRow],
       state: GroupState[SemCellState]): Iterator[SemHit] = {
+    // unwrap every stored vector ONCE per trigger-group (O(members)),
+    // not once per comparison (O(members × arrivals))
     val members = scala.collection.mutable.ArrayBuffer.empty[SemEntry]
     state.getOption.foreach(s => members ++= s.members)
+    val arrs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    members.foreach(m => arrs += semArr(m.emb))
     val out = scala.collection.mutable.ArrayBuffer.empty[SemHit]
     rows.toSeq.sortBy(_.vec_id).foreach { r =>
-      val nrm = semNorm(r.emb)
-      members.foreach { m =>
-        if (semRound6(semDot(r.emb, m.emb) / (nrm * m.nrm)) >= SemThreshold)
+      val emb = semArr(r.emb)
+      val nrm = semNorm(emb)
+      var i = 0
+      while (i < members.length) {
+        val m = members(i)
+        if (semRound6(semDot(emb, arrs(i)) / (nrm * m.nrm)) >= SemThreshold)
           out += SemHit(r.vec_id, m.id, m.side)
+        i += 1
       }
       members += SemEntry(r.vec_id, "b", r.emb, nrm)
+      arrs += emb
     }
     state.update(SemCellState(members.toSeq))
     out.iterator
@@ -1156,7 +1176,7 @@ object Streaming {
       .as[SemVecRow]
       .groupByKey(_.cell)
       .mapGroups((k, it) => k -> SemCellState(
-        it.map(r => SemEntry(r.vec_id, "h", r.emb, semNorm(r.emb))).toSeq))
+        it.map(r => SemEntry(r.vec_id, "h", r.emb, semNorm(semArr(r.emb)))).toSeq))
       .groupByKey(_._1).mapValues(_._2)
     val src = extraOptions.foldLeft(
         s.readStream.schema(embSchema)
