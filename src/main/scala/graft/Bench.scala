@@ -126,12 +126,20 @@ object Bench {
       // The suite total stays honest either way; this makes per-gate
       // timings measure the gate, and the shared derivation visible.
       graft.queries.LlmOps.clearBpeMergeCache()
+      graft.queries.LlmOps.clearWpMergeCache()
       val learn = {
         val (sec, m) = once("bpe_learn_shared", (sp, d) => {
           graft.queries.LlmOps.prewarmBpeMerges(sp, d); sp.range(1).toDF })
         ("bpe_learn_shared", sec, m)
       }
-      learn +: ordered.map { case (name, fn) =>
+      // the WordPiece merge+vocab derivation is likewise shared by its
+      // three gates and likewise timed as its own line item
+      val learnWp = {
+        val (sec, m) = once("wordpiece_learn_shared", (sp, d) => {
+          graft.queries.LlmOps.prewarmWpMerges(sp, d); sp.range(1).toDF })
+        ("wordpiece_learn_shared", sec, m)
+      }
+      learn +: learnWp +: ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
     }

@@ -4026,6 +4026,231 @@ object LlmOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ WordPiece tokenizer
+  // The THIRD production subword family (BERT) beside BPE and the
+  // unigram LM: likelihood-scored merges at learn time
+  // (graft.text.WordPiece), greedy longest-match-first encoding with
+  // `##` continuation pieces and a whole-word [UNK] fallback at encode
+  // time (org.apache.spark.sql.graft.WordPieceTokens).
+  // ---------------------------------------------------------------------
+
+  /** Merge rounds for the WordPiece gates — smaller than BPE's 32
+    * because every oracle round carries an extra symbol-frequency CTE
+    * and two joins beside the pair count (measured tractable; the
+    * operators themselves take any k). */
+  private val WpMergeRounds = 24
+
+  /** One likelihood-merge learning run per (corpus content, k), shared
+    * by the three WordPiece gates — the [[bpeMergeCache]] discipline
+    * verbatim (key carries the corpus listing fingerprint so a
+    * regenerated dir can never be served a stale list). */
+  private val wpMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long, Long)]]
+
+  private def learnedWpMerges(s: SparkSession, dir: String): Seq[(String, String, Long, Long)] =
+    wpMergeCache.getOrElseUpdate((dir, corpusFingerprint(s, dir), WpMergeRounds),
+      graft.text.WordPiece.learnMerges(bpeWordFreq(s, dir), WpMergeRounds))
+
+  /** Drop the memoized WordPiece artifacts — Bench calls this at the
+    * start of each suite pass (see [[clearBpeMergeCache]]). */
+  def clearWpMergeCache(): Unit = { wpMergeCache.clear(); wpVocabCache.clear() }
+
+  /** Force the shared WordPiece derivation (merges + classified
+    * vocabulary) for `dir` into the memo NOW — Bench times this as its
+    * own `wordpiece_learn_shared` line item. */
+  def prewarmWpMerges(s: SparkSession, dir: String): Unit = {
+    wordpieceVocabs(s, dir); ()
+  }
+
+  /** WordPiece tokenizer LEARNING as a gate
+    * ([[graft.text.WordPiece.learnMerges]]): the top-K
+    * likelihood-scored merges of the corpus vocabulary with their pair
+    * frequencies and exact Q40 integer scores — BPE's loop under the
+    * WordPiece argmax score(l,r) = freq(lr)/(freq(l)·freq(r)), the
+    * most-frequent pair relative to what independence predicts. The
+    * merge list is driver-sized by contract (the centroid-collect
+    * pattern). The oracle replays each round in DuckDB: symbol-
+    * frequency CTE + pair-count CTE + the Q40 HUGEINT quotient argmax
+    * (score DESC, pair ASC — division truncates identically, all
+    * operands positive) + the same greedy leftmost merge-apply
+    * recursion the BPE chain uses. */
+  def wordpieceLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedWpMerges(s, dir)
+      .zipWithIndex
+      .map { case ((l, r, pf, sc), i) => (i + 1L, l, r, pf, sc) }
+      .toDF("round", "lhs", "rhs", "freq", "score")
+  }
+
+  /** One WordPiece oracle round: symbol frequencies over s{r-1} →
+    * pair counts → Q40-scored argmax b{r} → greedy merge-apply
+    * (identical recursion to [[bpeRoundCte]]'s m/s pair) → s{r}.
+    * MATERIALIZED is load-bearing exactly as in the BPE chain. */
+  private def wpRoundCte(r: Int): String = {
+    val prev = s"s${r - 1}"
+    val q = graft.text.WordPiece.ScoreScale
+    s"""sf$r AS MATERIALIZED (SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS f
+       |  FROM (SELECT freq, unnest(syms) AS s FROM $prev) GROUP BY s),
+       |p$r AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
+       |    CAST(SUM(freq) AS BIGINT) AS pf
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+       |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+       |b$r AS MATERIALIZED (SELECT l, r, pf,
+       |    CAST((CAST(pf AS HUGEINT) * $q) // (CAST(fl.f AS HUGEINT) * fr.f) AS BIGINT) AS score
+       |  FROM p$r JOIN sf$r fl ON fl.sym = l JOIN sf$r fr ON fr.sym = r
+       |  ORDER BY score DESC, l, r LIMIT 1),
+       |m$r AS (
+       |  SELECT word, freq, syms, CASE WHEN len(syms) = 0 THEN 0 ELSE 1 END AS i,
+       |    syms[1:1] AS acc FROM $prev
+       |  UNION ALL
+       |  SELECT word, freq, syms, i + 1,
+       |    CASE WHEN acc[-1] = (SELECT l FROM b$r) AND syms[i+1] = (SELECT r FROM b$r)
+       |         THEN list_append(list_slice(acc, 1, len(acc) - 1),
+       |                          (SELECT l FROM b$r) || syms[i+1])
+       |         ELSE list_append(acc, syms[i+1]) END
+       |  FROM m$r WHERE i < len(syms)),
+       |s$r AS MATERIALIZED (SELECT word, freq, acc AS syms FROM m$r WHERE i = len(syms))""".stripMargin
+  }
+
+  private def wpChainCtes: String =
+    s"""s0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+       |  FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${(1 to WpMergeRounds).map(wpRoundCte).mkString(",\n")}""".stripMargin
+
+  val wordpieceLearnSql: String =
+    s"""WITH RECURSIVE $wpChainCtes
+       |${(1 to WpMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, pf AS freq, score FROM b$r")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** The classified encode vocabulary: the final segmentation of every
+    * census word under the learned merges, split into word-INITIAL
+    * pieces (position 1) and CONTINUATION pieces (positions ≥ 2) — the
+    * real WordPiece vocab construction, where `##x` and `x` are
+    * distinct entries. Tokenizer-sized by construction (each merge
+    * round mints at most one new symbol, so ≤ alphabet + 2·rounds
+    * distinct classified pieces); both sides ride encode as codegen
+    * reference objects. Memoized with the merge list (one derivation
+    * per corpus per pass). */
+  private val wpVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), (Seq[String], Seq[String])]
+
+  private def wordpieceVocabs(s: SparkSession, dir: String): (Seq[String], Seq[String]) =
+    wpVocabCache.getOrElseUpdate((dir, corpusFingerprint(s, dir), WpMergeRounds), {
+      val merges = learnedWpMerges(s, dir).map { case (l, r, _, _) => (l, r) }
+      val cls = bpeWordFreq(s, dir)
+        .select(posexplode(org.apache.spark.sql.graft.BpeTokens
+          .bpe_encode(col("word"), merges)).as(Seq("i", "piece")))
+        .select(col("piece"), (col("i") === 0).as("ini"))
+        .distinct().collect()
+      def side(ini: Boolean) = cls.filter(_.getBoolean(1) == ini)
+        .map(_.getString(0)).toSeq.sorted(Utf8Order)
+      (side(true), side(false))
+    })
+
+  /** WordPiece ENCODE gate: every census word's greedy
+    * longest-match-first segmentation under the classified vocabulary
+    * ([[org.apache.spark.sql.graft.WordPieceTokens.wordpiece_encode]])
+    * — continuation pieces rendered `##x`, any dead end collapsing the
+    * whole word to `[UNK]` (greedy CAN dead-end even on vocabulary
+    * words: a word-initial piece that overshoots past the split the
+    * merges chose leaves a tail no continuation piece covers — the
+    * real tokenizer's OOV behavior, exercised, not avoided). The
+    * oracle replays the learn chain, classifies s$K's symbols by
+    * position, and runs the same greedy scan as a recursive CTE
+    * (longest match = `list_max(list_filter(...))` over the lookahead
+    * window).
+    *
+    * Scale shape: learning is vocabulary-sized ([[wpRoundCte]]); the
+    * encode is a map pass with ≤ maxPieceLen set probes per position —
+    * at 100 TB it runs at scan speed like t_bpe_encode. */
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val (ini, cont) = wordpieceVocabs(s, dir)
+    bpeWordFreq(s, dir)
+      .select(col("word"), col("freq"),
+        org.apache.spark.sql.graft.WordPieceTokens
+          .wordpiece_encode(col("word"), ini, cont).as("ps"))
+      .select(col("word"), col("freq"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        array_join(col("ps"), " ").as("pieces"))
+      .orderBy(col("word"))
+  }
+
+  /** The greedy-scan CTEs shared by the encode and pack oracles:
+    * classify s$K's symbols into initial/continuation maps, then one
+    * recursive CTE advancing every word by its longest matching piece
+    * per step (`b` = the max matching length, NULL = dead end →
+    * `[UNK]`, position jumps to n). */
+  private def wpGreedyCtes: String =
+    s"""vi AS (SELECT DISTINCT syms[1] AS piece FROM s$WpMergeRounds
+       |       WHERE len(syms) >= 1),
+       |vcont AS (SELECT DISTINCT syms[i] AS piece
+       |          FROM s$WpMergeRounds,
+       |            LATERAL (SELECT unnest(range(2, len(syms) + 1)) AS i)),
+       |mi0 AS (SELECT map_from_entries(list({'k': piece, 'v': 1})) AS mi,
+       |               CAST(MAX(len(piece)) AS BIGINT) AS xi FROM vi),
+       |mc0 AS (SELECT map_from_entries(list({'k': piece, 'v': 1})) AS mc,
+       |               CAST(MAX(len(piece)) AS BIGINT) AS xc FROM vcont),
+       |wnw AS (SELECT word, freq, len(word) AS n, mi, xi, mc, xc
+       |        FROM s0 CROSS JOIN mi0 CROSS JOIN mc0),
+       |g AS (
+       |  SELECT word, freq, n, mi, xi, mc, xc,
+       |    CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS pcs
+       |  FROM wnw
+       |  UNION ALL
+       |  SELECT word, freq, n, mi, xi, mc, xc,
+       |    CASE WHEN b IS NULL THEN n ELSE pos + b END,
+       |    CASE WHEN b IS NULL THEN ['[UNK]']
+       |         WHEN pos = 0 THEN list_append(pcs, word[1:b])
+       |         ELSE list_append(pcs, '##' || word[pos+1:pos+b]) END
+       |  FROM (
+       |    SELECT *, list_max(list_filter(
+       |        range(1, least(n - pos, CASE WHEN pos = 0 THEN xi ELSE xc END) + 1),
+       |        L -> len(map_extract(CASE WHEN pos = 0 THEN mi ELSE mc END,
+       |                             word[pos+1:pos+L])) > 0)) AS b
+       |    FROM g WHERE pos < n))""".stripMargin
+
+  val wordpieceEncodeSql: String =
+    s"""WITH RECURSIVE $wpChainCtes,
+       |$wpGreedyCtes
+       |SELECT word, freq, CAST(len(pcs) AS BIGINT) AS n_pieces,
+       |  array_to_string(pcs, ' ') AS pieces
+       |FROM g WHERE pos = n ORDER BY word""".stripMargin
+
+  /** Packing on WORDPIECE piece counts — t_pack_bpe's machinery with
+    * the greedy piece count ([[org.apache.spark.sql.graft
+    * .WordPieceTokens.wordpiece_count]]; an [UNK] word counts 1) as
+    * the token measure, closing the WordPiece family end-to-end
+    * (learn → encode → pack) exactly as the BPE and unigram trios do.
+    * Fully oracled: the greedy chain gives every census word's piece
+    * count; per-doc counts are the sum over the doc's words. */
+  def packWordpiece(s: SparkSession, dir: String): DataFrame = {
+    val (ini, cont) = wordpieceVocabs(s, dir)
+    graft.corpus.Corpus.packSequences(Tables.documents(s, dir),
+      tokensOf = org.apache.spark.sql.graft.WordPieceTokens
+        .wordpiece_count(tokens(col("text")), ini, cont),
+      budget = 1024, bucketSize = 64)
+  }
+
+  val packWordpieceSql: String =
+    s"""WITH RECURSIVE $wpChainCtes,
+       |$wpGreedyCtes,
+       |nsym AS (SELECT word, CAST(len(pcs) AS BIGINT) AS ns
+       |         FROM g WHERE pos = n),
+       |dt AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word FROM documents),
+       |nt AS (SELECT doc_id, CAST(SUM(COALESCE(ns, 0)) AS BIGINT) AS ntok
+       |       FROM dt LEFT JOIN nsym USING (word) GROUP BY doc_id),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM nt)
+       |SELECT CAST(floor(sof / 1024.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Strict-budget (no-straddle) packing gate: next-fit within id
     * buckets — a doc that would overflow the open sequence closes it —
     * so every multi-doc sequence holds ≤ 256 tokens
@@ -7454,6 +7679,68 @@ object LlmOps {
       " <a href=\"/privacy\">Privacy</a>" +
       " <a href=\"/imprint\">Imprint</a></footer>"),
     lit("</body></html>"))
+
+  /** Unicode normalization gate (t_normalize): NFC canonical
+    * composition ([[org.apache.spark.sql.graft.UnicodeNorm]] — a
+    * codegen'd `java.text.Normalizer` wrap, no UDF) plus the
+    * zero-width/soft-hyphen strip (U+200B, U+FEFF, U+00AD) every crawl
+    * pipeline runs before any dedup key or quality signal exists —
+    * `é` as U+00E9 and as `e`+U+0301 must fingerprint identically.
+    * The synthetic corpus is ASCII, so the gate PLANTS the real-world
+    * shapes deterministically in-query (both engines run the same
+    * replace chain): decomposed `a`+U+0300 and `o`+U+0308 (NFC
+    * composes), precomposed U+00E9 (NFC-stable), and U+200B after
+    * every space (the strip removes). Output per doc: planted/cleaned/
+    * NFC code-point lengths, a changed flag, and the md5 of the NFC
+    * text — hash-pinning Java's Normalizer against DuckDB's
+    * utf8proc-backed `nfc_normalize` byte-for-byte.
+    *
+    * Scale shape: pure map over one corpus scan — codegen'd string
+    * expressions with an `isNormalized` ASCII fast path; at 100 TB
+    * this runs at parquet-scan speed like t_html_extract. */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.UnicodeNorm
+    // unicode escape sequences keep the SOURCE pure ASCII; the plants are the
+    // DECOMPOSED forms (a+U+0300, o+U+0308) NFC composes, the
+    // precomposed U+00E9 NFC keeps, and U+200B the strip removes
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm_text(col("text")).as("norm"))
+      .withColumn("p", regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("norm"),
+          "a", "a\u0300"), "o", "o\u0308"), "e", "\u00e9"), " ", " \u200b"))
+      .withColumn("cleaned",
+        regexp_replace(col("p"), "[\\x{200B}\\x{FEFF}\\x{00AD}]", ""))
+      .withColumn("nfc", UnicodeNorm.nfc(col("cleaned")))
+      .select(col("doc_id"),
+        length(col("p")).cast("long").as("n_planted"),
+        length(col("cleaned")).cast("long").as("n_clean"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        (col("nfc") =!= col("cleaned")).cast("int").as("changed"),
+        md5(col("nfc").cast("binary")).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same plant chain with `chr()` code points (the SQL
+    * stays pure ASCII — the test JVM's default charset is US-ASCII,
+    * so non-ASCII literals must never ride the JSON dump), the same
+    * zero-width strip, and `nfc_normalize`. Both engines' `length`
+    * count code points (UTF8String.numChars / DuckDB len). */
+  val normalizeTextSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |p AS (SELECT doc_id,
+       |  replace(replace(replace(replace(norm,
+       |    'a', 'a' || chr(768)), 'o', 'o' || chr(776)),
+       |    'e', chr(233)), ' ', ' ' || chr(8203)) AS p FROM n),
+       |c AS (SELECT doc_id, p,
+       |  regexp_replace(p, '[\\x{200B}\\x{FEFF}\\x{00AD}]', '', 'g') AS cleaned
+       |  FROM p),
+       |f AS (SELECT doc_id, p, cleaned, nfc_normalize(cleaned) AS nfc FROM c)
+       |SELECT doc_id, CAST(len(p) AS BIGINT) AS n_planted,
+       |  CAST(len(cleaned) AS BIGINT) AS n_clean,
+       |  CAST(len(nfc) AS BIGINT) AS n_nfc,
+       |  CAST(nfc <> cleaned AS INT) AS changed,
+       |  md5(nfc) AS h
+       |FROM f ORDER BY doc_id""".stripMargin
 
   /** HTML → main content ([[graft.text.Html]]): per doc the non-blank
     * line count, kept-line count, the link mass discarded with
