@@ -4251,6 +4251,87 @@ object LlmOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Tokenizer-selection report (t_tokenizer_stats): corpus token
+    * totals and exact Q6 bytes-per-token under all FOUR token measures
+    * the suite carries — whitespace, BPE (learned merges), unigram-LM
+    * (Viterbi under the scored vocabulary) and WordPiece (greedy
+    * longest-match) — in ONE corpus scan. This is the report a real
+    * pipeline cuts before committing a token budget: the families
+    * disagree on corpus size by design (compression differs), and
+    * bytes-per-token is THE tokenizer-fertility metric that decision
+    * reads. bytes·10⁶/tokens is computed in DECIMAL(38,0) integral
+    * division (overflow-free at any corpus size, truncation identical
+    * to DuckDB HUGEINT `//`).
+    *
+    * Scale shape: all three learned tokenizers ride as codegen
+    * reference objects; the scan is map-only into one partial-
+    * aggregated global sum — 5 longs per partition reach the reduce.
+    * At 100 TB this is a single pass at parquet-scan speed; the
+    * learning is vocabulary-sized and shared with the per-family
+    * gates (memoized per pass, benched as the *_learn_shared items). */
+  def tokenizerStats(s: SparkSession, dir: String): DataFrame = {
+    val merges = learnedMerges(s, dir).map { case (l, r, _) => (l, r) }
+    val (uvocab, unk) = unigramVocab(s, dir)
+    val (ini, cont) = wordpieceVocabs(s, dir)
+    val base = Tables.documents(s, dir).select(
+      octet_length(norm_text(col("text"))).cast("long").as("nb"),
+      tokens(col("text")).as("t"))
+    base.agg(
+        sum(col("nb")).as("bytes"),
+        sum(size(col("t")).cast("long")).as("ws"),
+        sum(org.apache.spark.sql.graft.BpeTokens
+          .bpe_count(col("t"), merges)).as("bpe"),
+        sum(org.apache.spark.sql.graft.UnigramTokens
+          .unigram_count(col("t"), uvocab, unk)).as("uni"),
+        sum(org.apache.spark.sql.graft.WordPieceTokens
+          .wordpiece_count(col("t"), ini, cont)).as("wp"))
+      .select(col("bytes"), explode(array(
+        struct(lit("whitespace").as("family"), col("ws").as("n_tokens")),
+        struct(lit("bpe").as("family"), col("bpe").as("n_tokens")),
+        struct(lit("unigram").as("family"), col("uni").as("n_tokens")),
+        struct(lit("wordpiece").as("family"), col("wp").as("n_tokens"))))
+        .as("r"))
+      .select(col("r.family").as("family"), col("r.n_tokens").as("n_tokens"),
+        expr("CAST((CAST(bytes AS DECIMAL(38,0)) * 1000000) div " +
+          "CAST(r.n_tokens AS DECIMAL(38,0)) AS BIGINT)")
+          .as("bytes_per_token_q"))
+      .orderBy(col("family"))
+  }
+
+  /** Oracle: the BPE merge chain, the unigram census+DP chain and the
+    * WordPiece chain+greedy scan in ONE WITH — the WordPiece CTEs are
+    * mechanically renamed (s3 → ws3 etc.) since both merge chains use
+    * the same round-CTE naming scheme. Per-family corpus totals come
+    * from joining the doc-token table to each chain's per-word counts. */
+  val tokenizerStatsSql: String = {
+    val wpRenamed = (wpChainCtes + ",\n" + wpGreedyCtes)
+      .replaceAll("\\b(sf|[spbm])(\\d+)\\b", "w$1$2")
+    s"""WITH RECURSIVE
+       |$UnigramChainCtes,
+       |$bpeChainCtes,
+       |$wpRenamed,
+       |base AS (SELECT doc_id, string_split($NormSql, ' ') AS t,
+       |                strlen($NormSql) AS nb FROM documents),
+       |dt AS (SELECT doc_id, unnest(t) AS word FROM base),
+       |totb AS (SELECT CAST(SUM(nb) AS BIGINT) AS bytes,
+       |                CAST(SUM(len(t)) AS BIGINT) AS ws_toks FROM base),
+       |u AS (
+       |  SELECT 'whitespace' AS family, ws_toks AS n_tokens FROM totb
+       |  UNION ALL
+       |  SELECT 'bpe', (SELECT CAST(SUM(len(syms)) AS BIGINT)
+       |    FROM dt JOIN s$BpeMergeRounds USING (word))
+       |  UNION ALL
+       |  SELECT 'unigram', (SELECT CAST(SUM(len(pcs)) AS BIGINT)
+       |    FROM dt JOIN (SELECT word, pcs FROM bt WHERE pos = 0) ub USING (word))
+       |  UNION ALL
+       |  SELECT 'wordpiece', (SELECT CAST(SUM(len(pcs)) AS BIGINT)
+       |    FROM dt JOIN (SELECT word, pcs FROM g WHERE pos = n) wb USING (word)))
+       |SELECT family, n_tokens,
+       |  CAST(((SELECT CAST(bytes AS HUGEINT) FROM totb) * 1000000)
+       |    // CAST(n_tokens AS HUGEINT) AS BIGINT) AS bytes_per_token_q
+       |FROM u ORDER BY family""".stripMargin
+  }
+
   /** Strict-budget (no-straddle) packing gate: next-fit within id
     * buckets — a doc that would overflow the open sequence closes it —
     * so every multi-doc sequence holds ≤ 256 tokens

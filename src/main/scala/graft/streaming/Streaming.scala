@@ -1552,6 +1552,45 @@ object Streaming {
     s.table(queryName).orderBy(col("curl"))
   }
 
+  /** Streaming decontamination — the INGEST guard: benchmark
+    * contamination is flagged while data arrives, not in a nightly
+    * batch pass over the landed corpus. The benchmark's distinct
+    * 4-gram set is the STATIC side (a benchmark is fixed-size by
+    * contract — it does not grow with the corpus — so it broadcasts),
+    * and the stream side is exactly the batch operator
+    * ([[graft.corpus.Corpus.decontaminate]]) pointed at an unbounded
+    * source: one-pass codegen shingling → stream-static broadcast
+    * join → keyed count. Per-doc counts are order-invariant sums over
+    * the doc's distinct grams, so the stream reuses the batch gate's
+    * DuckDB oracle bit-for-bit (t_decontam's SQL).
+    *
+    * State bound: complete-mode group state is one O(1) count row per
+    * CONTAMINATED doc (the inner join drops clean docs before the
+    * aggregate) — proportional to the contamination hit set, not the
+    * corpus. A production deployment would age flagged ids out to the
+    * quarantine table per trigger; the replay keeps them in-state to
+    * compare against the batch answer in one read. */
+  def decontamStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_decontam"): DataFrame = {
+    val bench = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+    val stream = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 20 =!= 0)
+    val agg = graft.corpus.Corpus.decontaminate(stream, bench, n = 4)
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName)
+  }
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

@@ -26,6 +26,18 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming decontamination equals the batch operator") {
+    val streamed = graft.streaming.Streaming
+      .decontamStream(spark, sf0001, "infra_decontam")
+      .orderBy(col("doc_id")).collect()
+    val batch = graft.queries.LlmOps.decontam(spark, sf0001)
+      .orderBy(col("doc_id")).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+    // the eval slice itself never reaches the stream side
+    assert(streamed.forall(_.getLong(0) % 20 != 0))
+  }
+
   test("streaming session windows equal batch session windows for closed sessions") {
     val streamedQ = graft.streaming.Streaming.eventsStream(spark, sf0001)
       .withWatermark("ts", "10 minutes")

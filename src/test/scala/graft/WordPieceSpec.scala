@@ -131,4 +131,23 @@ class WordPieceSpec extends AnyFunSuite {
     assert(learn.forall(_.getLong(4) > 0L), "a zero Q40 score means the " +
       "scale is too coarse for this corpus — raise ScoreScale")
   }
+
+  test("t_tokenizer_stats totals equal each family's pack-gate token sums") {
+    val dir = "/root/testdata/sf0.001"
+    val stats = graft.queries.LlmOps.tokenizerStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet ==
+      Set("whitespace", "bpe", "unigram", "wordpiece"))
+    def packedTotal(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(stats("bpe") ==
+      packedTotal(graft.queries.LlmOps.packBpe(spark, dir)))
+    assert(stats("unigram") ==
+      packedTotal(graft.queries.LlmOps.packUnigram(spark, dir)))
+    assert(stats("wordpiece") ==
+      packedTotal(graft.queries.LlmOps.packWordpiece(spark, dir)))
+    // subword families always refine whitespace tokens
+    assert(Seq("bpe", "unigram", "wordpiece")
+      .forall(f => stats(f) >= stats("whitespace")))
+  }
 }
