@@ -32,8 +32,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // from the 24g local runs). Override via SPARK_DRIVER_MEM for
   // experiments; the bench JSON records the live heap either way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pre-size the heap to the cap: G1 heap EXPANSION during the
+  // humongous-allocation gates (d_dup_spans_fuzzy's per-doc shingle
+  // arrays) left the region layout in a state that tripled the GC wall
+  // time of whichever allocation-heavy gate ran later in the same JVM
+  // (mm_dup_union 13 s → 44-51 s with identical shuffle bytes, gc_ms
+  // 12 s → 62-96 s, reproduced and bisected round 16). A fixed-size
+  // heap removes the expansion dynamic, the same comparable-by-
+  // construction rationale as the pinned collector below.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // pin the collector (G1 is the JDK 17 default, but an explicit pin
   // makes driver-run vs local bench totals comparable by construction;
   // the bench JSON records the live heap/GC so drift is visible)
   "-XX:+UseG1GC",
+  // 32m regions (G1's maximum): the per-doc shingle-hash / signature
+  // arrays the dedup gates allocate classify as HUMONGOUS under the
+  // default region sizing at 24g, and their churn fragments the region
+  // map — bisected round 16 to d_dup_spans_fuzzy's aftermath tripling a
+  // later gate's GC (mm_dup_union gc_ms 29 s -> 5 s with 32m regions,
+  // same code, same bytes). Larger regions keep those arrays ordinary
+  // young-gen allocations.
+  "-XX:G1HeapRegionSize=32m",
 )
