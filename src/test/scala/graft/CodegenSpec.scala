@@ -179,6 +179,27 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("WordPieceTokens + BpeTokens + UnicodeNorm generate compiling Java") {
+    codegenOnly {
+      import org.apache.spark.sql.graft.{BpeTokens, UnicodeNorm, WordPieceTokens}
+      val init = Seq("un", "a")
+      val cont = Seq("able", "a")
+      val df = Seq(("unable", Seq("unable", "aa", "zzz")),
+        ("aaa", Seq.empty[String])).toDF("w", "toks")
+      val r = df.select(
+        WordPieceTokens.wordpiece_encode(col("w"), init, cont).as("ps"),
+        WordPieceTokens.wordpiece_count(col("toks"), init, cont).as("n"),
+        BpeTokens.bpe_encode(col("w"), Seq(("a", "b"))).as("bp"),
+        UnicodeNorm.nfc(concat(col("w"), lit("é"))).as("nf"))
+        .collect()
+      assert(r.length == 2)
+      assert(r(0).getSeq[String](0) == Seq("un", "##able"))
+      assert(r(0).getLong(1) == 5L) // 2 + 2 + 1([UNK])
+      // NFC composed the trailing e+combining-acute into U+00E9
+      assert(r.forall(_.getString(3).endsWith("\u00e9")))
+    }
+  }
+
   test("Confluent Avro serde expressions generate compiling Java") {
     codegenOnly {
       import graft.confluent._
