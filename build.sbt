@@ -32,15 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // from the 24g local runs). Override via SPARK_DRIVER_MEM for
   // experiments; the bench JSON records the live heap either way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // pre-size the heap to the cap: G1 heap EXPANSION during the
-  // humongous-allocation gates (d_dup_spans_fuzzy's per-doc shingle
-  // arrays) left the region layout in a state that tripled the GC wall
-  // time of whichever allocation-heavy gate ran later in the same JVM
-  // (mm_dup_union 13 s → 44-51 s with identical shuffle bytes, gc_ms
-  // 12 s → 62-96 s, reproduced and bisected round 16). A fixed-size
-  // heap removes the expansion dynamic, the same comparable-by-
-  // construction rationale as the pinned collector below.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // pin the collector (G1 is the JDK 17 default, but an explicit pin
   // makes driver-run vs local bench totals comparable by construction;
   // the bench JSON records the live heap/GC so drift is visible)
@@ -54,3 +45,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // young-gen allocations.
   "-XX:G1HeapRegionSize=32m",
 )
+
+// Pre-size the heap to the cap for RUN JVMs only (Bench/Verify mains):
+// G1 heap EXPANSION during the humongous-allocation gates left the
+// region layout in a state that tripled the GC wall time of whichever
+// allocation-heavy gate ran later in the same JVM (mm_dup_union
+// 13 s -> 44-51 s with identical shuffle bytes, gc_ms 12 s -> 62-96 s,
+// reproduced and bisected round 16); a fixed-size heap removes the
+// expansion dynamic — the same comparable-by-construction rationale as
+// the pinned collector above. Scoped to `run` so `sbt test` keeps the
+// lazy 24g CAP and still starts on hosts that cannot reserve 24g up
+// front (override either via SPARK_DRIVER_MEM).
+Compile / run / javaOptions +=
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"

@@ -127,6 +127,7 @@ object Bench {
       // timings measure the gate, and the shared derivation visible.
       graft.queries.LlmOps.clearBpeMergeCache()
       graft.queries.LlmOps.clearWpMergeCache()
+      graft.queries.LlmOps.clearUnigramCensusCache()
       val learn = {
         val (sec, m) = once("bpe_learn_shared", (sp, d) => {
           graft.queries.LlmOps.prewarmBpeMerges(sp, d); sp.range(1).toDF })
@@ -139,7 +140,14 @@ object Bench {
           graft.queries.LlmOps.prewarmWpMerges(sp, d); sp.range(1).toDF })
         ("wordpiece_learn_shared", sec, m)
       }
-      learn +: learnWp +: ordered.map { case (name, fn) =>
+      // ... and the unigram substring census (the corpus-bound half of
+      // unigram-LM learning), shared by its five gates + the report
+      val learnUni = {
+        val (sec, m) = once("unigram_learn_shared", (sp, d) => {
+          graft.queries.LlmOps.prewarmUnigramCensus(sp, d); sp.range(1).toDF })
+        ("unigram_learn_shared", sec, m)
+      }
+      learn +: learnWp +: learnUni +: ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
     }

@@ -3667,10 +3667,35 @@ object LlmOps {
     }
   }
 
+  /** One census run per (corpus content, piece params), shared by the
+    * five unigram gates and the tokenizer report — the
+    * [[bpeMergeCache]] discipline (the substring census is the
+    * corpus-bound half of unigram learning; re-deriving it per gate
+    * skewed per-gate bench numbers exactly the way the learn-shared
+    * line items exist to prevent). Key carries the corpus listing
+    * fingerprint so a regenerated dir can never be served stale. */
+  private val unigramCensusCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), Seq[(String, Long)]]
+
+  /** Drop the memoized census — Bench calls this at the start of each
+    * suite pass (see [[clearBpeMergeCache]]). */
+  def clearUnigramCensusCache(): Unit = unigramCensusCache.clear()
+
+  /** Force the shared census for `dir` into the memo NOW — Bench times
+    * this as its own `unigram_learn_shared` line item. */
+  def prewarmUnigramCensus(s: SparkSession, dir: String): Unit = {
+    unigramCensus(s, dir); ()
+  }
+
   /** The selected V0 vocabulary WITH RAW CENSUS FREQUENCIES — the
     * (piece, freq) table both the cost builder and the pruning round
     * score from. */
-  private def unigramCensus(s: SparkSession, dir: String): Seq[(String, Long)] = {
+  private def unigramCensus(s: SparkSession, dir: String): Seq[(String, Long)] =
+    unigramCensusCache.getOrElseUpdate(
+      (dir, corpusFingerprint(s, dir), UnigramMaxPieceLen, UnigramMultiPieces),
+      unigramCensusUncached(s, dir))
+
+  private def unigramCensusUncached(s: SparkSession, dir: String): Seq[(String, Long)] = {
     val pieceFreq = bpeWordFreq(s, dir)
       .select(col("freq"), explode(flatten(
         transform(sequence(lit(1), length(col("word"))), i =>

@@ -190,7 +190,7 @@ class CodegenSpec extends AnyFunSuite {
         WordPieceTokens.wordpiece_encode(col("w"), init, cont).as("ps"),
         WordPieceTokens.wordpiece_count(col("toks"), init, cont).as("n"),
         BpeTokens.bpe_encode(col("w"), Seq(("a", "b"))).as("bp"),
-        UnicodeNorm.nfc(concat(col("w"), lit("é"))).as("nf"))
+        UnicodeNorm.nfc(concat(col("w"), lit("e\u0301"))).as("nf"))
         .collect()
       assert(r.length == 2)
       assert(r(0).getSeq[String](0) == Seq("un", "##able"))
