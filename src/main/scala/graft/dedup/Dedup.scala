@@ -426,10 +426,14 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, idCol: String = "doc",
       sigCol: String = "sig", shCol: String = "sh", salt: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val cands = graft.util.IntermediateCaches.track(
+    // hard-severed, not just persisted: the candidate set is referenced
+    // three times downstream (two semi-join probes + the verify left
+    // side) and with plain persist each of those stages' task binaries
+    // still serializes the full signature+banding expression tree —
+    // the task-binary churn [[graft.util.Lineage.sever]] documents
+    val cands = graft.util.Lineage.severTracked(
       bandPairs(pre.select(col(idCol).as("doc"), col(sigCol).as("sig")),
-        bands, numHashes / bands, salt)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        bands, numHashes / bands, salt))
     verifyByJaccard(cands,
       pre.select(col(idCol).as("doc"), col(shCol).as("sh")), threshold)
   }
@@ -446,15 +450,15 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       persistIndex: Boolean = false, salt: Int = 1): DataFrame = {
     // the candidate set is referenced three times below (two semi-join
-    // probes + the verify left side); persist it — it is O(pairs), tiny
-    // next to the corpus, and caching it runs the signature+banding pass
-    // exactly once. Lifetime: tracked in [[graft.util.IntermediateCaches]]
-    // — callers release eagerly via IntermediateCaches.releaseAll() after
-    // materializing; otherwise the ContextCleaner unpersists on GC once
-    // the returned frame becomes unreachable.
-    val cands = graft.util.IntermediateCaches.track(
-      minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol, salt)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // probes + the verify left side); hard-severed (eager localCheckpoint,
+    // [[graft.util.Lineage.sever]]) — it is O(pairs), tiny next to the
+    // corpus, the signature+banding pass runs exactly once, and the
+    // downstream task binaries carry a checkpoint block reference instead
+    // of the full signature expression tree. Lifetime: tracked in
+    // [[graft.util.IntermediateCaches]] — callers release eagerly via
+    // IntermediateCaches.releaseAll() after materializing.
+    val cands = graft.util.Lineage.severTracked(
+      minhashLshCandidates(docs, n, numHashes, bands, idCol, textCol, salt))
     // verify ONLY the candidate pairs: bring both docs' distinct-shingle
     // sets to the pair and intersect as arrays — O(|cands|·|sh|), never
     // the full inverted-index pair blowup; sets come from the codegen'd

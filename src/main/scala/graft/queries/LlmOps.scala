@@ -3616,6 +3616,116 @@ object LlmOps {
        |FROM c GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BYTE-level BPE (t_bpe_bytes_*) — the GPT-family tokenizer class:
+  // UTF-8 bytes as base symbols (rendered as uppercase 2-hex-digit
+  // strings, graft.text.Bpe.byteSyms), merges over byte pairs, NO
+  // [UNK] — every string is segmentable by construction. The single
+  // most-used tokenizer class in LLM data work; the learn/encode/pack
+  // trio mirrors the char-BPE chain with a byte-table base alphabet.
+  // ---------------------------------------------------------------------
+
+  /** Fewer rounds than char BPE (24 vs 32): the byte alphabet re-learns
+    * the frequent ASCII letter pairs first, and 24 rounds already mint
+    * multi-byte symbols on this corpus family (the oracle replays every
+    * round, so the count is a straight cost/coverage dial). */
+  private val BpeBytesMergeRounds = 24
+
+  private val bpeBytesMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long)]]
+
+  /** Drop the memoized byte-merge lists (Bench calls per pass — see
+    * [[clearBpeMergeCache]]). */
+  def clearBpeBytesMergeCache(): Unit = bpeBytesMergeCache.clear()
+
+  /** Force the shared byte-merge derivation NOW — Bench times this as
+    * its own `bpe_bytes_learn_shared` line item. */
+  def prewarmBpeBytesMerges(s: SparkSession, dir: String): Unit = {
+    learnedBytesMerges(s, dir); ()
+  }
+
+  private def learnedBytesMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpeBytesMergeCache.getOrElseUpdate(
+      (dir, corpusFingerprint(s, dir), BpeBytesMergeRounds),
+      graft.text.Bpe.learnMerges(bpeWordFreq(s, dir), BpeBytesMergeRounds,
+        symsOf = graft.text.Bpe.byteSyms))
+
+  /** Byte-level BPE LEARNING gate: the top-K byte-pair merges with
+    * their pair frequencies, symbols as uppercase hex strings. Scale
+    * shape identical to [[bpeLearn]] — after the one word-frequency
+    * aggregation every round is vocabulary-sized. */
+  def bpeBytesLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedBytesMerges(s, dir)
+      .zipWithIndex
+      .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
+      .toDF("round", "lhs", "rhs", "freq")
+  }
+
+  /** The byte chain reuses [[bpeRoundCte]] verbatim — the round logic
+    * is symbol-representation-agnostic; only the s0 splitter differs
+    * (hex(encode(word)) sliced in 2-char chunks = Spark's byteSyms). */
+  private def bpeBytesChainCtes: String =
+    s"""s0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, octet_length(encode(word)) + 1),
+       |      i -> substring(hex(encode(word)), 2*i - 1, 2)) AS syms
+       |  FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${(1 to BpeBytesMergeRounds).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+
+  val bpeBytesLearnSql: String =
+    s"""WITH RECURSIVE $bpeBytesChainCtes
+       |${(1 to BpeBytesMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, pf AS freq FROM b$r")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** Byte-level ENCODE gate: every census word's final byte-symbol
+    * sequence under the learned merges ([[org.apache.spark.sql.graft
+    * .BpeTokens.bpe_bytes_encode]]) — NO dead ends and no [UNK] by
+    * construction, the byte tokenizer's defining property. */
+  def bpeBytesEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = learnedBytesMerges(s, dir).map { case (l, r, _) => (l, r) }
+    bpeWordFreq(s, dir)
+      .select(col("word"), col("freq"),
+        org.apache.spark.sql.graft.BpeTokens
+          .bpe_bytes_encode(col("word"), merges).as("sy"))
+      .select(col("word"), col("freq"),
+        size(col("sy")).cast("long").as("n_syms"),
+        array_join(col("sy"), " ").as("syms"))
+      .orderBy(col("word"))
+  }
+
+  val bpeBytesEncodeSql: String =
+    s"""WITH RECURSIVE $bpeBytesChainCtes
+       |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_syms,
+       |  list_aggregate(syms, 'string_agg', ' ') AS syms
+       |FROM s$BpeBytesMergeRounds ORDER BY word""".stripMargin
+
+  /** Packing on byte-BPE token counts — the t_pack_bpe machinery with
+    * [[org.apache.spark.sql.graft.BpeTokens.bpe_bytes_count]] as the
+    * token measure, closing the byte family learn → encode → pack. */
+  def packBpeBytes(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.packSequences(Tables.documents(s, dir),
+      tokensOf = org.apache.spark.sql.graft.BpeTokens
+        .bpe_bytes_count(tokens(col("text")),
+          learnedBytesMerges(s, dir).map { case (l, r, _) => (l, r) }),
+      budget = 1024, bucketSize = 64)
+
+  val packBpeBytesSql: String =
+    s"""WITH RECURSIVE $bpeBytesChainCtes,
+       |nsym AS (SELECT word, CAST(len(syms) AS BIGINT) AS ns FROM s$BpeBytesMergeRounds),
+       |dt AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word FROM documents),
+       |n AS (SELECT doc_id, CAST(SUM(COALESCE(ns, 0)) AS BIGINT) AS ntok
+       |      FROM dt LEFT JOIN nsym USING (word) GROUP BY doc_id),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM n)
+       |SELECT CAST(floor(sof / 1024.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Unigram-LM (SentencePiece-family) tokenizer (t_unigram_encode) —
   // the other production tokenizer family beside BPE: segmentation is
   // a per-word Viterbi DP under a scored piece vocabulary, not a merge
@@ -4110,43 +4220,47 @@ object LlmOps {
   /** One WordPiece oracle round: symbol frequencies over s{r-1} →
     * pair counts → Q40-scored argmax b{r} → greedy merge-apply
     * (identical recursion to [[bpeRoundCte]]'s m/s pair) → s{r}.
-    * MATERIALIZED is load-bearing exactly as in the BPE chain. */
-  private def wpRoundCte(r: Int): String = {
-    val prev = s"s${r - 1}"
+    * MATERIALIZED is load-bearing exactly as in the BPE chain.
+    * `pfx` prefixes every CTE name so the chain can coexist with the
+    * BPE/unigram chains (which use the same round-CTE naming scheme)
+    * in one WITH — a generation-time parameter, not a post-hoc regex
+    * rename that could silently rewrite matching tokens elsewhere. */
+  private def wpRoundCte(r: Int, pfx: String): String = {
+    val prev = s"${pfx}s${r - 1}"
     val q = graft.text.WordPiece.ScoreScale
-    s"""sf$r AS MATERIALIZED (SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS f
+    s"""${pfx}sf$r AS MATERIALIZED (SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS f
        |  FROM (SELECT freq, unnest(syms) AS s FROM $prev) GROUP BY s),
-       |p$r AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
+       |${pfx}p$r AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r,
        |    CAST(SUM(freq) AS BIGINT) AS pf
        |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
        |  WHERE len(syms) >= 2 GROUP BY 1, 2),
-       |b$r AS MATERIALIZED (SELECT l, r, pf,
+       |${pfx}b$r AS MATERIALIZED (SELECT l, r, pf,
        |    CAST((CAST(pf AS HUGEINT) * $q) // (CAST(fl.f AS HUGEINT) * fr.f) AS BIGINT) AS score
-       |  FROM p$r JOIN sf$r fl ON fl.sym = l JOIN sf$r fr ON fr.sym = r
+       |  FROM ${pfx}p$r JOIN ${pfx}sf$r fl ON fl.sym = l JOIN ${pfx}sf$r fr ON fr.sym = r
        |  ORDER BY score DESC, l, r LIMIT 1),
-       |m$r AS (
+       |${pfx}m$r AS (
        |  SELECT word, freq, syms, CASE WHEN len(syms) = 0 THEN 0 ELSE 1 END AS i,
        |    syms[1:1] AS acc FROM $prev
        |  UNION ALL
        |  SELECT word, freq, syms, i + 1,
-       |    CASE WHEN acc[-1] = (SELECT l FROM b$r) AND syms[i+1] = (SELECT r FROM b$r)
+       |    CASE WHEN acc[-1] = (SELECT l FROM ${pfx}b$r) AND syms[i+1] = (SELECT r FROM ${pfx}b$r)
        |         THEN list_append(list_slice(acc, 1, len(acc) - 1),
-       |                          (SELECT l FROM b$r) || syms[i+1])
+       |                          (SELECT l FROM ${pfx}b$r) || syms[i+1])
        |         ELSE list_append(acc, syms[i+1]) END
-       |  FROM m$r WHERE i < len(syms)),
-       |s$r AS MATERIALIZED (SELECT word, freq, acc AS syms FROM m$r WHERE i = len(syms))""".stripMargin
+       |  FROM ${pfx}m$r WHERE i < len(syms)),
+       |${pfx}s$r AS MATERIALIZED (SELECT word, freq, acc AS syms FROM ${pfx}m$r WHERE i = len(syms))""".stripMargin
   }
 
-  private def wpChainCtes: String =
-    s"""s0 AS MATERIALIZED (
+  private def wpChainCtes(pfx: String): String =
+    s"""${pfx}s0 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
        |  FROM (SELECT unnest(string_split($NormSql, ' ')) AS word FROM documents)
        |  GROUP BY word),
-       |${(1 to WpMergeRounds).map(wpRoundCte).mkString(",\n")}""".stripMargin
+       |${(1 to WpMergeRounds).map(wpRoundCte(_, pfx)).mkString(",\n")}""".stripMargin
 
   val wordpieceLearnSql: String =
-    s"""WITH RECURSIVE $wpChainCtes
+    s"""WITH RECURSIVE ${wpChainCtes("")}
        |${(1 to WpMergeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, pf AS freq, score FROM b$r")
         .mkString("\nUNION ALL\n")}
@@ -4210,22 +4324,22 @@ object LlmOps {
     * recursive CTE advancing every word by its longest matching piece
     * per step (`b` = the max matching length, NULL = dead end →
     * `[UNK]`, position jumps to n). */
-  private def wpGreedyCtes: String =
-    s"""vi AS (SELECT DISTINCT syms[1] AS piece FROM s$WpMergeRounds
+  private def wpGreedyCtes(pfx: String): String =
+    s"""${pfx}vi AS (SELECT DISTINCT syms[1] AS piece FROM ${pfx}s$WpMergeRounds
        |       WHERE len(syms) >= 1),
-       |vcont AS (SELECT DISTINCT syms[i] AS piece
-       |          FROM s$WpMergeRounds,
+       |${pfx}vcont AS (SELECT DISTINCT syms[i] AS piece
+       |          FROM ${pfx}s$WpMergeRounds,
        |            LATERAL (SELECT unnest(range(2, len(syms) + 1)) AS i)),
-       |mi0 AS (SELECT map_from_entries(list({'k': piece, 'v': 1})) AS mi,
-       |               CAST(MAX(len(piece)) AS BIGINT) AS xi FROM vi),
-       |mc0 AS (SELECT map_from_entries(list({'k': piece, 'v': 1})) AS mc,
-       |               CAST(MAX(len(piece)) AS BIGINT) AS xc FROM vcont),
-       |wnw AS (SELECT word, freq, len(word) AS n, mi, xi, mc, xc
-       |        FROM s0 CROSS JOIN mi0 CROSS JOIN mc0),
-       |g AS (
+       |${pfx}mi0 AS (SELECT map_from_entries(list({'k': piece, 'v': 1})) AS mi,
+       |               CAST(MAX(len(piece)) AS BIGINT) AS xi FROM ${pfx}vi),
+       |${pfx}mc0 AS (SELECT map_from_entries(list({'k': piece, 'v': 1})) AS mc,
+       |               CAST(MAX(len(piece)) AS BIGINT) AS xc FROM ${pfx}vcont),
+       |${pfx}wnw AS (SELECT word, freq, len(word) AS n, mi, xi, mc, xc
+       |        FROM ${pfx}s0 CROSS JOIN ${pfx}mi0 CROSS JOIN ${pfx}mc0),
+       |${pfx}g AS (
        |  SELECT word, freq, n, mi, xi, mc, xc,
        |    CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS pcs
-       |  FROM wnw
+       |  FROM ${pfx}wnw
        |  UNION ALL
        |  SELECT word, freq, n, mi, xi, mc, xc,
        |    CASE WHEN b IS NULL THEN n ELSE pos + b END,
@@ -4237,11 +4351,11 @@ object LlmOps {
        |        range(1, least(n - pos, CASE WHEN pos = 0 THEN xi ELSE xc END) + 1),
        |        L -> len(map_extract(CASE WHEN pos = 0 THEN mi ELSE mc END,
        |                             word[pos+1:pos+L])) > 0)) AS b
-       |    FROM g WHERE pos < n))""".stripMargin
+       |    FROM ${pfx}g WHERE pos < n))""".stripMargin
 
   val wordpieceEncodeSql: String =
-    s"""WITH RECURSIVE $wpChainCtes,
-       |$wpGreedyCtes
+    s"""WITH RECURSIVE ${wpChainCtes("")},
+       |${wpGreedyCtes("")}
        |SELECT word, freq, CAST(len(pcs) AS BIGINT) AS n_pieces,
        |  array_to_string(pcs, ' ') AS pieces
        |FROM g WHERE pos = n ORDER BY word""".stripMargin
@@ -4262,8 +4376,8 @@ object LlmOps {
   }
 
   val packWordpieceSql: String =
-    s"""WITH RECURSIVE $wpChainCtes,
-       |$wpGreedyCtes,
+    s"""WITH RECURSIVE ${wpChainCtes("")},
+       |${wpGreedyCtes("")},
        |nsym AS (SELECT word, CAST(len(pcs) AS BIGINT) AS ns
        |         FROM g WHERE pos = n),
        |dt AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word FROM documents),
@@ -4329,12 +4443,14 @@ object LlmOps {
     * the same round-CTE naming scheme. Per-family corpus totals come
     * from joining the doc-token table to each chain's per-word counts. */
   val tokenizerStatsSql: String = {
-    val wpRenamed = (wpChainCtes + ",\n" + wpGreedyCtes)
-      .replaceAll("\\b(sf|[spbm])(\\d+)\\b", "w$1$2")
+    // the WordPiece chain is generated with a 'w' name prefix (the
+    // unigramDpCtes sfx discipline) so it coexists with the BPE chain's
+    // identical round-CTE naming in one WITH — no post-hoc regex rename
     s"""WITH RECURSIVE
        |$UnigramChainCtes,
        |$bpeChainCtes,
-       |$wpRenamed,
+       |${wpChainCtes("w")},
+       |${wpGreedyCtes("w")},
        |base AS (SELECT doc_id, string_split($NormSql, ' ') AS t,
        |                strlen($NormSql) AS nb FROM documents),
        |dt AS (SELECT doc_id, unnest(t) AS word FROM base),
@@ -4350,7 +4466,7 @@ object LlmOps {
        |    FROM dt JOIN (SELECT word, pcs FROM bt WHERE pos = 0) ub USING (word))
        |  UNION ALL
        |  SELECT 'wordpiece', (SELECT CAST(SUM(len(pcs)) AS BIGINT)
-       |    FROM dt JOIN (SELECT word, pcs FROM g WHERE pos = n) wb USING (word)))
+       |    FROM dt JOIN (SELECT word, pcs FROM wg WHERE pos = n) wb USING (word)))
        |SELECT family, n_tokens,
        |  CAST(((SELECT CAST(bytes AS HUGEINT) FROM totb) * 1000000)
        |    // CAST(n_tokens AS HUGEINT) AS BIGINT) AS bytes_per_token_q
@@ -6785,7 +6901,16 @@ object LlmOps {
     // components (round-15 review). The semantic leg is their only
     // legitimate detector, by construction.
     val contourable = col("asset_id") < 3 * pb
-    val trunk = graft.util.IntermediateCaches.track(assets
+    // HARD-severed, not just persisted: the trunk feeds the exact
+    // window, three banded contour joins, the embedding join AND (via
+    // ev) every CC round — with plain persist each of those stages'
+    // task binaries still carries the full contour expression tree
+    // (contour64's 64-way comparison chains ×3 modalities), measured
+    // as ~30 GB/gate of ObjectInputStream+TreeNode churn that G1 pays
+    // for on any JVM whose flags the repo does not own (round-16's
+    // driver-cut 64.5 s vs 13.6 s matched-JVM). After sever the task
+    // binary holds a checkpoint block reference only.
+    val trunk = graft.util.Lineage.severTracked(assets
       .select(col("asset_id"), col("kind"), col("bid"),
         md5(col("text")).as("efp"),
         octet_length(col("text")).cast("long").as("nb"),
@@ -6796,8 +6921,7 @@ object LlmOps {
             letCol(windowSums65(e2, size(col("tk"))))(contour64) }).as("afp"),
         when(contourable && col("kind") === "video" && size(col("tk")) >= 65,
           letCol(videoFrameSizes(col("tk"), lit(1L))) { sz =>
-            letCol(windowSums65(sz, size(col("tk"))))(contour64) }).as("vfp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            letCol(windowSums65(sz, size(col("tk"))))(contour64) }).as("vfp")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind"), col("efp"), col("nb"))
     val exactEdges = trunk
@@ -6832,10 +6956,12 @@ object LlmOps {
     // the within-cell quadratic term (64x fewer candidate pairs)
     val semEdges = Ann.semDedupPairs(assetEmb, threshold = 0.95, nCells = 64)
       .select(col("doc_a"), col("doc_b"), lit("semantic").as("etype"))
-    val ev = graft.util.IntermediateCaches.track(exactEdges
+    // same sever rationale: ev is pair-evidence-sized but its plan is
+    // the union of all five detector legs, and CC's per-round joins
+    // would re-serialize that union into every iteration's tasks
+    val ev = graft.util.Lineage.severTracked(exactEdges
       .unionByName(contourEdges)
-      .unionByName(semEdges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .unionByName(semEdges))
     val cc = Dedup.connectedComponents(
       ev.select(col("doc_a"), col("doc_b")).distinct())
     val sizes = cc.groupBy(col("comp"))

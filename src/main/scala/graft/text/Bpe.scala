@@ -42,6 +42,22 @@ object Bpe {
   def charSyms(word: Column): Column =
     filter(split(word, ""), s => s =!= "")
 
+  /** Word → its UTF-8 BYTE symbols, each rendered as an uppercase
+    * 2-hex-digit string ("café" → [63, 61, 66, C3, A9]) — the
+    * byte-level BPE base alphabet (GPT-2 lineage: UTF-8 bytes as base
+    * symbols mean EVERY string is segmentable, so the tokenizer has no
+    * `[UNK]`). Hex strings rather than raw bytes because (a) merged
+    * symbols stay plain string concatenation ("C3A9"), (b) the pair
+    * argmax tie-break stays VARCHAR ordering both engines share, and
+    * (c) the DuckDB oracle reproduces the split exactly:
+    * `substring(hex(encode(word)), 2i-1, 2)`. Spark's `hex` is
+    * uppercase like DuckDB's. */
+  def byteSyms(word: Column): Column = {
+    val h = hex(encode(word, "UTF-8"))
+    transform(sequence(lit(1), octet_length(word)),
+      i => h.substr(i * 2 - 1, lit(2)))
+  }
+
   /** One greedy left-to-right merge pass of (l, r) → l+r over a symbol
     * array — the interpreted higher-order-function formulation (an
     * `aggregate` fold: merge when the accumulator's last symbol is `l`
@@ -69,10 +85,11 @@ object Bpe {
     * driver on a vocabulary of ~10k words) — the classic iterative-
     * Catalyst failure the CC loops already guard against. */
   def learnMerges(wordFreq: DataFrame, k: Int,
-      wordCol: String = "word", freqCol: String = "freq"): Seq[(String, String, Long)] = {
+      wordCol: String = "word", freqCol: String = "freq",
+      symsOf: Column => Column = charSyms): Seq[(String, String, Long)] = {
     require(k >= 1, s"k must be >= 1: $k")
     var (vocab, release) = graft.util.Lineage.cut(
-      wordFreq.select(charSyms(col(wordCol)).as("syms"),
+      wordFreq.select(symsOf(col(wordCol)).as("syms"),
         col(freqCol).cast("long").as("freq")))
     // round r-1's release is deferred until round r's argmax has
     // materialized round r's cut RDD (the argmax IS the materializing
@@ -110,8 +127,11 @@ object Bpe {
       }
       merges.toSeq
     } finally {
+      // on the dry-exit path prevRelease holds the SAME hook as
+      // release — invoke each hook at most once (the WordPiece
+      // learner's guard, applied to the identical pattern here)
       prevRelease.foreach(_(false))
-      release(false)
+      if (!prevRelease.exists(_ eq release)) release(false)
     }
   }
 }

@@ -97,8 +97,11 @@ object WordPiece {
       }
       merges.toSeq
     } finally {
+      // on the dry-exit path prevRelease holds the SAME hook as
+      // release — invoke each hook at most once rather than relying
+      // on unpersist idempotency
       prevRelease.foreach(_(false))
-      release(false)
+      if (!prevRelease.exists(_ eq release)) release(false)
     }
   }
 }

@@ -38,12 +38,12 @@ object UnigramTokens {
   def unigram_encode(word: Column, pieces: Seq[(String, Long)],
       unkCost: Long): Column =
     ColumnBridge.column(UnigramEncodeExpr(ColumnBridge.expression(word),
-      pieces.map(_._1).toArray, pieces.map(_._2).toArray, unkCost))
+      pieces.map(_._1), pieces.map(_._2), unkCost))
 
   def unigram_count(tokens: Column, pieces: Seq[(String, Long)],
       unkCost: Long): Column =
     ColumnBridge.column(UnigramCountExpr(ColumnBridge.expression(tokens),
-      pieces.map(_._1).toArray, pieces.map(_._2).toArray, unkCost))
+      pieces.map(_._1), pieces.map(_._2), unkCost))
 
   private val Inf = java.lang.Long.MAX_VALUE / 4
 
@@ -113,9 +113,11 @@ object UnigramTokens {
 
   private val cls = UnigramTokens.getClass.getName.stripSuffix("$") + "$"
 
-  /** word → Viterbi-optimal piece array under the scored vocabulary. */
-  case class UnigramEncodeExpr(child: Expression, pieces: Array[String],
-      costs: Array[Long], unkCost: Long)
+  /** word → Viterbi-optimal piece array under the scored vocabulary.
+    * Seq (not Array) constructor parameters so case-class structural
+    * equality holds and Catalyst CSE can dedup identical expressions. */
+  case class UnigramEncodeExpr(child: Expression, pieces: Seq[String],
+      costs: Seq[Long], unkCost: Long)
       extends UnaryExpression with ExpectsInputTypes {
     require(pieces.length == costs.length, "piece/cost arrays differ in length")
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -123,8 +125,8 @@ object UnigramTokens {
 
     @transient private lazy val hm: java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
-      var i = 0
-      while (i < pieces.length) { m.put(pieces(i), costs(i)); i += 1 }
+      val pi = pieces.iterator; val ci = costs.iterator
+      while (pi.hasNext) m.put(pi.next(), ci.next())
       m
     }
     @transient private lazy val maxLen: Int =
@@ -162,8 +164,8 @@ object UnigramTokens {
   /** array<string> of tokens → Σ Viterbi piece counts (the
     * [[BpeTokens.BpeCountExpr]] shape for the unigram family — what a
     * sequence-budget packer counts in). */
-  case class UnigramCountExpr(child: Expression, pieces: Array[String],
-      costs: Array[Long], unkCost: Long)
+  case class UnigramCountExpr(child: Expression, pieces: Seq[String],
+      costs: Seq[Long], unkCost: Long)
       extends UnaryExpression with ExpectsInputTypes {
     require(pieces.length == costs.length, "piece/cost arrays differ in length")
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -171,8 +173,8 @@ object UnigramTokens {
 
     @transient private lazy val hm: java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
-      var i = 0
-      while (i < pieces.length) { m.put(pieces(i), costs(i)); i += 1 }
+      val pi = pieces.iterator; val ci = costs.iterator
+      while (pi.hasNext) m.put(pi.next(), ci.next())
       m
     }
     @transient private lazy val maxLen: Int =

@@ -42,12 +42,12 @@ object WordPieceTokens {
   def wordpiece_encode(word: Column, initPieces: Seq[String],
       contPieces: Seq[String]): Column =
     ColumnBridge.column(WordPieceEncodeExpr(ColumnBridge.expression(word),
-      initPieces.toArray, contPieces.toArray))
+      initPieces, contPieces))
 
   def wordpiece_count(tokens: Column, initPieces: Seq[String],
       contPieces: Seq[String]): Column =
     ColumnBridge.column(WordPieceCountExpr(ColumnBridge.expression(tokens),
-      initPieces.toArray, contPieces.toArray))
+      initPieces, contPieces))
 
   /** Immutable lookup bundle shared by interpreted eval and codegen —
     * built once per plan, rides as one reference object. */
@@ -121,13 +121,17 @@ object WordPieceTokens {
   private val cls = WordPieceTokens.getClass.getName.stripSuffix("$") + "$"
   private val vocabCls = classOf[Vocab].getName
 
-  /** word → greedy WordPiece segmentation under the split vocabulary. */
-  case class WordPieceEncodeExpr(child: Expression, initPieces: Array[String],
-      contPieces: Array[String]) extends UnaryExpression with ExpectsInputTypes {
+  /** word → greedy WordPiece segmentation under the split vocabulary.
+    * Piece lists are Seq (not Array) constructor parameters so case-class
+    * structural equality holds and Catalyst common-subexpression
+    * elimination can dedup semantically identical expressions. */
+  case class WordPieceEncodeExpr(child: Expression, initPieces: Seq[String],
+      contPieces: Seq[String]) extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-    @transient private lazy val vocab = new Vocab(initPieces, contPieces)
+    @transient private lazy val vocab =
+      new Vocab(initPieces.toArray, contPieces.toArray)
 
     override def nullSafeEval(w: Any): Any =
       encodeCompute(w.asInstanceOf[UTF8String], vocab)
@@ -142,14 +146,16 @@ object WordPieceTokens {
       copy(child = newChild)
   }
 
-  /** array<string> of tokens → Σ WordPiece piece counts. */
-  case class WordPieceCountExpr(child: Expression, initPieces: Array[String],
-      contPieces: Array[String]) extends UnaryExpression with ExpectsInputTypes {
+  /** array<string> of tokens → Σ WordPiece piece counts. Seq params
+    * for structural equality (see [[WordPieceEncodeExpr]]). */
+  case class WordPieceCountExpr(child: Expression, initPieces: Seq[String],
+      contPieces: Seq[String]) extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
 
-    @transient private lazy val vocab = new Vocab(initPieces, contPieces)
+    @transient private lazy val vocab =
+      new Vocab(initPieces.toArray, contPieces.toArray)
 
     override def nullSafeEval(ts: Any): Any =
       countCompute(ts.asInstanceOf[ArrayData], vocab)
