@@ -129,6 +129,7 @@ object Bench {
       graft.queries.LlmOps.clearBpeBytesMergeCache()
       graft.queries.LlmOps.clearWpMergeCache()
       graft.queries.LlmOps.clearUnigramCensusCache()
+      graft.queries.LlmOps.clearQclfModelCache()
       val learn = {
         val (sec, m) = once("bpe_learn_shared", (sp, d) => {
           graft.queries.LlmOps.prewarmBpeMerges(sp, d); sp.range(1).toDF })
@@ -154,7 +155,13 @@ object Bench {
           graft.queries.LlmOps.prewarmUnigramCensus(sp, d); sp.range(1).toDF })
         ("unigram_learn_shared", sec, m)
       }
-      learn +: learnBytes +: learnWp +: learnUni +: ordered.map { case (name, fn) =>
+      // the perceptron training pass, shared by its two gates
+      val learnQclf = {
+        val (sec, m) = once("quality_clf_learn_shared", (sp, d) => {
+          graft.queries.LlmOps.prewarmQclfModel(sp, d); sp.range(1).toDF })
+        ("quality_clf_learn_shared", sec, m)
+      }
+      learn +: learnBytes +: learnWp +: learnUni +: learnQclf +: ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
     }

@@ -1731,7 +1731,7 @@ object LlmOps {
   /** Fixed benchmark-suite cardinality for [[decontamEmbed]] — SF-
     * independent by design (an eval suite does not grow with the
     * crawl). */
-  private val DecontamBenchN = 100
+  private[graft] val DecontamBenchN = 100
 
   val decontamEmbedSql: String =
     s"""WITH corpus AS (
@@ -7176,6 +7176,140 @@ object LlmOps {
        |SELECT b.doc_id, te.lang AS actual, b.lang AS pred, b.scoreq,
        |  ROUND(CAST(b.scoreq AS DOUBLE) / 1e9, 6) AS score
        |FROM best b JOIN te ON te.doc_id = b.doc_id WHERE b.rk = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Trained quality classifier (t_quality_clf / t_quality_clf_pred) —
+  // the GPT-3/LLaMA-lineage curation filter: a LINEAR model over token
+  // features, TRAINED by an exact-integer batch-perceptron pass
+  // (graft.text.Classify.perceptronTrain), labels distilled from the
+  // rule-based quality signal (stopword-ratio >= 0.1), the standard
+  // rule->model distillation a production pipeline runs so the cheap
+  // learned filter replaces the expensive rule at crawl scale.
+  // ---------------------------------------------------------------------
+
+  private val QClfFeatures = 64 // 63 tokens + bias
+  private val QClfEpochs = 8
+
+  /** +1 iff the doc's stopword ratio clears 0.1 — an exact-integer
+    * inequality (10·stop ≥ ntok) both engines compute identically. */
+  private def qclfLabel: Column =
+    when(stopword_count(col("text")) * 10 >= n_tokens(col("text")), 1)
+      .otherwise(-1)
+
+  private val QclfLabelSql =
+    """CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
+      |         w -> w IN ('the','a','of','and','to','in','is')))
+      |       >= len(string_split(norm, ' ')) THEN 1 ELSE -1 END""".stripMargin
+
+  /** One training run per corpus, shared by the weights gate and the
+    * holdout-prediction gate (the [[bpeMergeCache]] discipline). */
+  private val qclfModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int),
+      graft.text.Classify.LinearModel]
+
+  def clearQclfModelCache(): Unit = qclfModelCache.clear()
+
+  def prewarmQclfModel(s: SparkSession, dir: String): Unit = {
+    qclfModel(s, dir); ()
+  }
+
+  private def qclfModel(s: SparkSession, dir: String): graft.text.Classify.LinearModel =
+    qclfModelCache.getOrElseUpdate(
+      (dir, corpusFingerprint(s, dir), QClfFeatures, QClfEpochs), {
+        val bucket = substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        graft.text.Classify.perceptronTrain(
+          Tables.documents(s, dir).filter(bucket =!= "0"),
+          qclfLabel, QClfFeatures, QClfEpochs)
+      })
+
+  /** Quality-classifier TRAINING gate: the full per-epoch weight
+    * trajectory — (epoch, feature token, integer weight), bias as
+    * '_bias' — so the oracle pins every gradient pass, not just the
+    * final model (the t_bpe_learn per-round discipline extended from
+    * one argmax row to F weight rows). */
+  def qualityClfLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = qclfModel(s, dir)
+    val names = (0 +: m.features.map(_._1)).zip("_bias" +: m.features.map(_._2)).toMap
+    m.weightsByEpoch.zipWithIndex.flatMap { case (w, e) =>
+      w.zipWithIndex.map { case (wt, i) => (e + 1L, names(i), wt) }
+    }.toDF("epoch", "feat", "weight")
+      .orderBy(col("epoch"), col("feat"))
+  }
+
+  /** Shared oracle base: train split, distilled labels, top-63 feature
+    * directory, integer design matrix (bias row fidx 0), zero w0. */
+  private def qclfBaseCtes: String =
+    s"""n AS (SELECT doc_id, $NormSql AS norm FROM documents
+       |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+       |lab AS (SELECT doc_id, norm, $QclfLabelSql AS y FROM n),
+       |dt AS (SELECT doc_id, y, unnest(string_split(norm, ' ')) AS word FROM lab),
+       |feat AS (SELECT CAST(row_number() OVER (ORDER BY f DESC, tok) AS INTEGER) AS fidx, tok
+       |         FROM (SELECT word AS tok, COUNT(*) AS f FROM dt GROUP BY 1
+       |               ORDER BY f DESC, tok LIMIT ${QClfFeatures - 1})),
+       |x AS MATERIALIZED (
+       |  SELECT doc_id, y, fidx, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM dt JOIN feat ON word = tok GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, 0, CAST(1 AS BIGINT) FROM lab),
+       |w0 AS (SELECT fidx, CAST(0 AS BIGINT) AS wt
+       |       FROM (SELECT 0 AS fidx UNION ALL SELECT fidx FROM feat))""".stripMargin
+
+  /** One oracle epoch: margins under w{e-1} → misclassified set →
+    * integer weight delta → w{e}. MATERIALIZED for the BPE-chain
+    * reason (each w CTE is read twice downstream). */
+  private def qclfEpochCte(e: Int): String =
+    s"""s$e AS MATERIALIZED (SELECT x.doc_id, x.y, SUM(x.cnt * w.wt) AS s
+       |  FROM x JOIN w${e - 1} w USING (fidx) GROUP BY 1, 2),
+       |d$e AS MATERIALIZED (SELECT x.fidx, CAST(SUM(x.y * x.cnt) AS BIGINT) AS delta
+       |  FROM s$e m JOIN x ON x.doc_id = m.doc_id
+       |  WHERE m.y * m.s <= 0 GROUP BY 1),
+       |w$e AS MATERIALIZED (SELECT w.fidx, w.wt + COALESCE(d.delta, 0) AS wt
+       |  FROM w${e - 1} w LEFT JOIN d$e d USING (fidx))""".stripMargin
+
+  val qualityClfLearnSql: String =
+    s"""WITH $qclfBaseCtes,
+       |${(1 to QClfEpochs).map(qclfEpochCte).mkString(",\n")}
+       |${(1 to QClfEpochs).map(e =>
+        s"SELECT CAST($e AS BIGINT) AS epoch, COALESCE(f.tok, '_bias') AS feat, w.wt AS weight " +
+          s"FROM w$e w LEFT JOIN feat f USING (fidx)")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY epoch, feat""".stripMargin
+
+  /** The APPLIED quality filter: the trained final weights score the
+    * HELD-OUT docs (md5 bucket '0' — the t_nb_classify split), emitting
+    * (doc_id, distilled label, integer score, ±1 prediction). The
+    * holdout never influenced feature selection or weights, so this is
+    * the generalization measurement a curation team reads before
+    * turning the filter on. Map-only at any scale: the model is two
+    * literal maps. */
+  def qualityClfPred(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    graft.text.Classify.perceptronScore(
+      Tables.documents(s, dir).filter(bucket === "0"),
+      qclfModel(s, dir), qclfLabel)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClfPredSql: String =
+    s"""WITH $qclfBaseCtes,
+       |${(1 to QClfEpochs).map(qclfEpochCte).mkString(",\n")},
+       |hn AS (SELECT doc_id, $NormSql AS norm FROM documents
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+       |hlab AS (SELECT doc_id, norm, $QclfLabelSql AS y FROM hn),
+       |hdt AS (SELECT doc_id, y, unnest(string_split(norm, ' ')) AS word FROM hlab),
+       |hx AS (
+       |  SELECT doc_id, y, fidx, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM hdt JOIN feat ON word = tok GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, 0, CAST(1 AS BIGINT) FROM hlab),
+       |hs AS (SELECT hx.doc_id, hx.y, SUM(hx.cnt * w.wt) AS s
+       |       FROM hx JOIN w$QClfEpochs w USING (fidx) GROUP BY 1, 2)
+       |SELECT doc_id, y, CAST(s AS BIGINT) AS score,
+       |  CASE WHEN s > 0 THEN 1 ELSE -1 END AS pred
+       |FROM hs ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- round 12b:
   // hybrid retrieval fusion, provenance propagation, sketch set algebra,

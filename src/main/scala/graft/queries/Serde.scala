@@ -41,4 +41,100 @@ object Serde {
   }
 
   val jsonRoundtripSql: String = "SELECT * FROM supplier"
+
+  /** The XSD the x_xml_parse gate feeds to [[graft.xml
+    * .XsdSchemaConverter]]: an order record with element fields, a
+    * required attribute, and an UNBOUNDED repeated child element whose
+    * own fields are attributes — the three shapes the reference pairs
+    * XSDs with sample payloads for (reference
+    * src/test/resources/xmlSchema/{basket,complex,lists}.{xsd,xml}).
+    * Types stay long/int/string so no timestamp/decimal parsing
+    * convention can drift between engines. */
+  private val OrderXsd: String =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema" elementFormDefault="qualified">
+      |  <xs:element name="ord">
+      |    <xs:complexType>
+      |      <xs:sequence>
+      |        <xs:element name="okey" type="xs:long"/>
+      |        <xs:element name="status" type="xs:string"/>
+      |        <xs:element name="item" minOccurs="0" maxOccurs="unbounded">
+      |          <xs:complexType>
+      |            <xs:sequence>
+      |              <xs:element name="part" type="xs:long"/>
+      |            </xs:sequence>
+      |            <xs:attribute name="ln" type="xs:int" use="required"/>
+      |            <xs:attribute name="qty" type="xs:int" use="required"/>
+      |          </xs:complexType>
+      |        </xs:element>
+      |      </xs:sequence>
+      |      <xs:attribute name="prio" type="xs:string" use="required"/>
+      |    </xs:complexType>
+      |  </xs:element>
+      |</xs:schema>""".stripMargin
+
+  /** XSD-schema-driven XML DATA parse, end to end (x_xml_parse): the
+    * schema [[graft.xml.XsdSchemaConverter]] derives from [[OrderXsd]]
+    * drives Spark 4's `from_xml` over order payloads CONSTRUCTED
+    * deterministically from the orders/lineitem tables (items sorted by
+    * line number), and the gate emits per-order facts read back out of
+    * the PARSED struct — attribute routing (`_prio`, `_ln`, `_qty`),
+    * repeated-element arrays, and nested element text all round-trip.
+    * The oracle computes the identical facts straight from the base
+    * tables, so any schema-conversion or parse divergence breaks the
+    * hash — the x_jsonschema_parse discipline applied to the XSD
+    * bridge (closes round-16 verdict gap #1).
+    *
+    * Scale shape: the XSD converts ONCE on the driver; parsing is a
+    * map-only pass (one from_xml per row, whole-stage codegen around
+    * it), and the item aggregation shuffles (okey, ln, part, qty)
+    * longs only. At 100 TB the XML would arrive AS data — the
+    * construction join here stands in for the raw payload column. */
+  def xmlParse(s: SparkSession, dir: String): DataFrame = {
+    val schema = graft.xml.XsdSchemaConverter.read(OrderXsd, maxRecursion = 5)(
+      "ord").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"), col("l_partkey").as("part"),
+          col("l_quantity").cast("int").as("qty")).as("it"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("it"))).as("its"))
+    val xml = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 17 === 0)
+      .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), concat(
+        lit("<ord prio=\""), col("o_orderpriority"), lit("\">"),
+        lit("<okey>"), col("o_orderkey"), lit("</okey>"),
+        lit("<status>"), col("o_orderstatus"), lit("</status>"),
+        concat_ws("", transform(coalesce(col("its"),
+            array().cast("array<struct<ln:int,part:bigint,qty:int>>")),
+          it => concat(lit("<item ln=\""), it.getField("ln"),
+            lit("\" qty=\""), it.getField("qty"), lit("\"><part>"),
+            it.getField("part"), lit("</part></item>")))),
+        lit("</ord>")).as("xml"))
+    xml.select(col("o_orderkey"), from_xml(col("xml"), schema).as("p"))
+      .select(col("p.okey").as("okey"), col("p.status").as("status"),
+        col("p._prio").as("prio"),
+        coalesce(size(col("p.item")), lit(0)).cast("long").as("n_items"),
+        coalesce(aggregate(col("p.item"), lit(0L),
+          (a, x) => a + x.getField("_qty").cast("long")), lit(0L)).as("qty_sum"),
+        coalesce(aggregate(col("p.item"), lit(0L),
+          (a, x) => a + x.getField("part")), lit(0L)).as("part_sum"))
+      .orderBy(col("okey"))
+  }
+
+  val xmlParseSql: String =
+    """WITH it AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty_sum,
+      |    CAST(SUM(l_partkey) AS BIGINT) AS part_sum
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderkey AS okey, o_orderstatus AS status,
+      |  o_orderpriority AS prio,
+      |  COALESCE(n_items, 0) AS n_items,
+      |  COALESCE(qty_sum, 0) AS qty_sum,
+      |  COALESCE(part_sum, 0) AS part_sum
+      |FROM orders LEFT JOIN it ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 17 = 0
+      |ORDER BY okey""".stripMargin
 }

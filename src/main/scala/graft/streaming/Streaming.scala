@@ -1591,6 +1591,61 @@ object Streaming {
     s.table(queryName)
   }
 
+  /** Streaming SEMANTIC decontamination — the embedding-space member
+    * of the at-ingest guard family and `s_decontam_embed`'s continuous
+    * twin (the one decontamination member that had no streaming ladder
+    * rung, round-16 verdict #4): every arriving corpus vector whose
+    * cosine to ANY benchmark vector clears the threshold is flagged
+    * while data lands, not in a nightly batch pass.
+    *
+    * The benchmark vector set is the STATIC side — an eval suite is
+    * fixed-size by contract, so it BROADCASTS onto the stream and the
+    * probe is a map-only stream-static join (no shuffle of arrivals at
+    * any corpus size, the st_decontam_stream discipline lifted to the
+    * embedding space). Plants mirror the batch gate exactly: every
+    * benchmark vector is also re-ingested under a fresh max(vec_id)-
+    * derived id — the verbatim test-set-in-the-crawl case.
+    *
+    * State bound: complete-mode group state is one O(1) (count, max)
+    * row per CONTAMINATED vector — proportional to the hit set, never
+    * the corpus (clean arrivals die in the join). Per-vector hit
+    * counts/max-sims are order-invariant sums, so the stream reuses
+    * the batch gate's DuckDB oracle bit-for-bit. */
+  def decontamEmbedStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_decontam_embed",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val benchN = graft.queries.LlmOps.DecontamBenchN
+    val embStatic = graft.Tables.embeddings(s, dir)
+    val pb = graft.queries.LlmOps.plantBase(embStatic, "vec_id")
+    val bench = embStatic.filter(col("vec_id") < benchN)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val corpus = src.filter(col("vec_id") >= benchN)
+        .select(col("vec_id"), col("embedding"))
+      .unionByName(src.filter(col("vec_id") < benchN)
+        .select((col("vec_id") + pb).as("vec_id"), col("embedding")))
+    val agg = corpus.join(broadcast(bench))
+      .select(col("vec_id"),
+        round(graft.similarity.Ann.cosine(col("embedding"), col("bvec")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.44)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("best_sim"))
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("vec_id"))
+  }
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

@@ -138,4 +138,103 @@ object Classify {
       .join(docs.select(col(idCol), col(classCol).as("actual")), Seq(idCol))
       .select(col(idCol), col("actual"), col("pred"), col("scoreq"), col("score"))
   }
+
+  // --------------------------------------------------- linear classifier
+
+  /** The trained feature space of [[perceptronTrain]]: token → feature
+    * index (1-based; index 0 is the bias), chosen as the train corpus's
+    * top `nFeatures - 1` tokens by (freq DESC, token ASC) — the same
+    * deterministic top-k discipline as the OOV vocabulary. */
+  final case class LinearModel(features: Seq[(Int, String)],
+      weightsByEpoch: Seq[Array[Long]])
+
+  /** Batch ("pocket-less") PERCEPTRON over token-count features — the
+    * trained linear quality classifier of the GPT-3/LLaMA curation
+    * lineage (a fastText-class filter: linear weights over n-gram
+    * features), reduced to its exactly-replayable core. Each epoch is
+    * one full gradient pass: every doc with margin y·(w·x) ≤ 0
+    * contributes y·x to the weight update — EVERY quantity an integer
+    * (counts × ±1 labels × integer weights), so the DuckDB oracle
+    * replays all epochs bit-for-bit; no learning rate, no float ever.
+    * Per-sample SGD would impose a serial doc order — the batch update
+    * is the distributed formulation of the same learning rule.
+    *
+    * Scale shape: feature selection is one map-side-combined token
+    * count + a driver-sized top-k collect; the (doc, feature, count)
+    * design matrix is built ONCE, hard-severed ([[graft.util.Lineage
+    * .sever]]) and re-read per epoch; each epoch is one doc-keyed
+    * window pass + one 64-group aggregate whose result (the weight
+    * delta) is dimension-sized by contract — the BPE argmax-collect
+    * pattern, extended from one row to F rows. Weights ride back in as
+    * a literal map, so no epoch ever shuffles the corpus. */
+  def perceptronTrain(train: DataFrame, labelCol: Column,
+      nFeatures: Int, epochs: Int,
+      idCol: String = "doc_id", textCol: String = "text"): LinearModel = {
+    require(nFeatures >= 2 && epochs >= 1, s"bad dims: $nFeatures/$epochs")
+    val feats = train
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("t")).limit(nFeatures - 1)
+      .collect().map(_.getString(0))
+      .zipWithIndex.map { case (t, i) => (i + 1, t) }.toSeq
+    val (x, releaseX) = graft.util.Lineage.sever(designMatrix(
+      train.select(col(idCol).as("doc"), labelCol.cast("int").as("y"),
+        col(textCol).as("txt")), feats))
+    try {
+      // sized to the REALIZED feature count (a small corpus can have
+      // fewer distinct tokens than requested features) + the bias slot
+      val w = new Array[Long](feats.length + 1)
+      val byEpoch = Seq.newBuilder[Array[Long]]
+      var e = 0
+      while (e < epochs) {
+        val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
+          Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+        val s = sum(col("cnt") * element_at(wMap, col("fidx")))
+          .over(Window.partitionBy(col("doc")))
+        val deltas = x
+          .withColumn("s", s)
+          .filter(col("y") * col("s") <= 0)
+          .groupBy(col("fidx"))
+          .agg(sum(col("y") * col("cnt")).as("d"))
+          .collect()
+        deltas.foreach(r => w(r.getInt(0)) += r.getLong(1))
+        byEpoch += w.clone()
+        e += 1
+      }
+      LinearModel(feats, byEpoch.result())
+    } finally releaseX(false)
+  }
+
+  /** (doc, y, fidx, cnt) integer design matrix under a feature list —
+    * token-count features plus the constant bias row (fidx 0, cnt 1).
+    * Tokens outside the feature space drop out (truncated vocabulary,
+    * the standard linear-filter feature hashing stand-in). */
+  private def designMatrix(docs: DataFrame, feats: Seq[(Int, String)]): DataFrame = {
+    val fmap = map(feats.flatMap { case (i, t) =>
+      Seq(lit(t), lit(i)) }.toIndexedSeq: _*)
+    docs.select(col("doc"), col("y"),
+        explode(tokens(col("txt"))).as("t"))
+      .select(col("doc"), col("y"), element_at(fmap, col("t")).as("fidx"))
+      .filter(col("fidx").isNotNull)
+      .groupBy(col("doc"), col("y"), col("fidx"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .unionByName(docs.select(col("doc"), col("y"),
+        lit(0).as("fidx"), lit(1L).as("cnt")))
+  }
+
+  /** Score docs under a trained [[LinearModel]]'s FINAL weights:
+    * (idCol, y, score, pred) with pred = +1 iff w·x > 0 — the applied
+    * quality filter. Map-only: the model rides as two literal maps. */
+  def perceptronScore(docs: DataFrame, model: LinearModel, labelCol: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = model.weightsByEpoch.last
+    val x = designMatrix(docs.select(col(idCol).as("doc"),
+      labelCol.cast("int").as("y"), col(textCol).as("txt")), model.features)
+    val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+    x.groupBy(col("doc"), col("y"))
+      .agg(sum(col("cnt") * element_at(wMap, col("fidx"))).as("score"))
+      .select(col("doc").as(idCol), col("y"), col("score"),
+        when(col("score") > 0, 1).otherwise(-1).as("pred"))
+  }
 }

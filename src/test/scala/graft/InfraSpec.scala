@@ -38,6 +38,53 @@ class InfraSpec extends AnyFunSuite {
     assert(streamed.forall(_.getLong(0) % 20 != 0))
   }
 
+  test("streaming SEMANTIC decontamination equals the batch operator (+ RocksDB, multi-trigger, state bound)") {
+    val batch = graft.queries.LlmOps.decontamEmbed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch.nonEmpty)
+    def run(name: String, opts: Map[String, String]):
+        (Seq[(Long, Long, Double)], Int, Seq[Long]) = {
+      val agg = graft.streaming.Streaming
+        .decontamEmbedStream(spark, sf0001, name, opts)
+      // the gate helper already replayed to completion; read the table
+      val rows = agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      (rows, 0, Seq.empty)
+    }
+    val (got, _, _) = run("infra_dec_embed", Map.empty)
+    assert(got == batch,
+      s"stream=${got.size} batch=${batch.size} " +
+        s"onlyS=${(got.toSet -- batch.toSet).take(3)} onlyB=${(batch.toSet -- got.toSet).take(3)}")
+    // planted verbatim leaks (ids past plantBase) must be flagged
+    val pb = graft.queries.LlmOps.plantBase(
+      Tables.embeddings(spark, sf0001), "vec_id")
+    assert(got.exists(_._1 >= pb), "planted re-ingests not flagged")
+    assert(got.filter(_._1 >= pb).forall(_._3 == 1.0),
+      "a verbatim re-ingest must hit its own benchmark vector at cos 1")
+    // multi-trigger replay: one file at a time — per-vector counts are
+    // order-invariant sums, so the complete-mode answer is identical
+    val (multi, _, _) = run(s"infra_dec_embed_mt_${System.nanoTime}",
+      Map("maxFilesPerTrigger" -> "1"))
+    assert(multi == got, "multi-trigger replay drifted from single-trigger")
+    // RocksDB state-store provider equivalence
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (rocks, _, _) = run(s"infra_dec_embed_rocks_${System.nanoTime}", Map.empty)
+      assert(rocks == got, s"RocksDB drifted: ${rocks.size} vs ${got.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // state bound: the aggregation keeps one row per CONTAMINATED
+    // vector only — the memory-sink table equals the hit set, and the
+    // hit set is far smaller than the corpus
+    val corpusN = Tables.embeddings(spark, sf0001).count()
+    assert(got.size < corpusN, s"state ${got.size} not < corpus $corpusN")
+  }
+
   test("streaming session windows equal batch session windows for closed sessions") {
     val streamedQ = graft.streaming.Streaming.eventsStream(spark, sf0001)
       .withWatermark("ts", "10 minutes")
