@@ -8631,6 +8631,34 @@ object LlmOps {
     (byDoc, rolled.withColumn("tier", ntile(4).over(w).cast("long")))
   }
 
+  /** One tier-chain derivation per corpus, shared by the scheduler
+    * family (t_pipeline_schedule, t_crawl_budget, st_schedule_stream
+    * each consumed the full PageRank → rollup → ntile chain — ~130
+    * logical exchanges apiece; round-16 verdict #5). The (domain,
+    * tier) table is domain-sized by contract (the t_token_budget
+    * directory discipline), so it collects once and re-enters each
+    * consumer as a broadcastable local frame — the wpVocabCache
+    * memoization pattern. domainRank keeps the live chain: it needs
+    * per-DOC ranks, and it IS the gate that pins the chain itself. */
+  private val tierCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[(String, Long)]]
+
+  def clearTierCache(): Unit = tierCache.clear()
+
+  /** Force the shared tier derivation NOW — Bench times this as its
+    * own `tier_chain_shared` line item. */
+  def prewarmTierChain(s: SparkSession, dir: String): Unit = {
+    cachedTiers(s, dir); ()
+  }
+
+  private[graft] def cachedTiers(s: SparkSession, dir: String): DataFrame = {
+    val rows = tierCache.getOrElseUpdate((dir, corpusFingerprint(s, dir)),
+      domainTierTable(s, dir)._2.select(col("domain"), col("tier"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    import s.implicits._
+    rows.toDF("domain", "tier")
+  }
+
   def domainRank(s: SparkSession, dir: String): DataFrame = {
     val (byDoc, tiers) = domainTierTable(s, dir)
     byDoc.join(broadcast(tiers), Seq("domain"))
@@ -8919,7 +8947,7 @@ object LlmOps {
     val frontier = pages.join(verdict, Seq("doc_id"), "left")
       .filter(coalesce(col("ok"), lit(true)))
       .select(col("doc_id"), col("domain"))
-    val tiers = domainTierTable(s, dir)._2.select(col("domain"), col("tier"))
+    val tiers = cachedTiers(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("doc_id"))
     frontier
@@ -8958,7 +8986,7 @@ object LlmOps {
     val frontier = pages.join(verdict, Seq("doc_id"), "left")
       .filter(coalesce(col("ok"), lit(true)))
       .select(col("doc_id"), col("domain"))
-    val tiers = domainTierTable(s, dir)._2.select(col("domain"), col("tier"))
+    val tiers = cachedTiers(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("doc_id"))
     frontier

@@ -1307,8 +1307,7 @@ object Streaming {
       .agg(collect_list(struct(col("rpath"),
         (col("rule") === "Allow").as("allow"), col("rex"))).as("rules"))
       .join(LlmOps.robotsDelays(staticPages), Seq("domain"))
-      .join(LlmOps.domainTierTable(s, histDir)._2
-        .select(col("domain"), col("tier")), Seq("domain"))
+      .join(LlmOps.cachedTiers(s, histDir), Seq("domain"))
       .select(col("domain"), col("rules"), col("delay"), col("tier"))
       .as[SchedInit]
       .groupByKey(_.domain)
