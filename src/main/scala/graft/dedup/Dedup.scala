@@ -736,9 +736,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 8,
       "maxHamming must be in [0,8] for the 10-block 60-bit geometry")
-    val fps = spread(docs).select(col(idCol).as("doc"),
-      org.apache.spark.sql.graft.PortableSimHash60
-        .portable_simhash60(norm_text(col(textCol))).as("sh"))
+    // severed: the 45-key self-join reads fps on both sides — without
+    // the cut each band task binary carries the simhash expression
+    // tree twice and the signatures compute twice (Lineage.sever)
+    val fps = graft.util.Lineage.severTracked(
+      spread(docs).select(col(idCol).as("doc"),
+        org.apache.spark.sql.graft.PortableSimHash60
+          .portable_simhash60(norm_text(col(textCol))).as("sh")))
     def block(i: Int): Column =
       shiftright(col("sh"), i * 6).bitwiseAND(lit(63L))
     val tableKeys: Seq[Column] = (0 until 10).combinations(2).toSeq.map(ij =>

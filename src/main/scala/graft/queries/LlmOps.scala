@@ -4600,7 +4600,12 @@ object LlmOps {
         norm_text(col("text")).as("norm"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         col("norm"), split(col("norm"), " ").as("t"))
-    val filt = graft.util.IntermediateCaches.track(staged
+    // HARD-severed rather than persisted (round-17): the staged frame
+    // feeds stages 2-5 AND all five funnel-card aggregates, and plain
+    // persist left the quality/minhash/shingle expression chain inside
+    // every downstream task binary (the Lineage.sever rationale — the
+    // mm_dup_union fix applied to the pipeline trunk)
+    val filt = graft.util.Lineage.severTracked(staged
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         size(col("t")).as("ntok"),
         quality_score_from(col("norm"), col("t")).as("quality"),
@@ -4614,8 +4619,7 @@ object LlmOps {
         org.apache.spark.sql.graft.DistinctShingleHashes
           .distinct_shingle_hashes(col("text"), 3).as("sh3"),
         org.apache.spark.sql.graft.DistinctShingleHashes
-          .distinct_shingle_hashes(col("text"), 4).as("g4"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .distinct_shingle_hashes(col("text"), 4).as("g4")))
     // ---- stage 2: near-dup removal (detect → cluster → anti-join),
     // banding + verifying off the staged signature/shingle-hash columns
     val pairs = Dedup.minhashLshPairsOn(
@@ -6458,9 +6462,14 @@ object LlmOps {
       .select((col("asset_id") + pb).as("asset_id"),
         concat(slice(col("tk"), 1, 3), array(lit("zz")),
           slice(col("tk"), lit(5), size(col("tk")) - 4)).as("tk"))
+    // SEVERED before banding: hammingPairs' 28-key self-join reads the
+    // fingerprint frame on BOTH sides, so without the cut every band
+    // task binary carries the contour64 expression tree twice (the
+    // Lineage.sever rationale) and the fingerprints compute twice
     Dedup.hammingPairs(
-        images.unionByName(planted).select(col("asset_id").as("doc"),
-          letCol(phashCells(col("tk")))(contour64).as("sh")),
+        graft.util.Lineage.severTracked(
+          images.unionByName(planted).select(col("asset_id").as("doc"),
+            letCol(phashCells(col("tk")))(contour64).as("sh"))),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"), col("hamming"))
       .orderBy(col("asset_a"), col("asset_b"))
@@ -6579,8 +6588,10 @@ object LlmOps {
       .unionByName(volume).unionByName(edited)
     val fp = letCol(audioAmpSq(col("tk"), col("gain"))) { e2 =>
       letCol(windowSums65(e2, size(col("tk"))))(contour64) }
+    // severed before the 28-key self-join (see mmPhash)
     Dedup.hammingPairs(
-        all.select(col("asset_id").as("doc"), fp.as("sh")),
+        graft.util.Lineage.severTracked(
+          all.select(col("asset_id").as("doc"), fp.as("sh"))),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
@@ -6678,8 +6689,10 @@ object LlmOps {
       .unionByName(bitrate).unionByName(spliced)
     val fp = letCol(videoFrameSizes(col("tk"), col("gain"))) { sz =>
       letCol(windowSums65(sz, size(col("tk"))))(contour64) }
+    // severed before the 28-key self-join (see mmPhash)
     Dedup.hammingPairs(
-        all.select(col("asset_id").as("doc"), fp.as("sh")),
+        graft.util.Lineage.severTracked(
+          all.select(col("asset_id").as("doc"), fp.as("sh"))),
         maxHamming = 6)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
