@@ -1675,11 +1675,13 @@ class LlmOpsSpec extends AnyFunSuite {
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // SCAN-NODE AUDIT (the docstring's "corpus scanned once" claim,
     // asserted): walk the finalized physical plan INCLUDING cached
-    // plans (the pipeline trunk lives inside InMemoryRelations) and
-    // count FileSourceScan operators over documents.parquet. Exactly
-    // two may exist — the stage-1 trunk scan and the dimension-sized
-    // benchmark slice (external input by definition). A third scan
-    // means a stage fell off the cache and re-reads the corpus.
+    // plans and count FileSourceScan operators over documents.parquet.
+    // Since round 17 the stage-1 trunk is HARD-severed (Lineage.sever)
+    // — its one corpus scan runs eagerly at checkpoint time and the
+    // downstream plan holds only a checkpoint-RDD scan — so exactly
+    // ONE file scan may remain: the dimension-sized benchmark slice
+    // (external input by definition, %20 filter). Any other scan means
+    // a stage fell off the trunk and re-reads the corpus.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     // manual recursion: AQE hides subtrees behind LEAF nodes (query
     // stages, reused exchanges) and caches behind InMemoryRelation, so
@@ -1707,9 +1709,13 @@ class LlmOpsSpec extends AnyFunSuite {
     // distinct instances would mean the corpus is genuinely read twice
     val scans = all.foldLeft(Vector.empty[FileSourceScanExec])(
       (acc, s) => if (acc.exists(_ eq s)) acc else acc :+ s)
-    assert(scans.size == 2,
-      s"expected exactly 2 documents.parquet scans (trunk + benchmark " +
-        s"slice), found ${scans.size}:\n${scans.map(_.simpleString(80)).mkString("\n")}")
+    assert(scans.size == 1,
+      s"expected exactly 1 documents.parquet scan (the benchmark " +
+        s"slice; the severed trunk scans at checkpoint time), found " +
+        s"${scans.size}:\n${scans.map(_.simpleString(80)).mkString("\n")}")
+    assert(scans.head.simpleString(200).contains("% 20"),
+      s"the surviving scan must be the %20 benchmark slice: " +
+        scans.head.simpleString(200))
     // the gate's value-exactness is the DuckDB oracle's job; this spec
     // pins the structural invariants that hold at ANY scale factor
     val Seq(f, d, c, m) = Seq("1_filtered", "2_deduped",
