@@ -7205,7 +7205,7 @@ object LlmOps {
 
   /** +1 iff the doc's stopword ratio clears 0.1 — an exact-integer
     * inequality (10·stop ≥ ntok) both engines compute identically. */
-  private def qclfLabel: Column =
+  private[graft] def qclfLabel: Column =
     when(stopword_count(col("text")) * 10 >= n_tokens(col("text")), 1)
       .otherwise(-1)
 
@@ -7226,7 +7226,7 @@ object LlmOps {
     qclfModel(s, dir); ()
   }
 
-  private def qclfModel(s: SparkSession, dir: String): graft.text.Classify.LinearModel =
+  private[graft] def qclfModel(s: SparkSession, dir: String): graft.text.Classify.LinearModel =
     qclfModelCache.getOrElseUpdate(
       (dir, corpusFingerprint(s, dir), QClfFeatures, QClfEpochs), {
         val bucket = substring(

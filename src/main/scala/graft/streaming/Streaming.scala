@@ -1645,6 +1645,50 @@ object Streaming {
     s.table(queryName).orderBy(col("vec_id"))
   }
 
+  /** The TRAINED quality filter applied at ingest (st_quality_clf) —
+    * the production shape of a fastText-class curation filter: the
+    * model trains offline (the t_quality_clf batch chain), and
+    * arriving documents are scored by a STATELESS map — the feature
+    * weights ride as one literal map, the per-doc score is a single
+    * `aggregate` fold over the token array (score = bias + Σ_t w[t]
+    * since counts multiply weights linearly), and no stream state
+    * exists at all (append mode, no aggregation). Mirrors
+    * t_quality_clf_pred on the same md5-bucket holdout, so the stream
+    * reuses its DuckDB oracle verbatim. At 100 TB this is the filter
+    * running INSIDE the ingest pipe at scan speed. */
+  def qualityClfStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_quality_clf",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import graft.queries.LlmOps
+    val model = LlmOps.qclfModel(s, dir)
+    val w = model.weightsByEpoch.last
+    val wMap = map(model.features.flatMap { case (i, t) =>
+      Seq(lit(t), lit(w(i))) }.toIndexedSeq: _*)
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val scored = src.filter(bucket === "0")
+      .select(col("doc_id"), LlmOps.qclfLabel.as("y"),
+        (lit(w(0)) + aggregate(graft.text.tokens(col("text")), lit(0L),
+          (acc, t) => acc + coalesce(element_at(wMap, t), lit(0L))))
+          .as("score"))
+      .select(col("doc_id"), col("y"), col("score"),
+        when(col("score") > 0, 1).otherwise(-1).as("pred"))
+    withReplayPartitions(s, 4) {
+      val q = scored.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("doc_id"))
+  }
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

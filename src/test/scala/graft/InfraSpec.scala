@@ -85,6 +85,23 @@ class InfraSpec extends AnyFunSuite {
     assert(got.size < corpusN, s"state ${got.size} not < corpus $corpusN")
   }
 
+  test("streaming quality filter: stateless map equals the batch perceptron scorer") {
+    val batch = graft.queries.LlmOps.qualityClfPred(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(batch.nonEmpty)
+    def run(name: String, opts: Map[String, String]) =
+      graft.streaming.Streaming.qualityClfStream(spark, sf0001, name, opts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    val got = run("infra_qclf", Map.empty)
+    // the literal-map fold must equal the design-matrix dot product
+    // exactly (score = bias + sum of per-token weights, integers)
+    assert(got == batch, s"stream=${got.take(3)} batch=${batch.take(3)}")
+    // multi-trigger replay: stateless map — trivially order-invariant
+    val multi = run(s"infra_qclf_mt_${System.nanoTime}",
+      Map("maxFilesPerTrigger" -> "1"))
+    assert(multi == got)
+  }
+
   test("streaming session windows equal batch session windows for closed sessions") {
     val streamedQ = graft.streaming.Streaming.eventsStream(spark, sf0001)
       .withWatermark("ts", "10 minutes")
