@@ -54,8 +54,13 @@ object Bpe {
     * uppercase like DuckDB's. */
   def byteSyms(word: Column): Column = {
     val h = hex(encode(word, "UTF-8"))
-    transform(sequence(lit(1), octet_length(word)),
-      i => h.substr(i * 2 - 1, lit(2)))
+    // guard the empty word: Spark's sequence(1, 0) yields [1, 0] (a
+    // DESCENDING ramp), which would mint two phantom ""-symbols here,
+    // diverging from DuckDB's range(1, 1) = [] and from
+    // BpeTokens.byteSymsOf (empty array)
+    when(octet_length(word) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), octet_length(word)),
+        i => h.substr(i * 2 - 1, lit(2))))
   }
 
   /** One greedy left-to-right merge pass of (l, r) → l+r over a symbol

@@ -17,10 +17,15 @@ import org.apache.spark.sql.DataFrame
   *
   * [[releaseAll]] is the precise middle ground: eagerly release
   * exactly the operator-internal entries, nothing else. Call it AFTER
-  * materializing the operator's result (count/collect/write) — the
-  * returned plans stay valid afterwards but re-execute from lineage if
-  * reused. Thread-safe; releasing twice is harmless (unpersist is
-  * idempotent).
+  * materializing the operator's result (count/collect/write).
+  * Persist-backed entries stay valid afterwards (they re-execute from
+  * lineage if reused) — but entries registered by
+  * [[Lineage.severTracked]] are DESTRUCTIVE: a severed
+  * (locally-checkpointed) frame has no lineage to recompute from, so
+  * reusing it after releaseAll fails with checkpoint-block-not-found.
+  * The contract is therefore: between releaseAll and the next query,
+  * no frame returned by an operator may be re-executed. Thread-safe;
+  * calling releaseAll twice is harmless (the queue drains).
   */
 object IntermediateCaches {
   private val tracked = new ConcurrentLinkedQueue[Boolean => Unit]()

@@ -51,15 +51,60 @@ object Lineage {
     * materialization; [[graft.util.IntermediateCaches.releaseAll]]'s
     * between-queries contract already guarantees this). On a real
     * cluster localCheckpoint data is lost with an executor — for
-    * multi-hour 100 TB jobs prefer reliable `checkpoint` to durable
-    * storage; locally (and for dimension-sized trunks recomputable by
+    * multi-hour 100 TB jobs set [[reliableMode]] (reliable
+    * `checkpoint` to durable storage — blocks survive executor loss);
+    * locally (and for dimension-sized trunks recomputable by
     * re-running the query) the non-replicated block is the right cost. */
   def sever(df: DataFrame): (DataFrame, Boolean => Unit) = {
-    val cp = df.localCheckpoint(true)
+    if (reliableMode(df.sparkSession)) severReliable(df)
+    else {
+      val cp = df.localCheckpoint(true)
+      (cp, unpersistHookOf(cp))
+    }
+  }
+
+  /** Config key selecting the fault-tolerant sever path: when true,
+    * [[sever]] uses reliable `Dataset.checkpoint` (blocks written to
+    * `spark.checkpoint.dir` on durable storage, recoverable after
+    * executor loss) instead of `localCheckpoint` (executor-local
+    * blocks — faster, but a lost executor kills the job). Flip it for
+    * multi-hour cluster runs; the local default stays fast. Requires
+    * `spark.checkpoint.dir` (set via `SparkContext.setCheckpointDir`)
+    * to point at storage all executors reach — on a real cluster that
+    * means the same cloud store the committers write through. */
+  val ReliableKey = "spark.graft.sever.reliable"
+
+  private def reliableMode(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption(ReliableKey).exists(_.toBoolean)
+
+  /** The reliable-`checkpoint` sever: same frame/release contract as
+    * the local path (release is still destructive — checkpoint FILES
+    * are cleaned when the reference is released, per
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` — but the
+    * unpersist hook here only drops any block-cache copies; the files
+    * themselves outlive the hook and are removed with the checkpoint
+    * dir). Exposed for callers that want durability for one specific
+    * trunk without flipping the session-wide key. */
+  def severReliable(df: DataFrame): (DataFrame, Boolean => Unit) = {
+    require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      s"$ReliableKey=true requires SparkContext.setCheckpointDir " +
+        "(durable storage reachable by every executor)")
+    val cp = df.checkpoint(true)
+    (cp, unpersistHookOf(cp))
+  }
+
+  /** Release hook for a checkpointed frame: unpersists the backing
+    * RDD. Fails FAST if the analyzed plan is not the expected single
+    * LogicalRDD — a plan-shape regression (e.g. across Spark
+    * upgrades) must surface at sever time, not as a silent cache leak
+    * that Bench's leak guard mops up later. */
+  private def unpersistHookOf(cp: DataFrame): Boolean => Unit = {
     val rdd = cp.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }
-    (cp, blocking => { rdd.foreach(_.unpersist(blocking)); () })
+    }.getOrElse(throw new IllegalStateException(
+      "sever: checkpointed plan is not a LogicalRDD — plan shape " +
+        s"changed, release would leak: ${cp.queryExecution.analyzed.nodeName}"))
+    blocking => { rdd.unpersist(blocking); () }
   }
 
   /** [[sever]] registered with [[IntermediateCaches]] — the one-liner

@@ -190,13 +190,21 @@ class CodegenSpec extends AnyFunSuite {
         WordPieceTokens.wordpiece_encode(col("w"), init, cont).as("ps"),
         WordPieceTokens.wordpiece_count(col("toks"), init, cont).as("n"),
         BpeTokens.bpe_encode(col("w"), Seq(("a", "b"))).as("bp"),
-        UnicodeNorm.nfc(concat(col("w"), lit("e\u0301"))).as("nf"))
+        UnicodeNorm.nfc(concat(col("w"), lit("e\u0301"))).as("nf"),
+        BpeTokens.bpe_bytes_encode(concat(lit("a\u00e9"), col("w")),
+          Seq(("C3", "A9"))).as("bb"),
+        BpeTokens.bpe_bytes_count(array(col("w"), lit("\u00e9")),
+          Seq(("C3", "A9"))).as("bn"))
         .collect()
       assert(r.length == 2)
       assert(r(0).getSeq[String](0) == Seq("un", "##able"))
       assert(r(0).getLong(1) == 5L) // 2 + 2 + 1([UNK])
       // NFC composed the trailing e+combining-acute into U+00E9
       assert(r.forall(_.getString(3).endsWith("\u00e9")))
+      // byte-BPE under CODEGEN_ONLY: "a<e-acute>unable" leads with
+      // [61, C3A9] (the e-acute bytes fused by the planted merge)
+      assert(r(0).getSeq[String](4).take(2) == Seq("61", "C3A9"))
+      assert(r(0).getLong(5) == 7L) // "unable"=6 bytes + [C3A9]=1
     }
   }
 

@@ -49,6 +49,46 @@ class ScaleSpec extends AnyFunSuite {
     } finally release(true)
   }
 
+  test("Lineage.sever: local and reliable modes agree; reliable survives release") {
+    import graft.util.Lineage
+    val base = (1L to 100L).toDF("id")
+      .select(col("id"), (col("id") * 7 % 13).as("v"))
+      .filter(col("id") % 4 =!= 0)
+    val expect = base.collect().toSeq.sortBy(_.getLong(0))
+
+    // local (default) mode: leaf plan, identical rows
+    val (loc, releaseLoc) = Lineage.sever(base)
+    assert(loc.queryExecution.logical.children.isEmpty)
+    assert(loc.collect().toSeq.sortBy(_.getLong(0)) == expect)
+    releaseLoc(true)
+
+    spark.conf.set(Lineage.ReliableKey, "true")
+    try {
+      // the flag without a checkpoint dir must fail FAST at sever time
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        intercept[IllegalArgumentException] { Lineage.sever(base) }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val (rel, releaseRel) = Lineage.sever(base)
+      assert(rel.queryExecution.logical.children.isEmpty)
+      assert(rel.collect().toSeq.sortBy(_.getLong(0)) == expect)
+      // the fault-tolerance contract: blocks live in DURABLE storage —
+      // files exist under the checkpoint dir, and the frame stays
+      // usable after its release hook runs (recompute reads the files;
+      // the local mode's release is destructive by contrast)
+      def files(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(files(dir) > 0, "reliable sever wrote no checkpoint files")
+      releaseRel(true)
+      assert(rel.collect().toSeq.sortBy(_.getLong(0)) == expect,
+        "reliable-severed frame must survive its release hook")
+    } finally spark.conf.unset(Lineage.ReliableKey)
+  }
+
   test("saltedSelfJoinPairs == plain self-join pairs, every salt") {
     // skewed buckets on purpose: one hot bucket with 12 members
     val rows = (Seq.tabulate(12)(i => (i.toLong, "hot")) ++
