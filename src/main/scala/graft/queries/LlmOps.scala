@@ -3725,6 +3725,43 @@ object LlmOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- GPT-2 regex pre-tokenization
+
+  /** GPT-2-style pre-tokenization census ([[graft.text.pretok]]): the
+    * top-60 pretokens by frequency with byte lengths and space-marker
+    * flags. The real GPT-2 pipeline pretokenizes with the
+    * contraction/category regex BEFORE byte merges; segmentation is
+    * lossless and a token KEEPS its leading space, so this census
+    * diverges from the whitespace census on every mid-text word
+    * (" the" vs "the") — PretokSpec pins the contraction ("don't" →
+    * [don]['t]) and digit-run (abc123 → [abc][123]) cases and the
+    * lossless-concat invariant. The oracle replays the identical
+    * pattern through DuckDB's RE2 `regexp_extract_all` (the pattern is
+    * ASCII-only, lookahead-free by design — see PretokPattern's doc).
+    *
+    * Scale shape: one regexp pass per doc (map-only, codegen'd) + one
+    * token-keyed map-side-combined count + a 60-row TakeOrdered —
+    * never shuffles text. */
+  def bpePretok(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(graft.text.pretok(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(col("tok"), col("freq"),
+        octet_length(col("tok")).cast("long").as("n_bytes"),
+        when(col("tok").startsWith(" "), 1L).otherwise(0L).as("sp"))
+      .orderBy(desc("freq"), col("tok")).limit(60)
+
+  val bpePretokSql: String = {
+    val pat = graft.text.PretokPattern.replace("'", "''")
+    s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+       |  CAST(octet_length(encode(tok)) AS BIGINT) AS n_bytes,
+       |  CASE WHEN substring(tok, 1, 1) = ' '
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sp
+       |FROM (SELECT unnest(regexp_extract_all($NormSql, '$pat')) AS tok
+       |      FROM documents)
+       |GROUP BY tok ORDER BY freq DESC, tok LIMIT 60""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Unigram-LM (SentencePiece-family) tokenizer (t_unigram_encode) —
   // the other production tokenizer family beside BPE: segmentation is

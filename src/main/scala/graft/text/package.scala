@@ -15,6 +15,23 @@ package object text {
 
   def tokens(c: Column): Column = split(norm_text(c), " ")
 
+  /** GPT-2-style regex PRE-tokenization over the normalized text: the
+    * contraction suffixes first, then space-optional letter runs,
+    * digit runs and punctuation runs — so "don't" segments [don]["'t"]
+    * and "abc123" segments [abc][123], and a token KEEPS its leading
+    * space (GPT-2's space-marker convention). Segmentation is lossless:
+    * concat(pretok(text)) == norm_text(text) for any input.
+    *
+    * Deliberately ASCII classes and NO lookahead: the real GPT-2
+    * pattern's `\s+(?!\S)` tail is RE2-unsupported, and on
+    * single-spaced normalized text the plain ` +` alternative is
+    * equivalent — so Java regex (Spark) and RE2 (the DuckDB oracle's
+    * regexp_extract_all) produce identical leftmost-first matches. */
+  val PretokPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  def pretok(c: Column): Column =
+    regexp_extract_all(norm_text(c), lit(PretokPattern), lit(0))
+
   def n_tokens(c: Column): Column = size(tokens(c))
 
   /** BPE-ish token count: alpha runs + digit runs + individual symbols —

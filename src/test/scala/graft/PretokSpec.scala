@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** GPT-2-style regex pre-tokenization ([[graft.text.pretok]]): the
+  * contraction and digit-run cases where whitespace and regex pretok
+  * segment DIFFERENTLY, the space-marker convention, and the lossless
+  * concat invariant over the gate corpus. */
+class PretokSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def segs(texts: String*): Map[String, Seq[String]] =
+    texts.toDF("text")
+      .select(col("text"), graft.text.pretok(col("text")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+
+  test("contractions split off; whitespace tokenization keeps them attached") {
+    val got = segs("don't know", "it's we're i'll you've i'm he'd")
+    assert(got("don't know") == Seq("don", "'t", " know"))
+    assert(got("it's we're i'll you've i'm he'd") ==
+      Seq("it", "'s", " we", "'re", " i", "'ll", " you", "'ve",
+        " i", "'m", " he", "'d"))
+    // the divergence pin: whitespace segments "don't" as ONE token
+    val ws = Seq("don't know").toDF("text")
+      .select(graft.text.tokens(col("text"))).head().getSeq[String](0)
+    assert(ws == Seq("don't", "know"))
+  }
+
+  test("digit runs and punctuation runs split from letter runs") {
+    val got = segs("abc123 45x", "a+b, c!!")
+    assert(got("abc123 45x") == Seq("abc", "123", " 45", "x"))
+    assert(got("a+b, c!!") == Seq("a", "+", "b", ",", " c", "!!"))
+  }
+
+  test("a lone apostrophe is punctuation, not a contraction") {
+    // 'x matches no contraction suffix: the quote falls through to the
+    // punctuation-run alternative and x to the letter-run one
+    assert(segs("rock 'x roll")("rock 'x roll") ==
+      Seq("rock", " '", "x", " roll"))
+  }
+
+  test("mid-text tokens keep their leading space (GPT-2 space marker)") {
+    val got = segs("the cat sat")("the cat sat")
+    assert(got == Seq("the", " cat", " sat"))
+    assert(got.tail.forall(_.startsWith(" ")))
+  }
+
+  test("segmentation is lossless over the gate corpus: concat(pretok) == norm_text") {
+    val bad = Tables.documents(spark, sf0001)
+      .select(graft.text.norm_text(col("text")).as("n"),
+        concat_ws("", graft.text.pretok(col("text"))).as("joined"))
+      .filter(col("n") =!= col("joined"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("the census gate diverges from the whitespace census exactly by space markers") {
+    val pre = graft.queries.LlmOps.bpePretok(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pre.nonEmpty)
+    // this corpus is pure space-separated lowercase words, so every
+    // pretoken is a word (first of its doc) or a space-prefixed word —
+    // and space-prefixed forms dominate mid-text
+    assert(pre.keys.forall(t => t.matches(" ?[a-z]+")))
+    assert(pre.keys.exists(_.startsWith(" ")))
+  }
+}
