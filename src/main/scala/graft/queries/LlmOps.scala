@@ -2328,6 +2328,92 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IN-PIPE EMBEDDING GENERATION composed end-to-end (t_embed_gen):
+    * the one asymmetry every earlier similarity gate carried was that
+    * embeddings arrived PRECOMPUTED in the fixture — here the
+    * embedding column is generated FROM text inside the plan by the
+    * codegen'd [[org.apache.spark.sql.graft.HashedEmbed]] featurizer
+    * (md5-sign random projection of the token-count vector, every
+    * component an exact integer), then indexed and retrieved on the
+    * IVF scale path ([[graft.similarity.Ann.batchTopKIvf]], 3 of 8
+    * cells) for the fixed [[BatchQueryIds]] query set — embed → index
+    * → retrieve in ONE oracled gate. The documented ONNX
+    * mapPartitions slot (Multimodal) drops into exactly this column.
+    *
+    * The generated frame is hard-severed ([[graft.util.Lineage
+    * .sever]]): three readers follow (seed collect, corpus assignment,
+    * query probe) and the featurizer expression must run ONCE per doc,
+    * not once per reader. Scale shape: featurizing is map-only; the
+    * index path is the s_ann_batch_ivf machinery (broadcast seeds,
+    * probed-cell-only scoring, WindowGroupLimit rank).
+    *
+    * Oracle: DuckDB re-derives every embedding from the same parquet
+    * text (distinct-token sign matrix → per-(doc, dim) signed sums —
+    * vocabulary-sized work, the portableLshKeysSql discipline), then
+    * replays the annBatchIvfSql seeds/assign/probe/rank chain over the
+    * generated vectors. */
+  private val EmbedGenDims = 16
+
+  def embedGen(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.util.Lineage.severTracked(
+      Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+        org.apache.spark.sql.graft.HashedEmbed
+          .hashed_embed(tokens(col("text")), EmbedGenDims)
+          .cast("array<double>").as("embedding")))
+    Ann.batchTopKIvf(
+      corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
+      queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
+      k = 3, nCells = 8, probes = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val embedGenSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    s"""WITH gdt AS (
+       |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |gtok AS (SELECT DISTINCT tok FROM gdt),
+       |gsg AS (
+       |  SELECT d.d AS d, t.tok,
+       |    CASE WHEN substr(md5(d.d || ':' || t.tok), 1, 1) BETWEEN '0' AND '7'
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM range($EmbedGenDims) d(d), gtok t),
+       |ged AS (SELECT g.doc_id, s.d, CAST(SUM(s.sgn) AS BIGINT) AS v
+       |        FROM gdt g JOIN gsg s ON s.tok = g.tok GROUP BY 1, 2),
+       |gemb AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id, list(v ORDER BY d) AS embedding
+       |  FROM ged GROUP BY doc_id),
+       |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |          FROM gemb WHERE vec_id NOT IN ($ids)
+       |          ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM gemb e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1),
+       |qc AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("q.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS pr
+       |  FROM gemb q CROSS JOIN seeds s
+       |  WHERE q.vec_id IN ($ids)) t WHERE pr <= 3),
+       |scored AS (SELECT qc.query_id, e.vec_id,
+       |    ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
+       |  FROM gemb e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN qc ON qc.cell = asg.cell
+       |  JOIN gemb q ON q.vec_id = qc.query_id
+       |  WHERE e.vec_id <> qc.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Batched retrieval on the PRODUCT-QUANTIZATION scale path —
     * [[annBatch]]'s fixed query set scored by ADC over m=4 subspace
     * codes (ksub=8 per-subspace codebook from the lowest-id corpus

@@ -208,6 +208,20 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("HashedEmbed generates compiling Java") {
+    codegenOnly {
+      import org.apache.spark.sql.graft.HashedEmbed
+      val r = Seq(Seq("a", "b", "a"), Seq.empty[String])
+        .toDF("toks")
+        .select(HashedEmbed.hashed_embed(col("toks"), 4).as("e"))
+        .collect()
+      assert(r.length == 2)
+      assert(r(1).getSeq[Long](0) == Seq(0L, 0L, 0L, 0L))
+      // each component is a signed sum of three +/-1 contributions
+      assert(r(0).getSeq[Long](0).forall(v => v >= -3 && v <= 3 && v % 2 != 0))
+    }
+  }
+
   test("Confluent Avro serde expressions generate compiling Java") {
     codegenOnly {
       import graft.confluent._
