@@ -1746,6 +1746,36 @@ object LlmOps {
        |WHERE ROUND(${cosineSql("e.embedding", "b.embedding")}, 6) >= 0.44
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
 
+  /** Oracle for the WATERMARKED append-mode twin
+    * ([[graft.streaming.Streaming.decontamEmbedStreamWatermarked]]):
+    * the same probe, bucketed into 60-second event-time windows on the
+    * synthetic arrival clock (vec_id + 10⁹ seconds), emitting exactly
+    * the watermark-closed windows — window end <= max(arrival ts) −
+    * 30 s. The boundary is MEASURED Spark semantics (append mode
+    * emits a window whose end equals the watermark; StreamingSpec pins
+    * the edge with a fixture where the watermark lands exactly on a
+    * window end). Window starts ride as epoch seconds (BIGINT) so the
+    * compare is timezone-free. */
+  val decontamEmbedWmSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $DecontamBenchN
+       |  UNION ALL
+       |  SELECT vec_id + (1 + (SELECT MAX(vec_id) FROM embeddings)), embedding
+       |  FROM embeddings WHERE vec_id < $DecontamBenchN),
+       |wm AS (SELECT MAX(vec_id) + 1000000000 - 30 AS w FROM corpus),
+       |hits AS (
+       |  SELECT e.vec_id, COUNT(*) AS n_hits,
+       |    MAX(ROUND(${cosineSql("e.embedding", "b.embedding")}, 6)) AS best_sim
+       |  FROM corpus e
+       |  JOIN embeddings b ON b.vec_id < $DecontamBenchN
+       |  WHERE ROUND(${cosineSql("e.embedding", "b.embedding")}, 6) >= 0.44
+       |  GROUP BY e.vec_id)
+       |SELECT ((vec_id + 1000000000) // 60) * 60 AS w_start_s,
+       |  vec_id, n_hits, best_sim
+       |FROM hits
+       |WHERE ((vec_id + 1000000000) // 60) * 60 + 60 <= (SELECT w FROM wm)
+       |ORDER BY vec_id""".stripMargin
+
   /** Cross-modality dedup capstone — TEXT near-dup removal and
     * EMBEDDING semantic-dup removal composed over the same corpus
     * (doc_id ≡ vec_id where embeddings exist, the partial-coverage

@@ -1645,6 +1645,73 @@ object Streaming {
     s.table(queryName).orderBy(col("vec_id"))
   }
 
+  /** WATERMARKED append-mode semantic decontamination
+    * (st_decontam_embed_wm) — [[decontamEmbedStream]]'s complete-mode
+    * hit set never evicts, which is fine for a replayed comparison but
+    * not for production ingest: this twin carries EVENT TIME (the
+    * replay synthesizes arrival seconds from vec_id, offset past epoch
+    * 0 — the exactDedupStreamWatermarked discipline; production uses
+    * ingestion time), watermarks the ARRIVAL stream before the probe,
+    * aggregates per (1-minute window, vec_id) and emits in APPEND mode
+    * — each contaminated vector's row is emitted exactly once, when
+    * the watermark passes its window, and the window's state is
+    * dropped. State is bounded by hits-per-watermark-horizon instead
+    * of all-hits-ever; arrivals inside the final horizon (watermark =
+    * max event time − 30 s) are still in flight and NOT emitted —
+    * the oracle replays exactly that cutoff (window end strictly
+    * inside the watermark; StreamingSpec pins the boundary with a
+    * synthetic edge fixture where the watermark lands ON a window
+    * end). Window starts ride as epoch SECONDS (BIGINT) so the
+    * compare is timezone-free. */
+  private[graft] def decontamEmbedWmTransform(s: SparkSession,
+      streamDir: String, staticDir: String,
+      glob: String = "embeddings.parquet",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val benchN = graft.queries.LlmOps.DecontamBenchN
+    val embStatic = graft.Tables.embeddings(s, staticDir)
+    val pb = graft.queries.LlmOps.plantBase(embStatic, "vec_id")
+    val bench = embStatic.filter(col("vec_id") < benchN)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", glob)) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(streamDir)
+    val corpus = src.filter(col("vec_id") >= benchN)
+        .select(col("vec_id"), col("embedding"))
+      .unionByName(src.filter(col("vec_id") < benchN)
+        .select((col("vec_id") + pb).as("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        timestamp_seconds(col("vec_id") + lit(1000000000L)).as("ts"),
+        col("embedding"))
+      .withWatermark("ts", "30 seconds")
+    corpus.join(broadcast(bench))
+      .select(col("vec_id"), col("ts"),
+        round(graft.similarity.Ann.cosine(col("embedding"), col("bvec")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.44)
+      .groupBy(window(col("ts"), "1 minute"), col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("best_sim"))
+      .select(col("window.start").cast("long").as("w_start_s"),
+        col("vec_id"), col("n_hits"), col("best_sim"))
+  }
+
+  def decontamEmbedStreamWatermarked(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_decontam_embed_wm",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val agg = decontamEmbedWmTransform(s, dir, dir,
+      extraOptions = extraOptions)
+    withReplayPartitions(s, 4) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("vec_id"))
+  }
+
   /** The TRAINED quality filter applied at ingest (st_quality_clf) —
     * the production shape of a fastText-class curation filter: the
     * model trains offline (the t_quality_clf batch chain), and
