@@ -7477,6 +7477,144 @@ object LlmOps {
        |  CASE WHEN s > 0 THEN 1 ELSE -1 END AS pred
        |FROM hs ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Hashed-n-gram quality classifier (t_quality_clf_ng /
+  // t_quality_clf_ng_pred) — fastText FIDELITY: the real feature space
+  // is HASHED (unigram + bigram) grams, not a collected top-k token
+  // directory. No vocabulary collect, closed under unseen tokens — the
+  // shape that survives a 100 TB crawl's tail vocabulary. Same
+  // exact-integer epochs (graft.text.Classify.perceptronTrainHashed);
+  // the oracle replays the md5 bucketing arithmetic verbatim.
+  // ---------------------------------------------------------------------
+
+  private val QClfNgBuckets = 64
+
+  private val qclfNgCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int),
+      Seq[Array[Long]]]
+
+  def clearQclfNgCache(): Unit = qclfNgCache.clear()
+
+  def prewarmQclfNgModel(s: SparkSession, dir: String): Unit = {
+    qclfNgWeights(s, dir); ()
+  }
+
+  private[graft] def qclfNgWeights(s: SparkSession,
+      dir: String): Seq[Array[Long]] =
+    qclfNgCache.getOrElseUpdate(
+      (dir, corpusFingerprint(s, dir), QClfNgBuckets, QClfEpochs), {
+        val bucket = substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        graft.text.Classify.perceptronTrainHashed(
+          Tables.documents(s, dir).filter(bucket =!= "0"),
+          qclfLabel, QClfNgBuckets, QClfEpochs)
+      })
+
+  /** Hashed-feature training gate: the per-epoch weight trajectory
+    * over the 64 md5 buckets + bias — (epoch, fidx, weight). */
+  def qualityClfNgLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qclfNgWeights(s, dir).zipWithIndex.flatMap { case (w, e) =>
+      w.zipWithIndex.map { case (wt, i) => (e + 1L, i.toLong, wt) }
+    }.toDF("epoch", "fidx", "weight")
+      .orderBy(col("epoch"), col("fidx"))
+  }
+
+  /** Shared oracle base for the hashed space: train split, distilled
+    * labels, (unigram + bigram) grams, md5-bucketed integer design
+    * matrix (the Spark side's hash60 % buckets + 1 verbatim), zero
+    * weights over all buckets + bias. */
+  private def qclfNgBaseCtes: String =
+    s"""nn AS (SELECT doc_id, $NormSql AS norm FROM documents
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+       |nlab AS (SELECT doc_id, norm, $QclfLabelSql AS y FROM nn),
+       |nbase AS (SELECT doc_id, y, string_split(norm, ' ') AS t FROM nlab),
+       |ngr AS (SELECT doc_id, y, unnest(t) AS g FROM nbase
+       |        UNION ALL
+       |        SELECT doc_id, y, t[i] || ' ' || t[i + 1] AS g
+       |        FROM nbase,
+       |          LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+       |nx AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    CAST(1 + CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+       |         % $QClfNgBuckets AS INTEGER) AS fidx,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ngr GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, 0, CAST(1 AS BIGINT) FROM nlab),
+       |nw0 AS (SELECT CAST(unnest(generate_series(0, $QClfNgBuckets)) AS INTEGER) AS fidx,
+       |        CAST(0 AS BIGINT) AS wt)""".stripMargin
+
+  private def qclfNgEpochCte(e: Int): String =
+    s"""ns$e AS MATERIALIZED (SELECT nx.doc_id, nx.y, SUM(nx.cnt * w.wt) AS s
+       |  FROM nx JOIN nw${e - 1} w USING (fidx) GROUP BY 1, 2),
+       |nd$e AS MATERIALIZED (SELECT nx.fidx, CAST(SUM(nx.y * nx.cnt) AS BIGINT) AS delta
+       |  FROM ns$e m JOIN nx ON nx.doc_id = m.doc_id
+       |  WHERE m.y * m.s <= 0 GROUP BY 1),
+       |nw$e AS MATERIALIZED (SELECT w.fidx, w.wt + COALESCE(d.delta, 0) AS wt
+       |  FROM nw${e - 1} w LEFT JOIN nd$e d USING (fidx))""".stripMargin
+
+  val qualityClfNgLearnSql: String =
+    s"""WITH $qclfNgBaseCtes,
+       |${(1 to QClfEpochs).map(qclfNgEpochCte).mkString(",\n")}
+       |${(1 to QClfEpochs).map(e =>
+        s"SELECT CAST($e AS BIGINT) AS epoch, CAST(fidx AS BIGINT) AS fidx, " +
+          s"wt AS weight FROM nw$e")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY epoch, fidx""".stripMargin
+
+  /** The applied hashed filter on the same md5-'0' holdout as
+    * [[qualityClfPred]] — the generalization measurement for the
+    * fastText-fidelity model (QualityClfSpec compares the two models'
+    * measured holdout accuracies). Scores under the AVERAGED
+    * perceptron (Freund & Schapire 1999): the epoch-SUM of the weight
+    * trajectory — sign(w·x) is invariant to the positive 1/E scale, so
+    * the integer sum IS the averaged model, exactly replayable. The
+    * hashed space's collision-correlated features make the raw batch
+    * perceptron oscillate between separating phases (measured: the
+    * final epoch can land inverted); averaging is the standard
+    * stabilizer and what a production fastText-class filter ships. */
+  def qualityClfNgPred(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val byEpoch = qclfNgWeights(s, dir)
+    val avg = byEpoch.transpose.map(_.sum).toArray
+    graft.text.Classify.perceptronScoreHashed(
+      Tables.documents(s, dir).filter(bucket === "0"),
+      avg, QClfNgBuckets, qclfLabel)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClfNgPredSql: String =
+    s"""WITH $qclfNgBaseCtes,
+       |${(1 to QClfEpochs).map(qclfNgEpochCte).mkString(",\n")},
+       |hn AS (SELECT doc_id, $NormSql AS norm FROM documents
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+       |hlab AS (SELECT doc_id, norm, $QclfLabelSql AS y FROM hn),
+       |hbase AS (SELECT doc_id, y, string_split(norm, ' ') AS t FROM hlab),
+       |hgr AS (SELECT doc_id, y, unnest(t) AS g FROM hbase
+       |        UNION ALL
+       |        SELECT doc_id, y, t[i] || ' ' || t[i + 1] AS g
+       |        FROM hbase,
+       |          LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+       |hx AS (
+       |  SELECT doc_id, y,
+       |    CAST(1 + CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+       |         % $QClfNgBuckets AS INTEGER) AS fidx,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM hgr GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, 0, CAST(1 AS BIGINT) FROM hlab),
+       |wavg AS (SELECT fidx, CAST(SUM(wt) AS BIGINT) AS wt FROM (
+       |${(1 to QClfEpochs).map(e => s"  SELECT fidx, wt FROM nw$e")
+        .mkString("\n  UNION ALL\n")}
+       |) GROUP BY fidx),
+       |hs AS (SELECT hx.doc_id, hx.y, SUM(hx.cnt * w.wt) AS s
+       |       FROM hx JOIN wavg w USING (fidx) GROUP BY 1, 2)
+       |SELECT doc_id, y, CAST(s AS BIGINT) AS score,
+       |  CASE WHEN s > 0 THEN 1 ELSE -1 END AS pred
+       |FROM hs ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- round 12b:
   // hybrid retrieval fusion, provenance propagation, sketch set algebra,
   // truncated-dimension retrieval quality

@@ -180,29 +180,95 @@ object Classify {
     val (x, releaseX) = graft.util.Lineage.sever(designMatrix(
       train.select(col(idCol).as("doc"), labelCol.cast("int").as("y"),
         col(textCol).as("txt")), feats))
-    try {
-      // sized to the REALIZED feature count (a small corpus can have
-      // fewer distinct tokens than requested features) + the bias slot
-      val w = new Array[Long](feats.length + 1)
-      val byEpoch = Seq.newBuilder[Array[Long]]
-      var e = 0
-      while (e < epochs) {
-        val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
-          Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
-        val s = sum(col("cnt") * element_at(wMap, col("fidx")))
-          .over(Window.partitionBy(col("doc")))
-        val deltas = x
-          .withColumn("s", s)
-          .filter(col("y") * col("s") <= 0)
-          .groupBy(col("fidx"))
-          .agg(sum(col("y") * col("cnt")).as("d"))
-          .collect()
-        deltas.foreach(r => w(r.getInt(0)) += r.getLong(1))
-        byEpoch += w.clone()
-        e += 1
-      }
-      LinearModel(feats, byEpoch.result())
-    } finally releaseX(false)
+    // sized to the REALIZED feature count (a small corpus can have
+    // fewer distinct tokens than requested features) + the bias slot
+    try LinearModel(feats, epochLoop(x, feats.length + 1, epochs))
+    finally releaseX(false)
+  }
+
+  /** The shared per-epoch gradient pass over a severed (doc, y, fidx,
+    * cnt) design matrix: margins under w{e-1} via one doc-keyed window,
+    * misclassified-set deltas via one nWeights-row aggregate, weights
+    * back as a literal map — no epoch shuffles the corpus. */
+  private def epochLoop(x: DataFrame, nWeights: Int,
+      epochs: Int): Seq[Array[Long]] = {
+    val w = new Array[Long](nWeights)
+    val byEpoch = Seq.newBuilder[Array[Long]]
+    var e = 0
+    while (e < epochs) {
+      val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
+        Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+      val s = sum(col("cnt") * element_at(wMap, col("fidx")))
+        .over(Window.partitionBy(col("doc")))
+      val deltas = x
+        .withColumn("s", s)
+        .filter(col("y") * col("s") <= 0)
+        .groupBy(col("fidx"))
+        .agg(sum(col("y") * col("cnt")).as("d"))
+        .collect()
+      deltas.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      byEpoch += w.clone()
+      e += 1
+    }
+    byEpoch.result()
+  }
+
+  /** HASHED-n-gram perceptron — fastText's actual feature space:
+    * (unigram + bigram) grams hash into `buckets` md5 slots
+    * ([[graft.sketch.Sketch.hash60]] mod buckets, 1-based; fidx 0
+    * stays the bias), no feature directory, no vocabulary collect —
+    * the feature space is CLOSED under new tokens, the property that
+    * lets the trained filter run on a 100 TB crawl whose tail
+    * vocabulary the training corpus never saw. Same exact-integer
+    * epochs as [[perceptronTrain]] over the same severed-matrix
+    * machinery; the DuckDB oracle replays the bucketing arithmetic
+    * verbatim. Returns the per-epoch weight arrays (buckets + 1). */
+  def perceptronTrainHashed(train: DataFrame, labelCol: Column,
+      buckets: Int, epochs: Int,
+      idCol: String = "doc_id", textCol: String = "text"): Seq[Array[Long]] = {
+    require(buckets >= 2 && epochs >= 1, s"bad dims: $buckets/$epochs")
+    val (x, releaseX) = graft.util.Lineage.sever(designMatrixHashed(
+      train.select(col(idCol).as("doc"), labelCol.cast("int").as("y"),
+        col(textCol).as("txt")), buckets))
+    try epochLoop(x, buckets + 1, epochs)
+    finally releaseX(false)
+  }
+
+  /** Score docs under final hashed weights — the map-only applied
+    * filter ([[perceptronScore]]'s twin for the hashed space). */
+  def perceptronScoreHashed(docs: DataFrame, weights: Array[Long],
+      buckets: Int, labelCol: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val x = designMatrixHashed(docs.select(col(idCol).as("doc"),
+      labelCol.cast("int").as("y"), col(textCol).as("txt")), buckets)
+    val wMap = map(weights.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+    x.groupBy(col("doc"), col("y"))
+      .agg(sum(col("cnt") * element_at(wMap, col("fidx"))).as("score"))
+      .select(col("doc").as(idCol), col("y"), col("score"),
+        when(col("score") > 0, 1).otherwise(-1).as("pred"))
+  }
+
+  /** (doc, y, fidx, cnt) under hashed (unigram + bigram) features:
+    * fidx(g) = 1 + hash60(g) % buckets; bigrams join adjacent tokens
+    * with one space (so the gram string is replayable as
+    * `t[i] || ' ' || t[i+1]`). The empty-word sequence trap
+    * (sequence(1, 0) is a descending ramp) is guarded like
+    * Bpe.byteSyms. */
+  private def designMatrixHashed(docs: DataFrame, buckets: Int): DataFrame = {
+    val t = tokens(col("txt"))
+    val bigrams = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1)))))
+    docs.select(col("doc"), col("y"),
+        explode(concat(t, bigrams)).as("g"))
+      .select(col("doc"), col("y"),
+        (graft.sketch.Sketch.hash60(col("g")) % buckets + 1)
+          .cast("int").as("fidx"))
+      .groupBy(col("doc"), col("y"), col("fidx"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .unionByName(docs.select(col("doc"), col("y"),
+        lit(0).as("fidx"), lit(1L).as("cnt")))
   }
 
   /** (doc, y, fidx, cnt) integer design matrix under a feature list —

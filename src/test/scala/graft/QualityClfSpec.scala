@@ -81,4 +81,62 @@ class QualityClfSpec extends AnyFunSuite {
     val acc = pred.count(r => r.getInt(3) == r.getInt(1)).toDouble / pred.length
     assert(acc > 0.5, s"holdout accuracy $acc not better than chance")
   }
+
+  test("hashed perceptron: epoch-1 weights equal bucket-summed gradients; bigrams counted") {
+    // replicate the epoch-1 full-gradient sum by hand in bucket space:
+    // with w0 = 0 every doc misclassifies, so w1[b] = sum over grams g
+    // with bucket(g) = b of y * count(g)
+    val w = Classify.perceptronTrainHashed(fixture, col("y"),
+      buckets = 64, epochs = 1)
+    assert(w.length == 1 && w.head.length == 65)
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      (1 + java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val grams = Seq(
+      (1, Seq("the", "of", "and", "the", "to")),
+      (1, Seq("the", "the", "a", "of", "is")),
+      (1, Seq("a", "to", "in", "the", "of")),
+      (-1, Seq("zz", "qq", "xx", "zz", "yy")),
+      (-1, Seq("qq", "qq", "zz", "xx", "xx")),
+      (-1, Seq("yy", "zz", "qq", "xx", "qq")))
+    val expect = new Array[Long](65)
+    grams.foreach { case (y, t) =>
+      val gs = t ++ t.sliding(2).map(_.mkString(" "))
+      gs.foreach(g => expect(bucket(g)) += y)
+      expect(0) += y // bias row: cnt 1 per doc
+    }
+    assert(w.head.toSeq == expect.toSeq,
+      s"got ${w.head.toSeq}\nexp ${expect.toSeq}")
+  }
+
+  test("hashed model separates the planted fixture and beats chance on the sf0.001 holdout") {
+    val w = Classify.perceptronTrainHashed(fixture, col("y"),
+      buckets = 64, epochs = 6)
+    val scored = Classify.perceptronScoreHashed(fixture, w.last, 64, col("y"))
+      .collect()
+    assert(scored.forall(r => r.getInt(3) == r.getInt(1)),
+      s"misclassified: ${scored.filter(r => r.getInt(3) != r.getInt(1)).toSeq}")
+    val pred = graft.queries.LlmOps.qualityClfNgPred(spark, sf0001).collect()
+    assert(pred.nonEmpty)
+    val acc = pred.count(r => r.getInt(3) == r.getInt(1)).toDouble / pred.length
+    assert(acc > 0.5, s"hashed holdout accuracy $acc not better than chance")
+  }
+
+  test("MEASURED holdout accuracy: hashed (unigram+bigram) vs directory unigram at sf0.01") {
+    // the verdict-requested comparison row: both models trained on the
+    // same md5-split corpus, accuracy measured on the same holdout
+    def accOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(r => r.getInt(3) == r.getInt(1)).toDouble / rows.length
+    val uni = accOf(graft.queries.LlmOps.qualityClfPred(spark, sf001).collect())
+    val ng = accOf(graft.queries.LlmOps.qualityClfNgPred(spark, sf001).collect())
+    info(f"sf0.01 holdout accuracy: unigram-directory $uni%.4f, hashed-ngram $ng%.4f")
+    // the hashed space sees strictly more signal (bigrams) with no
+    // directory truncation; allow a small collision penalty but it
+    // must stay in the unigram model's league
+    assert(ng >= uni - 0.10, f"hashed model collapsed: $ng%.4f vs $uni%.4f")
+    assert(ng > 0.5 && uni > 0.5)
+  }
 }
