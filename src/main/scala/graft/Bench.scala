@@ -130,6 +130,7 @@ object Bench {
       graft.queries.LlmOps.clearWpMergeCache()
       graft.queries.LlmOps.clearUnigramCensusCache()
       graft.queries.LlmOps.clearQclfModelCache()
+      graft.queries.LlmOps.clearQclfNgCache()
       graft.queries.LlmOps.clearTierCache()
       val learn = {
         val (sec, m) = once("bpe_learn_shared", (sp, d) => {
@@ -162,13 +163,20 @@ object Bench {
           graft.queries.LlmOps.prewarmQclfModel(sp, d); sp.range(1).toDF })
         ("quality_clf_learn_shared", sec, m)
       }
+      // the hashed-n-gram perceptron training, shared by its two gates
+      val learnQclfNg = {
+        val (sec, m) = once("quality_clf_ng_learn_shared", (sp, d) => {
+          graft.queries.LlmOps.prewarmQclfNgModel(sp, d); sp.range(1).toDF })
+        ("quality_clf_ng_learn_shared", sec, m)
+      }
       // the PageRank -> domain-tier chain, shared by the scheduler family
       val learnTier = {
         val (sec, m) = once("tier_chain_shared", (sp, d) => {
           graft.queries.LlmOps.prewarmTierChain(sp, d); sp.range(1).toDF })
         ("tier_chain_shared", sec, m)
       }
-      learn +: learnBytes +: learnWp +: learnUni +: learnQclf +: learnTier +: ordered.map { case (name, fn) =>
+      learn +: learnBytes +: learnWp +: learnUni +: learnQclf +:
+        learnQclfNg +: learnTier +: ordered.map { case (name, fn) =>
         val (sec, m) = once(name, fn); (name, sec, m)
       }
     }

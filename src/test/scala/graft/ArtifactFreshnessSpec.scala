@@ -70,7 +70,8 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     val expected = SparkEntry.queries.keySet +
       "bpe_learn_shared" + "bpe_bytes_learn_shared" +
       "wordpiece_learn_shared" + "unigram_learn_shared" +
-      "quality_clf_learn_shared" + "tier_chain_shared"
+      "quality_clf_learn_shared" + "quality_clf_ng_learn_shared" +
+      "tier_chain_shared"
     val missing = expected -- names
     val extra = names -- expected
     assert(missing.isEmpty && extra.isEmpty,
