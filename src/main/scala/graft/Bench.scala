@@ -127,6 +127,7 @@ object Bench {
       // timings measure the gate, and the shared derivation visible.
       graft.queries.LlmOps.clearBpeMergeCache()
       graft.queries.LlmOps.clearBpeBytesMergeCache()
+      graft.queries.LlmOps.clearBpePretokMergeCache()
       graft.queries.LlmOps.clearWpMergeCache()
       graft.queries.LlmOps.clearUnigramCensusCache()
       graft.queries.LlmOps.clearQclfModelCache()

@@ -2382,7 +2382,7 @@ object LlmOps {
     * vocabulary-sized work, the portableLshKeysSql discipline), then
     * replays the annBatchIvfSql seeds/assign/probe/rank chain over the
     * generated vectors. */
-  private val EmbedGenDims = 16
+  private[graft] val EmbedGenDims = 16
 
   def embedGen(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.util.Lineage.severTracked(
@@ -2397,9 +2397,11 @@ object LlmOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val embedGenSql: String = {
-    val ids = BatchQueryIds.mkString(", ")
-    s"""WITH gdt AS (
+  /** The generated-embedding CTE block (the featurizer's SQL twin) —
+    * shared by [[embedGenSql]] and the ingest twin
+    * [[embedGenStreamSql]]. */
+  private def embedGenCtes: String =
+    s"""gdt AS (
        |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
        |  FROM documents),
        |gtok AS (SELECT DISTINCT tok FROM gdt),
@@ -2412,7 +2414,22 @@ object LlmOps {
        |        FROM gdt g JOIN gsg s ON s.tok = g.tok GROUP BY 1, 2),
        |gemb AS MATERIALIZED (
        |  SELECT doc_id AS vec_id, list(v ORDER BY d) AS embedding
-       |  FROM ged GROUP BY doc_id),
+       |  FROM ged GROUP BY doc_id)""".stripMargin
+
+  /** Oracle for the stateless ingest twin
+    * ([[graft.streaming.Streaming.embedGenStream]]): every doc's
+    * generated embedding, space-joined (the byte-encode gate's
+    * representation-free array convention). */
+  val embedGenStreamSql: String =
+    s"""WITH $embedGenCtes
+       |SELECT vec_id AS doc_id,
+       |  list_aggregate(list_transform(embedding, x -> CAST(x AS VARCHAR)),
+       |    'string_agg', ' ') AS embedding
+       |FROM gemb ORDER BY doc_id""".stripMargin
+
+  val embedGenSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    s"""WITH $embedGenCtes,
        |seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
        |          FROM gemb WHERE vec_id NOT IN ($ids)
        |          ORDER BY vec_id LIMIT 8),
@@ -3876,6 +3893,57 @@ object LlmOps {
        |FROM (SELECT unnest(regexp_extract_all($NormSql, '$pat')) AS tok
        |      FROM documents)
        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 60""".stripMargin
+  }
+
+  /** Byte-BPE merges learned over the REGEX-pretokenized census — the
+    * authentic GPT-2 composition (pretokenize, THEN byte merges):
+    * space-prefixed pretokens put the space byte (20) into the merge
+    * alphabet, so the learned list genuinely differs from the
+    * whitespace-census byte chain (merges like (20, 74) " t" appear).
+    * 12 rounds (the cost/coverage dial; the oracle replays every
+    * round). Scale shape identical to [[bpeBytesLearn]]: after the one
+    * census aggregation every round is vocabulary-sized. */
+  private val BpePretokMergeRounds = 12
+
+  private val bpePretokMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long)]]
+
+  def clearBpePretokMergeCache(): Unit = bpePretokMergeCache.clear()
+
+  private def pretokWordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(graft.text.pretok(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  private def learnedPretokMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpePretokMergeCache.getOrElseUpdate(
+      (dir, corpusFingerprint(s, dir), BpePretokMergeRounds),
+      graft.text.Bpe.learnMerges(pretokWordFreq(s, dir), BpePretokMergeRounds,
+        symsOf = graft.text.Bpe.byteSyms))
+
+  def bpeBytesPretokLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedPretokMerges(s, dir)
+      .zipWithIndex
+      .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
+      .toDF("round", "lhs", "rhs", "freq")
+  }
+
+  val bpeBytesPretokLearnSql: String = {
+    val pat = graft.text.PretokPattern.replace("'", "''")
+    s"""WITH RECURSIVE
+       |s0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, octet_length(encode(word)) + 1),
+       |      i -> substring(hex(encode(word)), 2*i - 1, 2)) AS syms
+       |  FROM (SELECT unnest(regexp_extract_all($NormSql, '$pat')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${(1 to BpePretokMergeRounds).map(bpeRoundCte).mkString(",\n")}
+       |${(1 to BpePretokMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, pf AS freq FROM b$r")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -1756,6 +1756,41 @@ object Streaming {
     s.table(queryName).orderBy(col("doc_id"))
   }
 
+  /** In-pipe embedding generation at INGEST (st_embed_gen) — the
+    * stateless streaming twin of t_embed_gen's featurizer stage:
+    * arriving documents get their embedding column generated by the
+    * codegen [[org.apache.spark.sql.graft.HashedEmbed]] expression in
+    * a pure map (append mode, NO stream state) — the at-scan-speed
+    * encoder slot of a production ingest pipe; the documented ONNX
+    * mapPartitions encoder drops into the same column. Embeddings ride
+    * as space-joined integer strings (the byte-encode gate's
+    * representation-free array convention) so the oracle compare is
+    * engine-agnostic. */
+  def embedGenStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_embed_gen",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val out = src.select(col("doc_id"),
+        org.apache.spark.sql.graft.HashedEmbed.hashed_embed(
+          graft.text.tokens(col("text")),
+          graft.queries.LlmOps.EmbedGenDims).as("e"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("e"), _.cast("string"))).as("embedding"))
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("doc_id"))
+  }
+
   def exactDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val agg = s.readStream

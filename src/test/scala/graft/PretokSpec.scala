@@ -56,6 +56,21 @@ class PretokSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("byte merges learned over pretok differ from the whitespace-census byte chain") {
+    val pre = graft.queries.LlmOps.bpeBytesPretokLearn(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val ws = graft.queries.LlmOps.bpeBytesLearn(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .take(pre.length)
+    assert(pre.nonEmpty)
+    // space-prefixed pretokens put the space byte (20) into the merge
+    // alphabet — a pair the whitespace census cannot even express
+    assert(pre.exists { case (l, _) => l == "20" || l.startsWith("20") },
+      s"no space-byte merge in ${pre.toSeq}")
+    assert(ws.forall { case (l, r) => !l.startsWith("20") && !r.startsWith("20") })
+    assert(pre.toSeq != ws.toSeq, "pretok and whitespace chains agree — no divergence")
+  }
+
   test("the census gate diverges from the whitespace census exactly by space markers") {
     val pre = graft.queries.LlmOps.bpePretok(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
