@@ -264,11 +264,18 @@ object Classify {
     * (sequence(1, 0) is a descending ramp) is guarded like
     * Bpe.byteSyms. */
   private def designMatrixHashed(docs: DataFrame, buckets: Int): DataFrame = {
-    val t = tokens(col("txt"))
+    // BIND the token array to a column before the bigram lambda: an
+    // expression tree referenced inside transform()'s lambda is
+    // re-evaluated PER ELEMENT — with `t` inlined, every element_at
+    // re-ran split+regexp_replace over the whole doc, O(tokens²)
+    // normalization work per row (measured as the dominant cost of
+    // the sf1 matrix build)
+    val t = col("t")
     val bigrams = when(size(t) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - 1),
         i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1)))))
-    docs.select(col("doc"), col("y"),
+    docs.select(col("doc"), col("y"), tokens(col("txt")).as("t"))
+      .select(col("doc"), col("y"),
         explode(concat(t, bigrams)).as("g"))
       .select(col("doc"), col("y"),
         (graft.sketch.Sketch.hash60(col("g")) % buckets + 1)
