@@ -16,8 +16,21 @@ import graft.text._
   * deterministic; see Relational's header). */
 object LlmOps {
 
-  private val NormSql =
-    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  /** Entry cap shared by every corpus-keyed derivation memo in this
+    * object (merge lists, trained weights, censuses, tier tables):
+    * entries are dimension-sized, keyed by (dir, corpus fingerprint,
+    * params), and a realistic long-lived session touches a handful of
+    * corpora — 8 keeps every hot derivation resident while bounding a
+    * many-corpus session's footprint (round-18 verdict #6; LRU
+    * eviction, see [[graft.util.BoundedMemo]]). */
+  private val MemoCap = 8
+
+  /** [[graft.text.norm_text]]'s SQL twin over an arbitrary column —
+    * the base normalization every text oracle replays. */
+  private def normSqlOf(c: String): String =
+    s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+
+  private val NormSql = normSqlOf("text")
 
   /** Planted-row id spaces for the synthetic-arrival gates (incremental
     * dedup, snapshot diff, MERGE, CDC). Offsets derive from
@@ -1737,7 +1750,7 @@ object LlmOps {
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $DecontamBenchN
        |  UNION ALL
-       |  SELECT vec_id + (1 + (SELECT MAX(vec_id) FROM embeddings)), embedding
+       |  SELECT vec_id + $PlantBaseEmbSql, embedding
        |  FROM embeddings WHERE vec_id < $DecontamBenchN)
        |SELECT e.vec_id, COUNT(*) AS n_hits,
        |  MAX(ROUND(${cosineSql("e.embedding", "b.embedding")}, 6)) AS best_sim
@@ -1760,7 +1773,7 @@ object LlmOps {
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $DecontamBenchN
        |  UNION ALL
-       |  SELECT vec_id + (1 + (SELECT MAX(vec_id) FROM embeddings)), embedding
+       |  SELECT vec_id + $PlantBaseEmbSql, embedding
        |  FROM embeddings WHERE vec_id < $DecontamBenchN),
        |wm AS (SELECT MAX(vec_id) + 1000000000 - 30 AS w FROM corpus),
        |hits AS (
@@ -2385,11 +2398,15 @@ object LlmOps {
   private[graft] val EmbedGenDims = 16
 
   def embedGen(s: SparkSession, dir: String): DataFrame = {
+    // zero-norm guard at the featurizer boundary (see Ann.nonzeroNorm:
+    // a fully-cancelled signed sum would make cosine NaN here but
+    // NULL in DuckDB, and the two engines RANK those differently)
     val emb = graft.util.Lineage.severTracked(
       Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
         org.apache.spark.sql.graft.HashedEmbed
           .hashed_embed(tokens(col("text")), EmbedGenDims)
-          .cast("array<double>").as("embedding")))
+          .cast("array<double>").as("embedding"))
+        .filter(Ann.nonzeroNorm(col("embedding"))))
     Ann.batchTopKIvf(
       corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*)),
       queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*)),
@@ -2414,7 +2431,8 @@ object LlmOps {
        |        FROM gdt g JOIN gsg s ON s.tok = g.tok GROUP BY 1, 2),
        |gemb AS MATERIALIZED (
        |  SELECT doc_id AS vec_id, list(v ORDER BY d) AS embedding
-       |  FROM ged GROUP BY doc_id)""".stripMargin
+       |  FROM ged GROUP BY doc_id
+       |  HAVING SUM(v * v) > 0)""".stripMargin
 
   /** Oracle for the stateless ingest twin
     * ([[graft.streaming.Streaming.embedGenStream]]): every doc's
@@ -3584,7 +3602,7 @@ object LlmOps {
     * files are regenerated within one JVM (spec temp dirs) can never be
     * served a stale merge list. */
   private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long)]]
+    new graft.util.BoundedMemo[(String, Long, Int), Seq[(String, String, Long)]](MemoCap)
 
   /** Cheap content fingerprint of `dir/documents.parquet`: a hash of
     * every constituent file's (name, length, modification time) from
@@ -3764,7 +3782,7 @@ object LlmOps {
   private val BpeBytesMergeRounds = 24
 
   private val bpeBytesMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long)]]
+    new graft.util.BoundedMemo[(String, Long, Int), Seq[(String, String, Long)]](MemoCap)
 
   /** Drop the memoized byte-merge lists (Bench calls per pass — see
     * [[clearBpeMergeCache]]). */
@@ -3895,6 +3913,80 @@ object LlmOps {
        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 60""".stripMargin
   }
 
+  /** Edge fixture for [[pretokEdge]] — every PretokPattern alternative
+    * the corpus's plain lowercase words never reach: all seven
+    * contraction suffixes, digit runs (pure, letter-adjacent,
+    * dot-split), punctuation runs (single, doubled, bracketed,
+    * sentence-final ellipsis), and mixed-case input the normalizer
+    * must lower first. ONE Scala literal list feeds both engines (the
+    * SQL side interpolates these same strings), so the fixture cannot
+    * drift. ASCII only — the test JVM's default charset is US-ASCII. */
+  private[graft] val PretokEdgeFixture: Seq[(String, String)] = Seq(
+    "fix1" -> "Don't stop; it's Alice's CAN'T and won't",
+    "fix2" -> "abc123 def456 7890 x2y 3.14 v2.0.1",
+    "fix3" -> "hello, world!! (foo) -- bar... #tag $5; a+b=c",
+    "fix4" -> "I'm we're you've they'll she'd mix'd o'clock")
+
+  /** Pretokenization EDGE gate (t_pretok_edge): the claimed
+    * Java-regex/RE2 equivalence of [[graft.text.PretokPattern]],
+    * exercised where it is NOT trivially true (round-18 advice: the
+    * census gate's corpus is plain space-separated words, so the
+    * contraction/digit/punct alternatives were pinned Spark-side
+    * only). Two parts, one oracled result:
+    *  - the planted fixture's full positional segmentation — every
+    *    (item, pos, tok) compared through DuckDB's RE2
+    *    `regexp_extract_all` on the same literals;
+    *  - two corpus-wide invariant rows: the total pretoken count (any
+    *    leftmost-first match divergence on ANY doc shifts it) and the
+    *    lossless-concat violation count (must be 0 — concat of
+    *    pretokens reproduces the normalized text byte-for-byte).
+    * Scale shape: fixture side is O(1); corpus side is one map-only
+    * regexp pass + a two-cell aggregate. */
+  def pretokEdge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = PretokEdgeFixture.toDF("item", "raw")
+      .select(col("item"), posexplode(graft.text.pretok(col("raw"))))
+      .select(col("item"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val corpus = Tables.documents(s, dir)
+      .select(graft.text.pretok(col("text")).as("p"),
+        graft.text.norm_text(col("text")).as("nrm"))
+      .agg(sum(size(col("p"))).cast("long").as("n_tok"),
+        sum(when(concat_ws("", col("p")) =!= col("nrm"), 1L)
+          .otherwise(0L)).as("n_lossy"))
+    planted
+      .unionByName(corpus.select(lit("corpus_n_pretokens").as("item"),
+        col("n_tok").as("pos"), lit("").as("tok")))
+      .unionByName(corpus.select(lit("corpus_lossy_docs").as("item"),
+        col("n_lossy").as("pos"), lit("").as("tok")))
+      .orderBy(col("item"), col("pos"))
+  }
+
+  val pretokEdgeSql: String = {
+    val pat = graft.text.PretokPattern.replace("'", "''")
+    val fixtureRows = PretokEdgeFixture
+      .map { case (id, raw) => s"('$id', '${raw.replace("'", "''")}')" }
+      .mkString(",\n       ")
+    s"""WITH fx(item, raw) AS (VALUES
+       |  $fixtureRows),
+       |fp AS (SELECT item,
+       |    regexp_extract_all(${normSqlOf("raw")}, '$pat') AS toks FROM fx),
+       |planted AS (SELECT item, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+       |  FROM fp, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+       |cp AS (SELECT regexp_extract_all($NormSql, '$pat') AS toks,
+       |    $NormSql AS nrm FROM documents),
+       |agg AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+       |  CAST(SUM(CASE WHEN COALESCE(list_aggregate(toks, 'string_agg', ''), '')
+       |                     <> nrm THEN 1 ELSE 0 END) AS BIGINT) AS n_lossy
+       |  FROM cp)
+       |SELECT item, pos, tok FROM planted
+       |UNION ALL
+       |SELECT 'corpus_n_pretokens' AS item, n_tok AS pos, '' AS tok FROM agg
+       |UNION ALL
+       |SELECT 'corpus_lossy_docs' AS item, n_lossy AS pos, '' AS tok FROM agg
+       |ORDER BY item, pos""".stripMargin
+  }
+
   /** Byte-BPE merges learned over the REGEX-pretokenized census — the
     * authentic GPT-2 composition (pretokenize, THEN byte merges):
     * space-prefixed pretokens put the space byte (20) into the merge
@@ -3906,9 +3998,17 @@ object LlmOps {
   private val BpePretokMergeRounds = 12
 
   private val bpePretokMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long)]]
+    new graft.util.BoundedMemo[(String, Long, Int), Seq[(String, String, Long)]](MemoCap)
 
   def clearBpePretokMergeCache(): Unit = bpePretokMergeCache.clear()
+
+  /** Force the shared pretok-merge derivation NOW — Bench times this
+    * as its own `bpe_pretok_learn_shared` line item (the family grew
+    * encode/pack/artifact consumers in round 19, so the learning cost
+    * must not land on whichever gate runs first in sort order). */
+  def prewarmBpePretokMerges(s: SparkSession, dir: String): Unit = {
+    learnedPretokMerges(s, dir); ()
+  }
 
   private def pretokWordFreq(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -3929,21 +4029,157 @@ object LlmOps {
       .toDF("round", "lhs", "rhs", "freq")
   }
 
-  val bpeBytesPretokLearnSql: String = {
+  /** The pretokenized byte-merge chain — [[bpeBytesChainCtes]] with the
+    * GPT-2 regex splitter as s0 (words from `regexp_extract_all`, so
+    * space-prefixed pretokens carry byte 20 into the alphabet). Shared
+    * by the learn / encode / pack / artifact-round-trip oracles so the
+    * four replays of the same learned tokenizer cannot drift apart. */
+  private def bpePretokChainCtes: String = {
     val pat = graft.text.PretokPattern.replace("'", "''")
-    s"""WITH RECURSIVE
-       |s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |    list_transform(range(1, octet_length(encode(word)) + 1),
        |      i -> substring(hex(encode(word)), 2*i - 1, 2)) AS syms
        |  FROM (SELECT unnest(regexp_extract_all($NormSql, '$pat')) AS word
        |        FROM documents)
        |  GROUP BY word),
-       |${(1 to BpePretokMergeRounds).map(bpeRoundCte).mkString(",\n")}
+       |${(1 to BpePretokMergeRounds).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeBytesPretokLearnSql: String =
+    s"""WITH RECURSIVE $bpePretokChainCtes
        |${(1 to BpePretokMergeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, pf AS freq FROM b$r")
         .mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
+
+  /** The per-pretoken byte-symbol ENCODE projection under a given merge
+    * list — shared by [[bpePretokEncode]] (in-memory merges) and
+    * [[tokenizerWriteCommit]] (merges re-read from the committed
+    * artifact), so "re-encoding under the artifact" is by construction
+    * the same plan as the in-memory encode. */
+  private def pretokEncodeUnder(s: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame =
+    pretokWordFreq(s, dir)
+      .select(col("word"), col("freq"),
+        org.apache.spark.sql.graft.BpeTokens
+          .bpe_bytes_encode(col("word"), merges).as("sy"))
+      .select(col("word"), col("freq"),
+        size(col("sy")).cast("long").as("n_syms"),
+        array_join(col("sy"), " ").as("syms"))
+      .orderBy(col("word"))
+
+  /** Pretok-BPE ENCODE gate (t_bpe_pretok_encode): every census
+    * pretoken's final byte-symbol sequence under the PRETOK-learned
+    * merges — the applying half of the GPT-2 composition (round-18
+    * verdict #1: the fifth family could learn but not tokenize).
+    * Space-prefixed pretokens segment through merges whose symbols
+    * contain byte 20 — a chain no whitespace-census tokenizer has.
+    * Scale shape: one census aggregation, then map-only codegen'd
+    * encode over the vocabulary-sized census. */
+  def bpePretokEncode(s: SparkSession, dir: String): DataFrame =
+    pretokEncodeUnder(s, dir,
+      learnedPretokMerges(s, dir).map { case (l, r, _) => (l, r) })
+
+  val bpePretokEncodeSql: String =
+    s"""WITH RECURSIVE $bpePretokChainCtes
+       |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_syms,
+       |  list_aggregate(syms, 'string_agg', ' ') AS syms
+       |FROM s$BpePretokMergeRounds ORDER BY word""".stripMargin
+
+  /** Packing on pretok-BPE token counts (t_pack_bpe_pretok): the
+    * t_pack machinery with the GPT-2 tokenizer as the token measure —
+    * documents are pretokenized by the regex ([[graft.text.pretok]]),
+    * each pretoken byte-encoded under the pretok-learned merges, and
+    * the summed counts drive the same bucketed prefix-sum packer.
+    * Closes the learn → encode → pack ladder for the fifth family. */
+  def packBpePretok(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.packSequences(Tables.documents(s, dir),
+      tokensOf = org.apache.spark.sql.graft.BpeTokens
+        .bpe_bytes_count(graft.text.pretok(col("text")),
+          learnedPretokMerges(s, dir).map { case (l, r, _) => (l, r) }),
+      budget = 1024, bucketSize = 64)
+
+  /** Unlike the whitespace pack oracles, the per-doc token count joins
+    * back through `documents` with a COALESCE default: a doc whose
+    * normalized text is empty has NO pretokens (`regexp_extract_all`
+    * yields an empty list, so the doc vanishes from the unnest), yet
+    * the packer still places it with ntok = 0 — the whitespace census
+    * never hits this because `string_split('' , ' ')` is `['']`. */
+  val packBpePretokSql: String = {
+    val pat = graft.text.PretokPattern.replace("'", "''")
+    s"""WITH RECURSIVE $bpePretokChainCtes,
+       |nsym AS (SELECT word, CAST(len(syms) AS BIGINT) AS ns FROM s$BpePretokMergeRounds),
+       |dt AS (SELECT doc_id, unnest(regexp_extract_all($NormSql, '$pat')) AS word
+       |       FROM documents),
+       |tn AS (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS ntok
+       |       FROM dt JOIN nsym USING (word) GROUP BY doc_id),
+       |n AS (SELECT d.doc_id, COALESCE(tn.ntok, 0) AS ntok
+       |      FROM documents d LEFT JOIN tn USING (doc_id)),
+       |c AS (SELECT doc_id, ntok,
+       |  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok AS sof FROM n)
+       |SELECT CAST(floor(sof / 1024.0) AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  /** Tokenizer-ARTIFACT round trip through the cloud committers
+    * (t_tokenizer_write_commit): the learned pretok merge list is
+    * WRITTEN to parquet with the write routed through
+    * [[org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol]] (+
+    * the bound parquet committer), job-commit asserted, then RE-READ
+    * and required row-identical to the in-memory list — and the gate's
+    * RESULT is the census re-encoded under the RE-READ merges, held to
+    * the same oracle as [[bpePretokEncode]]. A trainer consumes the
+    * tokenizer as a stored artifact, not a JVM object; this is the
+    * committed-artifact fidelity story for the tokenizer family (the
+    * t_pack_write_commit discipline). Conf dance mirrors
+    * [[packWriteCommit]]; both keys are restored afterward. */
+  def tokenizerWriteCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = learnedPretokMerges(s, dir)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tokenizer_commit_gate").getAbsolutePath
+    val protoKey = "spark.sql.sources.commitProtocolClass"
+    val parqKey = "spark.sql.parquet.output.committer.class"
+    val prevProto = s.conf.getOption(protoKey)
+    val prevParq = s.conf.getOption(parqKey)
+    s.conf.set(protoKey,
+      "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
+    s.conf.set(parqKey,
+      "org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter")
+    try {
+      val before =
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+      merges.zipWithIndex
+        .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
+        .toDF("round", "lhs", "rhs", "freq")
+        .write.mode("overwrite").parquet(out)
+      val after =
+        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+      if (after <= before) throw new IllegalStateException(
+        s"write to $out did not commit through PathOutputCommitProtocol " +
+          s"(commit count $before -> $after) — committer binding is broken")
+    } finally {
+      prevProto match {
+        case Some(v) => s.conf.set(protoKey, v); case None => s.conf.unset(protoKey)
+      }
+      prevParq match {
+        case Some(v) => s.conf.set(parqKey, v); case None => s.conf.unset(parqKey)
+      }
+    }
+    // the artifact IS the tokenizer: the re-read list must be the
+    // in-memory list bit-for-bit (order carried by the round column —
+    // merge order is part of the tokenizer's semantics)
+    val back = s.read.parquet(out).orderBy(col("round"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expect = merges.map { case (l, r, _) => (l, r) }
+    require(back == expect,
+      s"re-read merge artifact diverges from the learned list " +
+        s"(${back.size} vs ${expect.size} rows) — committed tokenizer is corrupt")
+    pretokEncodeUnder(s, dir, back)
   }
 
   // ---------------------------------------------------------------------
@@ -4006,7 +4242,7 @@ object LlmOps {
     * line items exist to prevent). Key carries the corpus listing
     * fingerprint so a regenerated dir can never be served stale. */
   private val unigramCensusCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), Seq[(String, Long)]]
+    new graft.util.BoundedMemo[(String, Long, Int, Int), Seq[(String, Long)]](MemoCap)
 
   /** Drop the memoized census — Bench calls this at the start of each
     * suite pass (see [[clearBpeMergeCache]]). */
@@ -4401,7 +4637,7 @@ object LlmOps {
     * verbatim (key carries the corpus listing fingerprint so a
     * regenerated dir can never be served a stale list). */
   private val wpMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Seq[(String, String, Long, Long)]]
+    new graft.util.BoundedMemo[(String, Long, Int), Seq[(String, String, Long, Long)]](MemoCap)
 
   private def learnedWpMerges(s: SparkSession, dir: String): Seq[(String, String, Long, Long)] =
     wpMergeCache.getOrElseUpdate((dir, corpusFingerprint(s, dir), WpMergeRounds),
@@ -4497,7 +4733,7 @@ object LlmOps {
     * reference objects. Memoized with the merge list (one derivation
     * per corpus per pass). */
   private val wpVocabCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), (Seq[String], Seq[String])]
+    new graft.util.BoundedMemo[(String, Long, Int), (Seq[String], Seq[String])](MemoCap)
 
   private def wordpieceVocabs(s: SparkSession, dir: String): (Seq[String], Seq[String]) =
     wpVocabCache.getOrElseUpdate((dir, corpusFingerprint(s, dir), WpMergeRounds), {
@@ -7438,8 +7674,8 @@ object LlmOps {
   /** One training run per corpus, shared by the weights gate and the
     * holdout-prediction gate (the [[bpeMergeCache]] discipline). */
   private val qclfModelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int),
-      graft.text.Classify.LinearModel]
+    new graft.util.BoundedMemo[(String, Long, Int, Int),
+      graft.text.Classify.LinearModel](MemoCap)
 
   def clearQclfModelCache(): Unit = qclfModelCache.clear()
 
@@ -7558,8 +7794,8 @@ object LlmOps {
   private val QClfNgBuckets = 64
 
   private val qclfNgCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int),
-      Seq[Array[Long]]]
+    new graft.util.BoundedMemo[(String, Long, Int, Int),
+      Seq[Array[Long]]](MemoCap)
 
   def clearQclfNgCache(): Unit = qclfNgCache.clear()
 
@@ -7682,6 +7918,93 @@ object LlmOps {
        |SELECT doc_id, y, CAST(s AS BIGINT) AS score,
        |  CASE WHEN s > 0 THEN 1 ELSE -1 END AS pred
        |FROM hs ORDER BY doc_id""".stripMargin
+
+  /** COMMITTED quality measurement for the trained filter family
+    * (t_quality_clf_eval): one confusion-matrix row per model —
+    * directory-unigram (FINAL weights, its shipping configuration) and
+    * hashed-n-gram (AVERAGED weights, ditto) — over the shared md5-'0'
+    * holdout: (model, tp, fp, fn, tn, n_correct, n_total). The
+    * d_winnow_recall discipline applied to the classifiers: the
+    * 0.857-vs-0.548 comparison QualityClfSpec only logged is now a
+    * hash-pinned oracle row (round-18 verdict #4), every cell an exact
+    * integer DuckDB recomputes through BOTH weight chains. Scale
+    * shape: two map-only scoring passes + holdout-sized aggregation;
+    * the models ride as literal maps. */
+  def qualityClfEval(s: SparkSession, dir: String): DataFrame = {
+    def cells(scored: DataFrame, name: String): DataFrame =
+      scored.agg(
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("pred") === -1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === -1 && col("pred") === -1, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === col("pred"), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_total"))
+      .select(lit(name).as("model"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("n_correct"), col("n_total"))
+    cells(qualityClfPred(s, dir), "dir_unigram")
+      .unionByName(cells(qualityClfNgPred(s, dir), "hashed_ngram"))
+      .orderBy(col("model"))
+  }
+
+  /** Both full training chains replayed in ONE statement (their CTE
+    * namespaces are disjoint by construction: the unigram chain owns
+    * n/lab/dt/feat/x/w*, the hashed chain nn/nlab/nbase/ngr/nx/nw*),
+    * then the shared holdout scored through each model's weight chain
+    * — final w$QClfEpochs for the directory model, the epoch-sum for
+    * the hashed model (see [[qualityClfNgPred]]). */
+  val qualityClfEvalSql: String = {
+    val cellsSql =
+      """CAST(SUM(CASE WHEN y = 1 AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN y = -1 AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN y = 1 AND s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN y = -1 AND s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(SUM(CASE WHEN (y = 1 AND s > 0) OR (y = -1 AND s <= 0)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total""".stripMargin
+    s"""WITH $qclfBaseCtes,
+       |${(1 to QClfEpochs).map(qclfEpochCte).mkString(",\n")},
+       |$qclfNgBaseCtes,
+       |${(1 to QClfEpochs).map(qclfNgEpochCte).mkString(",\n")},
+       |ehn AS (SELECT doc_id, $NormSql AS norm FROM documents
+       |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+       |ehlab AS MATERIALIZED (SELECT doc_id, norm, $QclfLabelSql AS y FROM ehn),
+       |uhdt AS (SELECT doc_id, y, unnest(string_split(norm, ' ')) AS word FROM ehlab),
+       |uhx AS (
+       |  SELECT doc_id, y, fidx, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM uhdt JOIN feat ON word = tok GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, 0, CAST(1 AS BIGINT) FROM ehlab),
+       |uhs AS (SELECT uhx.doc_id, uhx.y AS y, SUM(uhx.cnt * w.wt) AS s
+       |        FROM uhx JOIN w$QClfEpochs w USING (fidx) GROUP BY 1, 2),
+       |ehbase AS (SELECT doc_id, y, string_split(norm, ' ') AS t FROM ehlab),
+       |ghgr AS (SELECT doc_id, y, unnest(t) AS g FROM ehbase
+       |         UNION ALL
+       |         SELECT doc_id, y, t[i] || ' ' || t[i + 1] AS g
+       |         FROM ehbase,
+       |           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+       |ghx AS (
+       |  SELECT doc_id, y,
+       |    CAST(1 + CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+       |         % $QClfNgBuckets AS INTEGER) AS fidx,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ghgr GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, 0, CAST(1 AS BIGINT) FROM ehlab),
+       |gwavg AS (SELECT fidx, CAST(SUM(wt) AS BIGINT) AS wt FROM (
+       |${(1 to QClfEpochs).map(e => s"  SELECT fidx, wt FROM nw$e")
+        .mkString("\n  UNION ALL\n")}
+       |) GROUP BY fidx),
+       |ghs AS (SELECT ghx.doc_id, ghx.y AS y, SUM(ghx.cnt * w.wt) AS s
+       |        FROM ghx JOIN gwavg w USING (fidx) GROUP BY 1, 2)
+       |SELECT 'dir_unigram' AS model,
+       |  $cellsSql
+       |FROM uhs
+       |UNION ALL
+       |SELECT 'hashed_ngram' AS model,
+       |  $cellsSql
+       |FROM ghs
+       |ORDER BY model""".stripMargin
+  }
 
   // ------------------------------------------------------- round 12b:
   // hybrid retrieval fusion, provenance propagation, sketch set algebra,
@@ -8296,6 +8619,38 @@ object LlmOps {
     "WITH " + UrlCanonCtes + "\n" +
     s"""SELECT curl, domain, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
        |FROM curls GROUP BY curl, domain ORDER BY curl""".stripMargin
+
+  /** Event-time horizon for the TTL'd dedup stream gate (st_dedup_ttl)
+    * — 600 s splits the planted re-arrival offsets (10 s → dup,
+    * horizon + 1 h → lapsed/kept) and lands inside the natural
+    * same-fp id-gap distribution at every SF, so both branches also
+    * fire on organic duplicates. */
+  private[graft] val DedupTtlHorizonS = 600L
+
+  /** Oracle for [[graft.streaming.Streaming.dedupTtlStream]]: replay
+    * the planted arrival clock, then dedup-within-horizon is a plain
+    * LAG window — the fold's lastSeen advances on EVERY sighting, so
+    * an arrival is 'kept' iff the previous sighting of its fingerprint
+    * (any status) is more than the horizon older, or absent. */
+  val stDedupTtlSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, md5($NormSql) AS fp,
+       |    1000000000 + doc_id AS ts_s FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantBaseSql, md5($NormSql) AS fp,
+       |    1000000000 + doc_id + 10 AS ts_s
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2 * $PlantBaseSql, md5($NormSql) AS fp,
+       |    1000000000 + doc_id + ${DedupTtlHorizonS + 3600L} AS ts_s
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |lagged AS (SELECT doc_id, fp, ts_s,
+       |    LAG(ts_s) OVER (PARTITION BY fp ORDER BY ts_s, doc_id) AS prev
+       |  FROM src)
+       |SELECT doc_id, fp,
+       |  CASE WHEN prev IS NULL OR ts_s - prev > $DedupTtlHorizonS
+       |       THEN 'kept' ELSE 'dup' END AS status
+       |FROM lagged ORDER BY doc_id""".stripMargin
 
   val dedupUrlSql: String =
     "WITH " + UrlCanonCtes + ",\n" +
@@ -9013,7 +9368,7 @@ object LlmOps {
     * memoization pattern. domainRank keeps the live chain: it needs
     * per-DOC ranks, and it IS the gate that pins the chain itself. */
   private val tierCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[(String, Long)]]
+    new graft.util.BoundedMemo[(String, Long), Seq[(String, Long)]](MemoCap)
 
   def clearTierCache(): Unit = tierCache.clear()
 

@@ -39,6 +39,23 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** True iff the vector has a nonzero L2 norm. GENERATED embeddings
+    * (signed token sums — [[org.apache.spark.sql.graft.HashedEmbed]])
+    * can be the exact zero vector when every dimension cancels (an
+    * empty token bag does it exactly; short docs can at crawl scale);
+    * cosine against a zero vector THROWS divide-by-zero under Spark
+    * 4's default ANSI mode (measured — EmbedGenSpec pins it), and with
+    * ANSI off would be NaN, which sorts FIRST under Spark's DESC while
+    * DuckDB's NULL sorts last — so every generated-embedding consumer
+    * must drop zero vectors at the featurizer boundary, with the
+    * oracle applying the same exact integer-sum-of-squares predicate.
+    * Fixture embeddings are nonzero by construction and need no guard.
+    * The sum of squares is exact in double for any realistic token
+    * count (components are small integers, well under 2^26). */
+  def nonzeroNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")) > lit(0.0)
+
   /** Exact top-k by cosine against one stored query vector; deterministic
     * ordering via (rounded sim desc, id). */
   def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int,

@@ -819,6 +819,68 @@ object Streaming {
       .toDF()
   }
 
+  /** The TTL'd dedup twin as an ORACLED GATE (st_dedup_ttl):
+    * [[incrementalDedupTtlTransform]]'s fold over a planted corpus
+    * replay — the one production streaming mechanism (EventTimeTimeout
+    * eviction + the horizon-lapse re-open in the data path) that was
+    * spec-driven only (round-18 verdict #3). Event time is synthetic
+    * arrival seconds (epoch 10⁹ + doc_id, the decontamEmbedWm
+    * discipline); plants guarantee both horizon branches at every SF:
+    * every 7th doc re-arrives 10 s after its original (inside the
+    * 600 s horizon → dup) and every 11th re-arrives horizon + 1 h
+    * later (lapsed → kept as a fresh original), under fresh
+    * max(doc_id)-derived ids. Because lastSeen advances on EVERY
+    * sighting, "kept" is exactly "gap from the previous sighting of
+    * this fp exceeds the horizon" — a plain LAG window in the oracle.
+    *
+    * Scale shape: fingerprinting is map-only on arrivals; state is one
+    * (firstId, lastSeen) row per fingerprint seen within ~one horizon
+    * (watermark-driven eviction, InfraSpec asserts the store shrinks)
+    * — bounded by arrival rate × horizon, never corpus size. */
+  private[graft] def dedupTtlGateTransform(s: SparkSession, dir: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val horizonS = graft.queries.LlmOps.DedupTtlHorizonS
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val pb = graft.queries.LlmOps.plantBase(graft.Tables.documents(s, dir))
+    val base = lit(1000000000L)
+    def arrivals(from: DataFrame, ids: org.apache.spark.sql.Column,
+        tsS: org.apache.spark.sql.Column): DataFrame =
+      from.select(ids.as("doc_id"),
+        graft.text.fingerprint_md5(col("text")).as("fp"),
+        timestamp_seconds(tsS).as("ts"))
+    val events = arrivals(src, col("doc_id"), base + col("doc_id"))
+      .unionByName(arrivals(src.filter(col("doc_id") % 7 === 0),
+        col("doc_id") + pb, base + col("doc_id") + 10L))
+      .unionByName(arrivals(src.filter(col("doc_id") % 11 === 0),
+        col("doc_id") + 2 * pb, base + col("doc_id") + horizonS + 3600L))
+    events.withWatermark("ts", "60 seconds")
+      .as[IncTDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[IncTState, IncOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        incrementalTtlFold(horizonS * 1000L))
+      .toDF()
+  }
+
+  def dedupTtlStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_dedup_ttl"): DataFrame = {
+    val out = dedupTtlGateTransform(s, dir)
+    withReplayPartitions(s, 4) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("doc_id"))
+  }
+
   def incrementalDedupStream(s: SparkSession, dir: String,
       queryName: String = "graft_stream_incr"): DataFrame = {
     val out = incrementalDedupTransform(s, dir, histDir = dir)
@@ -1778,6 +1840,10 @@ object Streaming {
         org.apache.spark.sql.graft.HashedEmbed.hashed_embed(
           graft.text.tokens(col("text")),
           graft.queries.LlmOps.EmbedGenDims).as("e"))
+      // same zero-norm boundary as the batch gate (Ann.nonzeroNorm):
+      // the ingest twin must emit exactly the vectors the batch
+      // featurizer would index
+      .filter(graft.similarity.Ann.nonzeroNorm(col("e")))
       .select(col("doc_id"),
         concat_ws(" ", transform(col("e"), _.cast("string"))).as("embedding"))
     withReplayPartitions(s, 4) {

@@ -305,7 +305,18 @@ object Classify {
 
   /** Score docs under a trained [[LinearModel]]'s FINAL weights:
     * (idCol, y, score, pred) with pred = +1 iff w·x > 0 — the applied
-    * quality filter. Map-only: the model rides as two literal maps. */
+    * quality filter. Map-only: the model rides as two literal maps.
+    *
+    * FINAL weights here vs AVERAGED in [[perceptronScoreHashed]]'s
+    * caller is deliberate, not drift: the directory feature space is
+    * low-collision (each fidx is one literal token), so the batch
+    * perceptron's final epoch sits in a stable phase and final ==
+    * averaged up to scale on this corpus family — whereas the hashed
+    * space's collision-CORRELATED features make the final epoch
+    * oscillate between separating phases (measured: a raw final epoch
+    * landed at 0.14 holdout accuracy), so the hashed model ships the
+    * Freund–Schapire averaged weights. Both configurations are
+    * hash-pinned side by side by the t_quality_clf_eval gate. */
   def perceptronScore(docs: DataFrame, model: LinearModel, labelCol: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = model.weightsByEpoch.last

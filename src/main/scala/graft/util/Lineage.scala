@@ -74,8 +74,19 @@ object Lineage {
     * means the same cloud store the committers write through. */
   val ReliableKey = "spark.graft.sever.reliable"
 
+  /** Case-insensitive, whitespace-tolerant parse with a sever-time
+    * diagnostic: a malformed value ('1', 'yes', …) must name the key
+    * and the bad value, not surface as a bare IllegalArgumentException
+    * from String.toBoolean deep inside a query plan. */
   private def reliableMode(s: org.apache.spark.sql.SparkSession): Boolean =
-    s.conf.getOption(ReliableKey).exists(_.toBoolean)
+    s.conf.getOption(ReliableKey).exists { raw =>
+      raw.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case _ => throw new IllegalArgumentException(
+          s"$ReliableKey must be 'true' or 'false', got '$raw'")
+      }
+    }
 
   /** The reliable-`checkpoint` sever: same frame/release contract as
     * the local path (release is still destructive — checkpoint FILES

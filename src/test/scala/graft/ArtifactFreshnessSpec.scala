@@ -69,6 +69,7 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     val names = benchQueryNames(f)
     val expected = SparkEntry.queries.keySet +
       "bpe_learn_shared" + "bpe_bytes_learn_shared" +
+      "bpe_pretok_learn_shared" +
       "wordpiece_learn_shared" + "unigram_learn_shared" +
       "quality_clf_learn_shared" + "quality_clf_ng_learn_shared" +
       "tier_chain_shared"

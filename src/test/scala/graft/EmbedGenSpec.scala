@@ -85,4 +85,32 @@ class EmbedGenSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall over generated embeddings: $recall")
     graft.util.IntermediateCaches.releaseAll(blocking = true)
   }
+
+  test("zero-norm generated embeddings are dropped at the featurizer boundary") {
+    // the motive, MEASURED: under Spark 4's default ANSI mode cosine
+    // against the zero vector THROWS divide-by-zero mid-job (and with
+    // ANSI off it would be NaN, which sorts FIRST under DESC while
+    // DuckDB's NULL sorts last) — either way the guard must fire
+    // before any ranking
+    // (SparkArithmeticException itself is private[spark]; its public
+    // supertype is java.lang.ArithmeticException)
+    val e = intercept[Throwable] {
+      spark.range(1)
+        .select(graft.similarity.Ann.cosine(
+          array(lit(0.0), lit(0.0)), array(lit(1.0), lit(0.0))))
+        .head()
+    }
+    assert(String.valueOf(e.getMessage).contains("DIVIDE_BY_ZERO") ||
+      String.valueOf(e.getCause).contains("DIVIDE_BY_ZERO"),
+      s"expected a divide-by-zero failure, got $e")
+    // an empty token bag IS the zero vector (pinned above), the
+    // realistic way a generated embedding cancels; the guard drops it
+    val docs = Seq((1L, Seq.empty[String]), (2L, Seq("cat")))
+      .toDF("id", "toks")
+      .select(col("id"),
+        HashedEmbed.hashed_embed(col("toks"), D).cast("array<double>").as("e"))
+    val kept = docs.filter(graft.similarity.Ann.nonzeroNorm(col("e")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+  }
 }

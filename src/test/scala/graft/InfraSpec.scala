@@ -247,6 +247,44 @@ class InfraSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("st_dedup_ttl gate == batch LAG recomputation; both plant branches fire") {
+    // state-bound/eviction mechanics are pinned by the transform test
+    // above; this drives the ORACLED gate over the planted corpus
+    // replay and recomputes its lag-window semantics in batch
+    val got = graft.streaming.Streaming
+      .dedupTtlStream(spark, sf0001, queryName = "infra_ttl_gate")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docs = Tables.documents(spark, sf0001)
+    val pb = graft.queries.LlmOps.plantBase(docs)
+    val horizon = graft.queries.LlmOps.DedupTtlHorizonS
+    val base = lit(1000000000L)
+    def leg(from: org.apache.spark.sql.DataFrame,
+        ids: org.apache.spark.sql.Column, tsS: org.apache.spark.sql.Column) =
+      from.select(ids.as("doc_id"),
+        graft.text.fingerprint_md5(col("text")).as("fp"), tsS.as("ts_s"))
+    val src = leg(docs, col("doc_id"), base + col("doc_id"))
+      .unionByName(leg(docs.filter(col("doc_id") % 7 === 0),
+        col("doc_id") + pb, base + col("doc_id") + 10L))
+      .unionByName(leg(docs.filter(col("doc_id") % 11 === 0),
+        col("doc_id") + 2 * pb, base + col("doc_id") + horizon + 3600L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("ts_s"), col("doc_id"))
+    val expected = src.withColumn("prev", lag(col("ts_s"), 1).over(w))
+      .select(col("doc_id"), col("fp"),
+        when(col("prev").isNull || col("ts_s") - col("prev") > horizon,
+          "kept").otherwise("dup").as("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    // both planted branches must actually fire: a within-horizon
+    // re-arrival marked dup, and a lapsed re-arrival re-opened as kept
+    val statusOf = got.map(t => t._1 -> t._3).toMap
+    assert(got.exists(t => t._1 >= pb && t._1 < 2 * pb && t._3 == "dup"),
+      "no within-horizon plant was marked dup")
+    assert(got.exists(t => t._1 >= 2 * pb && t._3 == "kept"),
+      "no lapsed plant was re-opened as kept")
+    assert(statusOf.size == got.length, "planted ids collide")
+  }
+
   test("incremental dedup stream: state fp-bounded, RocksDB == default, multi-batch == batch") {
     import graft.streaming.Streaming
     // batch truth: the d_incremental operator on the same composition

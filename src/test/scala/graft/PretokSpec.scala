@@ -81,4 +81,65 @@ class PretokSpec extends AnyFunSuite {
     assert(pre.keys.forall(t => t.matches(" ?[a-z]+")))
     assert(pre.keys.exists(_.startsWith(" ")))
   }
+
+  test("t_bpe_pretok_encode: lossless hex concat, counts consistent, space-marker symbols minted") {
+    val enc = graft.queries.LlmOps.bpePretokEncode(spark, sf0001).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val word = r.getString(0)
+      val syms = r.getString(3).split(" ").filter(_.nonEmpty)
+      // the merge fold never loses bytes: rejoined symbols == the
+      // word's full UTF-8 hex rendering
+      val hex = word.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+      assert(syms.mkString == hex, s"lossy encode of '$word'")
+      assert(r.getLong(2) == syms.length.toLong)
+    }
+    // the GPT-2 signature: some merged symbol BEGINS with the space
+    // byte (20) — a " t"-style marker symbol no whitespace-census
+    // tokenizer can mint
+    assert(enc.exists(_.getString(3).split(" ")
+        .exists(s => s.length > 2 && s.startsWith("20"))),
+      "no space-marker merged symbol in the encode table")
+  }
+
+  test("t_pack_bpe_pretok totals == census freq x encoded length; all docs packed") {
+    val enc = graft.queries.LlmOps.bpePretokEncode(spark, sf0001).collect()
+    val fromCensus = enc.map(r => r.getLong(1) * r.getLong(2)).sum
+    val pack = graft.queries.LlmOps.packBpePretok(spark, sf0001).collect()
+    assert(pack.map(_.getLong(2)).sum == fromCensus,
+      "packed token total diverges from the census count")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(pack.map(_.getLong(1)).sum == nDocs)
+  }
+
+  test("t_tokenizer_write_commit: the committed-artifact re-encode == the in-memory encode") {
+    val viaArtifact = graft.queries.LlmOps.tokenizerWriteCommit(spark, sf0001)
+      .collect().toSeq
+    val inMemory = graft.queries.LlmOps.bpePretokEncode(spark, sf0001)
+      .collect().toSeq
+    assert(viaArtifact == inMemory)
+  }
+
+  test("t_pretok_edge: fixture segmentation hits every pattern branch; corpus invariants hold") {
+    val rows = graft.queries.LlmOps.pretokEdge(spark, sf0001).collect()
+    def toks(item: String): Seq[String] = rows.filter(_.getString(0) == item)
+      .sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+    // all seven contraction suffixes ('s 't 're 've 'm 'll 'd)
+    assert(toks("fix1") == Seq("don", "'t", " stop", ";", " it", "'s",
+      " alice", "'s", " can", "'t", " and", " won", "'t"))
+    assert(toks("fix4") == Seq("i", "'m", " we", "'re", " you", "'ve",
+      " they", "'ll", " she", "'d", " mix", "'d", " o", "'", "clock"))
+    // digit runs split from letters; dots split digit runs
+    assert(toks("fix2") == Seq("abc", "123", " def", "456", " 7890",
+      " x", "2", "y", " 3", ".", "14", " v", "2", ".", "0", ".", "1"))
+    // punctuation runs: single, doubled, bracketed, ellipsis, symbols
+    assert(toks("fix3") == Seq("hello", ",", " world", "!!", " (", "foo",
+      ")", " --", " bar", "...", " #", "tag", " $", "5", ";", " a", "+",
+      "b", "=", "c"))
+    def cell(item: String): Long =
+      rows.find(_.getString(0) == item).get.getLong(1)
+    assert(cell("corpus_lossy_docs") == 0L,
+      "concat(pretok) != norm_text on some corpus doc")
+    assert(cell("corpus_n_pretokens") > 0L)
+  }
 }

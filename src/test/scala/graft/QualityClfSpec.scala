@@ -139,4 +139,24 @@ class QualityClfSpec extends AnyFunSuite {
     assert(ng >= uni - 0.10, f"hashed model collapsed: $ng%.4f vs $uni%.4f")
     assert(ng > 0.5 && uni > 0.5)
   }
+
+  test("t_quality_clf_eval: confusion cells are internally consistent and match the pred gates") {
+    val rows = graft.queries.LlmOps.qualityClfEval(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("dir_unigram", "hashed_ngram"))
+    val preds = Map(
+      "dir_unigram" -> graft.queries.LlmOps.qualityClfPred(spark, sf0001).collect(),
+      "hashed_ngram" -> graft.queries.LlmOps.qualityClfNgPred(spark, sf0001).collect())
+    rows.foreach { r =>
+      val (model, tp, fp, fn, tn) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val (nCorrect, nTotal) = (r.getLong(5), r.getLong(6))
+      assert(tp + fp + fn + tn == nTotal, s"$model cells do not tile the holdout")
+      assert(nCorrect == tp + tn, s"$model accuracy numerator != tp + tn")
+      // the eval row must be EXACTLY the pred gate's scoring, re-binned
+      val p = preds(model)
+      assert(nTotal == p.length.toLong)
+      assert(nCorrect == p.count(x => x.getInt(3) == x.getInt(1)).toLong,
+        s"$model eval row diverges from the pred gate")
+    }
+  }
 }

@@ -87,6 +87,22 @@ class ScaleSpec extends AnyFunSuite {
       assert(rel.collect().toSeq.sortBy(_.getLong(0)) == expect,
         "reliable-severed frame must survive its release hook")
     } finally spark.conf.unset(Lineage.ReliableKey)
+
+    // malformed flag values fail at sever time with a message naming
+    // the key (round-18 advice: a bare String.toBoolean throw from a
+    // deep call site is undiagnosable); case/whitespace variants parse
+    spark.conf.set(Lineage.ReliableKey, "1")
+    try {
+      val e = intercept[IllegalArgumentException] { Lineage.sever(base) }
+      assert(e.getMessage.contains(Lineage.ReliableKey) &&
+        e.getMessage.contains("'1'"))
+    } finally spark.conf.unset(Lineage.ReliableKey)
+    spark.conf.set(Lineage.ReliableKey, " False ")
+    try {
+      val (df, rel) = Lineage.sever(base) // parses as false: local path
+      assert(df.collect().toSeq.sortBy(_.getLong(0)) == expect)
+      rel(true)
+    } finally spark.conf.unset(Lineage.ReliableKey)
   }
 
   test("saltedSelfJoinPairs == plain self-join pairs, every salt") {
