@@ -2371,6 +2371,64 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF INDEX as a COMMITTED ARTIFACT (s_ann_index_commit): the
+    * production retrieval index is not a JVM object — it is BUILT once
+    * (centroid table + corpus cell assignment), persisted, and probed
+    * by later jobs that never re-derive it. This gate is that story
+    * end-to-end through the cloud committers: both index tables
+    * written via [[org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol]]
+    * (TWO job commits asserted), the centroid table re-read and
+    * required row-identical to the in-memory seeds (the tokenizer-
+    * artifact fidelity discipline — centroid ORDER and VALUES are part
+    * of the index's semantics: probe tie-breaks depend on cell ids),
+    * then the [[BatchQueryIds]] query set retrieved THROUGH the
+    * re-read index ([[graft.similarity.Ann.probeRankFromIndex]] — the
+    * same plan tail the in-memory path runs) and held to
+    * [[annBatchIvfSql]] unchanged.
+    *
+    * Scale shape: the assignment table is the one corpus-sized
+    * artifact — stored keyed by vec_id, its consumption is a single
+    * equi-join back to the vector store (co-partitioned by id on a
+    * real deployment, bucketed parquet here); the centroid table stays
+    * dimension-sized and broadcasts. Nothing corpus-sized ever reaches
+    * the driver. */
+  def annIndexCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*))
+    val queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+    val (cells, cents) = Ann.collectSeeds(
+      Ann.ivfSeeds(corpus, nCells = 8, lloydIters = 0, "vec_id", "embedding"))
+    val tmp = sys.props("java.io.tmpdir")
+    val centOut = new java.io.File(tmp, "graft_ann_index_cents").getAbsolutePath
+    val asgOut = new java.io.File(tmp, "graft_ann_index_asg").getAbsolutePath
+    withCloudCommitters(s, expectJobs = 2) {
+      cells.zip(cents.map(c => if (c == null) null else c.toSeq)).toSeq
+        .toDF("cell_id", "cvec")
+        .write.mode("overwrite").parquet(centOut)
+      corpus.select(col("vec_id"),
+          org.apache.spark.sql.graft.NearestCentroid
+            .nearest_centroid(col("embedding"), cells, cents).as("cell"))
+        .write.mode("overwrite").parquet(asgOut)
+    }
+    // the artifact IS the index: re-read centroids must be the derived
+    // seeds bit-for-bit before any probe trusts them
+    val seedsBack = s.read.parquet(centOut)
+    val backRows = seedsBack.orderBy(col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val expectRows = cells.zip(cents.map(c => if (c == null) null else c.toSeq))
+      .sortBy(_._1).toSeq
+    require(backRows == expectRows,
+      s"re-read centroid artifact diverges from the derived seeds " +
+        s"(${backRows.size} vs ${expectRows.size} rows) — committed index is corrupt")
+    val assigned = s.read.parquet(asgOut)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        Ann.l2norm(col("embedding")).as("cn"))
+    Ann.probeRankFromIndex(assigned, seedsBack, queries, k = 3, probes = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IN-PIPE EMBEDDING GENERATION composed end-to-end (t_embed_gen):
     * the one asymmetry every earlier similarity gate carried was that
     * embeddings arrived PRECOMPUTED in the fixture — here the
@@ -3521,6 +3579,22 @@ object LlmOps {
   def packWriteCommit(s: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_pack_commit_gate").getAbsolutePath
+    withCloudCommitters(s) {
+      packManifestGate(s, dir).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out).orderBy(col("doc_id"))
+  }
+
+  /** Route the parquet writes inside `body` through the cloud
+    * committers ([[org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol]]
+    * + [[org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter]])
+    * and assert `expectJobs` job COMMITS actually went through the
+    * protocol — a silently-defaulted protocol (conf typo, Spark
+    * change) fails the gate loudly instead of passing through the
+    * rename path. Both conf keys are restored afterward: every
+    * `*_write_commit` gate leaves the session as found. */
+  private def withCloudCommitters[T](s: SparkSession, expectJobs: Int = 1)(
+      body: => T): T = {
     val protoKey = "spark.sql.sources.commitProtocolClass"
     val parqKey = "spark.sql.parquet.output.committer.class"
     val prevProto = s.conf.getOption(protoKey)
@@ -3532,12 +3606,13 @@ object LlmOps {
     try {
       val before =
         org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
-      packManifestGate(s, dir).write.mode("overwrite").parquet(out)
+      val r = body
       val after =
         org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
-      if (after <= before) throw new IllegalStateException(
-        s"write to $out did not commit through PathOutputCommitProtocol " +
-          s"(commit count $before -> $after) — committer binding is broken")
+      if (after - before < expectJobs) throw new IllegalStateException(
+        s"expected $expectJobs job commit(s) through PathOutputCommitProtocol, " +
+          s"saw ${after - before} (count $before -> $after) — committer binding is broken")
+      r
     } finally {
       prevProto match {
         case Some(v) => s.conf.set(protoKey, v); case None => s.conf.unset(protoKey)
@@ -3546,7 +3621,6 @@ object LlmOps {
         case Some(v) => s.conf.set(parqKey, v); case None => s.conf.unset(parqKey)
       }
     }
-    s.read.parquet(out).orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------ BPE tokenizer
@@ -4141,33 +4215,11 @@ object LlmOps {
     val merges = learnedPretokMerges(s, dir)
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_tokenizer_commit_gate").getAbsolutePath
-    val protoKey = "spark.sql.sources.commitProtocolClass"
-    val parqKey = "spark.sql.parquet.output.committer.class"
-    val prevProto = s.conf.getOption(protoKey)
-    val prevParq = s.conf.getOption(parqKey)
-    s.conf.set(protoKey,
-      "org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol")
-    s.conf.set(parqKey,
-      "org.apache.spark.sql.graft.cloud.BindingParquetOutputCommitter")
-    try {
-      val before =
-        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
+    withCloudCommitters(s) {
       merges.zipWithIndex
         .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
         .toDF("round", "lhs", "rhs", "freq")
         .write.mode("overwrite").parquet(out)
-      val after =
-        org.apache.spark.sql.graft.cloud.PathOutputCommitProtocol.jobsCommitted.get()
-      if (after <= before) throw new IllegalStateException(
-        s"write to $out did not commit through PathOutputCommitProtocol " +
-          s"(commit count $before -> $after) — committer binding is broken")
-    } finally {
-      prevProto match {
-        case Some(v) => s.conf.set(protoKey, v); case None => s.conf.unset(protoKey)
-      }
-      prevParq match {
-        case Some(v) => s.conf.set(parqKey, v); case None => s.conf.unset(parqKey)
-      }
     }
     // the artifact IS the tokenizer: the re-read list must be the
     // in-memory list bit-for-bit (order carried by the round column —
@@ -7791,7 +7843,7 @@ object LlmOps {
   // the oracle replays the md5 bucketing arithmetic verbatim.
   // ---------------------------------------------------------------------
 
-  private val QClfNgBuckets = 64
+  private[graft] val QClfNgBuckets = 64
 
   private val qclfNgCache =
     new graft.util.BoundedMemo[(String, Long, Int, Int),

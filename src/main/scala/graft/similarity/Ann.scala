@@ -417,12 +417,29 @@ object Ann {
       l2norm(col(vecCol)).as("cn"))
     val seedsLocal = cells.zip(cents.map(c => if (c == null) null else c.toSeq))
       .toSeq.toDF("cell_id", "cvec")
+    probeRankFromIndex(assigned, seedsLocal, queries, k, probes, idCol, vecCol)
+  }
+
+  /** The probe + score + rank tail of [[batchTopKIvf]] over an ALREADY
+    * MATERIALIZED index: `assigned` carries (idCol, vecCol, cell, cn)
+    * — the stored cell assignment re-joined to its vectors — and
+    * `seeds` the (cell_id, cvec) centroid table. This is the consuming
+    * half of the index-as-artifact story (s_ann_index_commit): a
+    * production IVF index is BUILT once (assignment pass + centroid
+    * table), persisted, and probed by later jobs that never re-derive
+    * it — the centroid table stays dimension-sized (broadcast), the
+    * assignment equi-join is the only corpus-sized work. Semantics are
+    * bit-identical to the in-memory path by construction (the in-memory
+    * path now calls this). */
+  def probeRankFromIndex(assigned: DataFrame, seeds: DataFrame,
+      queries: DataFrame, k: Int, probes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("cs"), desc("cell"))
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         l2norm(col(vecCol)).as("qn"))
-      .crossJoin(broadcast(seedsLocal))
+      .crossJoin(broadcast(seeds))
       .select(col("query_id"), col("qvec"), col("qn"),
         col("cell_id").as("cell"),
         round(cosine(col("qvec"), col("cvec")), 9).as("cs"))

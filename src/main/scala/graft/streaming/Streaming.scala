@@ -1818,6 +1818,61 @@ object Streaming {
     s.table(queryName).orderBy(col("doc_id"))
   }
 
+  /** The HASHED-N-GRAM quality filter at ingest (st_quality_clf_ng) —
+    * the production-fidelity twin of [[qualityClfStream]]: the model
+    * that actually ships at crawl scale is the hashed (unigram +
+    * bigram) perceptron (feature space closed under unseen tokens, no
+    * vocabulary collect) scored under the AVERAGED weights, and this
+    * applies it as the same STATELESS map — the 65 averaged bucket
+    * weights ride as one literal map, the per-doc score is bias +
+    * one `aggregate` fold over the doc's grams (each gram instance
+    * adds its bucket's weight — exactly the cnt·w[fidx] sum of the
+    * batch scorer), and no stream state exists (append mode). Bigram
+    * construction binds the token array to a column first — the
+    * transform-lambda trap ([[graft.text.Classify]]'s design-matrix
+    * note) applies verbatim in a streaming select. Mirrors
+    * t_quality_clf_ng_pred on the same md5-bucket holdout, so the
+    * stream reuses its DuckDB oracle verbatim. */
+  def qualityClfNgStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_quality_clf_ng",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import graft.queries.LlmOps
+    val buckets = LlmOps.QClfNgBuckets
+    val avg = LlmOps.qclfNgWeights(s, dir).transpose.map(_.sum).toArray
+    val wMap = map(avg.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val t = col("t")
+    val bigrams = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1)))))
+    val scored = src.filter(bucket === "0")
+      .select(col("doc_id"), LlmOps.qclfLabel.cast("int").as("y"),
+        graft.text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("y"),
+        (lit(avg(0)) + aggregate(concat(t, bigrams), lit(0L), (acc, g) =>
+          acc + element_at(wMap,
+            (graft.sketch.Sketch.hash60(g) % buckets + 1).cast("int"))))
+          .as("score"))
+      .select(col("doc_id"), col("y"), col("score"),
+        when(col("score") > 0, 1).otherwise(-1).as("pred"))
+    withReplayPartitions(s, 4) {
+      val q = scored.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("doc_id"))
+  }
+
   /** In-pipe embedding generation at INGEST (st_embed_gen) — the
     * stateless streaming twin of t_embed_gen's featurizer stage:
     * arriving documents get their embedding column generated by the

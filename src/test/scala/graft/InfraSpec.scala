@@ -102,6 +102,23 @@ class InfraSpec extends AnyFunSuite {
     assert(multi == got)
   }
 
+  test("streaming HASHED quality filter: stateless gram fold equals the batch averaged scorer") {
+    val batch = graft.queries.LlmOps.qualityClfNgPred(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(batch.nonEmpty)
+    def run(name: String, opts: Map[String, String]) =
+      graft.streaming.Streaming.qualityClfNgStream(spark, sf0001, name, opts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    // the per-doc aggregate fold over (unigram + bigram) instances must
+    // equal the design-matrix cnt-weighted dot product exactly —
+    // integer weights, integer counts
+    val got = run("infra_qclf_ng", Map.empty)
+    assert(got == batch, s"stream=${got.take(3)} batch=${batch.take(3)}")
+    val multi = run(s"infra_qclf_ng_mt_${System.nanoTime}",
+      Map("maxFilesPerTrigger" -> "1"))
+    assert(multi == got)
+  }
+
   test("streaming session windows equal batch session windows for closed sessions") {
     val streamedQ = graft.streaming.Streaming.eventsStream(spark, sf0001)
       .withWatermark("ts", "10 minutes")
@@ -283,6 +300,22 @@ class InfraSpec extends AnyFunSuite {
     assert(got.exists(t => t._1 >= 2 * pb && t._3 == "kept"),
       "no lapsed plant was re-opened as kept")
     assert(statusOf.size == got.length, "planted ids collide")
+    // RocksDB provider equivalence (the off-heap state backend a 100 TB
+    // deployment runs this fold on)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = graft.streaming.Streaming
+        .dedupTtlStream(spark, sf0001, queryName = s"infra_ttl_rocks_${System.nanoTime}")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rocks.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq,
+        s"RocksDB drifted: ${rocks.length} vs ${got.length}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("incremental dedup stream: state fp-bounded, RocksDB == default, multi-batch == batch") {

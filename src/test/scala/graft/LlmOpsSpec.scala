@@ -1344,6 +1344,22 @@ class LlmOpsSpec extends AnyFunSuite {
       s"planted neighbor missed at 1 probe: $got")
   }
 
+  test("s_ann_index_commit: retrieval through the committed index == the in-memory IVF gate") {
+    val viaArtifact = graft.queries.LlmOps.annIndexCommit(spark, sf0001)
+      .collect().toSeq
+    val inMemory = graft.queries.LlmOps.annBatchIvf(spark, sf0001)
+      .collect().toSeq
+    assert(viaArtifact == inMemory,
+      "probe through the re-read index diverges from the in-memory path")
+    // both index tables really are parquet artifacts on disk
+    val tmp = sys.props("java.io.tmpdir")
+    Seq("graft_ann_index_cents", "graft_ann_index_asg").foreach { d =>
+      val files = Option(new java.io.File(tmp, d).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+      assert(files.exists(_.endsWith(".parquet")), s"$d has no parquet files")
+    }
+  }
+
   test("batchTopKIvfPq: exhaustive probes == flat PQ; partial-probe sims are ADC-exact") {
     val qIds = Seq(0L, 100L, 200L)
     val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
