@@ -2298,7 +2298,7 @@ object LlmOps {
     * constant list, not a corpus-proportional slice: batchTopK
     * force-broadcasts its query side, so the gate must honor the
     * operator's dimension-sized-queries contract at any scale. */
-  private val BatchQueryIds = Seq(0L, 100L, 200L, 300L, 400L)
+  private[graft] val BatchQueryIds = Seq(0L, 100L, 200L, 300L, 400L)
 
   def annBatch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -2426,6 +2426,93 @@ object LlmOps {
       .select(col("vec_id"), col("embedding"), col("cell"),
         Ann.l2norm(col("embedding")).as("cn"))
     Ann.probeRankFromIndex(assigned, seedsBack, queries, k = 3, probes = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for the streaming cell-assignment gate
+    * ([[graft.streaming.Streaming.annAssignStream]]): the assignment
+    * half of [[annBatchIvfSql]]'s chain, verbatim — every non-query
+    * vector's round-9 cosine argmax against the 8 lowest-id seeds,
+    * ties to the higher cell id. */
+  val stAnnAssignSql: String = {
+    val ids = BatchQueryIds.mkString(", ")
+    s"""WITH seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id NOT IN ($ids)
+       |               ORDER BY vec_id LIMIT 8)
+       |SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, s.cell_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${cosineSql("e.embedding", "s.cvec")}, 9) DESC,
+       |               s.cell_id DESC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s
+       |  WHERE e.vec_id NOT IN ($ids)) t WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The IVFADC (IVF + PQ) index as a COMMITTED ARTIFACT
+    * (s_ann_ivfpq_commit) — [[annIndexCommit]]'s discipline applied to
+    * the COMPRESSED index, which is what a 100 TB deployment actually
+    * persists: the at-rest row per vector is (id, coarse cell, m PQ
+    * codes, norm) — a few bytes, never the raw floats — plus two
+    * dimension-sized codebook tables (coarse centroids; per-subspace
+    * PQ codewords). All THREE tables are written through the cloud
+    * committers (three job commits asserted); both codebooks are
+    * re-read and required row-identical to the trained ones (codebook
+    * drift corrupts every code's meaning — fidelity is the whole
+    * artifact contract); retrieval then runs
+    * [[graft.similarity.Ann.adcTopKOnIndex]] over the RE-READ index
+    * rows with LUTs built from the RE-READ codebooks, held to
+    * [[annIvfPqSql]] unchanged.
+    *
+    * Scale shape: the index-row table is the one corpus-sized
+    * artifact and retrieval reads only its probed-cell rows (codes,
+    * never vectors); the codebooks broadcast. */
+  def annIvfPqIndexCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(!col("vec_id").isin(BatchQueryIds: _*))
+    val queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+    val (cells, cents) = Ann.collectSeeds(
+      Ann.ivfSeeds(corpus, nCells = 8, lloydIters = 0, "vec_id", "embedding"))
+    val (sub, pqc) = Ann.pqTrainedCodebook(corpus, m = 4, ksub = 8,
+      pqIters = 0, "vec_id", "embedding")
+    val tmp = sys.props("java.io.tmpdir")
+    val idxOut = new java.io.File(tmp, "graft_ivfpq_index_rows").getAbsolutePath
+    val centOut = new java.io.File(tmp, "graft_ivfpq_index_cents").getAbsolutePath
+    val cbOut = new java.io.File(tmp, "graft_ivfpq_index_codebook").getAbsolutePath
+    withCloudCommitters(s, expectJobs = 3) {
+      Ann.ivfPqEncode(corpus, cells, cents, sub, pqc, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(idxOut)
+      cells.zip(cents.map(c => if (c == null) null else c.toSeq)).toSeq
+        .toDF("cell_id", "cvec")
+        .write.mode("overwrite").parquet(centOut)
+      pqc.zipWithIndex.flatMap { case (cbj, j) =>
+        cbj.zipWithIndex.map { case (cw, c) => (j.toLong, c.toLong, cw.toSeq) }
+      }.toSeq.toDF("sub_id", "code_id", "codeword")
+        .write.mode("overwrite").parquet(cbOut)
+    }
+    // codebook fidelity BEFORE any probe trusts the codes: a drifted
+    // codeword silently re-interprets every stored code
+    val centsBack = s.read.parquet(centOut).orderBy(col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(centsBack == cells.zip(cents.map(c =>
+        if (c == null) null else c.toSeq)).sortBy(_._1).toSeq,
+      "re-read coarse centroids diverge from the trained seeds")
+    val cbBack = s.read.parquet(cbOut).orderBy(col("sub_id"), col("code_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val pqcBack = cbBack.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3.toArray).toArray
+    }.toArray
+    require(pqcBack.map(_.map(_.toSeq).toSeq).toSeq ==
+        pqc.map(_.map(_.toSeq).toSeq).toSeq,
+      "re-read PQ codebook diverges from the trained codewords")
+    // retrieval consumes ONLY re-read artifacts: index rows, coarse
+    // centroids (probe selection) and PQ codewords (LUTs)
+    val cellsBack = centsBack.map(_._1).toArray
+    val centsArrBack = centsBack
+      .map { case (_, v) => if (v == null) null else v.toArray }.toArray
+    Ann.adcTopKOnIndex(s.read.parquet(idxOut), queries, k = 3, probes = 3,
+      m = 4, cellsBack, centsArrBack, sub, pqcBack, "vec_id", "embedding")
       .orderBy(col("query_id"), col("rank"))
   }
 

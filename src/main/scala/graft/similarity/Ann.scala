@@ -911,7 +911,11 @@ object Ann {
     * norm): broadcast (query, probed-cell, LUT) side, m exact-BIGINT
     * LUT adds per candidate, one WindowGroupLimit-pruned rank
     * exchange. */
-  private def adcTopKOnIndex(enc: DataFrame, queries: DataFrame, k: Int,
+  /** `private[graft]` so the committed-artifact gate
+    * (s_ann_ivfpq_commit) can retrieve through RE-READ index rows and
+    * codebooks — the same consumption path the in-memory composition
+    * runs. */
+  private[graft] def adcTopKOnIndex(enc: DataFrame, queries: DataFrame, k: Int,
       probes: Int, m: Int, cells: Array[Long], cents: Array[Array[Double]],
       sub: Int, pqc: Array[Array[Array[Double]]],
       idCol: String, vecCol: String): DataFrame = {

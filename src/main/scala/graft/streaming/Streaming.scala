@@ -1818,6 +1818,46 @@ object Streaming {
     s.table(queryName).orderBy(col("doc_id"))
   }
 
+  /** IVF cell ASSIGNMENT at ingest (st_ann_assign) — the index-UPDATE
+    * path of a production vector pipeline: the coarse quantizer is
+    * trained offline (the same lowest-id seed geometry as
+    * s_ann_batch_ivf and the committed index of s_ann_index_commit),
+    * and every ARRIVING vector is routed to its cell by the codegen
+    * [[org.apache.spark.sql.graft.NearestCentroid]] argmax as a pure
+    * map — seeds collected once (dimension-sized), riding as a
+    * literal, NO stream state, append mode. At 100 TB this is how a
+    * vector index absorbs a crawl batch: assignment at scan speed,
+    * append to the at-rest assignment table, no rebuild. Emits
+    * exactly the (vec_id, cell) rows the batch index holds, so the
+    * oracle is the assignment half of the IVF chain verbatim. */
+  def annAssignStream(s: SparkSession, dir: String,
+      queryName: String = "graft_stream_ann_assign",
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val qIds = graft.queries.LlmOps.BatchQueryIds
+    val corpus = graft.Tables.embeddings(s, dir)
+      .filter(!col("vec_id").isin(qIds: _*))
+    val (cells, cents) = graft.similarity.Ann.collectSeeds(
+      graft.similarity.Ann.ivfSeeds(corpus, 8, 0, "vec_id", "embedding"))
+    val src = extraOptions.foldLeft(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .parquet(dir)
+    val assigned = src.filter(!col("vec_id").isin(qIds: _*))
+      .select(col("vec_id"),
+        org.apache.spark.sql.graft.NearestCentroid
+          .nearest_centroid(col("embedding"), cells, cents).as("cell"))
+    withReplayPartitions(s, 4) {
+      val q = assigned.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(queryName).orderBy(col("vec_id"))
+  }
+
   /** The HASHED-N-GRAM quality filter at ingest (st_quality_clf_ng) —
     * the production-fidelity twin of [[qualityClfStream]]: the model
     * that actually ships at crawl scale is the hashed (unigram +

@@ -119,6 +119,28 @@ class InfraSpec extends AnyFunSuite {
     assert(multi == got)
   }
 
+  test("streaming IVF assignment: ingest-time cell routing equals the batch index") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf0001)
+    val qIds = graft.queries.LlmOps.BatchQueryIds
+    val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
+    val (cells, cents) = Ann.collectSeeds(
+      Ann.ivfSeeds(corpus, 8, 0, "vec_id", "embedding"))
+    val batch = corpus.select(col("vec_id"),
+        org.apache.spark.sql.graft.NearestCentroid
+          .nearest_centroid(col("embedding"), cells, cents).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def run(name: String, opts: Map[String, String]) =
+      graft.streaming.Streaming.annAssignStream(spark, sf0001, name, opts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val got = run("infra_ann_assign", Map.empty)
+    assert(got == batch, "ingest assignment diverges from the batch index")
+    // stateless map: multi-trigger replay is trivially order-invariant
+    val multi = run(s"infra_ann_assign_mt_${System.nanoTime}",
+      Map("maxFilesPerTrigger" -> "1"))
+    assert(multi == got)
+  }
+
   test("streaming session windows equal batch session windows for closed sessions") {
     val streamedQ = graft.streaming.Streaming.eventsStream(spark, sf0001)
       .withWatermark("ts", "10 minutes")

@@ -1360,6 +1360,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s_ann_ivfpq_commit: retrieval through the re-read compressed index == in-memory IVFADC") {
+    val viaArtifact = graft.queries.LlmOps.annIvfPqIndexCommit(spark, sf0001)
+      .collect().toSeq
+    val inMemory = graft.queries.LlmOps.annIvfPq(spark, sf0001)
+      .collect().toSeq
+    assert(viaArtifact == inMemory,
+      "ADC probe through the re-read index/codebooks diverges from the in-memory path")
+    // the at-rest row really is the compressed shape: cell + codes + norm
+    val tmp = sys.props("java.io.tmpdir")
+    val idx = spark.read.parquet(
+      new java.io.File(tmp, "graft_ivfpq_index_rows").getAbsolutePath)
+    assert(idx.columns.toSet == Set("vec_id", "cell", "codes", "cn"))
+    assert(idx.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4), "every row carries exactly m=4 codes")
+  }
+
   test("batchTopKIvfPq: exhaustive probes == flat PQ; partial-probe sims are ADC-exact") {
     val qIds = Seq(0L, 100L, 200L)
     val corpus = emb.filter(!col("vec_id").isin(qIds: _*))
