@@ -258,19 +258,6 @@ object Corpus {
     val nGrams = math.max(benchGrams.count(), 1L)
     val m = 8L * nGrams
     val bits = Sketch.bloomBits(benchGrams, "g", k, m)
-    val pos = corpus.select(col(idCol), explode(gramsExpr).as("g"))
-      .select(col(idCol), col("g"),
-        posexplode(array((0 until k).map(i =>
-          Sketch.bloomPos(col("g"), i, m)): _*)).as(Seq("_i", "b")))
-    // Broadcast hints gated on the measured benchmark size (round-11
-    // advice): past Sketch.BloomBroadcastMaxBits the probe degrades to
-    // the documented position-keyed shuffle join instead of OOMing the
-    // driver on a forced broadcast build.
-    val gramHit = pos
-      .join(Sketch.bloomHint(bits.withColumn("_set", lit(1)),
-          math.min(k.toLong * nGrams, m)), Seq("b"), "left")
-      .groupBy(col(idCol), col("g"))
-      .agg((count(col("_set")) === k).as("hit"))
     // String grams are far wider than the 8-byte bit positions
     // BloomBroadcastMaxBits was calibrated for — gate this broadcast on
     // the string-row bound instead (round-12 advice).
@@ -278,6 +265,37 @@ object Corpus {
       if (nGrams <= Sketch.StringBroadcastMaxRows)
         broadcast(benchGrams.withColumn("_e", lit(true)))
       else benchGrams.withColumn("_e", lit(true))
+    // Per-gram membership verdict. Fast path (round-19 optimization):
+    // benchmarks are dimension-sized, so the whole filter densifies
+    // into a broadcast bitmap and `hit` is ONE map-side codegen probe
+    // per gram (BloomHitExpr — k in-expression digests against the
+    // bitmap, no k-way posexplode, no bit-table join, no (doc, gram)
+    // re-aggregation; those multiplied the corpus gram stream k× and
+    // were this gate's dominant cost). Identical verdicts by
+    // construction: the bitmap IS the set-bit table in dense form and
+    // the positions are the same bloomPos values. Past the bitmap cap
+    // the probe keeps the position-keyed join (broadcast-hinted under
+    // BloomBroadcastMaxBits, sharded shuffle join past it — the
+    // 10⁹-member deployment shape, round-11 advice).
+    val gramHit =
+      if (m <= Sketch.BloomBitmapMaxBits) {
+        val bc = corpus.sparkSession.sparkContext
+          .broadcast(Sketch.bloomBitmap(bits, m))
+        corpus.select(col(idCol), explode(gramsExpr).as("g"))
+          .select(col(idCol), col("g"),
+            org.apache.spark.sql.graft.BloomHitExpr
+              .bloom_hit(col("g"), bc, m, k).as("hit"))
+      } else {
+        val pos = corpus.select(col(idCol), explode(gramsExpr).as("g"))
+          .select(col(idCol), col("g"),
+            posexplode(array((0 until k).map(i =>
+              Sketch.bloomPos(col("g"), i, m)): _*)).as(Seq("_i", "b")))
+        pos
+          .join(Sketch.bloomHint(bits.withColumn("_set", lit(1)),
+              math.min(k.toLong * nGrams, m)), Seq("b"), "left")
+          .groupBy(col(idCol), col("g"))
+          .agg((count(col("_set")) === k).as("hit"))
+      }
     gramHit
       .join(benchSide, Seq("g"), "left")
       .groupBy(col(idCol))
@@ -344,9 +362,8 @@ object Corpus {
         org.apache.spark.sql.graft.MinHashSignature
           .minhash_signature(col(textCol), n, numHashes).as("sig"))
         .select(col(out), posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-          .as(Seq("band", "bkey")))
+          org.apache.spark.sql.graft.BandKeys
+            .band_keys(col("sig"), bands, rows)).as(Seq("band", "bkey")))
     val cands = banded(corpus, "corpus_id")
       .join(broadcast(banded(benchmark, "bench_id")), Seq("band", "bkey"))
       .select(col("corpus_id"), col("bench_id")).distinct()

@@ -57,12 +57,20 @@ object Dedup {
     require(n >= 2, s"span gram width must be >= 2: $n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("start"))
+    // 60-bit gram keys from the one-pass codegen expression (round-19
+    // optimization; was md5-hex per gram via an interpreted transform
+    // lambda — slice + concat_ws + hex per position, and a 32-char
+    // string shuffle key). The key never reaches the output (spans
+    // only), so any collision-sparse hash works: a false duplicated
+    // gram needs two distinct grams in different docs to collide in 60
+    // bits (~G²/2⁶¹ corpus-wide — the DistinctShingleHashes argument),
+    // and t_pipeline_spans has shipped the same 60-bit gram key
+    // hash-verified at every SF since round 9.
     val grams = docs
       .select(col(idCol), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= n)
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(n))).cast("binary"))))
+        org.apache.spark.sql.graft.GramHash60s.gram_hash60s(col("t"), n))
         .as(Seq("start", "g")))
     val dupGrams = grams
       .groupBy(col("g"))
@@ -114,24 +122,49 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window > stride && shingleN <= window, s"bad window/stride: $window/$stride")
-    val wins = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    // Round-19 optimization: the slice → concat_ws →
+    // MinHashSignature/DistinctShingleHashes chain re-tokenized every
+    // window's text (each token parsed window/stride ≈ 2× and hashed
+    // per window; GC-bound at sf1 — 117 s summed task GC). Replaced by
+    // one-pass per-doc codegen expressions, SPLIT per plan branch so
+    // each branch computes only what it consumes (a fused variant
+    // recomputed the k-minima mixes in the two verify subtrees that
+    // only need shingle sets — measured 6.8 → 9.5 s at sf0.1):
+    //  - banding reads MinHashWindowSigs (signatures only),
+    //  - verification reads WindowShingleSets (shingle sets only),
+    //  - the interval-merge branch needs only window GEOMETRY, which is
+    //    pure arithmetic over size(t) — no per-window token work at all.
+    // All three are value-identical to the old chain (MinHashWindowsSpec).
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    def keyed(df: org.apache.spark.sql.DataFrame): DataFrame = df
+      .filter(col("wd.nt") >= shingleN)
+      .withColumn("w", struct(col("doc_id"), col("wi")))
+    val sigs = keyed(toks.select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.MinHashWindowSigs
+          .minhash_window_sigs(col("t"), window, stride, shingleN, numHashes))
+        .as(Seq("wi", "wd"))))
+      .select(col("w").as("doc"), col("wd.sig").as("sig"))
+    val shs = keyed(toks.select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.WindowShingleSets
+          .window_shingle_sets(col("t"), window, stride, shingleN))
+        .as(Seq("wi", "wd"))))
+      .select(col("w").as("doc"), col("wd.sh").as("sh"))
+    val wins = toks.select(col("doc_id"), size(col("t")).as("len"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0),
-            (greatest(size(col("t")) - window, lit(0)) / stride).cast("int")),
-          i => slice(col("t"), i * stride + 1, lit(window)))).as(Seq("wi", "wt")))
-      .filter(size(col("wt")) >= shingleN)
+            (greatest(col("len") - window, lit(0)) / stride).cast("int")),
+          i => least(lit(window), col("len") - i * stride)))
+        .as(Seq("wi", "nt")))
+      .filter(col("nt") >= shingleN)
       .select(col("doc_id"), col("wi"),
         (col("wi").cast("long") * stride).as("start"),
-        (col("wi").cast("long") * stride + size(col("wt"))).as("end"),
-        concat_ws(" ", col("wt")).as("wtext"))
+        (col("wi").cast("long") * stride + col("nt")).as("end"))
       .withColumn("w", struct(col("doc_id"), col("wi")))
-    val pre = wins.select(col("w").as("doc"),
-      org.apache.spark.sql.graft.MinHashSignature
-        .minhash_signature(col("wtext"), shingleN, numHashes).as("sig"),
-      org.apache.spark.sql.graft.DistinctShingleHashes
-        .distinct_shingle_hashes(col("wtext"), shingleN).as("sh"))
-    val pairs = minhashLshPairsOn(pre, threshold, numHashes, bands)
+    // same cands-sever + candidate-pruned exact verify as
+    // [[minhashLshPairsOn]], with the two halves fed separately
+    val cands = graft.util.Lineage.severTracked(
+      bandPairs(sigs, bands, numHashes / bands, salt = 1))
+    val pairs = verifyByJaccard(cands, shs, threshold)
       .filter(col("doc_a.doc_id") =!= col("doc_b.doc_id"))
     val matched = pairs.select(col("doc_a").as("w"))
       .union(pairs.select(col("doc_b").as("w"))).distinct()
@@ -222,9 +255,8 @@ object Dedup {
     val batchIdx = graft.util.IntermediateCaches.track(index(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def banded(idx: DataFrame): DataFrame = idx.select(col("doc"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-      .as(Seq("band", "bkey")))
+      org.apache.spark.sql.graft.BandKeys
+        .band_keys(col("sig"), bands, rows)).as(Seq("band", "bkey")))
     val candHist = banded(batchIdx).as("x").join(banded(histIdx).as("y"),
         Seq("band", "bkey"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
@@ -376,9 +408,12 @@ object Dedup {
     * full band pair up. Shared by the from-text and precomputed paths. */
   private def bandPairs(sig: DataFrame, bands: Int, rows: Int,
       salt: Int): DataFrame = {
+    // codegen'd band keys (round-19 optimization): bit-identical to the
+    // transform(sequence)/hash(slice) HOF (BandKeysSpec), which
+    // interpreted its lambda + allocated a slice per band per signature
     val banded = sig.select(col("doc"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bkey")))
+      org.apache.spark.sql.graft.BandKeys
+        .band_keys(col("sig"), bands, rows)).as(Seq("band", "bkey")))
     if (salt > 1)
       graft.util.Skew.saltedSelfJoinPairs(banded, Seq("band", "bkey"), "doc", salt)
     else banded.as("x").join(banded.as("y"),

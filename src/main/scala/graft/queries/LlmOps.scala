@@ -5609,12 +5609,14 @@ object LlmOps {
     val filt = graft.util.IntermediateCaches.track(staged
       .select(col("doc_id"), col("lang"), size(col("t")).as("ntok"),
         quality_score_from(col("norm"), col("t")).as("quality"),
-        when(size(col("t")) >= n,
-          transform(sequence(lit(0), size(col("t")) - n),
-            i => Sketch.hash60(concat_ws(" ", slice(col("t"), i + lit(1), lit(n))))))
-          .otherwise(array().cast("array<bigint>")).as("g8"),
-        transform(col("t"),
-          (tok, i) => Sketch.hash60(concat(i.cast("string"), lit("|"), tok))).as("ph"))
+        // one-pass codegen'd gram/position hashes (round-19 optimization):
+        // value-identical to the HOF lambdas they replaced (GramHashSpec)
+        // — the lambdas interpreted slice+concat_ws+md5-hex per gram,
+        // which dominated this gate's corpus scan
+        org.apache.spark.sql.graft.GramHash60s
+          .gram_hash60s(col("t"), n).as("g8"),
+        org.apache.spark.sql.graft.PosTokenHash60s
+          .pos_token_hash60s(col("t")).as("ph"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // span detection: same plan shape as duplicateSpans, off the cache
     val occ = filt.select(col("doc_id"), posexplode(col("g8")).as(Seq("start", "h")))
@@ -5890,8 +5892,16 @@ object LlmOps {
     val sh = Tables.documents(s, dir).select(
       explode(org.apache.spark.sql.graft.DistinctShingles
         .distinct_shingles(col("text"), 3)).as("s"))
-    val sketch = Sketch.cmsSketch(sh, "s", depth, width)
-    val exact = sh.groupBy(col("s")).agg(count(lit(1)).as("exact"))
+    // ONE occurrence-stream aggregation feeds BOTH the sketch and the
+    // exact top-20 (round-19 optimization): the sketch's per-bucket
+    // count is Σ of member-value counts — exact integer equality with
+    // hashing every occurrence, but the 3 md5 rows are paid per
+    // DISTINCT shingle (vocabulary-sized) instead of per occurrence,
+    // and the occurrence stream shuffles once instead of twice.
+    // Severed: distinct-shingle-sized, read by two consumers.
+    val exact = graft.util.Lineage.severTracked(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("exact")))
+    val sketch = Sketch.cmsSketchFromCounts(exact, "s", "exact", depth, width)
     val top = exact.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("exact").desc, col("s"))))

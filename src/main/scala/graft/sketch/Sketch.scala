@@ -27,8 +27,18 @@ object Sketch {
     * `CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)` — same md5 bytes,
     * same hex prefix, same value; 60 bits keeps every downstream
     * product (width modulo, estimator division) inside BIGINT/exact-
-    * double range. */
+    * double range. Spark-side this is the codegen'd
+    * [[org.apache.spark.sql.graft.Hash60]] expression — identical
+    * values to `conv(substring(md5(cast(v as binary)), 1, 15), 16, 10)`
+    * (Hash60Spec pins the equality) without the hex-string
+    * materialization + base-16 parse, which dominated every gate that
+    * hashes per token/gram. */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.Hash60.hash60(c)
+
+  /** The builtin-composition formulation of [[hash60]] — value-equality
+    * reference for the codegen expression in specs. */
+  private[graft] def hash60Builtin(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** KMV sketch aggregate: sorted array of the k smallest distinct
@@ -54,7 +64,7 @@ object Sketch {
     * hash60(seed || '|' || v) mod width. Non-negative input keeps `%`
     * identical across engines. */
   def cmsBucket(c: Column, seed: Int, width: Int): Column =
-    hash60(concat(lit(seed.toString), lit("|"), c)) % width
+    org.apache.spark.sql.graft.Hash60.hash60Seeded(c, seed) % width
 
   /** CountMin sketch of a value column: (seed, bucket, cnt) with
     * depth×width rows at most — ONE narrow aggregation regardless of
@@ -66,6 +76,25 @@ object Sketch {
           cmsBucket(col(valueCol), i, width).as("bucket"))): _*)).as("sb"))
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[cmsSketch]] from PRE-COUNTED values: `counts` carries one row
+    * per distinct value with its occurrence count, and per-bucket
+    * counts are Σ of member counts — exact integer equality with
+    * hashing every occurrence, but the depth md5 rows are paid per
+    * DISTINCT value instead of per occurrence (round-19 optimization:
+    * a batch gate that already aggregates exact counts for its
+    * candidate stage hashes 3×|occurrences| redundantly — at corpus
+    * scale occurrences outnumber distincts by 10³+). The streaming
+    * twin keeps the per-occurrence form: there the sketch IS the
+    * bounded state and a per-value pre-count would hold unbounded
+    * per-distinct state. */
+  def cmsSketchFromCounts(counts: DataFrame, valueCol: String,
+      cntCol: String, depth: Int, width: Int): DataFrame =
+    counts.select(col(cntCol).as("_n"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("seed"),
+          cmsBucket(col(valueCol), i, width).as("bucket"))): _*)).as("sb"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(sum(col("_n")).as("cnt"))
 
   // ------------------------------------------------------- HyperLogLog
 
@@ -170,7 +199,7 @@ object Sketch {
     * modulus (a production Bloom over 10⁹ members needs m ≈ 8·10⁹
     * positions, past Int). Non-negative, engine-portable. */
   def bloomPos(c: Column, seed: Int, m: Long): Column =
-    hash60(concat(lit(seed.toString), lit("|"), c)) % m
+    org.apache.spark.sql.graft.Hash60.hash60Seeded(c, seed) % m
 
   /** The SET-BIT table of a Bloom filter over `values`: one row per
     * distinct set position — at most min(k·|values|, m) rows, the
@@ -193,6 +222,32 @@ object Sketch {
     * for 10⁹-member filters, where each shuffle partition holds a
     * slice of the bit space. */
   private[graft] val BloomBroadcastMaxBits: Long = 32L << 20
+
+  /** Largest Bloom size (bits of m) we will densify into a driver-held
+    * bitmap for the map-side [[org.apache.spark.sql.graft.BloomHitExpr]]
+    * probe: 2²⁸ bits = 32 MiB of longs — at 8 bits/member that covers a
+    * 33M-member filter (any real benchmark suite by orders of
+    * magnitude), collected as ≤ 4M (word, or-mask) rows. Past this the
+    * probe keeps the position-keyed join path ([[bloomHint]] then
+    * decides broadcast vs sharded shuffle join) — the 10⁹-member
+    * deployment shape is unchanged. */
+  private[graft] val BloomBitmapMaxBits: Long = 1L << 28
+
+  /** Densify a set-bit table into the bitmap [[BloomHitExpr]] probes:
+    * word w holds bit (b % 64) for every set position b with
+    * b / 64 == w. The OR-fold runs distributed (≤ m/64 rows reach the
+    * driver); only call under [[BloomBitmapMaxBits]]. */
+  private[graft] def bloomBitmap(bits: DataFrame, m: Long): Array[Long] = {
+    require(m <= BloomBitmapMaxBits, s"bloom bitmap past cap: $m")
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    bits
+      .select(expr("CAST(b DIV 64 AS BIGINT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))").as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("mm"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
 
   /** Largest STRING-keyed row count we will force into a broadcast
     * build. Separate from [[BloomBroadcastMaxBits]] deliberately: that

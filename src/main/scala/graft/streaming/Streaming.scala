@@ -1018,9 +1018,8 @@ object Streaming {
         col("doc_id"),
         MinHashSignature.minhash_signature(col("text"), 3, 64).as("sig"))
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-        .as(Seq("band", "bkey")))
+        org.apache.spark.sql.graft.BandKeys
+          .band_keys(col("sig"), bands, rows)).as(Seq("band", "bkey")))
       .select(col("band"), col("bkey"), col("doc_id"))
     def regRows(df: DataFrame): DataFrame = df.select(
         col("doc_id").as("other"), lit("reg").as("kind"),

@@ -203,9 +203,13 @@ object Classify {
     val byEpoch = Seq.newBuilder[Array[Long]]
     var e = 0
     while (e < epochs) {
-      val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
-        Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
-      val s = sum(col("cnt") * element_at(wMap, col("fidx")))
+      // weights as an ARRAY literal, indexed at fidx+1: element_at on a
+      // literal map is a LINEAR scan of the (nWeights)-entry map per
+      // row (round-19 optimization — at 64 buckets × matrix rows ×
+      // epochs that scan dominated the margin pass); array indexing is
+      // O(1) and value-identical (fidx ∈ [0, nWeights) by construction)
+      val wArr = array(w.map(lit(_)).toIndexedSeq: _*)
+      val s = sum(col("cnt") * element_at(wArr, col("fidx") + 1))
         .over(Window.partitionBy(col("doc")))
       val deltas = x
         .withColumn("s", s)
@@ -249,10 +253,10 @@ object Classify {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val x = designMatrixHashed(docs.select(col(idCol).as("doc"),
       labelCol.cast("int").as("y"), col(textCol).as("txt")), buckets)
-    val wMap = map(weights.zipWithIndex.flatMap { case (v, i) =>
-      Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+    // array-literal weights, O(1) per-row lookup (see epochLoop)
+    val wArr = array(weights.map(lit(_)).toIndexedSeq: _*)
     x.groupBy(col("doc"), col("y"))
-      .agg(sum(col("cnt") * element_at(wMap, col("fidx"))).as("score"))
+      .agg(sum(col("cnt") * element_at(wArr, col("fidx") + 1)).as("score"))
       .select(col("doc").as(idCol), col("y"), col("score"),
         when(col("score") > 0, 1).otherwise(-1).as("pred"))
   }
@@ -263,28 +267,22 @@ object Classify {
     * `t[i] || ' ' || t[i+1]`). The empty-word sequence trap
     * (sequence(1, 0) is a descending ramp) is guarded like
     * Bpe.byteSyms. */
-  private def designMatrixHashed(docs: DataFrame, buckets: Int): DataFrame = {
-    // BIND the token array to a column before the bigram lambda: an
-    // expression tree referenced inside transform()'s lambda is
-    // re-evaluated PER ELEMENT — with `t` inlined, every element_at
-    // re-ran split+regexp_replace over the whole doc, O(tokens²)
-    // normalization work per row (measured as the dominant cost of
-    // the sf1 matrix build)
-    val t = col("t")
-    val bigrams = when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1)))))
-    docs.select(col("doc"), col("y"), tokens(col("txt")).as("t"))
+  private def designMatrixHashed(docs: DataFrame, buckets: Int): DataFrame =
+    // One-pass codegen'd per-doc feature counts (round-19 optimization;
+    // HashedGramCountsSpec pins value equality with the explode →
+    // hash60 → groupBy(doc, fidx) chain this replaces): with
+    // buckets-bounded features the per-doc aggregation completes inside
+    // the expression, so the matrix build is MAP-ONLY — the former
+    // corpus-scale (doc, fidx) shuffle aggregate (the gate's largest
+    // exchange) disappears, along with the interpreted bigram-concat
+    // lambda and the gram-string explode.
+    docs.select(col("doc"), col("y"),
+        explode(org.apache.spark.sql.graft.HashedGramCounts
+          .hashed_gram_counts(tokens(col("txt")), buckets)).as("fc"))
       .select(col("doc"), col("y"),
-        explode(concat(t, bigrams)).as("g"))
-      .select(col("doc"), col("y"),
-        (graft.sketch.Sketch.hash60(col("g")) % buckets + 1)
-          .cast("int").as("fidx"))
-      .groupBy(col("doc"), col("y"), col("fidx"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
+        col("fc.fidx").as("fidx"), col("fc.cnt").as("cnt"))
       .unionByName(docs.select(col("doc"), col("y"),
         lit(0).as("fidx"), lit(1L).as("cnt")))
-  }
 
   /** (doc, y, fidx, cnt) integer design matrix under a feature list —
     * token-count features plus the constant bias row (fidx 0, cnt 1).
@@ -322,10 +320,10 @@ object Classify {
     val w = model.weightsByEpoch.last
     val x = designMatrix(docs.select(col(idCol).as("doc"),
       labelCol.cast("int").as("y"), col(textCol).as("txt")), model.features)
-    val wMap = map(w.zipWithIndex.flatMap { case (v, i) =>
-      Seq(lit(i), lit(v)) }.toIndexedSeq: _*)
+    // array-literal weights, O(1) per-row lookup (see epochLoop)
+    val wArr = array(w.map(lit(_)).toIndexedSeq: _*)
     x.groupBy(col("doc"), col("y"))
-      .agg(sum(col("cnt") * element_at(wMap, col("fidx"))).as("score"))
+      .agg(sum(col("cnt") * element_at(wArr, col("fidx") + 1)).as("score"))
       .select(col("doc").as(idCol), col("y"), col("score"),
         when(col("score") > 0, 1).otherwise(-1).as("pred"))
   }

@@ -222,6 +222,17 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("Hash60 generates compiling Java") {
+    codegenOnly {
+      val r = Seq("a", "b|c", "").toDF("v")
+        .select(graft.sketch.Sketch.hash60(col("v")).as("h"),
+          org.apache.spark.sql.graft.Hash60.hash60Seeded(col("v"), 2).as("hs"))
+        .collect()
+      assert(r.length == 3)
+      assert(r.forall(x => x.getLong(0) >= 0 && x.getLong(1) >= 0))
+    }
+  }
+
   test("Confluent Avro serde expressions generate compiling Java") {
     codegenOnly {
       import graft.confluent._

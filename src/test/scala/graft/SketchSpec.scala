@@ -255,6 +255,50 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap bloom probe (BloomHitExpr) == set-bit-table probe, verdict for verdict") {
+    import spark.implicits._
+    // member set + probes: all members (must ALL hit — no false
+    // negatives) plus non-members (hit only on full k-collision)
+    val members = (1 to 200).map(i => s"member$i")
+    val probes = members ++ (1 to 300).map(i => s"other$i")
+    val (k, m) = (4, 8L * members.size)
+    val bits = Sketch.bloomBits(members.toDF("v"), "v", k, m)
+    val bc = spark.sparkContext.broadcast(Sketch.bloomBitmap(bits, m))
+    val fast = probes.toDF("v")
+      .select(col("v"), org.apache.spark.sql.graft.BloomHitExpr
+        .bloom_hit(col("v"), bc, m, k).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val ref = Sketch.bloomProbe(probes.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) }.toDF("doc_id", "v"), "doc_id", "v", bits, k, m)
+      .join(probes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("doc_id", "v"), "doc_id")
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Boolean]("bloom_hit")).toMap
+    assert(fast.keySet == ref.keySet)
+    ref.foreach { case (v, hit) => assert(fast(v) == hit, s"probe '$v'") }
+    members.foreach(v => assert(fast(v), s"false negative on member '$v'"))
+  }
+
+  test("BloomHitExpr generates compiling Java (codegen-only)") {
+    import spark.implicits._
+    val bits = Sketch.bloomBits(Seq("a", "b").toDF("v"), "v", 4, 16L)
+    val bc = spark.sparkContext.broadcast(Sketch.bloomBitmap(bits, 16L))
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq("a", "zzz").toDF("v")
+        .select(org.apache.spark.sql.graft.BloomHitExpr
+          .bloom_hit(col("v"), bc, 16L, 4).as("h")).collect()
+      assert(r.length == 2 && r(0).getBoolean(0))
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("bloom broadcast hint is gated on bit-table size: big filters go unhinted") {
     import spark.implicits._
     def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
