@@ -520,8 +520,13 @@ object Dedup {
     * MinHash-LSH when provenance (which runs matched) matters. */
   def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // INT fingerprints (round-19 optimization): the fingerprint is only
+    // the inverted-index join key here — the int form is a bijection of
+    // the hex string (WinnowIntSpec), so the pair set is identical while
+    // the index shuffle key narrows 8-char string → 4 bytes
     val idx = spread(docs).select(col(idCol).as("doc"),
-      explode(graft.text.winnow_fingerprint_set(col(textCol), k, w)).as("f"))
+      explode(org.apache.spark.sql.graft.WinnowFingerprintInts
+        .winnow_fingerprint_ints(col(textCol), k, w)).as("f"))
     val a = idx.select(col("doc").as("doc_a"), col("f"))
     val b = idx.select(col("doc").as("doc_b"), col("f"))
     a.join(b, "f")

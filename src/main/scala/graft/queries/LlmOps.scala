@@ -5992,10 +5992,11 @@ object LlmOps {
   def repNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+    // one-pass codegen'd gram formation (round-19: was an interpreted
+    // transform lambda with a slice + concat_ws per position)
     def gramsOf(n: Int) = docs.filter(size(col("t")) >= n)
       .select(col("doc_id"), lit(n).as("n"),
-        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("g"))
+        explode(shingles_from(col("t"), n)).as("g"))
     gramsOf(2).unionByName(gramsOf(3))
       .groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))

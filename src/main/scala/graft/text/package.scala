@@ -162,8 +162,16 @@ package object text {
     * distinctness is wanted. */
   def shingles(c: Column, n: Int): Column = shingles_from(tokens(c), n)
 
-  /** [[shingles]] over a PRE-staged token-array attribute. */
+  /** [[shingles]] over a PRE-staged token-array attribute — the
+    * one-pass codegen'd [[org.apache.spark.sql.graft.AllShingles]]
+    * (round-19 optimization; the HOF formulation below interpreted its
+    * lambda per position). Value-identical (AllShinglesSpec). */
   def shingles_from(t: Column, n: Int): Column =
+    org.apache.spark.sql.graft.AllShingles.all_shingles(t, n)
+
+  /** The higher-order-function formulation — value-equality reference
+    * for the codegen expression in specs. Do not use in hot paths. */
+  private[graft] def shingles_from_hof(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))

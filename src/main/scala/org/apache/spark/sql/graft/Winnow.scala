@@ -147,3 +147,60 @@ object WinnowFingerprints {
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
 }
+
+/** [[WinnowFingerprints]] emitting each fingerprint as the INT value
+  * of its 8 hex chars (= the md5's first 32 bits) instead of the hex
+  * string — for the JOIN-KEY uses (winnowPairs / winnowRecall) where
+  * the fingerprint never reaches the output. Hex↔int is a bijection
+  * and fixed-width lowercase hex compares lexicographically ==
+  * numerically, so selected positions, per-doc sets, shared counts and
+  * hence the pair results are IDENTICAL (WinnowIntSpec pins set
+  * equality) — while the inverted-index shuffle key narrows from an
+  * 8-char string to 4 bytes and the self-join equality is an int
+  * compare. The string form stays for t_winnow, whose output pins the
+  * hex rendering. */
+case class WinnowFingerprintInts(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprintInts.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowFingerprintInts.getClass.getName.stripSuffix("$") + "$"
+    defineCodeGen(ctx, ev, input =>
+      s"(${classOf[ArrayData].getName}) $cls.MODULE$$.compute($input.toString(), $k, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintInts =
+    copy(child = newChild)
+}
+
+object WinnowFingerprintInts {
+
+  /** Same normalization/gram/window-min pipeline as
+    * [[WinnowFingerprints.compute]], with fingerprints kept as the
+    * md5's first 32 bits compared UNSIGNED (hex-string order). */
+  def compute(text: String, k: Int, w: Int): ArrayData = {
+    val strs = WinnowFingerprints.compute(text, k, w)
+    val n = strs.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // 8 lowercase hex chars → unsigned 32-bit value (array is already
+      // distinct + hex-sorted == unsigned-sorted)
+      out(i) = java.lang.Integer.parseUnsignedInt(
+        strs.getUTF8String(i).toString, 16)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def winnow_fingerprint_ints(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintInts(ColumnBridge.expression(c), k, w))
+}
