@@ -289,11 +289,15 @@ object Classify {
     * Tokens outside the feature space drop out (truncated vocabulary,
     * the standard linear-filter feature hashing stand-in). */
   private def designMatrix(docs: DataFrame, feats: Seq[(Int, String)]): DataFrame = {
-    val fmap = map(feats.flatMap { case (i, t) =>
-      Seq(lit(t), lit(i)) }.toIndexedSeq: _*)
+    // O(1) hash lookup instead of element_at over a literal map (a
+    // linear scan of the feature directory per corpus token —
+    // round-19 optimization; value-identical, LookupSpec)
+    val featEntries = feats.map { case (i, t) => (t, i) }
     docs.select(col("doc"), col("y"),
         explode(tokens(col("txt"))).as("t"))
-      .select(col("doc"), col("y"), element_at(fmap, col("t")).as("fidx"))
+      .select(col("doc"), col("y"),
+        org.apache.spark.sql.graft.StringToIntLookup
+          .lookup(col("t"), featEntries).as("fidx"))
       .filter(col("fidx").isNotNull)
       .groupBy(col("doc"), col("y"), col("fidx"))
       .agg(count(lit(1)).cast("long").as("cnt"))

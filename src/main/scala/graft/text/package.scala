@@ -9,11 +9,24 @@ import org.apache.spark.sql.functions._
   * in ANSI SQL so each has a DuckDB oracle. */
 package object text {
 
-  /** lowercase, trim, collapse runs of whitespace. */
+  /** lowercase, trim, collapse runs of whitespace — the codegen'd
+    * [[org.apache.spark.sql.graft.NormTextExpr]] (round-19
+    * optimization; bug-for-bug parity with the builtin chain below,
+    * pinned by NormTokensSpec — this pair runs under nearly every
+    * gate, so the per-doc regex machinery was a suite-wide tax). */
   def norm_text(c: Column): Column =
+    org.apache.spark.sql.graft.NormTextExpr.norm_text(c)
+
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.NormTokens.norm_tokens(c)
+
+  /** Builtin-composition formulations — value-equality references for
+    * the codegen expressions in specs. Do not use in hot paths. */
+  private[graft] def norm_text_builtin(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  def tokens(c: Column): Column = split(norm_text(c), " ")
+  private[graft] def tokens_builtin(c: Column): Column =
+    split(norm_text_builtin(c), " ")
 
   /** GPT-2-style regex PRE-tokenization over the normalized text: the
     * contraction suffixes first, then space-optional letter runs,
@@ -76,7 +89,25 @@ package object text {
   // several signals should stage the attributes and use these. Values
   // are identical to the plain versions by construction.
 
-  def quality_score_from(norm: Column, toks: Column): Column = {
+  /** CONTRACT: `toks` must be `split(norm, " ")` of the same staged
+    * norm (every call site stages exactly that) — the fused codegen
+    * expression derives the token view internally (round-19
+    * optimization; the combinator formulation below interpreted a
+    * filter lambda per token and re-scanned with regexp_count).
+    * Value-identical: TextSignalsSpec. */
+  def quality_score_from(norm: Column, toks: Column): Column =
+    org.apache.spark.sql.graft.QualityScoreExpr.quality_score_norm(norm)
+
+  /** CONTRACT: `toks` must be the norm-chain tokens of `raw` (every
+    * call site passes exactly that) — fused like
+    * [[quality_score_from]]; four marker filter lambdas + the CJK
+    * regex collapse into one codegen pass. */
+  def lang_id_from(raw: Column, toks: Column): Column =
+    org.apache.spark.sql.graft.LangIdExpr.lang_id_raw(raw)
+
+  /** Combinator formulations — value-equality references for the
+    * codegen expressions in specs. Do not use in hot paths. */
+  private[graft] def quality_score_from_builtin(norm: Column, toks: Column): Column = {
     val ntok = size(toks)
     val stopRatio = size(filter(toks, w => w.isInCollection(Stopwords))).cast("double") / ntok
     val lenSat = least(lit(1.0), length(norm).cast("double") / lit(500.0))
@@ -84,7 +115,7 @@ package object text {
     round(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio), 6)
   }
 
-  def lang_id_from(raw: Column, toks: Column): Column = {
+  private[graft] def lang_id_from_builtin(raw: Column, toks: Column): Column = {
     def markers(ws: Seq[String]) = size(filter(toks, w => w.isInCollection(ws)))
     val en = markers(Seq("the", "a", "of"))
     val de = markers(Seq("der", "die", "und"))
