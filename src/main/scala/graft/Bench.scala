@@ -303,7 +303,6 @@ object Bench {
     val jvmInfo =
       s""""heap_max_mb":$heapMb,"heap_init_mb":$heapInitMb,"region_size_mb":$regionMb,"gc_collector":"$collectors","pf_gbps_pre":$pfPreGbps,"pf_gbps_post":$pfPostGbps,"git_head":"$gitHead",$scopeInfo"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pass1_sec":$p1Total,"pass2_sec":$p2Total,$jvmInfo,"sf":"$sfDir"}"""
-    println(full)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v, _) => s"""["$k",${math.round(v * 1000) / 1000.0}]""" }
       .mkString("[", ",", "]")
@@ -320,21 +319,33 @@ object Bench {
     // An estimate (task overlap with GC pauses is not exactly uniform),
     // but a PINNED one — α = 1/cpus, recorded in the line itself.
     val valueAtGc0 = total - gcMs.toDouble / 1000.0 / cpus.toDouble
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failed,"worst":$worst,"pass1_sec":${r3(p1Total)},"pass2_sec":${r3(p2Total)},"gc_ms":$gcMs,"value_at_gc0":${r3(valueAtGc0)},"gc_alpha":"1/$cpus",$jvmInfo,"leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
-    println(compact)
-    // ALSO persist the compact record to a file: stdout reaches the round
+    // Per-query seconds ROUNDED to ms for the stdout line: the raw
+    // doubles render ~17 chars each and were a large part of why the
+    // old detail line kept getting truncated by log capture. Full
+    // precision lives in target/bench_full.json.
+    val qsRounded = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + (if (v < 0) "-1.0" else r3(v).toString)
+    }.mkString("{", ",", "}")
+    // THE machine contract line (round-19 verdict #2: the driver's PERF
+    // comparison came up empty two rounds running because the final JSON
+    // line lacked the per-query "queries" object and the full-detail
+    // line above it was truncated by tail capture). This line is
+    // self-contained — metric/value/unit/queries/sf plus the noise
+    // attribution — and is printed LAST, after the record-file note, so
+    // "strip the sbt [info] prefix from the last JSON-looking line and
+    // json.loads it" works. The ~35KB per-query stage-metrics object
+    // stays OUT of stdout (target/bench_full.json only).
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsRounded,"n":${results.size},"failed":$failed,"worst":$worst,"pass1_sec":${r3(p1Total)},"pass2_sec":${r3(p2Total)},"gc_ms":$gcMs,"value_at_gc0":${r3(valueAtGc0)},"gc_alpha":"1/$cpus",$jvmInfo,"leaked":$leaked,"spill_bytes":$spillBytes,"sf":"$sfDir"}"""
+    // Persist BOTH records to files first: stdout reaches the round
     // artifact wrapped in sbt log decoration ("[info] " prefix, trailing
-    // "[success]" line), so no raw line is pure JSON and log-scraping
-    // parsers fail. The file is decoration-free and survives regardless.
+    // "[success]" line), so the files are the decoration-free fallback.
+    // bench_full.json additionally keeps the per-query stage metrics and
+    // unrounded seconds; committed per round as BENCH_LOCAL_r{N}.json.
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // ALSO persist the FULL per-query record: the compact line keeps
-      // only the worst-5, which loses per-query history to cross-round
-      // comparison (the round-9 audit had to reconstruct deltas from
-      // worst-5 lists). Committed per round as BENCH_LOCAL_r{N}.json.
       val outFull = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.write(outFull,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -344,6 +355,8 @@ object Bench {
         System.err.println(s"[bench] could not write bench records: ${e.getMessage}")
     }
     spark.stop()
+    // contract line LAST (after spark.stop(), whose shutdown can log)
+    println(compact)
   }
 
   /** Current git HEAD commit sha, read from the repository files (a

@@ -95,13 +95,19 @@ object LlmOps {
 
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // one fused pass per doc (round-20 optimization,
+    // [[org.apache.spark.sql.graft.CorpusStats.textStats]]): the
+    // combinator formulation normalized up to 4× per doc and
+    // interpreted a stopword filter lambda; value-identical
+    // (CorpusStatsSpec)
+    val st = org.apache.spark.sql.graft.CorpusStats.text_stats(col("text"))
     d.select(
       col("doc_id"),
-      n_tokens(col("text")).cast("long").as("n_tokens"),
-      n_bpeish(col("text")).cast("long").as("n_bpeish"),
-      punct_count(col("text")).cast("long").as("punct_cnt"),
-      stopword_count(col("text")).cast("long").as("stop_cnt"),
-      avg_token_len(col("text")).as("avg_tok_len"))
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_bpeish").as("n_bpeish"),
+      st.getField("punct_cnt").as("punct_cnt"),
+      st.getField("stop_cnt").as("stop_cnt"),
+      st.getField("avg_tok_len").as("avg_tok_len"))
   }
 
   val textStatsSql: String =
@@ -6051,16 +6057,16 @@ object LlmOps {
     * shuffle before the final sort) — the cheapest possible filter
     * pass, exactly how it deploys at 100 TB. */
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val docs = Tables.documents(s, dir)
-    val t = tokens(col("text"))
-    val n = size(t).cast("long")
-    val chars = (length(norm_text(col("text"))) - (n - 1)).cast("long")
-    val alpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
-    val nstop = size(array_intersect(array_distinct(t),
-      array(stops.map(lit): _*))).cast("long")
-    docs.select(col("doc_id"), n.as("n_words"), chars.as("n_chars_w"),
-        alpha.as("n_alpha"), nstop.as("n_stop"))
+    // one fused pass per doc (round-20 optimization,
+    // [[org.apache.spark.sql.graft.CorpusStats.gopherSignals]]): the
+    // combinator formulation interpreted an rlike filter lambda per
+    // token plus an array_distinct/array_intersect allocation chain;
+    // value-identical (CorpusStatsSpec)
+    val g = org.apache.spark.sql.graft.CorpusStats.gopher_signals(col("text"))
+    docs.select(col("doc_id"), g.getField("n_words").as("n_words"),
+        g.getField("n_chars_w").as("n_chars_w"),
+        g.getField("n_alpha").as("n_alpha"), g.getField("n_stop").as("n_stop"))
       .select(col("doc_id"), col("n_words"), col("n_chars_w"),
         col("n_alpha"), col("n_stop"),
         (col("n_words") >= 50 && col("n_words") <= 100000L).as("r_wordcount"),
@@ -7812,9 +7818,13 @@ object LlmOps {
 
   /** +1 iff the doc's stopword ratio clears 0.1 — an exact-integer
     * inequality (10·stop ≥ ntok) both engines compute identically. */
-  private[graft] def qclfLabel: Column =
-    when(stopword_count(col("text")) * 10 >= n_tokens(col("text")), 1)
+  private[graft] def qclfLabel: Column = {
+    // fused stats: one normalization pass for both counts (round-20;
+    // the combinators each normalized + the stop filter interpreted)
+    val st = org.apache.spark.sql.graft.CorpusStats.text_stats(col("text"))
+    when(st.getField("stop_cnt") * 10 >= st.getField("n_tokens"), 1)
       .otherwise(-1)
+  }
 
   private val QclfLabelSql =
     """CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
@@ -8898,7 +8908,7 @@ object LlmOps {
     * link mass comes partly from a BARE `<a>` anchor, a pure-link
     * aside ad block, and a link-dense footer — every extractor rule
     * fires on every row. */
-  private def htmlAug(d: Column, text: Column, src: Column): Column = concat(
+  private[graft] def htmlAug(d: Column, text: Column, src: Column): Column = concat(
     lit("<html><head lang=\"en\"><title>Doc "), d.cast("string"),
     lit("</title><style>body{margin:0}</style></head><body>"),
     lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +

@@ -142,9 +142,15 @@ object Sketch {
   def hllEstimate(values: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val g = groupCols.map(col)
+    // fused register+rank: ONE md5 digest per occurrence (round-20
+    // optimization, [[org.apache.spark.sql.graft.HllRegRank]]) instead
+    // of two digests + a hex-string regex rank; value-identical
+    // (HllRegRankSpec), so the hex-chain oracle SQL is unchanged
     val regs = values
-      .groupBy(g :+ hllRegister(col(valueCol)).as("_r"): _*)
-      .agg(max(hllRank(col(valueCol))).as("_rank"))
+      .select(g :+ org.apache.spark.sql.graft.HllRegRank
+        .hll_reg_rank(col(valueCol)).as("_rr"): _*)
+      .groupBy(g :+ col("_rr.r").as("_r"): _*)
+      .agg(max(col("_rr.rank")).as("_rank"))
     val allRegs = values.select(g: _*).distinct()
       .select(g :+ explode(sequence(lit(0), lit(HllM - 1))).as("_r"): _*)
     val filled = allRegs.join(regs, groupCols :+ "_r", "left")

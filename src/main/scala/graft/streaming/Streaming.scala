@@ -457,9 +457,14 @@ object Streaming {
     import graft.sketch.Sketch
     val ev = eventsStreamFrom(s, dir)
       .select(col("event_type"), col("user_id").cast("string").as("v"))
+    // fused register+rank (one digest per event — see the batch gate's
+    // hllEstimate); the stateless map stage of the stream is the only
+    // place the per-occurrence hashing runs
     val regs = ev
-      .groupBy(col("event_type"), Sketch.hllRegister(col("v")).as("_r"))
-      .agg(max(Sketch.hllRank(col("v"))).as("_rank"))
+      .select(col("event_type"), org.apache.spark.sql.graft.HllRegRank
+        .hll_reg_rank(col("v")).as("_rr"))
+      .groupBy(col("event_type"), col("_rr.r").as("_r"))
+      .agg(max(col("_rr.rank")).as("_rank"))
     withReplayPartitions(s, 4) {
       val q = regs.writeStream
         .outputMode("complete")

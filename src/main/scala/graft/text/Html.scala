@@ -68,32 +68,32 @@ object Html {
 
   /** Entity decode table, shared verbatim with the DuckDB oracle.
     * ORDER MATTERS: `&amp;` last (see class doc). */
-  private[graft] val Entities: Seq[(String, String)] = Seq(
+  val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&amp;" -> "&")
 
   /** Closing tags treated as line breaks. */
-  private[graft] val BlockTags: Seq[String] = Seq(
+  val BlockTags: Seq[String] = Seq(
     "p", "div", "nav", "aside", "footer", "header", "section", "article",
     "h1", "h2", "h3", "h4", "li", "ul", "ol", "tr", "table", "blockquote")
 
-  private[graft] val MinTextChars = 10
+  val MinTextChars = 10
 
-  private[graft] val BreakRe: String =
+  val BreakRe: String =
     "(?i)</(" + BlockTags.mkString("|") + ")>|<br\\s*/?>"
 
   /** `(?:\s[^>]*)?` — attributes optional, so a bare `<a>` still
     * contributes its inner text to link mass. */
-  private[graft] val AnchorRe: String = "(?i)<a(?:\\s[^>]*)?>(.*?)</a>"
+  val AnchorRe: String = "(?i)<a(?:\\s[^>]*)?>(.*?)</a>"
 
   /** Non-content strips. Comments FIRST (commented-out markup must
     * not be seen by any later rule); element bodies span newlines. */
-  private[graft] val CommentRe: String = "<!--[\\s\\S]*?-->"
-  private[graft] val ScriptRe: String =
+  val CommentRe: String = "<!--[\\s\\S]*?-->"
+  val ScriptRe: String =
     "(?i)<script(?:\\s[^>]*)?>[\\s\\S]*?</script>"
-  private[graft] val StyleRe: String =
+  val StyleRe: String =
     "(?i)<style(?:\\s[^>]*)?>[\\s\\S]*?</style>"
-  private[graft] val HeadRe: String =
+  val HeadRe: String =
     "(?i)<head(?:\\s[^>]*)?>[\\s\\S]*?</head>"
 
   /** Pre/code boundary sentinels: substituted before line-breaking so
@@ -104,12 +104,12 @@ object Html {
     * CONTAINING line without splitting the sentence around an inline
     * code span. The control chars never occur in text and are
     * stripped from the output. Oracle side: chr(1)/chr(2). */
-  private[graft] val PreOpen = "\u0001"
-  private[graft] val PreClose = "\u0002"
-  private[graft] val PreOpenRe: String = "(?i)<pre(?:\\s[^>]*)?>"
-  private[graft] val PreCloseRe: String = "(?i)</pre>"
-  private[graft] val CodeOpenRe: String = "(?i)<code(?:\\s[^>]*)?>"
-  private[graft] val CodeCloseRe: String = "(?i)</code>"
+  val PreOpen = "\u0001"
+  val PreClose = "\u0002"
+  val PreOpenRe: String = "(?i)<pre(?:\\s[^>]*)?>"
+  val PreCloseRe: String = "(?i)</pre>"
+  val CodeOpenRe: String = "(?i)<code(?:\\s[^>]*)?>"
+  val CodeCloseRe: String = "(?i)</code>"
 
   def unescapeEntities(c: Column): Column =
     Entities.foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
@@ -128,7 +128,14 @@ object Html {
     * the line itself) computed by one linear fold over the line array
     * — still map-only, no shuffle; the oracle replays it as a window
     * SUM over the unnested lines. */
-  def scoredLines(html: Column): Column = {
+  def scoredLines(html: Column): Column =
+    org.apache.spark.sql.graft.HtmlScoredLinesExpr.html_scored_lines(html)
+
+  /** Builtin-composition formulation — value-equality reference for the
+    * codegen expression in specs (HtmlExtractSpec). Do not use in hot
+    * paths: the transform lambda interprets per line and the depth scan
+    * concat-copies a boolean array per line (O(L²)). */
+  private[graft] def scoredLinesBuiltin(html: Column): Column = {
     val marked = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       stripNonContent(html),
       PreOpenRe, "\n" + PreOpen), PreCloseRe, PreClose + "\n"),
@@ -184,7 +191,13 @@ object Html {
       transform(filter(ls, keepLine _),
         s => unescapeEntities(s.getField("t"))))
 
-  /** The extracted main content of an HTML document. */
+  /** The extracted main content of an HTML document — one codegen pass
+    * (round-20 optimization,
+    * [[org.apache.spark.sql.graft.HtmlExtractCore]]). */
   def extractMainText(html: Column): Column =
-    extractFromLines(scoredLines(html))
+    org.apache.spark.sql.graft.HtmlMainTextExpr.html_main_text(html)
+
+  /** Builtin-composition formulation — the spec reference. */
+  private[graft] def extractMainTextBuiltin(html: Column): Column =
+    extractFromLines(scoredLinesBuiltin(html))
 }

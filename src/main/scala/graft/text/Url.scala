@@ -101,7 +101,7 @@ object Url {
     * than the pass bound; round-16 probe). RE2-safe (no lookahead), so
     * the DuckDB oracle replays it verbatim. Shared with the oracle
     * builder — one definition, both engines. */
-  private[graft] val NonDotSeg = "(?:[^./][^/]*|\\.[^./][^/]*|\\.\\.[^/]+)"
+  val NonDotSeg = "(?:[^./][^/]*|\\.[^./][^/]*|\\.\\.[^/]+)"
 
   /** RFC 3986 §6.2.2.3 remove_dot_segments, as a BOUNDED fold of
     * regex passes (deterministic and replayable in any engine — the
@@ -116,7 +116,7 @@ object Url {
     * by grepping the canonical output for `/../` (spec-pinned), never
     * a silently wrong key. Runs AFTER percent-decoding, so `/%2E%2E/`
     * collapses like `/../` (the RFC's ordering). */
-  private[graft] val DotSegPasses = 8
+  val DotSegPasses = 8
   def removeDotSegments(p: Column): Column =
     (1 to DotSegPasses).foldLeft(p) { (x, _) =>
       val a = regexp_replace(x, "/\\./", "/")
@@ -146,7 +146,13 @@ object Url {
     * non-default port — different origin — but the per-domain rollup
     * groups origins of one site together). */
   def urlDomain(url: Column): Column =
-    regexp_replace(regexp_replace(canonicalHost(url), ":[0-9]+$", ""),
+    org.apache.spark.sql.graft.UrlDomainExpr.url_domain(url)
+
+  /** Builtin-composition formulation — value-equality reference for the
+    * codegen expression in specs (UrlCanonSpec). Do not use in hot
+    * paths. */
+  private[graft] def urlDomainBuiltin(url: Column): Column =
+    regexp_replace(regexp_replace(canonicalHostBuiltin(url), ":[0-9]+$", ""),
       "^www\\.", "")
 
   private def stripSuffix(c: Column, suffix: String): Column =
@@ -156,7 +162,7 @@ object Url {
   /** Lowercased host with the scheme's default port stripped;
     * non-default ports are kept (a different port IS a different
     * origin). */
-  def canonicalHost(url: Column): Column = {
+  private[graft] def canonicalHostBuiltin(url: Column): Column = {
     val hp = hostPortOf(url)
     val scheme = schemeOf(url)
     when(scheme === "https", stripSuffix(hp, ":443"))
@@ -174,11 +180,20 @@ object Url {
     array_join(kept, "&")
   }
 
-  /** The canonical URL — the exact-dedup key. */
-  def canonicalize(url: Column): Column = {
+  /** The canonical URL — the exact-dedup key. One-pass codegen
+    * (round-20 optimization, [[org.apache.spark.sql.graft.UrlCanonCore]]);
+    * the builtin-composition chain below stays as the spec reference
+    * and the oracle-SQL generator's template. */
+  def canonicalize(url: Column): Column =
+    org.apache.spark.sql.graft.CanonicalUrlExpr.canonical_url(url)
+
+  /** Builtin-composition formulation — value-equality reference for the
+    * codegen expression in specs (UrlCanonSpec). Do not use in hot
+    * paths. */
+  private[graft] def canonicalizeBuiltin(url: Column): Column = {
     val q = canonicalQuery(url)
     concat(
-      schemeOf(url), lit("://"), canonicalHost(url),
+      schemeOf(url), lit("://"), canonicalHostBuiltin(url),
       removeDotSegments(pctDecodeUnreserved(pathOf(url))),
       when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
   }
