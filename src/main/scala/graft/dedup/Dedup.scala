@@ -327,29 +327,74 @@ object Dedup {
     * than materializing the exploded index to MEMORY_AND_DISK (sf0.1,
     * local[32]: cold 2.2 s without persist vs 5.1 s with). Pass true
     * only when a long-lived session genuinely reuses the index ≥3×. */
+  /** Corpus-size crossover for severing the shingle index (bytes of
+    * the optimizer's input-size estimate). The index feeds BOTH
+    * self-join sides, the df-cap window and the per-doc set sizes —
+    * four references whose pre-AQE plans each duplicate the corpus
+    * scan + tokenize + explode subtree. ABOVE the threshold one
+    * corpus pass builds the index and a hard sever
+    * ([[graft.util.Lineage.sever]]) materializes it for every
+    * consumer — paired A/B at sf1 (170 MB): d_ngram_jaccard
+    * 25.9 → 13.9 s, d_winnow_recall 38.8 → 15.1 s. BELOW it the
+    * block-manager materialization costs more than the recompute
+    * (AQE's runtime exchange reuse already deduplicates the identical
+    * subtrees): sf0.1 (0.6 MB parquet) measured 2.46 → 3.23 s severed.
+    * The default sits between the two measured input sizes (0.6 MB
+    * loses, 8 MB wins — sizes are the optimizer's estimate, i.e.
+    * parquet FILE bytes); at 100 TB the severed path is the only sane
+    * one (with `spark.graft.sever.reliable` for executor-loss
+    * safety). */
+  val SeverIndexBytesKey = "spark.graft.jaccard.severIndexBytes"
+  private val SeverIndexBytesDefault = 4L * 1024 * 1024
+
+  private def severIndexBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(SeverIndexBytesKey)
+      .map(_.trim.toLong).getOrElse(SeverIndexBytesDefault)
+
+  /** Size-adaptive hard sever: above the [[SeverIndexBytesKey]]
+    * crossover (measured on the shingle-index family) materialize
+    * `df`; below it, return it untouched and let AQE's runtime
+    * exchange reuse deduplicate repeated references. `sizeOf` is the
+    * frame whose INPUT size drives the decision (the corpus scan). */
+  private[graft] def severIfBig(sizeOf: DataFrame)(df: DataFrame): DataFrame =
+    if (sizeOf.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(severIndexBytes(sizeOf)))
+      graft.util.Lineage.severTracked(df)
+    else df
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxShingleDf: Long = 10000L, persistIndex: Boolean = false): DataFrame = {
-    val idx0 = shingleIndex(docs, idCol, textCol, n)
-    val idx = if (persistIndex)
-      graft.util.IntermediateCaches.track(
-        idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    else idx0
-    // per-doc set sizes come map-only from the docs (size of the same
-    // one-pass expression) — no groupBy over the 10⁶×-larger index
-    val counts = spread(docs).select(col(idCol).as("doc"),
-      size(org.apache.spark.sql.graft.DistinctShingles
-        .distinct_shingles(col(textCol), n)).cast("long").as("n_sh"))
+    // size-adaptive severing — see [[SeverIndexBytesKey]]
+    val bigCorpus = docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(severIndexBytes(docs))
+    def maybeSever(df: DataFrame): DataFrame =
+      if (bigCorpus) graft.util.Lineage.severTracked(df) else df
+    val idx = maybeSever(shingleIndex(docs, idCol, textCol, n))
+    // per-doc set sizes: on the severed path, from the index itself —
+    // the index IS the per-doc distinct-shingle set (one row per
+    // (doc, s)), so the group-count equals
+    // size(distinct_shingles(text, n)) for every doc with at least one
+    // shingle, and docs with none cannot appear in `inter` (no index
+    // rows), so the inner joins below see identical inputs. UNCAPPED by
+    // construction (counted before the df-cap). On the small-corpus
+    // path, map-only from the docs (no groupBy over the larger index).
+    val counts =
+      if (bigCorpus) graft.util.Lineage.severTracked(
+        idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh")))
+      else spread(docs).select(col(idCol).as("doc"),
+        size(org.apache.spark.sql.graft.DistinctShingles
+          .distinct_shingles(col(textCol), n)).cast("long").as("n_sh"))
     // df cap as a window count over the SAME hash-partitioning-by-s the
-    // self-join needs anyway (one exchange, reused by both join sides)
-    // instead of groupBy + join-back (three passes over the index)
+    // self-join needs anyway; on the severed path computed ONCE and
+    // itself severed (both join sides read it)
     val kept =
       if (maxShingleDf == Long.MaxValue) idx
-      else idx
+      else maybeSever(idx
         .withColumn("s_df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
         .filter(col("s_df") <= maxShingleDf)
-        .drop("s_df")
+        .drop("s_df"))
     val a = kept.select(col("doc").as("doc_a"), col("s"))
     val b = kept.select(col("doc").as("doc_b"), col("s"))
     val inter = a.join(b, "s")

@@ -1432,10 +1432,20 @@ object LlmOps {
     * gate pins exactly what that compression costs in pairs). */
   def winnowRecall(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val truth = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val found = Dedup.winnowPairs(d, k = 3, w = 4, minShared = 3L)
-      .select(col("doc_a"), col("doc_b"))
+    // SEVERED pair sets (round-20, guide §2.3/§5): `found` is read by
+    // two aggregates and `truth` by two — un-severed, each reference
+    // re-ran its whole detector (the r19 plan carried 24 parquet scans
+    // for this gate; paired sf1 A/B: 38.8 → 15.1 s). Both sets are
+    // pair-sized; size-gated like the shingle index (below the
+    // crossover AQE's runtime exchange reuse already deduplicates the
+    // repeated subtrees and the checkpoint round-trip just costs).
+    val sever = Dedup.severIfBig(d) _
+    val truth = sever(
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")))
+    val found = sever(
+      Dedup.winnowPairs(d, k = 3, w = 4, minShared = 3L)
+        .select(col("doc_a"), col("doc_b")))
     val hits = found.join(truth, Seq("doc_a", "doc_b"), "left_semi")
     found.agg(count(lit(1)).as("n_found"))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
