@@ -478,7 +478,12 @@ object Dedup {
       threshold: Double): DataFrame = {
     val candIds = cands.select(col("doc_a").as("doc"))
       .union(cands.select(col("doc_b").as("doc"))).distinct()
-    val pruned = shSets.join(candIds, Seq("doc"), "left_semi")
+    // the pruned set feeds BOTH pair sides; above the corpus-size
+    // crossover, sever it so the corpus-scale shingle-set expression
+    // runs once (round-20, same discipline as the jaccard index —
+    // pruned is candidate-bounded, tiny next to the corpus)
+    val pruned = severIfBig(shSets)(
+      shSets.join(candIds, Seq("doc"), "left_semi"))
     cands
       .join(pruned.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(pruned.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -284,8 +284,8 @@ object LlmOps {
       .select(col("doc_id"), col("n_chars"), col("text"), col("norm"),
         split(col("norm"), " ").as("t"))
     val scored = staged.select(col("doc_id"), col("n_chars"),
-      quality_score_from(col("norm"), col("t")).as("quality"),
-      lang_id_from(col("text"), col("t")).as("lang_guess"),
+      quality_score_from(col("norm")).as("quality"),
+      lang_id_from(col("text")).as("lang_guess"),
       md5(col("norm").cast("binary")).as("fp"))
     // keeper = min doc id per exact-dup group, as a WINDOW over the
     // fingerprint: one exchange on fp and ONE scoring pass — the
@@ -414,7 +414,7 @@ object LlmOps {
         split(col("norm"), " ").as("t"))
     val scored = staged.select(col("doc_id"), col("lang"), col("source"),
       size(col("t")).cast("long").as("ntok"),
-      quality_score_from(col("norm"), col("t")).as("q"),
+      quality_score_from(col("norm")).as("q"),
       md5(col("norm").cast("binary")).as("fp"))
     scored
       .withColumn("keep_id", min(col("doc_id")).over(
@@ -547,7 +547,7 @@ object LlmOps {
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
-        quality_score_from(col("norm"), col("t")).as("q"))
+        quality_score_from(col("norm")).as("q"))
     val epochs = when(col("q") >= 0.55, 3).when(col("q") >= 0.45, 2).otherwise(1)
     // the composite key is only injective while epoch ≤ 3 < 4; if the
     // tier expression ever grows a 4+-epoch tier, replicas would collide
@@ -596,7 +596,7 @@ object LlmOps {
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("quality"))
+        quality_score_from(col("norm")).as("quality"))
     graft.sampling.Sampling
       .weightedHashSample(scored, "doc_id", col("quality"))
       .orderBy(col("doc_id"))
@@ -1066,7 +1066,7 @@ object LlmOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), norm_text(col("text")).as("norm"))
         .select(col("doc_id"), col("lang"),
-          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+          quality_score_from(col("norm")).as("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cut = scored.agg(round(expr("percentile(q, 0.25)"), 6).as("cut"))
     scored.crossJoin(broadcast(cut))
@@ -1117,7 +1117,7 @@ object LlmOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), norm_text(col("text")).as("norm"))
         .select(col("doc_id"),
-          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+          quality_score_from(col("norm")).as("q"),
           size(split(col("norm"), " ")).cast("long").as("ntok"))
         .withColumn("bucket", Sketch.histBucket(col("q"), 1024, 0.0, 1.0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1917,7 +1917,7 @@ object LlmOps {
       .join(cc.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+        quality_score_from(col("norm")).as("q"))
     cc.join(scored, cc("node") === scored("doc_id"))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"),
@@ -5220,7 +5220,7 @@ object LlmOps {
     val filt = graft.util.Lineage.severTracked(staged
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         size(col("t")).as("ntok"),
-        quality_score_from(col("norm"), col("t")).as("quality"),
+        quality_score_from(col("norm")).as("quality"),
         md5(col("norm").cast("binary")).as("fp"))
       .withColumn("keep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
@@ -5624,7 +5624,7 @@ object LlmOps {
         split(col("norm"), " ").as("t"))
     val filt = graft.util.IntermediateCaches.track(staged
       .select(col("doc_id"), col("lang"), size(col("t")).as("ntok"),
-        quality_score_from(col("norm"), col("t")).as("quality"),
+        quality_score_from(col("norm")).as("quality"),
         // one-pass codegen'd gram/position hashes (round-19 optimization):
         // value-identical to the HOF lambdas they replaced (GramHashSpec)
         // — the lambdas interpreted slice+concat_ws+md5-hex per gram,
@@ -6410,7 +6410,7 @@ object LlmOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+        quality_score_from(col("norm")).as("q"),
         size(split(col("norm"), " ")).cast("long").as("ntok"))
       .select(col("doc_id"),
         Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("qb"),
@@ -6542,7 +6542,7 @@ object LlmOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), norm_text(col("text")).as("norm"))
         .select(col("norm"),
-          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+          quality_score_from(col("norm")).as("q"),
           size(split(col("norm"), " ")).cast("long").as("ntok"))
         .select(col("norm"),
           Sketch.histBucket(col("q"), 256, 0.0, 1.0).as("qb"),
@@ -6639,7 +6639,7 @@ object LlmOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), norm_text(col("text")).as("norm"))
         .select(col("doc_id"),
-          quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+          quality_score_from(col("norm")).as("q"),
           size(split(col("norm"), " ")).cast("long").as("ntok"))
         .filter(col("q") >= 0.3 && col("ntok") >= 10)
         .withColumn("bucket", Sketch.histBucket(col("q"), 1024, 0.0, 1.0))
@@ -6870,7 +6870,7 @@ object LlmOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"), col("source"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"))
+        quality_score_from(col("norm")).as("q"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("doc_id"), col("source"), col("q"), col("rk").cast("long").as("rk"))

@@ -70,13 +70,13 @@ package object text {
     * keep in sync with the SQL oracle. Delegates to
     * [[quality_score_from]] so the formula exists once. */
   def quality_score(c: Column): Column =
-    quality_score_from(norm_text(c), tokens(c))
+    quality_score_from(norm_text(c))
 
   /** Marker-word language heuristic (the test corpus is synthetic ASCII,
     * so CJK detection short-circuits first, then stopword evidence;
     * deterministic tie-break order en > de > es > fr). Delegates to
     * [[lang_id_from]] so the formula exists once. */
-  def lang_id(c: Column): Column = lang_id_from(c, tokens(c))
+  def lang_id(c: Column): Column = lang_id_from(c)
 
   /** Whole-document fingerprint: md5 of the normalized text (exact-dup
     * key; oracle-friendly since DuckDB md5 agrees). */
@@ -89,20 +89,22 @@ package object text {
   // several signals should stage the attributes and use these. Values
   // are identical to the plain versions by construction.
 
-  /** CONTRACT: `toks` must be `split(norm, " ")` of the same staged
-    * norm (every call site stages exactly that) — the fused codegen
-    * expression derives the token view internally (round-19
-    * optimization; the combinator formulation below interpreted a
-    * filter lambda per token and re-scanned with regexp_count).
+  /** Quality score over a PRE-staged `norm` attribute. The fused
+    * codegen expression derives the token view (`split(norm, " ")`)
+    * internally (round-19 optimization; the combinator formulation
+    * below interpreted a filter lambda per token and re-scanned with
+    * regexp_count). The former `toks` parameter was dropped in round
+    * 20 (round-19 advice): it was ignored, so a caller staging tokens
+    * any other way would have silently contradicted the signature.
     * Value-identical: TextSignalsSpec. */
-  def quality_score_from(norm: Column, toks: Column): Column =
+  def quality_score_from(norm: Column): Column =
     org.apache.spark.sql.graft.QualityScoreExpr.quality_score_norm(norm)
 
-  /** CONTRACT: `toks` must be the norm-chain tokens of `raw` (every
-    * call site passes exactly that) — fused like
-    * [[quality_score_from]]; four marker filter lambdas + the CJK
-    * regex collapse into one codegen pass. */
-  def lang_id_from(raw: Column, toks: Column): Column =
+  /** Language id over the RAW text (the norm-chain token view is
+    * derived internally) — fused like [[quality_score_from]]; four
+    * marker filter lambdas + the CJK regex collapse into one codegen
+    * pass. The ignored `toks` parameter was dropped in round 20. */
+  def lang_id_from(raw: Column): Column =
     org.apache.spark.sql.graft.LangIdExpr.lang_id_raw(raw)
 
   /** Combinator formulations — value-equality references for the

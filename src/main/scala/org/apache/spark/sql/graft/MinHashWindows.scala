@@ -32,7 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   sig   = MinHashSignature.minhash_signature(wtext, n, k)
   *   sh    = DistinctShingleHashes.distinct_shingle_hashes(wtext, n)
   *
-  * which materialized the window text and re-tokenized it per window —
+  * EDGE SCOPE of that claim (round-19 advice): these expressions hash
+  * the STAGED token array verbatim, while the old chain re-tokenized
+  * the joined window text by Character.isWhitespace — so a document
+  * whose norm-chain tokens include EMPTY tokens (tab/newline edges,
+  * which NormTokens keeps) or tokens containing non-ASCII Unicode
+  * whitespace gets different window token streams under the two
+  * formulations. The staged-token semantics is the CONTRACT — it is
+  * what the d_dup_spans_fuzzy oracle replays
+  * (`string_split(norm, ' ')` sliced positionally, empties included) —
+  * and MinHashWindowsSpec pins those edge documents on THIS
+  * formulation against the gate oracle's slicing, not against the old
+  * chain.
+  *
+  * The old chain materialized the window text and re-tokenized it per
+  * window —
   * with stride < window every token was re-parsed window/stride times,
   * and the per-window token StringBuilders + shingle strings +
   * LinkedHashSet churn made the d_dup_spans_fuzzy corpus scan GC-bound

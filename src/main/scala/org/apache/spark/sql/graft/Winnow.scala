@@ -185,7 +185,15 @@ object WinnowFingerprintInts {
 
   /** Same normalization/gram/window-min pipeline as
     * [[WinnowFingerprints.compute]], with fingerprints kept as the
-    * md5's first 32 bits compared UNSIGNED (hex-string order). */
+    * md5's first 32 bits compared UNSIGNED (hex-string order).
+    *
+    * API CAVEAT (round-19 advice): the values are unsigned 32-bit
+    * quantities stored in signed IntegerType — the emitted array is
+    * UNSIGNED-sorted, which is NOT ascending under signed Int
+    * comparison once the high bit is set. Consumers may use these ints
+    * for EQUALITY ONLY (join keys, set membership); ordering or range
+    * comparisons on them silently diverge from the hex-string form.
+    * Current uses (winnowPairs join key, set-equality specs) comply. */
   def compute(text: String, k: Int, w: Int): ArrayData = {
     val strs = WinnowFingerprints.compute(text, k, w)
     val n = strs.numElements()

@@ -809,7 +809,7 @@ class LlmOpsSpec extends AnyFunSuite {
         .select(col("doc_id"), graft.text.norm_text(col("text")).as("norm"))
         .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
-          graft.text.quality_score_from(col("norm"), col("t")).as("q")),
+          graft.text.quality_score_from(col("norm")).as("q")),
       when(col("q") >= 0.55, 3).when(col("q") >= 0.45, 2).otherwise(1))
     val expandedTokens = expanded.agg(sum(col("ntok"))).collect().head.getLong(0)
     assert(packedTokens == expandedTokens, "packing must conserve epoch-weighted tokens")
@@ -1630,7 +1630,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val scored = docs
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+        quality_score_from(col("norm")).as("q"),
         size(split(col("norm"), " ")).cast("long").as("ntok"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       .filter { case (_, q, nt) => q >= 0.3 && nt >= 10 }
@@ -1781,7 +1781,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val scored = docs
       .select(col("doc_id"), norm_text(col("text")).as("norm"))
       .select(col("doc_id"),
-        quality_score_from(col("norm"), split(col("norm"), " ")).as("q"),
+        quality_score_from(col("norm")).as("q"),
         size(split(col("norm"), " ")).cast("long").as("ntok"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     val budget = scored.map(_._3).sum * 2 / 5

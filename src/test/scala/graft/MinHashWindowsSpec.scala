@@ -80,6 +80,47 @@ class MinHashWindowsSpec extends AnyFunSuite {
     assert(refRows.keys.count(_._1 == 1L) >= 4)
   }
 
+  test("whitespace-edge docs follow the STAGED-token (oracle) semantics") {
+    // round-19 advice: tab/newline edges make NormTokens emit EMPTY
+    // tokens, and the OLD slice/concat_ws/re-tokenize chain dropped
+    // them — the contract is the staged-token form (what the
+    // d_dup_spans_fuzzy oracle replays: string_split(norm, ' ') sliced
+    // positionally, empties included). Pin WindowShingleSets against
+    // an empties-preserving builtin reference: positional slice of the
+    // staged array, AllShingles (keeps empties), xxhash64, dedup.
+    val edge = Seq(
+      (1L, "\tleading tab edge " + (1 to 20).map(i => s"e$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"m$i").mkString(" ") + " trailing newline\n"),
+      (3L, "inner nbsp stays one-token " +
+        (1 to 16).map(i => s"u$i").mkString(" ")))
+    val base = edge.toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val ref = base
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+            (greatest(size(col("t")) - window, lit(0)) / stride).cast("int")),
+          i => slice(col("t"), i * stride + 1, lit(window)))).as(Seq("wi", "wt")))
+      .filter(size(col("wt")) >= n)
+      .select(col("doc_id"), col("wi"),
+        array_distinct(transform(
+          graft.text.shingles_from(col("wt"), n), s => xxhash64(s))).as("sh"))
+    val fast = base
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.WindowShingleSets
+          .window_shingle_sets(col("t"), window, stride, n)).as(Seq("wi", "wd")))
+      .filter(col("wd.nt") >= n)
+      .select(col("doc_id"), col("wi"), col("wd.sh").as("sh"))
+    val refRows = ref.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    val fastRows = fast.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    assert(refRows.nonEmpty && fastRows == refRows)
+    // and the edge docs really do carry empty tokens into the windows
+    val hasEmpty = base.select(array_contains(col("t"), "").as("e"))
+      .collect().map(_.getBoolean(0))
+    assert(hasEmpty.count(identity) >= 2)
+  }
+
   test("fuzzySpans output unchanged on a planted near-dup fixture") {
     // two docs sharing a drifted 20-token passage + one unrelated doc
     val shared = (1 to 20).map(i => s"common$i").mkString(" ")

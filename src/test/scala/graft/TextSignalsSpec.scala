@@ -35,7 +35,7 @@ class TextSignalsSpec extends AnyFunSuite {
       .select(col("text"), norm_text(col("text")).as("norm"))
       .select(col("text"), col("norm"), split(col("norm"), " ").as("t"))
     val r = df.select(
-      quality_score_from(col("norm"), col("t")).as("fast"),
+      quality_score_from(col("norm")).as("fast"),
       quality_score_from_builtin(col("norm"), col("t")).as("ref")).collect()
     r.zip(fixtures).foreach { case (row, f) =>
       val (a, b) = (row.getDouble(0), row.getDouble(1))
@@ -51,7 +51,7 @@ class TextSignalsSpec extends AnyFunSuite {
         Seq("").toDF("norm")
           .select(c.as("q")).collect(); false
       } catch { case _: Throwable => true }
-    assert(crashes(quality_score_from(col("norm"), split(col("norm"), " "))))
+    assert(crashes(quality_score_from(col("norm"))))
     assert(crashes(quality_score_from_builtin(col("norm"), split(col("norm"), " "))))
   }
 
@@ -59,7 +59,7 @@ class TextSignalsSpec extends AnyFunSuite {
     val df = fixtures.toDF("text")
       .select(col("text"), tokens(col("text")).as("t"))
     val r = df.select(
-      lang_id_from(col("text"), col("t")).as("fast"),
+      lang_id_from(col("text")).as("fast"),
       lang_id_from_builtin(col("text"), col("t")).as("ref")).collect()
     r.zip(fixtures).foreach { case (row, f) =>
       assert(row.getString(0) == row.getString(1), s"fixture '${f.take(40)}'")
@@ -71,9 +71,9 @@ class TextSignalsSpec extends AnyFunSuite {
       .select(col("text"), norm_text(col("text")).as("norm"))
       .select(col("text"), col("norm"), split(col("norm"), " ").as("t"))
     val bad = docs.select(
-        quality_score_from(col("norm"), col("t")).as("qf"),
+        quality_score_from(col("norm")).as("qf"),
         quality_score_from_builtin(col("norm"), col("t")).as("qr"),
-        lang_id_from(col("text"), col("t")).as("lf"),
+        lang_id_from(col("text")).as("lf"),
         lang_id_from_builtin(col("text"), col("t")).as("lr"))
       .filter(col("qf") =!= col("qr") || col("lf") =!= col("lr"))
       .count()
